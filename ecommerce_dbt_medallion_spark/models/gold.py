@@ -1,0 +1,363 @@
+"""Gold layer — business marts (reference parity).
+
+Re-implements, Spark-first:
+- models/gold/gold_customer_summary.sql (per-customer KPIs, RFM scores)
+- models/gold/gold_order_metrics.sql    (daily grain + running windows)
+- models/gold/gold_revenue_analysis.sql (monthly grain, MoM/YoY, pivot)
+
+Determinism deltas (SURVEY.md §3):
+- ``current_date()`` → ``as_of_date`` = max(order_date) over silver_orders,
+  computed in-plan and broadcast (scale-safe scalar).
+- ``mode(payment_method)`` (tie-nondeterministic) → deterministic mode:
+  row_number over (count desc, method asc).
+- Money: exact decimal sums internally, cast to double in final output;
+  averages/rates are (exact sum → double) / bigint count — one fp division,
+  engine-independent.
+
+Scale notes:
+- count(distinct order_key/payment_key) in the reference is rewritten to
+  plain count(): the grain guarantees uniqueness (enforced by the DQ
+  engine), and dropping DISTINCT removes a full Expand+shuffle at 100 TB.
+  Real distincts (customer per day, payment methods, active months) kept.
+- Customer/payment aggregations are single-shuffle: payments aggregate
+  once on (customer_key, method), then tiny re-aggregations derive totals
+  and the preferred method — one pass over the big fact instead of three.
+- Ordered windows run only AFTER date/month-grain aggregation, where
+  cardinality is days/months (bounded), so the single-partition window is
+  safe at any input scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.config import BATCH_TS
+from ecommerce_dbt_medallion_spark.models.silver import (
+    silver_customers,
+    silver_orders,
+    silver_payments,
+)
+
+DEC0 = "cast(0 as decimal(18,2))"
+
+
+def _dbl(c: Column) -> Column:
+    return c.cast("double")
+
+
+def _zero_dec() -> Column:
+    return F.lit(0).cast("decimal(18,2)")
+
+
+def _safe_div(num: Column, den: Column) -> Column:
+    """num / den with NULL when den = 0 (both already double)."""
+    return num / F.when(den != 0, den)
+
+
+def _updated_at() -> Column:
+    return F.lit(BATCH_TS).cast("timestamp")
+
+
+def gold_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference: models/gold/gold_customer_summary.sql."""
+    c = silver_customers(spark, sf_dir)
+    o = silver_orders(spark, sf_dir)
+    p = silver_payments(spark, sf_dir)
+
+    completed = F.col("is_completed")
+    amt = F.col("order_amount")
+
+    customer_orders = o.groupBy("customer_key").agg(
+        F.count("order_key").alias("total_orders"),
+        F.count(F.when(completed, F.col("order_key"))).alias("completed_orders"),
+        F.count(F.when(F.col("is_cancelled"), F.col("order_key"))).alias("cancelled_orders"),
+        F.count(F.when(F.col("is_pending"), F.col("order_key"))).alias("pending_orders"),
+        F.min("order_date").alias("first_order_date"),
+        F.max("order_date").alias("last_order_date"),
+        F.sum(F.when(completed, amt).otherwise(_zero_dec())).alias("total_revenue_dec"),
+        F.sum(F.when(completed, amt)).alias("completed_amt_dec"),
+        F.count(F.when(completed, amt)).alias("completed_amt_cnt"),
+        F.max(amt).alias("max_order_value_dec"),
+        F.min(F.when(completed, amt)).alias("min_order_value_dec"),
+        F.countDistinct("order_year_month").alias("active_months"),
+    )
+
+    # One pass over the payments fact: aggregate to (customer, method) grain,
+    # then derive both the per-customer totals and the deterministic mode.
+    pay_by_method = (
+        p.where(F.col("is_successful_payment"))
+        .join(o.select("order_key", "customer_key"), "order_key", "inner")
+        .groupBy("customer_key", "payment_method")
+        .agg(
+            F.count("payment_key").alias("n_payments"),
+            F.sum("payment_amount").alias("amt_dec"),
+        )
+    )
+    customer_payments = pay_by_method.groupBy("customer_key").agg(
+        F.sum("n_payments").cast("long").alias("total_payments"),
+        F.count("payment_method").alias("unique_payment_methods"),
+        F.sum("amt_dec").alias("total_paid_dec"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("customer_key").orderBy(
+            F.desc("n_payments"), F.asc("payment_method")
+        )
+    )
+    preferred = (
+        pay_by_method.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("customer_key", F.col("payment_method").alias("preferred_payment_method"))
+    )
+
+    as_of = F.broadcast(o.agg(F.max("order_date").alias("as_of_date")))
+
+    rev0 = F.coalesce(F.col("total_revenue_dec"), _zero_dec())
+    dsl = F.datediff(F.col("as_of_date"), F.col("last_order_date"))
+
+    return (
+        c.join(customer_orders, "customer_key", "left")
+        .join(customer_payments, "customer_key", "left")
+        .join(preferred, "customer_key", "left")
+        .crossJoin(as_of)
+        .select(
+            "customer_key",
+            "customer_id",
+            "full_name",
+            "first_name",
+            "last_name",
+            "email",
+            F.col("created_at").alias("customer_since"),
+            F.coalesce(F.col("total_orders"), F.lit(0)).cast("long").alias("total_orders"),
+            F.coalesce(F.col("completed_orders"), F.lit(0)).cast("long").alias("completed_orders"),
+            F.coalesce(F.col("cancelled_orders"), F.lit(0)).cast("long").alias("cancelled_orders"),
+            F.coalesce(F.col("pending_orders"), F.lit(0)).cast("long").alias("pending_orders"),
+            _dbl(rev0).alias("lifetime_value"),
+            F.coalesce(
+                _dbl(F.col("completed_amt_dec")) / F.when(F.col("completed_amt_cnt") != 0, F.col("completed_amt_cnt")),
+                F.lit(0.0),
+            ).alias("avg_order_value"),
+            _dbl(F.coalesce(F.col("max_order_value_dec"), _zero_dec())).alias("max_order_value"),
+            _dbl(F.coalesce(F.col("min_order_value_dec"), _zero_dec())).alias("min_order_value"),
+            F.coalesce(F.col("total_payments"), F.lit(0)).cast("long").alias("total_payments"),
+            F.coalesce(F.col("unique_payment_methods"), F.lit(0)).cast("long").alias("unique_payment_methods"),
+            _dbl(F.coalesce(F.col("total_paid_dec"), _zero_dec())).alias("total_paid_amount"),
+            "preferred_payment_method",
+            "first_order_date",
+            "last_order_date",
+            F.coalesce(
+                F.datediff(F.col("last_order_date"), F.col("first_order_date")), F.lit(0)
+            ).cast("long").alias("customer_lifetime_days"),
+            F.coalesce(F.col("active_months"), F.lit(0)).cast("long").alias("active_months"),
+            dsl.cast("long").alias("days_since_last_order"),
+            F.when(rev0 >= 500, "High Value")
+            .when(rev0 >= 200, "Medium Value")
+            .when(rev0 > 0, "Low Value")
+            .otherwise("No Revenue")
+            .alias("customer_segment"),
+            F.when(F.col("last_order_date").isNull(), "Never Ordered")
+            .when(dsl <= 30, "Active")
+            .when(dsl <= 90, "At Risk")
+            .when(dsl <= 180, "Inactive")
+            .otherwise("Churned")
+            .alias("customer_status"),
+            F.when(dsl <= 30, 3).when(dsl <= 90, 2).otherwise(1).cast("long").alias("recency_score"),
+            F.when(F.coalesce(F.col("total_orders"), F.lit(0)) >= 5, 3)
+            .when(F.coalesce(F.col("total_orders"), F.lit(0)) >= 2, 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("frequency_score"),
+            F.when(rev0 >= 500, 3).when(rev0 >= 200, 2).otherwise(1).cast("long").alias("monetary_score"),
+            _updated_at().alias("_updated_at"),
+        )
+    )
+
+
+_DAILY_KEYS = [
+    "order_date",
+    "order_year",
+    "order_month",
+    "order_day",
+    "order_quarter",
+    "order_year_month",
+    "order_year_quarter",
+    "order_day_name",
+]
+
+
+def gold_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference: models/gold/gold_order_metrics.sql."""
+    o = silver_orders(spark, sf_dir)
+    completed = F.col("is_completed")
+    amt = F.col("order_amount")
+
+    daily = o.groupBy(*_DAILY_KEYS).agg(
+        F.count("order_key").alias("total_orders"),
+        F.count(F.when(completed, F.col("order_key"))).alias("completed_orders"),
+        F.count(F.when(F.col("is_cancelled"), F.col("order_key"))).alias("cancelled_orders"),
+        F.count(F.when(F.col("is_pending"), F.col("order_key"))).alias("pending_orders"),
+        F.countDistinct("customer_key").alias("unique_customers"),
+        F.sum(F.when(completed, amt).otherwise(_zero_dec())).alias("rev_dec"),
+        F.sum(F.when(completed, amt)).alias("avg_sum_dec"),
+        F.count(F.when(completed, amt)).alias("avg_cnt"),
+        F.max(amt).alias("max_dec"),
+        F.min(F.when(completed, amt)).alias("min_dec"),
+        F.sum(amt).alias("potential_dec"),
+        F.sum(F.when(F.col("is_cancelled"), amt).otherwise(_zero_dec())).alias("lost_dec"),
+    )
+
+    w = Window.orderBy("order_date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w7 = w.rowsBetween(-6, Window.currentRow)
+
+    lag1 = F.lag(F.col("rev_dec"), 1).over(w)
+    lag7 = F.lag(F.col("rev_dec"), 7).over(w)
+
+    return (
+        daily.select(
+            *_DAILY_KEYS,
+            "total_orders",
+            "completed_orders",
+            "cancelled_orders",
+            "pending_orders",
+            "unique_customers",
+            _dbl(F.col("rev_dec")).alias("total_revenue"),
+            _safe_div(_dbl(F.col("avg_sum_dec")), F.col("avg_cnt").cast("double")).alias("avg_order_value"),
+            _dbl(F.col("max_dec")).alias("max_order_value"),
+            _dbl(F.col("min_dec")).alias("min_order_value"),
+            _dbl(F.col("potential_dec")).alias("potential_revenue"),
+            _dbl(F.col("lost_dec")).alias("lost_revenue"),
+            F.round(
+                _safe_div(F.col("completed_orders").cast("double") * 100, F.col("total_orders").cast("double")), 2
+            ).alias("completion_rate"),
+            F.round(
+                _safe_div(F.col("cancelled_orders").cast("double") * 100, F.col("total_orders").cast("double")), 2
+            ).alias("cancellation_rate"),
+            F.round(
+                _safe_div(F.col("total_orders").cast("double"), F.col("unique_customers").cast("double")), 2
+            ).alias("orders_per_customer"),
+            _dbl(F.sum("rev_dec").over(wcum)).alias("cumulative_revenue"),
+            F.sum("total_orders").over(wcum).cast("long").alias("cumulative_orders"),
+            (_dbl(F.sum("rev_dec").over(w7)) / F.count("rev_dec").over(w7)).alias("revenue_7day_ma"),
+            (_dbl(F.sum("total_orders").over(w7)) / F.count("total_orders").over(w7)).alias("orders_7day_ma"),
+            _dbl(lag1).alias("prior_day_revenue"),
+            _dbl(lag7).alias("week_ago_revenue"),
+            F.round(
+                _safe_div((_dbl(F.col("rev_dec")) - _dbl(lag1)) * 100, _dbl(lag1)), 2
+            ).alias("revenue_growth_vs_prior_day_pct"),
+            F.round(
+                _safe_div((_dbl(F.col("rev_dec")) - _dbl(lag7)) * 100, _dbl(lag7)), 2
+            ).alias("revenue_growth_vs_week_ago_pct"),
+            _updated_at().alias("_updated_at"),
+        )
+        .orderBy(F.desc("order_date"))
+    )
+
+
+_MONTH_KEYS = [
+    "order_year",
+    "order_month",
+    "order_year_month",
+    "order_quarter",
+    "order_year_quarter",
+]
+
+_PIVOT_METHODS = ["credit_card", "bank_transfer", "paypal", "cash", "other"]
+
+
+def gold_revenue_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference: models/gold/gold_revenue_analysis.sql.
+
+    NOTE (parity): the reference's payment pivot enumerates only
+    credit_card / bank_transfer / paypal / cash / other — digital_wallet
+    revenue is silently excluded there, and we reproduce that exactly.
+    """
+    o = silver_orders(spark, sf_dir).where(F.col("is_completed"))
+    p = silver_payments(spark, sf_dir).where(F.col("is_successful_payment"))
+
+    monthly = o.groupBy(*_MONTH_KEYS).agg(
+        F.count("order_key").alias("total_orders"),
+        F.countDistinct("customer_key").alias("unique_customers"),
+        F.sum("order_amount").alias("rev_dec"),
+        F.max("order_amount").alias("max_dec"),
+        F.min("order_amount").alias("min_dec"),
+    )
+
+    pivot = (
+        p.join(o.select("order_key", "order_date"), "order_key", "inner")
+        .groupBy(F.date_format("order_date", "yyyy-MM").alias("order_year_month"))
+        .agg(
+            *[
+                _dbl(
+                    F.sum(
+                        F.when(F.col("payment_method") == m, F.col("payment_amount")).otherwise(_zero_dec())
+                    )
+                ).alias(f"{m}_revenue")
+                for m in _PIVOT_METHODS
+            ]
+        )
+    )
+
+    wm = Window.orderBy("order_year_month")
+    wytd = Window.partitionBy("order_year").orderBy("order_month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lag1 = F.lag(F.col("rev_dec"), 1).over(wm)
+    lag12 = F.lag(F.col("rev_dec"), 12).over(wm)
+    lag1_orders = F.lag(F.col("total_orders"), 1).over(wm)
+
+    enriched = monthly.select(
+        *_MONTH_KEYS,
+        "total_orders",
+        "unique_customers",
+        _dbl(F.col("rev_dec")).alias("total_revenue"),
+        (_dbl(F.col("rev_dec")) / F.col("total_orders")).alias("avg_order_value"),
+        _dbl(F.col("max_dec")).alias("max_order_value"),
+        _dbl(F.col("min_dec")).alias("min_order_value"),
+        F.round(
+            _safe_div(F.col("total_orders").cast("double"), F.col("unique_customers").cast("double")), 2
+        ).alias("orders_per_customer"),
+        _dbl(lag1).alias("prev_month_revenue"),
+        _dbl(lag12).alias("year_ago_revenue"),
+        lag1_orders.cast("long").alias("prev_month_orders"),
+        F.round(_safe_div((_dbl(F.col("rev_dec")) - _dbl(lag1)) * 100, _dbl(lag1)), 2).alias(
+            "revenue_growth_mom_pct"
+        ),
+        F.round(
+            _safe_div(
+                (F.col("total_orders") - lag1_orders).cast("double") * 100,
+                lag1_orders.cast("double"),
+            ),
+            2,
+        ).alias("orders_growth_mom_pct"),
+        F.round(_safe_div((_dbl(F.col("rev_dec")) - _dbl(lag12)) * 100, _dbl(lag12)), 2).alias(
+            "revenue_growth_yoy_pct"
+        ),
+        _dbl(F.sum("rev_dec").over(wytd)).alias("ytd_revenue"),
+        F.sum("total_orders").over(wytd).cast("long").alias("ytd_orders"),
+    )
+
+    return (
+        enriched.join(pivot, "order_year_month", "left")
+        .select(
+            *_MONTH_KEYS,
+            "total_orders",
+            "unique_customers",
+            "total_revenue",
+            "avg_order_value",
+            "max_order_value",
+            "min_order_value",
+            "orders_per_customer",
+            "prev_month_revenue",
+            "year_ago_revenue",
+            "prev_month_orders",
+            "revenue_growth_mom_pct",
+            "orders_growth_mom_pct",
+            "revenue_growth_yoy_pct",
+            "ytd_revenue",
+            "ytd_orders",
+            *[f"{m}_revenue" for m in _PIVOT_METHODS],
+            _updated_at().alias("_updated_at"),
+        )
+        .orderBy(F.desc("order_year_month"))
+    )

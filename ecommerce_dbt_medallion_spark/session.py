@@ -1,0 +1,36 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the same conf block is what we would
+ship to a 1000-executor cluster — AQE handles runtime re-planning (partition
+coalescing, skew-join splitting), and the session timezone is pinned to UTC
+so timestamp semantics are deterministic across engines and machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ecommerce-medallion-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime partition coalescing + skew-join handling. At 100 TB
+        # this is what keeps the payments⋈orders shuffle balanced when a
+        # handful of customers/orders are hot.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sized for local test SFs; on a real cluster this scales with
+        # cores (rule of thumb 2-3x total cores) — AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2 if cpus.isdigit() else 64))
+        # Deterministic timestamp semantics for the DuckDB oracle parity.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for the mapInPandas/pandas_udf paths (multimodal, ANN rerank).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()

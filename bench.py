@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). Timings exclude SparkSession startup; the first
+query absorbs JVM/codegen warmup (reported per-query so regressions
+are attributable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ecommerce_dbt_medallion_spark.session import get_spark
+    from ecommerce_dbt_medallion_spark import api
+
+    spark = get_spark("medallion-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = api.queries()
+    headline = [
+        "silver_payments",
+        "gold_customer_summary",
+        "gold_order_metrics",
+        "gold_revenue_analysis",
+    ]
+    # Include op queries as they land in the inventory.
+    for extra in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "event_sessionization",
+    ):
+        if extra in queries:
+            headline.append(extra)
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.models import bronze, silver, gold
-from ecommerce_dbt_medallion_spark.oracle import oracle_sql_medallion
+from ecommerce_dbt_medallion_spark.models import events as ev
+from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
+from ecommerce_dbt_medallion_spark.quality import checks as dq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -40,8 +42,17 @@ def queries() -> dict[str, QueryFn]:
         "gold_customer_summary": gold.gold_customer_summary,
         "gold_order_metrics": gold.gold_order_metrics,
         "gold_revenue_analysis": gold.gold_revenue_analysis,
+        "dq_generic_tests": dq.dq_generic_tests,
+        "dq_singular_tests": dq.dq_singular_tests,
+        "event_daily_stats": ev.event_daily_stats,
+        "event_sessionization": ev.event_sessionization,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(oracle_sql_medallion())
+    out = dict(oracle_sql_medallion())
+    out["dq_generic_tests"] = dq.oracle_dq_generic_sql()
+    out["dq_singular_tests"] = dq.oracle_dq_singular_sql()
+    out["event_daily_stats"] = assemble("event_daily_stats")
+    out["event_sessionization"] = assemble("event_sessionization")
+    return out

@@ -1,0 +1,114 @@
+"""Event-stream analytics (batch side).
+
+The reference tags its models 'daily' (a batch cadence over an event-ish
+orders feed); this module generalizes to the driver's ``events`` table:
+per-day rollups and gap-based sessionization — the canonical
+web-analytics operators a medallion warehouse serves.
+
+Scale notes: daily stats is one shuffle on (date, event_type);
+sessionization is one shuffle on user_id (window partition), with the
+gap flag + running sum computed inside the partition — the standard
+scale-out sessionization plan (no driver loops, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.config import SESSION_GAP_SECONDS
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects — read nanos as long and convert (sub-µs is zero in
+    this data; truncation matches DuckDB's ns→µs read)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_date, event_type): volume, users, value stats.
+
+    Exercises JSON extraction (props) and exact-decimal value sums.
+    """
+    ev = load_events(spark, sf_dir)
+    val = F.col("value").cast("decimal(18,2)")  # values are 2dp (verified)
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("event_date"),
+            "event_type",
+        )
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.sum(val).alias("total_value_dec"),
+            F.max(val).alias("max_dec"),
+            F.min(val).alias("min_dec"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_props_k"),
+        )
+        .select(
+            "event_date",
+            "event_type",
+            "n_events",
+            "unique_users",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+            (F.col("total_value_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+            F.col("max_dec").cast("double").alias("max_value"),
+            F.col("min_dec").cast("double").alias("min_value"),
+            F.col("sum_props_k").cast("long").alias("sum_props_k"),
+        )
+    )
+
+
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user (lag + running flag-sum).
+
+    Deterministic ordering: (ts, event_id) — duplicate timestamps break
+    ties by event id on both engines. Gap math in integer microseconds
+    (unix_micros / epoch_us) — exact on both engines.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,2)").alias("val_dec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    prev = F.lag("ts_us").over(w)
+    new_session = F.when(prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("event_id").alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.sum("val_dec").alias("val_sum_dec"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "session_start",
+            "session_end",
+            F.expr("(end_us - start_us) div 1000000").cast("long").alias("duration_sec"),
+            "n_events",
+            "n_event_types",
+            F.col("val_sum_dec").cast("double").alias("total_value"),
+        )
+    )

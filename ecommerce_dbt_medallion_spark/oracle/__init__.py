@@ -1,3 +1,7 @@
-from ecommerce_dbt_medallion_spark.oracle.medallion import oracle_sql_medallion, assemble
+from ecommerce_dbt_medallion_spark.oracle.medallion import (
+    assemble,
+    assemble_many,
+    oracle_sql_medallion,
+)
 
-__all__ = ["oracle_sql_medallion", "assemble"]
+__all__ = ["oracle_sql_medallion", "assemble", "assemble_many"]

@@ -470,6 +470,55 @@ window
              rows between unbounded preceding and current row)
 """
 
+# ------------------------------------------------------------ events layer
+
+_EVENT_DAILY_STATS = """
+select
+    cast(ts as date) as event_date,
+    event_type,
+    count(event_id) as n_events,
+    count(distinct user_id) as unique_users,
+    cast(sum(cast(value as decimal(18,2))) as double) as total_value,
+    cast(sum(cast(value as decimal(18,2))) as double) / count(event_id) as avg_value,
+    cast(max(cast(value as decimal(18,2))) as double) as max_value,
+    cast(min(cast(value as decimal(18,2))) as double) as min_value,
+    cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_props_k
+from events
+group by cast(ts as date), event_type
+"""
+
+_EVENT_SESSIONS_BASE = """
+select
+    user_id, event_id, event_type, ts,
+    epoch_us(ts) as ts_us,
+    cast(value as decimal(18,2)) as val_dec,
+    cast(sum(case when prev_us is null or ts_us0 - prev_us > 1800000000
+                  then 1 else 0 end)
+         over (partition by user_id order by ts_us0, event_id
+               rows between unbounded preceding and current row) as bigint) as session_seq
+from (
+    select user_id, event_id, event_type, ts, value,
+           epoch_us(ts) as ts_us0,
+           lag(epoch_us(ts)) over (partition by user_id
+                                   order by epoch_us(ts), event_id) as prev_us
+    from events
+)
+"""
+
+_EVENT_SESSIONIZATION = """
+select
+    user_id,
+    session_seq,
+    min(ts) as session_start,
+    max(ts) as session_end,
+    cast((max(ts_us) - min(ts_us)) // 1000000 as bigint) as duration_sec,
+    count(event_id) as n_events,
+    count(distinct event_type) as n_event_types,
+    cast(sum(val_dec) as double) as total_value
+from event_sessions_base
+group by user_id, session_seq
+"""
+
 # ------------------------------------------------------- assembly machinery
 
 CTES: dict[str, str] = {
@@ -493,6 +542,9 @@ CTES: dict[str, str] = {
     "gra_monthly": _GRA_MONTHLY,
     "gra_pivot": _GRA_PIVOT,
     "gold_revenue_analysis": _GOLD_REVENUE_ANALYSIS,
+    "event_daily_stats": _EVENT_DAILY_STATS,
+    "event_sessions_base": _EVENT_SESSIONS_BASE,
+    "event_sessionization": _EVENT_SESSIONIZATION,
 }
 
 DEPS: dict[str, list[str]] = {
@@ -522,6 +574,9 @@ DEPS: dict[str, list[str]] = {
     "gra_monthly": ["silver_orders"],
     "gra_pivot": ["silver_payments", "silver_orders"],
     "gold_revenue_analysis": ["gra_monthly", "gra_pivot"],
+    "event_daily_stats": [],
+    "event_sessions_base": [],
+    "event_sessionization": ["event_sessions_base"],
 }
 
 # Final SELECT per public inventory key (casts decimals to double so the
@@ -556,6 +611,8 @@ FINAL_SELECTS: dict[str, str] = {
     "gold_customer_summary": "select * from gold_customer_summary",
     "gold_order_metrics": "select * from gold_order_metrics",
     "gold_revenue_analysis": "select * from gold_revenue_analysis",
+    "event_daily_stats": "select * from event_daily_stats",
+    "event_sessionization": "select * from event_sessionization",
 }
 
 
@@ -578,6 +635,19 @@ def assemble(target: str, final_select: str | None = None) -> str:
     )
     final = final_select or FINAL_SELECTS.get(target) or f"select * from {target}"
     return f"with\n{ctes}\n{final}"
+
+
+def assemble_many(targets: list[str], final_select: str) -> str:
+    """WITH-query containing every target's chain, ending in final_select
+    (final_select is used verbatim — no brace formatting)."""
+    seen: set[str] = set()
+    order: list[str] = []
+    for t in targets:
+        _topo(t, seen, order)
+    ctes = ",\n".join(
+        f"{name} as (\n{CTES[name].format(BATCH=BATCH)}\n)" for name in order
+    )
+    return f"with\n{ctes}\n{final_select}"
 
 
 def oracle_sql_medallion() -> dict[str, str]:

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from ecommerce_dbt_medallion_spark.models import bronze, silver, gold
 from ecommerce_dbt_medallion_spark.models import events as ev
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
+from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
+from ecommerce_dbt_medallion_spark.ops import similarity as opsim
+from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
+from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.quality import checks as dq
+from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,6 +51,20 @@ def queries() -> dict[str, QueryFn]:
         "dq_singular_tests": dq.dq_singular_tests,
         "event_daily_stats": ev.event_daily_stats,
         "event_sessionization": ev.event_sessionization,
+        # LLM-data-pipeline operators (SURVEY.md §2 #15-25)
+        "text_token_stats": optext.text_token_stats,
+        "text_quality_score": optext.text_quality_score,
+        "text_language_id": optext.text_language_id,
+        "doc_fingerprint": optext.doc_fingerprint,
+        "dedup_exact": optext.dedup_exact,
+        "dedup_ngram_jaccard": optext.dedup_ngram_jaccard,
+        "ann_cosine_topk": opsim.ann_cosine_topk,
+        "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
+        "ann_topk_lsh": opsim.ann_topk_lsh,          # rows-only
+        "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only
+        "dedup_simhash": opdedup.dedup_simhash,          # rows-only
+        "stream_event_rollup": strm.stream_event_rollup,
+        "multimodal_extract": opmm.multimodal_extract,   # rows-only
     }
 
 
@@ -55,4 +74,15 @@ def oracle_sql() -> dict[str, str]:
     out["dq_singular_tests"] = dq.oracle_dq_singular_sql()
     out["event_daily_stats"] = assemble("event_daily_stats")
     out["event_sessionization"] = assemble("event_sessionization")
+    out["text_token_stats"] = optext.oracle_text_token_stats()
+    out["text_quality_score"] = optext.oracle_text_quality_score()
+    out["text_language_id"] = optext.oracle_text_language_id()
+    out["doc_fingerprint"] = optext.oracle_doc_fingerprint()
+    out["dedup_exact"] = optext.oracle_dedup_exact()
+    out["dedup_ngram_jaccard"] = optext.oracle_dedup_ngram_jaccard()
+    out["ann_cosine_topk"] = opsim.oracle_ann_cosine_topk()
+    out["dedup_embedding_cosine"] = opsim.oracle_dedup_embedding_cosine()
+    out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
+    # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh / multimodal_extract:
+    # rows-only (known-answer + recall assertions live in tests/test_ops.py)
     return out

@@ -39,7 +39,10 @@ SIMHASH_BITS = 64
 SIMHASH_SEGMENTS = 4
 SIMHASH_MAX_HAMMING = 3
 
-# Embedding similarity defaults.
+# Embedding similarity defaults. The synthetic embeddings have no cluster
+# structure (max pairwise cosine ≈ 0.5 — measured), so the near-dup
+# threshold is 0.4 to exercise the operator on non-empty output; real
+# corpora would use ~0.95.
 ANN_TOPK = 5
 ANN_N_QUERIES = 10
-EMBEDDING_DUP_THRESHOLD = 0.95
+EMBEDDING_DUP_THRESHOLD_04 = 0.4

@@ -1,0 +1,199 @@
+"""Embedding similarity operators over ``embeddings`` (SURVEY.md §2
+#19-21): brute-force cosine top-k (the correctness baseline), cosine
+near-dup pairs, and a random-hyperplane LSH variant (the scale path).
+
+Cosine math: zip_with + left-fold aggregate in DOUBLE — verified
+bit-identical to DuckDB's ordered list fold, so the brute-force ops have
+full value-level oracles (floats included). No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.config import (
+    ANN_N_QUERIES,
+    ANN_TOPK,
+    EMBEDDING_DUP_THRESHOLD_04,
+)
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return e.select("vec_id", "label", vec.alias("vec"), F.sqrt(norm2).alias("norm"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#20: brute-force cosine top-k for the first ANN_N_QUERIES vectors.
+
+    The query set is broadcast (tiny by construction); the corpus streams
+    through one pass — at 100 TB this is the standard brute-force rerank
+    shape: no shuffle of the corpus, only the final per-query top-k.
+    """
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.where(F.col("vec_id") < ANN_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cos = _dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r6"),
+        )
+    )
+
+
+_DOT_SQL = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)), 'sum')"
+)
+_NORM_SQL = (
+    "sqrt(list_aggregate(list_transform(range(1, 65), "
+    "i -> cast({t}.embedding[i] as double) * cast({t}.embedding[i] as double)), 'sum'))"
+)
+
+
+def oracle_ann_cosine_topk() -> str:
+    na = _NORM_SQL.format(t="a")
+    nb = _NORM_SQL.format(t="b")
+    return f"""
+with scored as (
+    select a.vec_id as query_id, b.vec_id as neighbor_id,
+           {_DOT_SQL} / ({na} * {nb}) as cosine
+    from embeddings a join embeddings b on b.vec_id <> a.vec_id
+    where a.vec_id < {ANN_N_QUERIES}
+),
+ranked as (
+    select query_id, neighbor_id, cosine,
+           row_number() over (partition by query_id
+                              order by cosine desc, neighbor_id asc) as rank
+    from scored
+)
+select query_id, cast(rank as bigint) as rank, neighbor_id,
+       round(cosine, 6) as cosine_r6
+from ranked where rank <= {ANN_TOPK}
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#19: all-pairs cosine near-duplicates above threshold.
+
+    O(n²) verification baseline — the scale path is ann_topk_lsh's bucketed
+    candidate generation; this exact variant is the oracle-checkable truth.
+    """
+    e = _emb(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= EMBEDDING_DUP_THRESHOLD_04)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
+def oracle_dedup_embedding_cosine() -> str:
+    na = _NORM_SQL.format(t="a")
+    nb = _NORM_SQL.format(t="b")
+    return f"""
+select a.vec_id as vec_a, b.vec_id as vec_b,
+       round({_DOT_SQL} / ({na} * {nb}), 6) as cosine_r6
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where {_DOT_SQL} / ({na} * {nb}) >= {EMBEDDING_DUP_THRESHOLD_04}
+"""
+
+
+N_HYPERPLANES = 12
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#21: random-hyperplane LSH → bucketed candidates → exact rerank.
+
+    Hyperplane p weight for dimension d is a deterministic pseudo-random
+    in [-0.5, 0.5) derived from xxhash64(p, d) — reproducible across runs
+    and cluster sizes with zero driver-side state. Sign pattern over
+    N_HYPERPLANES planes forms the bucket key; only same-bucket pairs are
+    scored (the 100-TB path: the crossJoin collapses to an equi-join
+    shuffle on bucket). Rows-only check: recall vs the brute-force oracle
+    is asserted in tests/test_ops.py instead.
+    """
+    e = _emb(spark, sf_dir)
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HYPERPLANES - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, d: x
+                * (
+                    (F.xxhash64(p * 64 + d) % 1000).cast("double") / 1000.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    bucketed = e.withColumn(
+        "bucket",
+        F.concat_ws(
+            "",
+            F.transform(planes, lambda s: F.when(s >= 0, "1").otherwise("0")),
+        ),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    ).where(F.col("query_id") < ANN_N_QUERIES)
+    cos = _dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        bucketed.join(a, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r6"),
+        )
+    )

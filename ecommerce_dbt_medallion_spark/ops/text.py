@@ -1,0 +1,379 @@
+"""Text-analysis + exact/ngram dedup operators over ``documents`` —
+the LLM-training-pipeline surface (SURVEY.md §2 #15, #18, #22-25).
+
+All operators are built-in Column expressions (JVM codegen, zero Python
+in the hot path) and scale as single-shuffle plans. Each has a DuckDB
+oracle generated from the SAME regex/constant definitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+WORD_RE = r"\w+"
+PUNCT_RE = r"[^\w\s]"
+NON_ALPHA_RE = "[^a-zA-Z]"
+WS_RE = r"\s+"
+
+# Stopword alternations per language (word-boundary, on lower(text)).
+LANG_STOPWORDS = {
+    "de": r"\b(der|die|das|und|ist|ein|eine|nicht)\b",
+    "en": r"\b(the|a|and|of|to|in|is|it)\b",
+    "es": r"\b(el|la|los|las|y|es|un|una)\b",
+    "fr": r"\b(le|la|les|et|est|un|une|dans)\b",
+}
+EN_STOPWORDS_RE = LANG_STOPWORDS["en"]
+
+NGRAM_N = 3
+NGRAM_JACCARD_THRESHOLD = 0.5
+NGRAM_MAX_DF = 50  # blocking: only grams shared by <= this many docs seed pairs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _norm_text(col: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, WS_RE, " ")))
+
+
+def _r4(c: Column) -> Column:
+    return F.round(c, 4)
+
+
+# ------------------------------------------------------------ token stats
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#22: whitespace + word/punct regex token counting per document."""
+    words = F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0))
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_words = F.size(words)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), WS_RE)).cast("long").alias("n_tokens_ws"),
+        n_words.cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0))).cast("long").alias("n_punct"),
+        _r4(word_chars.cast("double") / F.when(n_words != 0, n_words)).alias("avg_word_len"),
+    )
+
+
+def oracle_text_token_stats() -> str:
+    return f"""
+select
+    doc_id, lang, source,
+    cast(length(text) as bigint) as n_chars,
+    cast(len(string_split_regex(trim(text), '{WS_RE}')) as bigint) as n_tokens_ws,
+    cast(len(regexp_extract_all(text, '{WORD_RE}')) as bigint) as n_words,
+    cast(len(regexp_extract_all(text, '{PUNCT_RE}')) as bigint) as n_punct,
+    round(cast(coalesce(list_aggregate(list_transform(regexp_extract_all(text, '{WORD_RE}'), w -> length(w)), 'sum'), 0) as double)
+          / (case when len(regexp_extract_all(text, '{WORD_RE}')) <> 0
+                  then len(regexp_extract_all(text, '{WORD_RE}')) end), 4) as avg_word_len
+from documents
+"""
+
+
+# ---------------------------------------------------------- quality score
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#23: length/alpha/punct/stopword features + composite quality score."""
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), NON_ALPHA_RE, ""))
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), F.lit(0)))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
+    stop = F.regexp_count(F.lower(F.col("text")), F.lit(EN_STOPWORDS_RE))
+    alpha_ratio = alpha.cast("double") / F.when(n_chars != 0, n_chars)
+    punct_ratio = punct.cast("double") / F.when(n_chars != 0, n_chars)
+    stop_ratio = stop.cast("double") / F.when(words != 0, words)
+    score = F.round(
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), words.cast("double") / 100),
+        4,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        n_chars.cast("long").alias("n_chars"),
+        alpha.cast("long").alias("alpha_chars"),
+        words.cast("long").alias("n_words"),
+        punct.cast("long").alias("n_punct"),
+        stop.cast("long").alias("stopword_hits"),
+        _r4(alpha_ratio).alias("alpha_ratio"),
+        _r4(punct_ratio).alias("punct_ratio"),
+        _r4(stop_ratio).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def oracle_text_quality_score() -> str:
+    return f"""
+select
+    doc_id, lang,
+    cast(length(text) as bigint) as n_chars,
+    cast(length(regexp_replace(text, '{NON_ALPHA_RE}', '', 'g')) as bigint) as alpha_chars,
+    cast(n_words as bigint) as n_words,
+    cast(len(regexp_extract_all(text, '{PUNCT_RE}')) as bigint) as n_punct,
+    cast(stop_hits as bigint) as stopword_hits,
+    round(alpha_ratio, 4) as alpha_ratio,
+    round(punct_ratio, 4) as punct_ratio,
+    round(cast(stop_hits as double) / (case when n_words <> 0 then n_words end), 4) as stopword_ratio,
+    round(cast(0.4 as double) * alpha_ratio + cast(0.3 as double) * (cast(1.0 as double) - punct_ratio)
+          + cast(0.3 as double) * least(cast(1.0 as double), cast(n_words as double) / 100), 4) as quality_score
+from (
+    select doc_id, lang, text,
+        len(regexp_extract_all(text, '{WORD_RE}')) as n_words,
+        len(regexp_extract_all(lower(text), '{EN_STOPWORDS_RE}')) as stop_hits,
+        cast(length(regexp_replace(text, '{NON_ALPHA_RE}', '', 'g')) as double)
+            / (case when length(text) <> 0 then length(text) end) as alpha_ratio,
+        cast(len(regexp_extract_all(text, '{PUNCT_RE}')) as double)
+            / (case when length(text) <> 0 then length(text) end) as punct_ratio
+    from documents
+)
+"""
+
+
+# ----------------------------------------------------------- language id
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#24: stopword-hit heuristic language ID (de/en/es/fr), deterministic
+    alphabetical tie-break. (The synthetic corpus shares one vocabulary, so
+    accuracy vs the label column is not meaningful — operator semantics are.)
+    """
+    low = F.lower(F.col("text"))
+    hits = {k: F.regexp_count(low, F.lit(v)) for k, v in LANG_STOPWORDS.items()}
+    de, en, es, fr = hits["de"], hits["en"], hits["es"], hits["fr"]
+    detected = (
+        F.when((de >= en) & (de >= es) & (de >= fr), "de")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        de.cast("long").alias("de_hits"),
+        en.cast("long").alias("en_hits"),
+        es.cast("long").alias("es_hits"),
+        fr.cast("long").alias("fr_hits"),
+        detected.alias("detected_lang"),
+        (detected == F.col("lang")).alias("is_match"),
+    )
+
+
+def oracle_text_language_id() -> str:
+    pats = {k: v for k, v in LANG_STOPWORDS.items()}
+    return f"""
+select
+    doc_id, lang,
+    cast(de_hits as bigint) as de_hits,
+    cast(en_hits as bigint) as en_hits,
+    cast(es_hits as bigint) as es_hits,
+    cast(fr_hits as bigint) as fr_hits,
+    detected_lang,
+    detected_lang = lang as is_match
+from (
+    select *,
+        case when de_hits >= en_hits and de_hits >= es_hits and de_hits >= fr_hits then 'de'
+             when en_hits >= es_hits and en_hits >= fr_hits then 'en'
+             when es_hits >= fr_hits then 'es'
+             else 'fr' end as detected_lang
+    from (
+        select doc_id, lang,
+            len(regexp_extract_all(lower(text), '{pats["de"]}')) as de_hits,
+            len(regexp_extract_all(lower(text), '{pats["en"]}')) as en_hits,
+            len(regexp_extract_all(lower(text), '{pats["es"]}')) as es_hits,
+            len(regexp_extract_all(lower(text), '{pats["fr"]}')) as fr_hits
+        from documents
+    )
+)
+"""
+
+
+# ---------------------------------------------------------- fingerprints
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#25: md5 raw / normalized / 64-char-prefix fingerprints."""
+    norm = _norm_text(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.col("text")).alias("fp_md5"),
+        F.md5(norm).alias("fp_norm"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
+    )
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def oracle_doc_fingerprint() -> str:
+    return f"""
+select
+    doc_id,
+    cast(length(text) as bigint) as n_chars,
+    md5(text) as fp_md5,
+    md5({_NORM_SQL}) as fp_norm,
+    md5(substr({_NORM_SQL}, 1, 64)) as fp_prefix64
+from documents
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#15: hash-groupBy exact dedup on normalized text; one row per
+    fingerprint group with the canonical (min doc_id) survivor.
+    One shuffle on the fingerprint; map-side partial aggregation."""
+    norm = _norm_text(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(norm).alias("fingerprint"), F.length("text").alias("len"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sum("len").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def oracle_dedup_exact() -> str:
+    return f"""
+select
+    md5({_NORM_SQL}) as fingerprint,
+    count(doc_id) as n_docs,
+    min(doc_id) as keep_doc_id,
+    cast(sum(length(text)) as bigint) as total_chars
+from documents
+group by md5({_NORM_SQL})
+"""
+
+
+# ---------------------------------------------------- n-gram jaccard dedup
+
+def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → exploded distinct token-3-grams."""
+    tokens = F.split(F.lower(F.trim(F.col("text"))), WS_RE)
+    grams = F.when(
+        F.size(tokens) >= NGRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - NGRAM_N),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tokens, i + 1),
+                    F.element_at(tokens, i + 2),
+                    F.element_at(tokens, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#18: exact token-3-gram Jaccard over candidate pairs.
+
+    Blocking: only grams with document-frequency <= NGRAM_MAX_DF seed
+    candidate pairs (standard rare-feature blocking — hot shingles would
+    otherwise quadratically explode the self-join at scale); the Jaccard
+    itself is computed over the FULL gram sets of each candidate pair.
+    """
+    grams = _gram_df(spark, sf_dir)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_MAX_DF))
+        .select("gram")
+    )
+    blocked = grams.join(rare, "gram")
+    candidates = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        candidates.join(grams.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            grams.alias("gb"),
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.gram") == F.col("gb.gram")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n_grams").alias("n_grams_a"),
+            F.col("sb.n_grams").alias("n_grams_b"),
+            "n_common",
+            _r4(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+
+
+def oracle_dedup_ngram_jaccard() -> str:
+    return f"""
+with tok as (
+    select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from documents
+),
+grams as (
+    select doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as gram
+    from tok
+),
+sizes as (select doc_id, count(*) as n_grams from grams group by doc_id),
+rare as (
+    select gram from grams group by gram
+    having count(*) >= 2 and count(*) <= {NGRAM_MAX_DF}
+),
+blocked as (select g.doc_id, g.gram from grams g join rare r on g.gram = r.gram),
+candidates as (
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from blocked a join blocked b on a.gram = b.gram and a.doc_id < b.doc_id
+),
+inter as (
+    select c.doc_a, c.doc_b, count(*) as n_common
+    from candidates c
+    join grams ga on ga.doc_id = c.doc_a
+    join grams gb on gb.doc_id = c.doc_b and gb.gram = ga.gram
+    group by c.doc_a, c.doc_b
+)
+select
+    i.doc_a, i.doc_b,
+    sa.n_grams as n_grams_a,
+    sb.n_grams as n_grams_b,
+    i.n_common,
+    round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4) as jaccard
+from inter i
+join sizes sa on sa.doc_id = i.doc_a
+join sizes sb on sb.doc_id = i.doc_b
+where round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4) >= {NGRAM_JACCARD_THRESHOLD}
+"""

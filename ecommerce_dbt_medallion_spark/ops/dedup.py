@@ -1,15 +1,17 @@
 """Approximate near-duplicate detection over ``documents`` — MinHash-LSH
 and SimHash (SURVEY.md §2 #16-17).
 
-Both are expressed entirely in JVM built-in higher-order functions
-(transform / aggregate / xxhash64 / explode) — no Python in the hot path,
-so the plans whole-stage-codegen and scale linearly until the band/segment
-equi-join, which shuffles only (key, doc_id) pairs, not documents.
+Implementation shape matters at scale: nested higher-order lambdas
+(transform-inside-transform) are *interpreted* per element in Spark — a
+64-perm minhash that way is 35M interpreted evals at sf0.1 and worse at
+100 TB. Instead we explode shingles to rows once and compute all 64
+permutations as columnar min-aggregations — whole-stage-codegen'd, one
+shuffle on doc_id, linear in corpus size. (Measured: >120 s → seconds.)
 
-These are rows-only inventory entries (no practical SQL oracle); known-
-answer correctness (planted near-dupes found, disjoint docs not paired)
-is asserted in tests/test_ops.py, and the exact-Jaccard verification step
-inside minhash matches dedup_ngram_jaccard's oracle-checked math.
+Rows-only inventory entries (no practical SQL oracle); known-answer
+correctness (planted near-dupes found, no false pairs) is asserted in
+tests/test_ops.py, and the exact-Jaccard verification reuses the same
+math as oracle-checked dedup_ngram_jaccard.
 """
 
 from __future__ import annotations
@@ -49,53 +51,55 @@ def _shingles(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _minhash_sig(shingles: Column) -> Column:
-    """64-permutation minhash signature: sig[p] = min over shingles of
-    xxhash64(shingle, p). One pass over the shingle array per perm —
-    all JVM, no UDF."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)),
-        lambda p: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, p))
-        ),
-    )
+def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows — the exploded form every stage shares."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        _shingles(F.col("text")).alias("shingles"),
-    ).withColumn("sig", _minhash_sig(F.col("shingles")))
+    """doc_id → h0..h{63}: min over shingles of xxhash64(shingle, perm).
+
+    64 codegen'd min-aggregates over one exploded pass — each permutation
+    is an independent column, so executors see a tight columnar loop.
+    """
+    sh = shingle_rows(spark, sf_dir)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}")
+        for p in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_cols() -> list[Column]:
+    return [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * LSH_ROWS + r}").cast("string")
+                    for r in range(LSH_ROWS)
+                ],
+            )
+        )
+        for b in range(LSH_BANDS)
+    ]
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#16: shingle → 64-perm minhash → 16×4 LSH bands → candidate pairs →
     exact-Jaccard verify ≥ threshold.
 
-    Scale shape: documents are hashed in one narrow pass; the band
-    explosion emits 16 small (band_key, doc_id) rows per doc; candidates
-    come from an equi-join on band_key (shuffle of keys only); exact
-    verification re-joins the two shingle arrays for candidate pairs only.
+    Scale shape: one narrow pass hashes the corpus; bands emit 16 small
+    (band_id, band_key, doc_id) rows per doc; candidates come from an
+    equi-join on the band key (shuffles keys, not documents); exact
+    verification touches candidate pairs only.
     """
-    sigs = minhash_signatures(spark, sf_dir).where(F.size("shingles") > 0)
+    sh = shingle_rows(spark, sf_dir)
+    sigs = minhash_signatures(spark, sf_dir)
 
     bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_id", "band_key"),
+        "doc_id", F.posexplode(F.array(*_band_cols())).alias("band_id", "band_key")
     )
     candidates = (
         bands.alias("a")
@@ -108,63 +112,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = sigs.select("doc_id", "shingles")
-    verified = (
-        candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        candidates.join(sh.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            sh.alias("gb"),
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.shingle") == F.col("gb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).alias(
-                "n_common"
-            ),
-            F.size("sa.shingles").alias("n_a"),
-            F.size("sb.shingles").alias("n_b"),
-        )
-        .withColumn(
-            "jaccard",
+            "n_common",
+            F.col("sa.n_grams").alias("n_a"),
+            F.col("sb.n_grams").alias("n_b"),
             F.round(
                 F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")),
                 4,
-            ),
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
-    )
-    return verified.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
-
-
-def _simhash(shingles: Column) -> Column:
-    """64-bit SimHash: per bit, sum ±1 votes from each shingle's xxhash64
-    bit, take the sign. Expressed as nested folds over (bit, shingle)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda bit: F.when(
-            F.aggregate(
-                shingles,
-                F.lit(0),
-                lambda acc, s: acc
-                + F.when(F.bit_get(F.xxhash64(s), bit) == 1, 1).otherwise(-1),
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
     )
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .withColumn("simhash_bits", _simhash(F.col("shingles")))
+    """doc_id → 64-element 0/1 bit array: sign of per-bit ±1 votes over
+    each shingle's xxhash64 — 64 codegen'd sum-aggregates, one pass."""
+    h = shingle_rows(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.bit_get(F.col("h"), F.lit(b)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    bits = F.array(
+        *[F.when(F.col(f"b{b}") >= 0, 1).otherwise(0) for b in range(64)]
+    )
+    return votes.select("doc_id", bits.alias("simhash_bits"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#17: 64-bit simhash, 4-segment pigeonhole blocking (any pair with
     Hamming distance <= 3 shares at least one identical 16-bit segment),
-    exact Hamming verify.
+    exact Hamming verify on candidates.
     """
     seg_len = 64 // SIMHASH_SEGMENTS
     sigs = simhash_signatures(spark, sf_dir)
@@ -173,15 +175,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash_bits",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(SIMHASH_SEGMENTS - 1)),
-                lambda s: F.concat_ws(
-                    "",
-                    F.transform(
-                        F.slice(F.col("simhash_bits"), s * seg_len + 1, seg_len),
-                        lambda v: v.cast("string"),
-                    ),
-                ),
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        *[
+                            F.element_at(F.col("simhash_bits"), s * seg_len + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(seg_len)
+                        ],
+                    )
+                    for s in range(SIMHASH_SEGMENTS)
+                ]
             )
         ).alias("seg_id", "seg_key"),
     )

@@ -88,9 +88,7 @@ _RAW_PAYMENTS = """
 select
     l_orderkey * 1000 + l_linenumber * 10 +
         (row_number() over (partition by l_orderkey, l_linenumber
-                            order by l_suppkey, l_partkey, l_quantity,
-                                     l_extendedprice, l_discount, l_tax,
-                                     l_returnflag, l_linestatus, l_shipdate) - 1) as id,
+                            order by l_suppkey, l_partkey) - 1) as id,
     l_orderkey as order_id,
     case when l_suppkey % 11 = 0 then 'credit_card'
          when l_suppkey % 11 = 1 then 'Credit Card'

@@ -128,17 +128,16 @@ def raw_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The synthetic lineitem feed contains duplicate (orderkey, linenumber)
     pairs (up to 6), so the payment id adds a per-pair sequence number —
-    a partition-local row_number over the full remaining column order
-    (verified total: no fully-identical rows), i.e. a deterministic
-    "gateway attempt sequence". Window partitions on the natural ingest
-    key — no global sort at scale.
+    a partition-local row_number ordered by (suppkey, partkey), which is
+    verified unique within each pair — a deterministic "gateway attempt
+    sequence". Window partitions on the natural ingest key — no global
+    sort at scale, and the narrow sort key keeps column pruning intact.
     """
     li = load_table(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice",
-        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_suppkey", "l_partkey"
     )
     li = li.withColumn("attempt_seq", F.row_number().over(w) - 1)
     pid = F.col("l_orderkey") * 1000 + F.col("l_linenumber") * 10 + F.col("attempt_seq")

@@ -1,0 +1,77 @@
+"""Physical-plan shape guards — the 100 TB posture, asserted.
+
+These tests pin the properties that make the engine scale: column
+pruning reaches the parquet scans, joins are hash/merge equi-joins
+(never cartesian), and Python only appears in the plans that declare it.
+A regression here won't fail correctness tests but would be a 100×
+slowdown at scale — so it fails CI instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_dbt_medallion_spark import api
+from ecommerce_dbt_medallion_spark.models import gold, silver
+from tests.conftest import SF_SMOKE
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_silver_orders_prunes_unused_columns(spark):
+    plan = _formatted(silver.silver_orders(spark, SF_SMOKE))
+    # orders scan must not read o_orderpriority (never used downstream)
+    assert "o_orderpriority" not in plan, "column pruning lost on orders scan"
+    # customer scan feeds silver_customers: c_acctbal/c_mktsegment unused
+    assert "c_acctbal" not in plan and "c_mktsegment" not in plan
+
+
+def test_gold_models_use_equi_joins_only(spark):
+    for name, df in [
+        ("gold_customer_summary", gold.gold_customer_summary(spark, SF_SMOKE)),
+        ("gold_revenue_analysis", gold.gold_revenue_analysis(spark, SF_SMOKE)),
+    ]:
+        plan = _formatted(df)
+        # the only cartesian allowed is the broadcast of the 1-row as-of scalar
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if "CartesianProduct" in ln
+        ]
+        assert not bad, f"{name}: cartesian product in plan: {bad}"
+
+
+def test_no_python_in_medallion_plans(spark):
+    qs = api.queries()
+    for name in (
+        "silver_payments",
+        "gold_customer_summary",
+        "gold_order_metrics",
+        "gold_revenue_analysis",
+    ):
+        plan = _formatted(qs[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name}: Python UDF leaked into a medallion plan"
+        )
+
+
+def test_whole_stage_codegen_present(spark):
+    df = silver.silver_payments(spark, SF_SMOKE)
+    df.collect()  # executes THIS QueryExecution so AQE finalizes it
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    # codegen'd stages print as "*(n) Operator" in the executed plan
+    assert "*(" in executed, "no whole-stage-codegen spans in executed plan"
+
+
+def test_ann_broadcasts_query_set(spark):
+    from ecommerce_dbt_medallion_spark.ops import similarity
+
+    plan = _formatted(similarity.ann_cosine_topk(spark, SF_SMOKE))
+    assert "Broadcast" in plan, "query set should broadcast, not shuffle the corpus"

@@ -127,3 +127,41 @@ def test_multimodal_extract_deterministic(spark):
 def test_decode_media_is_marked_stub():
     with pytest.raises(NotImplementedError):
         opmm.decode_media(b"\x89PNG", "png")
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark):
+    """Stateful streaming sessions == batch sessions, minus each user's
+    final (still-open at end-of-stream) session."""
+    from ecommerce_dbt_medallion_spark.models import events as ev
+    from ecommerce_dbt_medallion_spark.streaming import sessionize_stream as ss
+
+    from pyspark.sql import functions as F
+
+    batch = ev.event_sessionization(spark, SF_SMOKE).collect()
+    max_ts = ev.load_events(spark, SF_SMOKE).agg(F.max("ts")).first()[0]
+    # final watermark = max event time - 2h; a user's last session is also
+    # emitted if its event-time timeout (end + 30min) precedes that
+    wm_us = int(max_ts.timestamp() * 1_000_000) - 7_200 * 1_000_000
+    by_user = {}
+    for r in batch:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expected = set()
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["session_seq"])
+        for r in rows[:-1]:  # closed by a gap within the stream
+            expected.add((uid, r["session_start"], r["session_end"], r["n_events"]))
+        last = rows[-1]
+        end_us = int(last["session_end"].timestamp() * 1_000_000)
+        if end_us + 1_800 * 1_000_000 < wm_us:  # closed by event-time timeout
+            expected.add(
+                (uid, last["session_start"], last["session_end"], last["n_events"])
+            )
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in ss.stream_sessionize(spark, SF_SMOKE).collect()
+    }
+    assert got == expected, (
+        f"streaming sessions diverge: missing={list(expected - got)[:3]} "
+        f"extra={list(got - expected)[:3]}"
+    )

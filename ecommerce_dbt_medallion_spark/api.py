@@ -22,6 +22,7 @@ from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
 from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.quality import checks as dq
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
+from ecommerce_dbt_medallion_spark.streaming import sessionize_stream as strm_sessions
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -64,6 +65,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only
         "dedup_simhash": opdedup.dedup_simhash,          # rows-only
         "stream_event_rollup": strm.stream_event_rollup,
+        "stream_sessionize": strm_sessions.stream_sessionize,  # rows-only
         "multimodal_extract": opmm.multimodal_extract,   # rows-only
     }
 

@@ -15,6 +15,7 @@ from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
 WORD_RE = r"\w+"
 PUNCT_RE = r"[^\w\s]"
+BPE_ISH_RE = r"\w+|[^\w\s]"  # GPT-2-style pre-tokenizer approximation
 NON_ALPHA_RE = "[^a-zA-Z]"
 WS_RE = r"\s+"
 
@@ -61,6 +62,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), WS_RE)).cast("long").alias("n_tokens_ws"),
         n_words.cast("long").alias("n_words"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0))).cast("long").alias("n_punct"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), F.lit(0))).cast("long").alias("n_tokens_bpe"),
         _r4(word_chars.cast("double") / F.when(n_words != 0, n_words)).alias("avg_word_len"),
     )
 
@@ -73,6 +75,7 @@ select
     cast(len(string_split_regex(trim(text), '{WS_RE}')) as bigint) as n_tokens_ws,
     cast(len(regexp_extract_all(text, '{WORD_RE}')) as bigint) as n_words,
     cast(len(regexp_extract_all(text, '{PUNCT_RE}')) as bigint) as n_punct,
+    cast(len(regexp_extract_all(text, '{BPE_ISH_RE}')) as bigint) as n_tokens_bpe,
     round(cast(coalesce(list_aggregate(list_transform(regexp_extract_all(text, '{WORD_RE}'), w -> length(w)), 'sum'), 0) as double)
           / (case when len(regexp_extract_all(text, '{WORD_RE}')) <> 0
                   then len(regexp_extract_all(text, '{WORD_RE}')) end), 4) as avg_word_len

@@ -52,8 +52,15 @@ def _shingles(text: Column) -> Column:
 
 
 def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows — the exploded form every stage shares."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) rows — the exploded form every stage shares.
+
+    The local documents file is a single parquet split, so shingling
+    (interpreted higher-order exprs) would run in ONE task; repartition
+    by doc_id first so it parallelizes (at warehouse scale the file count
+    provides this for free and the cheap extra shuffle still amortizes)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
 
 

@@ -137,54 +137,69 @@ where {_DOT_SQL} / ({na} * {nb}) >= {EMBEDDING_DUP_THRESHOLD_04}
 """
 
 
-N_HYPERPLANES = 12
+N_HYPERPLANES = 6   # planes per table → 64 buckets each
+N_LSH_TABLES = 4    # independent tables; candidates = union over tables
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#21: random-hyperplane LSH → bucketed candidates → exact rerank.
+    """#21: multi-table random-hyperplane LSH → bucketed candidates →
+    exact rerank.
 
-    Hyperplane p weight for dimension d is a deterministic pseudo-random
-    in [-0.5, 0.5) derived from xxhash64(p, d) — reproducible across runs
-    and cluster sizes with zero driver-side state. Sign pattern over
-    N_HYPERPLANES planes forms the bucket key; only same-bucket pairs are
-    scored (the 100-TB path: the crossJoin collapses to an equi-join
-    shuffle on bucket). Rows-only check: recall vs the brute-force oracle
-    is asserted in tests/test_ops.py instead.
+    Hyperplane (t, p) weight for dimension d is a deterministic
+    pseudo-random derived from xxhash64 of (t*planes+p)*64+d —
+    reproducible across runs and cluster sizes with zero driver-side
+    state. Per table, the 6-bit sign pattern is the bucket key; candidates
+    are the union over 4 tables (standard recall/cost dial), scored pairs
+    come from an equi-join on (table, bucket) — the 100-TB path: no
+    corpus crossJoin. Rows-only check: agreement with brute force is
+    asserted in tests/test_ops.py.
     """
     e = _emb(spark, sf_dir)
-    planes = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HYPERPLANES - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                F.col("vec"),
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda x, d: x
-                * (
-                    (F.xxhash64(p * 64 + d) % 1000).cast("double") / 1000.0
+
+    def bucket_col(t: int) -> Column:
+        planes = F.transform(
+            F.sequence(F.lit(0), F.lit(N_HYPERPLANES - 1)),
+            lambda p: F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda x, d: x
+                    * (
+                        (F.xxhash64((p + F.lit(t * N_HYPERPLANES)) * 64 + d) % 1000).cast(
+                            "double"
+                        )
+                        / 1000.0
+                    ),
                 ),
+                F.lit(0.0),
+                lambda a, x: a + x,
             ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-    )
-    bucketed = e.withColumn(
-        "bucket",
-        F.concat_ws(
-            "",
-            F.transform(planes, lambda s: F.when(s >= 0, "1").otherwise("0")),
+        )
+        return F.concat_ws(
+            "", F.transform(planes, lambda s: F.when(s >= 0, "1").otherwise("0"))
+        )
+
+    bucketed = e.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.posexplode(F.array(*[bucket_col(t) for t in range(N_LSH_TABLES)])).alias(
+            "table_id", "bucket"
         ),
     )
     a = bucketed.select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
+        "table_id",
         "bucket",
     ).where(F.col("query_id") < ANN_N_QUERIES)
     cos = _dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))
     scored = (
-        bucketed.join(a, "bucket")
+        bucketed.join(a, ["table_id", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

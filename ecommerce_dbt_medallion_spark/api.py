@@ -52,12 +52,15 @@ def queries() -> dict[str, QueryFn]:
         "dq_singular_tests": dq.dq_singular_tests,
         "event_daily_stats": ev.event_daily_stats,
         "event_sessionization": ev.event_sessionization,
+        "event_funnel": ev.event_funnel,
         # LLM-data-pipeline operators (SURVEY.md §2 #15-25)
         "text_token_stats": optext.text_token_stats,
         "text_quality_score": optext.text_quality_score,
         "text_language_id": optext.text_language_id,
         "doc_fingerprint": optext.doc_fingerprint,
         "dedup_exact": optext.dedup_exact,
+        "doc_winnowing": optext.doc_winnowing,
+        "corpus_curation": optext.corpus_curation,
         "dedup_ngram_jaccard": optext.dedup_ngram_jaccard,
         "ann_cosine_topk": opsim.ann_cosine_topk,
         "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
@@ -83,6 +86,9 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_exact"] = optext.oracle_dedup_exact()
     out["dedup_ngram_jaccard"] = optext.oracle_dedup_ngram_jaccard()
     out["ann_cosine_topk"] = opsim.oracle_ann_cosine_topk()
+    out["doc_winnowing"] = optext.oracle_doc_winnowing()
+    out["corpus_curation"] = optext.oracle_corpus_curation()
+    out["event_funnel"] = ev.ORACLE_EVENT_FUNNEL
     out["dedup_embedding_cosine"] = opsim.oracle_dedup_embedding_cosine()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh / multimodal_extract:

@@ -112,3 +112,44 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val_sum_dec").cast("double").alias("total_value"),
         )
     )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → view → purchase funnel per user: first-touch timestamps
+    and ordered-conversion flags (classic event analytics; one shuffle
+    on user_id)."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    return per_user.select(
+        "user_id",
+        "first_signup",
+        "first_view",
+        "first_purchase",
+        "n_purchases",
+        (
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup"))
+        ).alias("converted_after_signup"),
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+select
+    user_id,
+    min(case when event_type = 'signup' then ts end) as first_signup,
+    min(case when event_type = 'view' then ts end) as first_view,
+    min(case when event_type = 'purchase' then ts end) as first_purchase,
+    count(case when event_type = 'purchase' then 1 end) as n_purchases,
+    (min(case when event_type = 'signup' then ts end) is not null
+     and min(case when event_type = 'purchase' then ts end) is not null
+     and min(case when event_type = 'purchase' then ts end)
+         > min(case when event_type = 'signup' then ts end)) as converted_after_signup
+from events
+group by user_id
+"""

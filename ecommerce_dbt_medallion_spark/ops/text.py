@@ -380,3 +380,122 @@ join sizes sa on sa.doc_id = i.doc_a
 join sizes sb on sb.doc_id = i.doc_b
 where round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4) >= {NGRAM_JACCARD_THRESHOLD}
 """
+
+
+# ------------------------------------------------------- winnowing (MOSS)
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # window size (fingerprints selected per window minimum)
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#25b: winnowing document fingerprints (Schleimer et al., MOSS).
+
+    Char 8-gram hashes; each length-4 sliding window contributes its
+    minimum hash — guaranteeing any match of length >= k+w-1 shares a
+    fingerprint. The "hash" is the md5 hex (lexicographic order is the
+    tie-break both engines share), so the oracle is value-exact.
+    Output: one row per (doc_id, fingerprint) — the doc's sketch.
+    """
+    # Materialize each intermediate array as a real column: lambda-bound
+    # expressions are NOT common-subexpression-eliminated, so inlining
+    # gram_hashes into the window transform would recompute the whole md5
+    # array per window element (O(n²) md5 calls — measured minutes vs
+    # seconds). Column references evaluate once per row.
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    d = docs.withColumn("__norm", _norm_text(F.col("text")))
+    d = d.withColumn(
+        "__gh",
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("__norm") - (WINNOW_K - 1), F.lit(0))
+            ),
+            lambda i: F.md5(F.substring(F.col("__norm"), F.lit(0) + i, WINNOW_K)),
+        ),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("__gh") - (WINNOW_W - 1), F.lit(0)) - 1,
+            ),
+            lambda j: F.array_min(F.slice(F.col("__gh"), j + 1, WINNOW_W)),
+        )
+    )
+    return d.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+def oracle_doc_winnowing() -> str:
+    return f"""
+with g as (
+    select doc_id,
+        list_transform(
+            range(1, greatest(length({_NORM_SQL}) - {WINNOW_K - 2}, 1)),
+            i -> md5(substr({_NORM_SQL}, i, {WINNOW_K}))) as gh
+    from documents
+)
+select doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(gh) - {WINNOW_W - 2}, 1)),
+                   j -> list_aggregate(gh[j:j + {WINNOW_W - 1}], 'min')))) as fingerprint
+from g
+"""
+
+
+# ------------------------------------------------- curation pipeline
+
+CURATION_MIN_QUALITY = 0.5
+CURATION_MIN_CHARS = 100
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#23b: end-to-end training-data curation — the composed pipeline a
+    100 TB pretraining corpus runs: exact-dedup survivors ∩ length floor
+    ∩ quality floor, with the reasons each document was kept/dropped.
+    """
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "n_chars", "quality_score")
+    norm = _norm_text(F.col("text"))
+    fp = _docs(spark, sf_dir).select("doc_id", F.md5(norm).alias("fingerprint"))
+    keepers = (
+        fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    flagged = (
+        quality.join(fp, "doc_id")
+        .join(keepers, "fingerprint")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("keep_doc_id")).alias("is_canonical"),
+            (F.col("n_chars") >= CURATION_MIN_CHARS).alias("long_enough"),
+            (F.col("quality_score") >= CURATION_MIN_QUALITY).alias("good_quality"),
+            "quality_score",
+        )
+    )
+    return flagged.select(
+        "doc_id",
+        "is_canonical",
+        "long_enough",
+        "good_quality",
+        "quality_score",
+        (F.col("is_canonical") & F.col("long_enough") & F.col("good_quality")).alias("keep"),
+    )
+
+
+def oracle_corpus_curation() -> str:
+    quality_cte = oracle_text_quality_score().strip()
+    return f"""
+with q as ({quality_cte}),
+fp as (select doc_id, md5({_NORM_SQL}) as fingerprint from documents),
+keepers as (select fingerprint, min(doc_id) as keep_doc_id from fp group by fingerprint)
+select
+    q.doc_id,
+    q.doc_id = k.keep_doc_id as is_canonical,
+    q.n_chars >= {CURATION_MIN_CHARS} as long_enough,
+    q.quality_score >= {CURATION_MIN_QUALITY} as good_quality,
+    q.quality_score,
+    (q.doc_id = k.keep_doc_id and q.n_chars >= {CURATION_MIN_CHARS}
+     and q.quality_score >= {CURATION_MIN_QUALITY}) as keep
+from q
+join fp on fp.doc_id = q.doc_id
+join keepers k on k.fingerprint = fp.fingerprint
+"""

@@ -37,6 +37,7 @@ from ecommerce_dbt_medallion_spark.models.silver import (
     silver_customers,
     silver_orders,
     silver_payments,
+    silver_payments_for_agg,
 )
 
 DEC0 = "cast(0 as decimal(18,2))"
@@ -64,7 +65,9 @@ def gold_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold_customer_summary_df(
         silver_customers(spark, sf_dir),
         silver_orders(spark, sf_dir),
-        silver_payments(spark, sf_dir),
+        # id-free payments path: the mart only counts/sums payments, so
+        # the payment-id sequence window is skipped (value-identical)
+        silver_payments_for_agg(spark, sf_dir),
     )
 
 
@@ -282,7 +285,7 @@ def gold_revenue_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue is silently excluded there, and we reproduce that exactly.
     """
     return gold_revenue_analysis_df(
-        silver_orders(spark, sf_dir), silver_payments(spark, sf_dir)
+        silver_orders(spark, sf_dir), silver_payments_for_agg(spark, sf_dir)
     )
 
 

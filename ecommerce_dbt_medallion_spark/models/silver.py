@@ -209,3 +209,24 @@ def silver_payments_df(p: DataFrame, so: DataFrame) -> DataFrame:
         .cast("long")
         .alias("_has_data_quality_issues"),
     )
+
+
+def silver_payments_for_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-compatible stand-in for silver_payments for AGGREGATION-ONLY
+    consumers (the gold marts count payments and sum amounts; real payment
+    ids never reach their output). Skips raw_payments' per-(order,line)
+    sequence window — at 100 TB that removes a full shuffle+sort of the
+    biggest fact from every mart build. Value-identical results.
+    """
+    from ecommerce_dbt_medallion_spark.sources.mapping import raw_payments_unkeyed
+
+    p = raw_payments_unkeyed(spark, sf_dir)
+    o = silver_orders(spark, sf_dir).select("order_id", "order_key")
+    return p.join(o, "order_id", "inner").select(
+        F.lit("only-ever-counted").alias("payment_key"),
+        "order_key",
+        standardize_payment_method(F.col("payment_method")).alias("payment_method"),
+        F.col("amount").alias("payment_amount"),
+        "payment_date",
+        (F.col("amount") > 0).alias("is_successful_payment"),
+    )

@@ -157,3 +157,28 @@ def raw_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         amount.alias("amount"),
         F.col("l_shipdate").alias("payment_date"),
     )
+
+
+def raw_payments_unkeyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raw_payments minus the id (and its row_number window).
+
+    Aggregation-only consumers (gold marts count rows and sum amounts —
+    payment ids never reach their output) use this variant to skip the
+    per-(order,line) sequence window entirely: at 100 TB that removes a
+    full shuffle+sort of the biggest fact from the mart builds. Value-
+    identical to ``raw_payments`` for any id-free computation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    amount0 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    amount = F.when(
+        (F.col("l_orderkey") + F.col("l_linenumber")) % 29 == 0, -amount0
+    ).otherwise(amount0)
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        _pick(F.col("l_suppkey"), PAYMENT_METHODS).alias("payment_method"),
+        amount.alias("amount"),
+        F.col("l_shipdate").alias("payment_date"),
+    )

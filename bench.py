@@ -48,10 +48,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in headline:
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: first run absorbs codegen/GC noise
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

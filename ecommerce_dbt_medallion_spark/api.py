@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.models import bronze, silver, gold
 from ecommerce_dbt_medallion_spark.models import events as ev
+from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
 from ecommerce_dbt_medallion_spark.ops import similarity as opsim
@@ -53,6 +54,8 @@ def queries() -> dict[str, QueryFn]:
         "event_daily_stats": ev.event_daily_stats,
         "event_sessionization": ev.event_sessionization,
         "event_funnel": ev.event_funnel,
+        "sales_by_region": ana.sales_by_region,
+        "supplier_part_revenue": ana.supplier_part_revenue,
         # LLM-data-pipeline operators (SURVEY.md §2 #15-25)
         "text_token_stats": optext.text_token_stats,
         "text_quality_score": optext.text_quality_score,
@@ -89,6 +92,8 @@ def oracle_sql() -> dict[str, str]:
     out["doc_winnowing"] = optext.oracle_doc_winnowing()
     out["corpus_curation"] = optext.oracle_corpus_curation()
     out["event_funnel"] = ev.ORACLE_EVENT_FUNNEL
+    out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
+    out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["dedup_embedding_cosine"] = opsim.oracle_dedup_embedding_cosine()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh / multimodal_extract:

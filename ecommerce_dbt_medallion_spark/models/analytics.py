@@ -1,0 +1,127 @@
+"""Extended star-schema analytics over the full testdata schema.
+
+The medallion models cover the e-commerce core (customers/orders/
+payments); these marts exercise the remaining dimension tables the way a
+warehouse user would — and demonstrate the explicit ``broadcast()`` path
+for provably-small dims (region: 5 rows, nation: 25 — broadcast is
+correct at ANY fact scale, unlike the data-dependent AQE broadcasts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+
+def sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer region/nation: lineitem ⋈ orders ⋈ customer ⋈
+    broadcast(nation ⋈ region). One fact shuffle per join key; the dim
+    side never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    return (
+        li.select("l_orderkey", rev.alias("rev_dec"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("region_name", "nation_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum("rev_dec").alias("rev_sum_dec"),
+        )
+        .select(
+            "region_name",
+            "nation_name",
+            "n_lineitems",
+            "n_orders",
+            F.col("rev_sum_dec").cast("double").alias("total_revenue"),
+            (F.col("rev_sum_dec").cast("double") / F.col("n_lineitems")).alias("avg_lineitem_revenue"),
+        )
+    )
+
+
+ORACLE_SALES_BY_REGION = """
+select
+    r.r_name as region_name,
+    n.n_name as nation_name,
+    count(*) as n_lineitems,
+    count(distinct l.l_orderkey) as n_orders,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+          * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4))) as double) as total_revenue,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+          * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4))) as double) / count(*) as avg_lineitem_revenue
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join nation n on c.c_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+group by r.r_name, n.n_name
+"""
+
+
+def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part type and supplier nation — the supplier-side
+    rollup (part is broadcastable at these SFs; at 100 TB part scales
+    with catalog size, so it stays a shuffle join — only nation is
+    explicitly broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("supplier_nation")
+        )
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    return (
+        li.select("l_partkey", "l_suppkey", rev.alias("rev_dec"), F.col("l_quantity"))
+        .join(part.select("p_partkey", "p_type", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_type", "supplier_nation")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"),
+            F.sum("rev_dec").alias("rev_sum_dec"),
+        )
+        .select(
+            F.col("p_type").alias("part_type"),
+            "supplier_nation",
+            "n_lineitems",
+            F.col("qty_dec").cast("double").alias("total_quantity"),
+            F.col("rev_sum_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_PART_REVENUE = """
+select
+    p.p_type as part_type,
+    n.n_name as supplier_nation,
+    count(*) as n_lineitems,
+    cast(sum(cast(l.l_quantity as decimal(18,2))) as double) as total_quantity,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+          * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4))) as double) as total_revenue
+from lineitem l
+join part p on l.l_partkey = p.p_partkey
+join supplier s on l.l_suppkey = s.s_suppkey
+join nation n on s.s_nationkey = n.n_nationkey
+group by p.p_type, n.n_name
+"""

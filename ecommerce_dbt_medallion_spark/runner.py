@@ -33,8 +33,11 @@ from ecommerce_dbt_medallion_spark.models import gold as mg
 from ecommerce_dbt_medallion_spark.models import silver as ms
 
 
-def _write(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").parquet(path)
+def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
 
 
 def run(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[str, str]:
@@ -58,8 +61,10 @@ def run(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[str, str]:
     _write(sc, os.path.join(silver_dir, "silver_customers"))
     sc_m = spark.read.parquet(os.path.join(silver_dir, "silver_customers"))
 
+    # Partition the orders fact by month: date-ranged gold rebuilds and
+    # incremental loads then scan only the touched partitions (pruning).
     so = ms.silver_orders_df(b_orders, sc_m)
-    _write(so, os.path.join(silver_dir, "silver_orders"))
+    _write(so, os.path.join(silver_dir, "silver_orders"), ["order_year_month"])
     so_m = spark.read.parquet(os.path.join(silver_dir, "silver_orders"))
 
     sp = ms.silver_payments_df(b_payments, so_m)
@@ -91,12 +96,9 @@ def incremental_merge(
     table_path: str,
     unique_key: str,
 ) -> DataFrame:
-    """dbt incremental materialization (merge strategy) on plain parquet.
-
-    Existing rows keep priority on key collision is NOT dbt's semantics —
-    dbt's merge updates matched rows — so we do the same: incoming rows
-    replace matched keys, unmatched existing rows are kept.
-    On Delta/Iceberg this is MERGE INTO (no full rewrite).
+    """dbt incremental materialization (merge strategy) on plain parquet:
+    incoming rows replace matched keys, unmatched existing rows are kept.
+    On Delta/Iceberg this becomes MERGE INTO (no full rewrite).
     """
     try:
         existing = spark.read.parquet(table_path)

@@ -86,3 +86,17 @@ def test_snapshot_scd2_history(spark, tmp_path):
     assert (
         s2.where(F.col("valid_to").isNull()).count() == v2.count()
     )
+
+
+def test_partition_pruning_on_materialized_orders(spark, tmp_path):
+    wh = str(tmp_path / "wh2")
+    manifest = runner.run(spark, SF_SMOKE, wh)
+    so = spark.read.parquet(manifest["silver_orders"])
+    one_month = so.select("order_year_month").distinct().first()[0]
+    q = so.where(F.col("order_year_month") == one_month)
+    q.collect()
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (pruning, not a post-filter)
+    assert "PartitionFilters" in executed and "order_year_month" in executed.split(
+        "PartitionFilters"
+    )[1][:200], executed[:800]

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the invariant-bearing operators.
+
+Spark round-trips are expensive, so each property batches many generated
+cases into ONE DataFrame per example and keeps max_examples small.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.config import SESSION_GAP_SECONDS
+from ecommerce_dbt_medallion_spark.models.silver import (
+    standardize_order_status,
+    standardize_payment_method,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+@given(
+    statuses=st.lists(
+        st.text(alphabet=st.characters(codec="ascii"), max_size=20), min_size=1, max_size=50
+    )
+)
+@settings(**_SETTINGS)
+def test_status_standardization_total(spark, statuses):
+    """Any input string lands in the closed status domain."""
+    df = spark.createDataFrame([(s,) for s in statuses], "s string")
+    out = df.select(standardize_order_status(F.col("s")).alias("v")).collect()
+    assert {r["v"] for r in out} <= {"completed", "pending", "cancelled", "unknown"}
+    out2 = df.select(standardize_payment_method(F.col("s")).alias("v")).collect()
+    assert {r["v"] for r in out2} <= {
+        "credit_card", "bank_transfer", "paypal", "cash", "digital_wallet", "other"
+    }
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user_id
+            st.integers(min_value=0, max_value=400_000),    # offset seconds
+        ),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_sessionization_invariants(spark, tmp_path_factory, events):
+    """Sessions partition each user's events; intra-session gaps <= 30min,
+    inter-session boundaries > 30min, event counts conserved."""
+    from ecommerce_dbt_medallion_spark.models.events import event_sessionization
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, uid, base + datetime.timedelta(seconds=off), "click", 1.0, "{}")
+        for i, (uid, off) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("ev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    sess = event_sessionization(spark, str(d)).collect()
+    assert sum(r["n_events"] for r in sess) == len(rows)
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, ss in by_user.items():
+        ss.sort(key=lambda r: r["session_seq"])
+        for r in ss:
+            assert r["duration_sec"] <= 400_000
+            assert r["session_start"] <= r["session_end"]
+        for a, b in zip(ss, ss[1:]):
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap > SESSION_GAP_SECONDS, f"user {uid}: sessions not separated"
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=99)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_salted_join_equivalence(spark, pairs):
+    """salted_join == plain join on arbitrarily skewed key distributions."""
+    from ecommerce_dbt_medallion_spark.ops.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(k, v) for k, v in pairs], "k long, v long"
+    )
+    build = spark.createDataFrame([(k, f"d{k}") for k in range(6)], "k long, tag string")
+    plain = sorted(
+        (r["k"], r["v"], r["tag"]) for r in probe.join(build, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["tag"]) for r in salted_join(probe, build, "k", salt=4).collect()
+    )
+    assert plain == salted

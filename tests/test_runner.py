@@ -100,3 +100,19 @@ def test_partition_pruning_on_materialized_orders(spark, tmp_path):
     assert "PartitionFilters" in executed and "order_year_month" in executed.split(
         "PartitionFilters"
     )[1][:200], executed[:800]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders_t, payments_t = runner.materialize_bucketed_facts(spark, SF_SMOKE)
+    o = spark.table(orders_t).select("order_id", "customer_key")
+    p = spark.table(payments_t).select("order_id", "payment_amount")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(p, "order_id")
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in executed, (
+            "bucketed join should be shuffle-free:\n" + executed[:1200]
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

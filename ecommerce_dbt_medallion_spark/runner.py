@@ -190,10 +190,17 @@ def materialize_bucketed_facts(
 
     Returns the two table names (Spark-SQL managed tables).
     """
+    import shutil
+    from urllib.parse import urlparse
+
     so = ms.silver_orders(spark, sf_dir)
     sp = ms.silver_payments(spark, sf_dir)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
     for name, df in (("silver_orders_b", so), ("silver_payments_b", sp)):
         spark.sql(f"drop table if exists {name}")
+        # the in-memory catalog forgets tables across sessions but their
+        # files persist — clear the managed location too
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
         (
             df.write.mode("overwrite")
             .bucketBy(n_buckets, "order_id")

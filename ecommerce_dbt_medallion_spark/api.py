@@ -56,6 +56,7 @@ def queries() -> dict[str, QueryFn]:
         "event_funnel": ev.event_funnel,
         "sales_by_region": ana.sales_by_region,
         "supplier_part_revenue": ana.supplier_part_revenue,
+        "customer_order_percentiles": ana.customer_order_percentiles,
         # LLM-data-pipeline operators (SURVEY.md §2 #15-25)
         "text_token_stats": optext.text_token_stats,
         "text_quality_score": optext.text_quality_score,
@@ -94,6 +95,9 @@ def oracle_sql() -> dict[str, str]:
     out["event_funnel"] = ev.ORACLE_EVENT_FUNNEL
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
+    out["customer_order_percentiles"] = assemble(
+        "silver_orders", final_select=ana.ORACLE_CUSTOMER_ORDER_PERCENTILES_FINAL
+    )
     out["dedup_embedding_cosine"] = opsim.oracle_dedup_embedding_cosine()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh / multimodal_extract:

@@ -125,3 +125,49 @@ join supplier s on l.l_suppkey = s.s_suppkey
 join nation n on s.s_nationkey = n.n_nationkey
 group by p.p_type, n.n_name
 """
+
+
+def customer_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-customer order-value distribution (median / p90 / IQR).
+
+    Exercises Spark's exact median/percentile aggregates (sort-based
+    within each group; at 100 TB this is the same single shuffle as any
+    customer-grain aggregate — approx_percentile is the knob if exact
+    order statistics aren't required). Verified bit-identical to DuckDB's
+    median/quantile_cont.
+    """
+    from ecommerce_dbt_medallion_spark.models.silver import silver_orders
+
+    amt = F.col("order_amount").cast("double")
+    return (
+        silver_orders(spark, sf_dir)
+        .groupBy("customer_key")
+        .agg(
+            F.count("order_key").alias("n_orders"),
+            F.median(amt).alias("median_order_value"),
+            F.percentile(amt, F.lit(0.25)).alias("p25_order_value"),
+            F.percentile(amt, F.lit(0.9)).alias("p90_order_value"),
+        )
+        .select(
+            "customer_key",
+            "n_orders",
+            "median_order_value",
+            "p25_order_value",
+            "p90_order_value",
+            (F.col("p90_order_value") - F.col("p25_order_value")).alias("p25_p90_spread"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ORDER_PERCENTILES_FINAL = """
+select
+    customer_key,
+    count(order_key) as n_orders,
+    median(cast(order_amount as double)) as median_order_value,
+    quantile_cont(cast(order_amount as double), 0.25) as p25_order_value,
+    quantile_cont(cast(order_amount as double), 0.9) as p90_order_value,
+    quantile_cont(cast(order_amount as double), 0.9)
+        - quantile_cont(cast(order_amount as double), 0.25) as p25_p90_spread
+from silver_orders
+group by customer_key
+"""

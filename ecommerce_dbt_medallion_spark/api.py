@@ -69,6 +69,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk": opsim.ann_cosine_topk,
         "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
         "ann_topk_lsh": opsim.ann_topk_lsh,          # rows-only
+        "ann_topk_ivf": opsim.ann_topk_ivf,          # rows-only
         "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only
         "dedup_simhash": opdedup.dedup_simhash,          # rows-only
         "stream_event_rollup": strm.stream_event_rollup,

@@ -118,7 +118,12 @@ def gold_customer_summary_df(c: DataFrame, o: DataFrame, p: DataFrame) -> DataFr
         .select("customer_key", F.col("payment_method").alias("preferred_payment_method"))
     )
 
-    as_of = F.broadcast(o.agg(F.max("order_date").alias("as_of_date")))
+    # as_of = global max(order_date) — derived from the customer-grain
+    # aggregate already computed above (max of last_order_date), saving a
+    # third full pass over silver_orders; identical value by associativity.
+    as_of = F.broadcast(
+        customer_orders.agg(F.max("last_order_date").alias("as_of_date"))
+    )
 
     rev0 = F.coalesce(F.col("total_revenue_dec"), _zero_dec())
     dsl = F.datediff(F.col("as_of_date"), F.col("last_order_date"))

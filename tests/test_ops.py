@@ -165,3 +165,21 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark):
         f"streaming sessions diverge: missing={list(expected - got)[:3]} "
         f"extra={list(got - expected)[:3]}"
     )
+
+
+def test_ivf_ann_recall(spark):
+    """IVF with 3/16 probes should recover most brute-force neighbors,
+    and every surfaced cosine must equal the brute-force value."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_r6"]
+        for r in opsim.ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    ivf = opsim.ann_topk_ivf(spark, SF_SMOKE).collect()
+    assert len(ivf) == len(brute)  # full top-k per query
+    hits = 0
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            hits += 1
+            assert abs(brute[key] - r["cosine_r6"]) < 1e-12
+    assert hits / len(brute) >= 0.5, f"IVF recall too low: {hits}/{len(brute)}"

@@ -62,12 +62,15 @@ def _updated_at() -> Column:
 
 def gold_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: models/gold/gold_customer_summary.sql."""
+    # silver_orders feeds three consumers (order aggs, the payments
+    # join, as-of); checkpoint it so the orders⋈customers join runs once.
+    # Payments use the id-free path: the mart only counts/sums payments,
+    # so the payment-id sequence window is skipped (value-identical).
+    o = silver_orders(spark, sf_dir).localCheckpoint(eager=True)
     return gold_customer_summary_df(
         silver_customers(spark, sf_dir),
-        silver_orders(spark, sf_dir),
-        # id-free payments path: the mart only counts/sums payments, so
-        # the payment-id sequence window is skipped (value-identical)
-        silver_payments_for_agg(spark, sf_dir),
+        o,
+        silver_payments_for_agg(spark, sf_dir, o),
     )
 
 
@@ -289,9 +292,8 @@ def gold_revenue_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit_card / bank_transfer / paypal / cash / other — digital_wallet
     revenue is silently excluded there, and we reproduce that exactly.
     """
-    return gold_revenue_analysis_df(
-        silver_orders(spark, sf_dir), silver_payments_for_agg(spark, sf_dir)
-    )
+    o = silver_orders(spark, sf_dir).localCheckpoint(eager=True)
+    return gold_revenue_analysis_df(o, silver_payments_for_agg(spark, sf_dir, o))
 
 
 def gold_revenue_analysis_df(so: DataFrame, sp: DataFrame) -> DataFrame:

@@ -211,7 +211,9 @@ def silver_payments_df(p: DataFrame, so: DataFrame) -> DataFrame:
     )
 
 
-def silver_payments_for_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def silver_payments_for_agg(
+    spark: SparkSession, sf_dir: str, so: DataFrame | None = None
+) -> DataFrame:
     """Column-compatible stand-in for silver_payments for AGGREGATION-ONLY
     consumers (the gold marts count payments and sum amounts; real payment
     ids never reach their output). Skips raw_payments' per-(order,line)
@@ -221,7 +223,9 @@ def silver_payments_for_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_dbt_medallion_spark.sources.mapping import raw_payments_unkeyed
 
     p = raw_payments_unkeyed(spark, sf_dir)
-    o = silver_orders(spark, sf_dir).select("order_id", "order_key")
+    o = (so if so is not None else silver_orders(spark, sf_dir)).select(
+        "order_id", "order_key"
+    )
     return p.join(o, "order_id", "inner").select(
         F.lit("only-ever-counted").alias("payment_key"),
         "order_key",

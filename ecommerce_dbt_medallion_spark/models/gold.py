@@ -36,11 +36,8 @@ from ecommerce_dbt_medallion_spark.config import BATCH_TS
 from ecommerce_dbt_medallion_spark.models.silver import (
     silver_customers,
     silver_orders,
-    silver_payments,
     silver_payments_for_agg,
 )
-
-DEC0 = "cast(0 as decimal(18,2))"
 
 
 def _dbl(c: Column) -> Column:

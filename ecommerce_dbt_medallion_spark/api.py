@@ -54,6 +54,7 @@ def queries() -> dict[str, QueryFn]:
         "event_daily_stats": ev.event_daily_stats,
         "event_sessionization": ev.event_sessionization,
         "event_funnel": ev.event_funnel,
+        "asof_event_order": ev.asof_event_order,
         "sales_by_region": ana.sales_by_region,
         "supplier_part_revenue": ana.supplier_part_revenue,
         "customer_order_percentiles": ana.customer_order_percentiles,
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
     out["doc_winnowing"] = optext.oracle_doc_winnowing()
     out["corpus_curation"] = optext.oracle_corpus_curation()
     out["event_funnel"] = ev.ORACLE_EVENT_FUNNEL
+    out["asof_event_order"] = ev.ORACLE_ASOF_EVENT_ORDER
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["customer_order_percentiles"] = assemble(

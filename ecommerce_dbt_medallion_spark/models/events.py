@@ -153,3 +153,86 @@ select
 from events
 group by user_id
 """
+
+
+def asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: attribute each event to the user's most
+    recent order at-or-before the event time.
+
+    Spark has no ASOF JOIN; the scalable formulation is the union-sort
+    trick: tag orders and events, sort per user by time (orders first on
+    ties so equality matches), and carry the latest order forward with
+    last(..., ignorenulls) over an unbounded-preceding window — one
+    shuffle on user, no range-explosion. Orders are deduplicated to the
+    latest order id per (user, day) so the match is deterministic on both
+    engines (DuckDB's native ASOF JOIN is the oracle).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders_d = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .agg(F.max("o_orderkey").alias("order_id"))
+    )
+    o_rows = orders_d.select(
+        "user_id",
+        F.unix_micros(F.col("order_date").cast("timestamp")).alias("t_us"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "order_id",
+        "order_date",
+    )
+    e_rows = load_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("order_id"),
+        F.lit(None).cast("date").alias("order_date"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = o_rows.unionByName(e_rows).select(
+        "*",
+        F.last(F.when(F.col("is_event") == 0, F.col("order_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_order_id"),
+        F.last(F.when(F.col("is_event") == 0, F.col("order_date")), ignorenulls=True)
+        .over(w)
+        .alias("last_order_date"),
+    )
+    return tagged.where(F.col("is_event") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_order_id",
+        "last_order_date",
+        F.datediff(F.col("ts").cast("date"), F.col("last_order_date"))
+        .cast("long")
+        .alias("days_since_order"),
+    )
+
+
+ORACLE_ASOF_EVENT_ORDER = """
+with orders_d as (
+    select o_custkey as user_id, cast(o_orderdate as date) as order_date,
+           max(o_orderkey) as order_id
+    from orders group by 1, 2
+)
+select
+    e.event_id,
+    e.user_id,
+    e.ts,
+    o.order_id as last_order_id,
+    o.order_date as last_order_date,
+    cast(date_diff('day', o.order_date, cast(e.ts as date)) as bigint) as days_since_order
+from events e
+asof left join orders_d o
+    on o.user_id = e.user_id and cast(o.order_date as timestamp) <= e.ts
+"""

@@ -74,6 +74,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only
         "dedup_simhash": opdedup.dedup_simhash,          # rows-only
         "stream_event_rollup": strm.stream_event_rollup,
+        "stream_dedup_events": strm.stream_dedup_events,
         "stream_sessionize": strm_sessions.stream_sessionize,  # rows-only
         "multimodal_extract": opmm.multimodal_extract,   # rows-only
     }
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["dedup_embedding_cosine"] = opsim.oracle_dedup_embedding_cosine()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
+    out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh / multimodal_extract:
     # rows-only (known-answer + recall assertions live in tests/test_ops.py)
     return out

@@ -73,3 +73,56 @@ select
 from events
 group by date_trunc('hour', ts), event_type
 """
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-style dedup: dropDuplicatesWithinWatermark
+    on event_id — the standard at-least-once-ingest cleanup. State holds
+    only ids seen within the 2h watermark horizon (bounded, unlike a
+    batch distinct). Drained with availableNow; the per-type counts must
+    match the batch distinct (oracle below).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("total_dec").cast("double").alias("total_value"),
+        )
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+ORACLE_STREAM_DEDUP_EVENTS = """
+select
+    event_type,
+    count(event_id) as n_events,
+    cast(sum(cast(value as decimal(18,2))) as double) as total_value
+from (
+    select distinct on (event_id) event_id, event_type, value
+    from events order by event_id, ts
+)
+group by event_type
+"""

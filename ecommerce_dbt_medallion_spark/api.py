@@ -58,6 +58,7 @@ def queries() -> dict[str, QueryFn]:
         "sales_by_region": ana.sales_by_region,
         "supplier_part_revenue": ana.supplier_part_revenue,
         "customer_order_percentiles": ana.customer_order_percentiles,
+        "range_join_promo_revenue": ana.range_join_promo_revenue,
         # LLM-data-pipeline operators (SURVEY.md §2 #15-25)
         "text_token_stats": optext.text_token_stats,
         "text_quality_score": optext.text_quality_score,
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
     out["asof_event_order"] = ev.ORACLE_ASOF_EVENT_ORDER
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
+    out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE
     out["customer_order_percentiles"] = assemble(
         "silver_orders", final_select=ana.ORACLE_CUSTOMER_ORDER_PERCENTILES_FINAL
     )

@@ -171,3 +171,83 @@ select
 from silver_orders
 group by customer_key
 """
+
+
+N_PROMOS = 20
+PROMO_SPACING_DAYS = 120
+PROMO_LENGTH_DAYS = 45
+
+
+def range_join_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders attributed to synthetic promotion
+    windows (order_date BETWEEN promo_start AND promo_end).
+
+    Spark would execute a raw range predicate as BroadcastNestedLoopJoin —
+    fine for 20 promos, quadratic at a million intervals. The scalable
+    formulation used here BINS both sides to months: each promo explodes
+    to its covered month bins, orders join on month-bin EQUALITY first
+    (hash join), then the exact BETWEEN filters within the bin. Promos
+    are deterministic (fixed epoch + spacing) so DuckDB reproduces them.
+    """
+    promos = spark.range(N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        F.date_add(F.lit("1992-01-01").cast("date"),
+                   (F.col("id") * PROMO_SPACING_DAYS).cast("int")).alias("promo_start"),
+        F.date_add(F.lit("1992-01-01").cast("date"),
+                   (F.col("id") * PROMO_SPACING_DAYS + PROMO_LENGTH_DAYS).cast("int")).alias("promo_end"),
+    )
+    promo_bins = promos.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.trunc("promo_start", "month"),
+                F.trunc("promo_end", "month"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_bin"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount_dec"),
+    ).withColumn("month_bin", F.trunc("order_date", "month"))
+
+    joined = orders.join(F.broadcast(promo_bins), "month_bin").where(
+        (F.col("order_date") >= F.col("promo_start"))
+        & (F.col("order_date") <= F.col("promo_end"))
+    )
+    return (
+        joined.groupBy("promo_id", "promo_start", "promo_end")
+        .agg(
+            F.count("order_id").alias("n_orders"),
+            F.sum("amount_dec").alias("rev_dec"),
+        )
+        .select(
+            "promo_id",
+            "promo_start",
+            "promo_end",
+            "n_orders",
+            F.col("rev_dec").cast("double").alias("promo_revenue"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN_PROMO_REVENUE = f"""
+with promos as (
+    select
+        r.range as promo_id,
+        DATE '1992-01-01' + to_days(cast(r.range * {PROMO_SPACING_DAYS} as int)) as promo_start,
+        DATE '1992-01-01' + to_days(cast(r.range * {PROMO_SPACING_DAYS} + {PROMO_LENGTH_DAYS} as int)) as promo_end
+    from range({N_PROMOS}) r
+)
+select
+    p.promo_id,
+    p.promo_start,
+    p.promo_end,
+    count(o.o_orderkey) as n_orders,
+    cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) as promo_revenue
+from orders o
+join promos p
+  on cast(o.o_orderdate as date) between p.promo_start and p.promo_end
+group by p.promo_id, p.promo_start, p.promo_end
+"""

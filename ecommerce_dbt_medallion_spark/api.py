@@ -55,6 +55,7 @@ def queries() -> dict[str, QueryFn]:
         "event_sessionization": ev.event_sessionization,
         "event_funnel": ev.event_funnel,
         "asof_event_order": ev.asof_event_order,
+        "hypertable_rollup": ev.hypertable_rollup,
         "sales_by_region": ana.sales_by_region,
         "supplier_part_revenue": ana.supplier_part_revenue,
         "customer_order_percentiles": ana.customer_order_percentiles,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_curation"] = optext.oracle_corpus_curation()
     out["event_funnel"] = ev.ORACLE_EVENT_FUNNEL
     out["asof_event_order"] = ev.ORACLE_ASOF_EVENT_ORDER
+    out["hypertable_rollup"] = ev.ORACLE_HYPERTABLE_ROLLUP
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -236,3 +236,80 @@ from events e
 asof left join orders_d o
     on o.user_id = e.user_id and cast(o.order_date as timestamp) <= e.ts
 """
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: cascading hour → day →
+    month rollups where each coarser resolution is computed FROM the
+    next finer one (the TimescaleDB continuous-aggregate shape — at
+    100 TB the hourly layer is the only scan of raw events; daily and
+    monthly re-aggregate a table thousands of times smaller).
+
+    One unioned result with a ``resolution`` column; decimal sums make
+    the cascade exactly associative (hour sums == day sums == month
+    sums), which the oracle verifies value-for-value.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("val_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("val_dec").alias("val_dec"))
+    )
+    monthly = (
+        daily.groupBy(
+            F.date_trunc("month", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("val_dec").alias("val_dec"))
+    )
+
+    def finish(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("val_dec").cast("double").alias("total_value"),
+        )
+
+    return (
+        finish(hourly, "hour")
+        .unionByName(finish(daily, "day"))
+        .unionByName(finish(monthly, "month"))
+    )
+
+
+ORACLE_HYPERTABLE_ROLLUP = """
+with hourly as (
+    select date_trunc('hour', ts) as bucket, event_type,
+           count(event_id) as n_events,
+           sum(cast(value as decimal(18,2))) as val_dec
+    from events group by 1, 2
+),
+daily as (
+    select date_trunc('day', bucket) as bucket, event_type,
+           sum(n_events) as n_events, sum(val_dec) as val_dec
+    from hourly group by 1, 2
+),
+monthly as (
+    select date_trunc('month', bucket) as bucket, event_type,
+           sum(n_events) as n_events, sum(val_dec) as val_dec
+    from daily group by 1, 2
+)
+select 'hour' as resolution, bucket, event_type,
+       cast(n_events as bigint) as n_events, cast(val_dec as double) as total_value from hourly
+union all
+select 'day', bucket, event_type, cast(n_events as bigint), cast(val_dec as double) from daily
+union all
+select 'month', bucket, event_type, cast(n_events as bigint), cast(val_dec as double) from monthly
+"""

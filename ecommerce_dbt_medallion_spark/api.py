@@ -56,6 +56,7 @@ def queries() -> dict[str, QueryFn]:
         "event_funnel": ev.event_funnel,
         "asof_event_order": ev.asof_event_order,
         "hypertable_rollup": ev.hypertable_rollup,
+        "sketch_distinct_users": ev.sketch_distinct_users,  # rows-only
         "sales_by_region": ana.sales_by_region,
         "supplier_part_revenue": ana.supplier_part_revenue,
         "customer_order_percentiles": ana.customer_order_percentiles,

@@ -313,3 +313,25 @@ select 'day', bucket, event_type, cast(n_events as bigint), cast(val_dec as doub
 union all
 select 'month', bucket, event_type, cast(n_events as bigint), cast(val_dec as double) from monthly
 """
+
+
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based cardinality: HyperLogLog++ approximate distinct users
+    per event_type at three precisions, alongside the exact count.
+
+    At 100 TB the exact distinct is the expensive path (shuffle of every
+    (type, user) pair); the HLL sketch is a fixed-size mergeable state —
+    this operator is the measured accuracy/cost menu. Rows-only inventory
+    entry (sketch estimates are engine-specific); tests assert the
+    documented error bounds against the exact count.
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_rsd05"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_rsd02"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_rsd01"),
+        )
+    )

@@ -183,3 +183,16 @@ def test_ivf_ann_recall(spark):
             hits += 1
             assert abs(brute[key] - r["cosine_r6"]) < 1e-12
     assert hits / len(brute) >= 0.5, f"IVF recall too low: {hits}/{len(brute)}"
+
+
+def test_hll_sketch_error_bounds(spark):
+    """approx_count_distinct estimates stay within ~4x the configured
+    relative standard deviation of the exact count (generous bound: rsd
+    is one sigma)."""
+    from ecommerce_dbt_medallion_spark.models.events import sketch_distinct_users
+
+    for r in sketch_distinct_users(spark, SF_SMOKE).collect():
+        exact = r["exact_users"]
+        for col, rsd in (("approx_rsd05", 0.05), ("approx_rsd02", 0.02), ("approx_rsd01", 0.01)):
+            err = abs(r[col] - exact) / exact
+            assert err <= 4 * rsd, f"{r['event_type']} {col}: err={err:.3f} exact={exact} got={r[col]}"

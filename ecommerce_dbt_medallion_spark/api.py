@@ -75,7 +75,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_topk_lsh": opsim.ann_topk_lsh,          # rows-only
         "ann_topk_ivf": opsim.ann_topk_ivf,          # rows-only
         "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only
-        "dedup_simhash": opdedup.dedup_simhash,          # rows-only
+        "dedup_simhash": opdedup.dedup_simhash,
         "stream_event_rollup": strm.stream_event_rollup,
         "stream_dedup_events": strm.stream_dedup_events,
         "stream_sessionize": strm_sessions.stream_sessionize,  # rows-only
@@ -108,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "silver_orders", final_select=ana.ORACLE_CUSTOMER_ORDER_PERCENTILES_FINAL
     )
     out["dedup_embedding_cosine"] = opsim.oracle_dedup_embedding_cosine()
+    out["dedup_simhash"] = opdedup.oracle_dedup_simhash()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh / multimodal_extract:

@@ -8,10 +8,11 @@ Implementation shape matters at scale: nested higher-order lambdas
 permutations as columnar min-aggregations — whole-stage-codegen'd, one
 shuffle on doc_id, linear in corpus size. (Measured: >120 s → seconds.)
 
-Rows-only inventory entries (no practical SQL oracle); known-answer
-correctness (planted near-dupes found, no false pairs) is asserted in
-tests/test_ops.py, and the exact-Jaccard verification reuses the same
-math as oracle-checked dedup_ngram_jaccard.
+MinHash is a rows-only inventory entry (DuckDB lacks xxhash64); SimHash
+uses md5-derived bits precisely so it CAN carry a full value-level
+oracle. Known-answer correctness (planted near-dupes found, no false
+pairs) is asserted in tests/test_ops.py, and the exact-Jaccard
+verification reuses the same math as oracle-checked dedup_ngram_jaccard.
 """
 
 from __future__ import annotations
@@ -162,17 +163,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_bit_expr(b: int) -> Column:
+    """Bit b of the first 64 bits of md5 hex column ``h`` — engine-portable
+    (md5 + locate/strpos exist identically in Spark and DuckDB, unlike
+    xxhash64, which is why simhash can carry a full value-level oracle)."""
+    i = b // 4 + 1  # hex digit index (1-based)
+    j = b % 4       # bit within the digit
+    digit_val = F.expr(f"locate(substr(h, {i}, 1), '0123456789abcdef') - 1")
+    return F.shiftright(digit_val, j).bitwiseAND(F.lit(1))
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 64-element 0/1 bit array: sign of per-bit ±1 votes over
-    each shingle's xxhash64 — 64 codegen'd sum-aggregates, one pass."""
+    each shingle's md5-derived bits — 64 codegen'd sum-aggregates, one
+    pass. md5 (not xxhash64) so the DuckDB oracle reproduces the exact
+    signatures."""
     h = shingle_rows(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+        "doc_id", F.md5("shingle").alias("h")
     )
     votes = h.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.bit_get(F.col("h"), F.lit(b)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.when(_md5_bit_expr(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
             for b in range(64)
         ]
     )
@@ -236,3 +247,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def oracle_dedup_simhash() -> str:
+    """DuckDB mirror: identical md5-bit simhash, but candidates by
+    brute-force all-pairs (the 4-segment pigeonhole blocking on the
+    Spark side is LOSSLESS for hamming <= 3, so result sets are equal).
+    """
+    from ecommerce_dbt_medallion_spark.ops.text import WS_RE
+
+    return f"""
+with tok as (
+    select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from documents
+),
+grams as (
+    select doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as gram
+    from tok
+),
+gram_bits as (
+    select doc_id, b.range as bit_idx,
+        ((strpos('0123456789abcdef', substr(md5(gram), cast(b.range // 4 + 1 as int), 1)) - 1)
+          >> cast(b.range % 4 as int)) & 1 as bit
+    from grams cross join range(64) b
+),
+votes as (
+    select doc_id, bit_idx,
+        case when sum(case when bit = 1 then 1 else -1 end) >= 0 then 1 else 0 end as sbit
+    from gram_bits group by doc_id, bit_idx
+),
+hams as (
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+        cast(sum(abs(a.sbit - b.sbit)) as bigint) as hamming
+    from votes a join votes b
+      on a.bit_idx = b.bit_idx and a.doc_id < b.doc_id
+    group by a.doc_id, b.doc_id
+)
+select doc_a, doc_b, hamming from hams where hamming <= {SIMHASH_MAX_HAMMING}
+"""

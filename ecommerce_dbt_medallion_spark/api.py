@@ -74,7 +74,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
         "ann_topk_lsh": opsim.ann_topk_lsh,          # rows-only
         "ann_topk_ivf": opsim.ann_topk_ivf,          # rows-only
-        "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only
+        "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only (fast xxhash)
+        "dedup_minhash_md5": opdedup.dedup_minhash_md5,
         "dedup_simhash": opdedup.dedup_simhash,
         "stream_event_rollup": strm.stream_event_rollup,
         "stream_dedup_events": strm.stream_dedup_events,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["dedup_embedding_cosine"] = opsim.oracle_dedup_embedding_cosine()
     out["dedup_simhash"] = opdedup.oracle_dedup_simhash()
+    out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh / multimodal_extract:

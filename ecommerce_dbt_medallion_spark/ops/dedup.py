@@ -287,3 +287,119 @@ hams as (
 )
 select doc_a, doc_b, hamming from hams where hamming <= {SIMHASH_MAX_HAMMING}
 """
+
+
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash-LSH: identical pipeline to
+    ``dedup_minhash_lsh`` but the permutation family is
+    min(md5(shingle || '#p')) — lexicographic min over hex strings, which
+    DuckDB reproduces exactly, so THIS variant carries a full value-level
+    oracle. (The xxhash64 variant stays the fast path: md5 ×64 costs ~4×
+    more per shingle.)
+    """
+    sh = shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{p}")))).alias(f"h{p}")
+            for p in range(MINHASH_PERMS)
+        ]
+    )
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]))
+        for b in range(LSH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
+    )
+    candidates = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        candidates.join(sh.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            sh.alias("gb"),
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.shingle") == F.col("gb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sa.n_grams").alias("n_a"),
+            F.col("sb.n_grams").alias("n_b"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+    )
+
+
+def oracle_dedup_minhash_md5() -> str:
+    sig_cols = ",\n        ".join(
+        f"min(md5(gram || '#{p}')) as h{p}" for p in range(MINHASH_PERMS)
+    )
+    band_union = "\n    union all\n    ".join(
+        f"select doc_id, {b} as band_id, "
+        + "md5(" + " || ',' || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)) + ")"
+        + " as band_key from sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+with tok as (
+    select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from documents
+),
+grams as (
+    select doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as gram
+    from tok
+),
+sigs as (
+    select doc_id,
+        {sig_cols}
+    from grams group by doc_id
+),
+bands as (
+    {band_union}
+),
+candidates as (
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from bands a join bands b
+      on a.band_id = b.band_id and a.band_key = b.band_key and a.doc_id < b.doc_id
+),
+sizes as (select doc_id, count(*) as n_grams from grams group by doc_id),
+inter as (
+    select c.doc_a, c.doc_b, count(*) as n_common
+    from candidates c
+    join grams ga on ga.doc_id = c.doc_a
+    join grams gb on gb.doc_id = c.doc_b and gb.gram = ga.gram
+    group by c.doc_a, c.doc_b
+)
+select i.doc_a, i.doc_b, i.n_common,
+    sa.n_grams as n_a, sb.n_grams as n_b,
+    round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4) as jaccard
+from inter i
+join sizes sa on sa.doc_id = i.doc_a
+join sizes sb on sb.doc_id = i.doc_b
+where round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4)
+      >= {MINHASH_JACCARD_THRESHOLD}
+"""

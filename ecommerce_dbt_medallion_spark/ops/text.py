@@ -406,23 +406,28 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     d = docs.withColumn("__norm", _norm_text(F.col("text")))
+    # Guard short docs: F.sequence counts DOWN when stop < start (default
+    # step -1), which would feed slice() a start of 0/-1 and throw. Docs
+    # shorter than one gram/window legitimately contribute no fingerprints
+    # (the oracle's range() is empty there too).
     d = d.withColumn(
         "__gh",
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("__norm") - (WINNOW_K - 1), F.lit(0))
+        F.when(
+            F.length("__norm") >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), F.length("__norm") - (WINNOW_K - 1)),
+                lambda i: F.md5(F.substring(F.col("__norm"), F.lit(0) + i, WINNOW_K)),
             ),
-            lambda i: F.md5(F.substring(F.col("__norm"), F.lit(0) + i, WINNOW_K)),
-        ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     fps = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.size("__gh") - (WINNOW_W - 1), F.lit(0)) - 1,
+        F.when(
+            F.size("__gh") >= WINNOW_W,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__gh") - WINNOW_W),
+                lambda j: F.array_min(F.slice(F.col("__gh"), j + 1, WINNOW_W)),
             ),
-            lambda j: F.array_min(F.slice(F.col("__gh"), j + 1, WINNOW_W)),
-        )
+        ).otherwise(F.array().cast("array<string>"))
     )
     return d.select("doc_id", F.explode(fps).alias("fingerprint"))
 

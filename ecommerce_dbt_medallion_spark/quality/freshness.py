@@ -23,7 +23,10 @@ ERROR_AFTER_HOURS = 48
 _SOURCES = {
     "raw_customers": ("created_at", mapping.raw_customers),
     "raw_orders": ("_loaded_at", mapping.raw_orders),
-    "raw_payments": ("payment_date", mapping.raw_payments),
+    # unkeyed variant: the freshness probe only reads max(payment_date),
+    # so skip the per-(order,line) payment-id row_number window (a full
+    # shuffle+sort of the biggest fact) that the keyed builder pays for.
+    "raw_payments": ("payment_date", mapping.raw_payments_unkeyed),
 }
 
 

@@ -115,6 +115,13 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+# Tie-break note: dropDuplicatesWithinWatermark keeps the FIRST-ARRIVAL
+# row per event_id (file/partition order) while this oracle keeps the
+# min-ts row. Value parity therefore relies on duplicate event_ids being
+# exact-copy rows. The driver testdata satisfies this vacuously —
+# event_id is unique at every SF — and tests/test_streaming.py::
+# test_duplicate_event_ids_are_exact_copies asserts the assumption so a
+# future data change surfaces here instead of as a silent hash mismatch.
 ORACLE_STREAM_DEDUP_EVENTS = """
 select
     event_type,

@@ -112,6 +112,44 @@ def test_stream_rollup_equals_batch(spark, duck):
     assert_frames_match(spdf, odf, "stream_event_rollup")
 
 
+def test_duplicate_event_ids_are_exact_copies(duck):
+    """ORACLE_STREAM_DEDUP_EVENTS tie-breaks on min-ts while the streaming
+    op keeps first arrival; parity needs duplicate event_ids (if any) to
+    be exact-copy rows. Currently event_id is unique at every SF — assert
+    the invariant so a testdata change fails here, not as a hash drift."""
+    register_views(duck, SF_SMOKE)
+    n = duck.sql(
+        "select count(*) from (select event_id from events "
+        "group by event_id having count(distinct (ts, user_id, event_type, value, props)) > 1)"
+    ).fetchone()[0]
+    assert n == 0, f"{n} event_ids have non-identical duplicate rows"
+
+
+def test_winnowing_short_docs_yield_no_fingerprints(spark, tmp_path):
+    """Docs shorter than one gram (k=8) or one window (k+w-1=11) after
+    normalization must contribute zero fingerprints, not crash (Spark
+    sequence() counts down when stop < start — guarded in doc_winnowing)."""
+    docs = [
+        (0, "", "en", "s", 0),
+        (1, "ab", "en", "s", 2),
+        (2, "ABC   def", "en", "s", 9),  # norm len 7 < k
+        (3, "abcdefgh", "en", "s", 8),  # 1 gram, 0 windows
+        (4, "abcdefghijk", "en", "s", 11),  # k+w-1: exactly 1 window
+        (5, "alpha bravo charlie delta echo", "en", "s", 30),
+    ]
+    d = tmp_path / "short"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = optext.doc_winnowing(spark, str(d)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert set(by_doc) <= {4, 5}, f"short docs produced fingerprints: {sorted(by_doc)}"
+    assert len(by_doc.get(4, ())) == 1
+    assert by_doc.get(5), "long doc must fingerprint"
+
+
 def test_multimodal_extract_deterministic(spark):
     rows = opmm.multimodal_extract(spark, SF_SMOKE).orderBy("doc_id").limit(5).collect()
     assert len(rows) == 5

@@ -80,7 +80,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_event_rollup": strm.stream_event_rollup,
         "stream_dedup_events": strm.stream_dedup_events,
         "stream_sessionize": strm_sessions.stream_sessionize,  # rows-only
-        "multimodal_extract": opmm.multimodal_extract,   # rows-only
+        "multimodal_extract": opmm.multimodal_extract,
     }
 
 
@@ -113,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
-    # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh / multimodal_extract:
+    out["multimodal_extract"] = opmm.oracle_multimodal_extract()
+    # dedup_minhash_lsh / ann_topk_lsh / ann_topk_ivf / stream_sessionize:
     # rows-only (known-answer + recall assertions live in tests/test_ops.py)
     return out

@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -78,6 +77,10 @@ def decode_media(blob: bytes, fmt: str):  # pragma: no cover - stub boundary
     )
 
 
+# The 8-dim "embedding" is emitted as scalar columns e0..e7 (not
+# array<double>): scalar columns sort/hash under the driver's pandas
+# canonicalizer, and each ej = byte_j / 255.0 is a single fp division
+# both engines compute bit-identically (no rounding step).
 EXTRACT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -85,8 +88,8 @@ EXTRACT_SCHEMA = StructType(
         StructField("byte_len", LongType()),
         StructField("magic_hex", StringType()),
         StructField("checksum", LongType()),
-        StructField("fake_embedding", ArrayType(DoubleType())),
     ]
+    + [StructField(f"e{j}", DoubleType()) for j in range(8)]
 )
 
 
@@ -98,18 +101,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     for pdf in batches:
         blobs = pdf["media_blob"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "format": [m["format"] for m in pdf["media_meta"]],
-                "byte_len": [len(b) for b in blobs],
-                "magic_hex": [bytes(b[:4]).hex() for b in blobs],
-                "checksum": [sum(b) % 997 for b in blobs],
-                "fake_embedding": [
-                    [round(x / 255.0, 6) for x in bytes(b[:8])] for b in blobs
-                ],
-            }
-        )
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "format": [m["format"] for m in pdf["media_meta"]],
+            "byte_len": [len(b) for b in blobs],
+            "magic_hex": [bytes(b[:4]).hex() for b in blobs],
+            "checksum": [sum(b) % 997 for b in blobs],
+        }
+        for j in range(8):
+            out[f"e{j}"] = [bytes(b)[j] / 255.0 for b in blobs]
+        yield pd.DataFrame(out)
 
 
 def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,3 +118,46 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_docs(spark, sf_dir).mapInPandas(
         _extract_batches, EXTRACT_SCHEMA
     )
+
+
+# ------------------------------------------------------------ oracle
+# The synthesized blob is 4 chained md5 digests of the text, so every
+# extracted feature is hex-digit arithmetic DuckDB reproduces exactly:
+# byte i of the blob is the i-th hex pair of the concatenated digests.
+
+_HEX = "0123456789abcdef"
+# 1-indexed byte i from hex string h: value of hex pair (2i-1, 2i)
+_BYTE = (
+    f"((strpos('{_HEX}', substr({{h}}, 2*{{i}} - 1, 1)) - 1) * 16"
+    f" + strpos('{_HEX}', substr({{h}}, 2*{{i}}, 1)) - 1)"
+)
+
+
+def oracle_multimodal_extract() -> str:
+    ejs = ",\n    ".join(
+        "cast("
+        + _BYTE.format(h="hexs", i=j + 1)
+        + f" as double) / cast(255 as double) as e{j}"
+        for j in range(8)
+    )
+    return f"""
+with b as (
+    select doc_id,
+        md5(text || '#0') || md5(text || '#1') ||
+        md5(text || '#2') || md5(text || '#3') as hexs
+    from documents
+)
+select
+    doc_id,
+    case cast(doc_id % 3 as int)
+        when 0 then '{FORMATS[0]}' when 1 then '{FORMATS[1]}'
+        else '{FORMATS[2]}' end as format,
+    cast({16 * BLOB_REPEATS} as bigint) as byte_len,
+    substr(hexs, 1, 8) as magic_hex,
+    cast(list_aggregate(
+        list_transform(range(1, {16 * BLOB_REPEATS} + 1),
+                       i -> {_BYTE.format(h="hexs", i="i")}),
+        'sum') % 997 as bigint) as checksum,
+    {ejs}
+from b
+"""

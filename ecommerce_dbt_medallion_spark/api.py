@@ -72,8 +72,9 @@ def queries() -> dict[str, QueryFn]:
         "dedup_ngram_jaccard": optext.dedup_ngram_jaccard,
         "ann_cosine_topk": opsim.ann_cosine_topk,
         "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
-        "ann_topk_lsh": opsim.ann_topk_lsh,          # rows-only
-        "ann_topk_ivf": opsim.ann_topk_ivf,          # rows-only
+        "dedup_embedding_lsh": opsim.dedup_embedding_lsh,
+        "ann_topk_lsh": opsim.ann_topk_lsh,
+        "ann_topk_ivf": opsim.ann_topk_ivf,
         "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only (fast xxhash)
         "dedup_minhash_md5": opdedup.dedup_minhash_md5,
         "dedup_simhash": opdedup.dedup_simhash,
@@ -109,11 +110,14 @@ def oracle_sql() -> dict[str, str]:
         "silver_orders", final_select=ana.ORACLE_CUSTOMER_ORDER_PERCENTILES_FINAL
     )
     out["dedup_embedding_cosine"] = opsim.oracle_dedup_embedding_cosine()
+    out["dedup_embedding_lsh"] = opsim.oracle_dedup_embedding_lsh()
+    out["ann_topk_lsh"] = opsim.oracle_ann_topk_lsh()
+    out["ann_topk_ivf"] = opsim.oracle_ann_topk_ivf()
     out["dedup_simhash"] = opdedup.oracle_dedup_simhash()
     out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
     out["multimodal_extract"] = opmm.oracle_multimodal_extract()
-    # dedup_minhash_lsh / ann_topk_lsh / ann_topk_ivf / stream_sessionize:
-    # rows-only (known-answer + recall assertions live in tests/test_ops.py)
+    # dedup_minhash_lsh / stream_sessionize: rows-only (known-answer +
+    # batch-equivalence assertions live in tests/test_ops.py)
     return out

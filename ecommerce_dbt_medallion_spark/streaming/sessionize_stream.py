@@ -140,3 +140,35 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def oracle_stream_sessionize() -> str:
+    """Batch replay of exactly what the stateful streaming operator emits.
+
+    A session is EMITTED when (a) a later event for the same user opened
+    a new session (gap close — every session except the user's last), or
+    (b) the event-time timeout fired: the final watermark (max event time
+    minus the 2 h delay, in whole ms) advanced strictly past the session's
+    timeout timestamp (session_end ms + gap ms). The user's final session
+    otherwise stays in state un-emitted — the open-session subset the
+    driver's round-1 rows-only check couldn't see is now modeled, making
+    this a full value oracle.
+    """
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    final = f"""
+select user_id, session_start, session_end, n_events
+from (
+    select user_id, session_seq,
+           min(ts) as session_start, max(ts) as session_end,
+           max(ts_us) as end_us, count(event_id) as n_events,
+           row_number() over (partition by user_id
+                              order by session_seq desc) as rn_last
+    from event_sessions_base
+    group by user_id, session_seq
+) s, (select (max(epoch_us(ts)) // 1000) - {2 * 3600 * 1000} as wm_ms
+      from events) w
+where s.rn_last > 1
+   or w.wm_ms > (s.end_us // 1000) + {SESSION_GAP_SECONDS * 1000}
+"""
+    return assemble("event_sessions_base", final_select=final)

@@ -23,6 +23,7 @@ from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
 from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.quality import checks as dq
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
+from ecommerce_dbt_medallion_spark.streaming import join_stream as strm_join
 from ecommerce_dbt_medallion_spark.streaming import sessionize_stream as strm_sessions
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -81,6 +82,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_event_rollup": strm.stream_event_rollup,
         "stream_dedup_events": strm.stream_dedup_events,
         "stream_sessionize": strm_sessions.stream_sessionize,
+        "stream_join_view_purchase": strm_join.stream_join_view_purchase,
         "multimodal_extract": opmm.multimodal_extract,
     }
 
@@ -119,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
     out["multimodal_extract"] = opmm.oracle_multimodal_extract()
     out["stream_sessionize"] = strm_sessions.oracle_stream_sessionize()
+    out["stream_join_view_purchase"] = strm_join.ORACLE_STREAM_JOIN_VIEW_PURCHASE
     # dedup_minhash_lsh: rows-only (the xxhash64 fast path DuckDB can't
     # compute; its md5 twin dedup_minhash_md5 carries the value oracle)
     return out

@@ -1,0 +1,89 @@
+"""Transaction-log table format: MERGE INTO file-skipping semantics,
+snapshot isolation, and time travel (lakehouse.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark import lakehouse as lh
+from ecommerce_dbt_medallion_spark.runner import incremental_merge_delta
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Target with keys 0..99 across 4 range-partitioned files (disjoint
+    key ranges, so the log's min/max stats can actually prune)."""
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.range(100)
+        .select(F.col("id"), (F.col("id") * 10).alias("val"))
+        .repartitionByRange(4, "id")
+    )
+    v = lh.create_or_replace(spark, path, df, key="id")
+    assert v == 0
+    return path
+
+
+def test_create_read_roundtrip(spark, table):
+    got = lh.read(spark, table)
+    assert got.count() == 100
+    assert {r["id"] for r in got.collect()} == set(range(100))
+
+
+def test_merge_updates_inserts_keeps(spark, table):
+    src = spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val"))
+    out = incremental_merge_delta(spark, src, table, "id")
+    rows = {r["id"]: r["val"] for r in out.collect()}
+    assert len(rows) == 110
+    assert all(rows[k] == -1 for k in range(95, 110)), "matched keys updated + inserts"
+    assert all(rows[k] == k * 10 for k in range(95)), "unmatched rows kept"
+
+
+def test_merge_rewrites_only_touched_files(spark, table):
+    before = {a["file"] for a in lh.live_files(table)}
+    assert len(before) == 4
+    src = spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val"))
+    lh.merge_into(spark, table, src, "id")
+    entry = lh._read_entry(table, 1)
+    # keys 95..109 overlap only the last range file: 3 files pruned by
+    # stats, exactly 1 rewritten, untouched files carried BY REFERENCE
+    assert entry["stats"]["files_touched"] == 1
+    assert entry["stats"]["files_pruned_by_stats"] == 3
+    after = {a["file"] for a in lh.live_files(table)}
+    assert len(before & after) == 3, "untouched files must survive by reference"
+
+
+def test_merge_disjoint_keys_appends_without_rewrite(spark, table):
+    src = spark.range(500, 520).select(F.col("id"), F.lit(-1).alias("val"))
+    lh.merge_into(spark, table, src, "id")
+    entry = lh._read_entry(table, 1)
+    assert entry["stats"]["files_touched"] == 0
+    assert entry["remove"] == []
+    assert lh.read(spark, table).count() == 120
+
+
+def test_time_travel_and_history(spark, table):
+    src = spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val"))
+    lh.merge_into(spark, table, src, "id")
+    v0 = {r["id"]: r["val"] for r in lh.read(spark, table, version=0).collect()}
+    assert len(v0) == 100 and v0[99] == 990, "version 0 must be pre-merge"
+    v1 = {r["id"]: r["val"] for r in lh.read(spark, table, version=1).collect()}
+    assert len(v1) == 110 and v1[99] == -1
+    hist = lh.history(table)
+    assert [h["operation"] for h in hist] == ["CREATE", "MERGE"]
+
+
+def test_append_is_add_only(spark, table):
+    lh.append(spark, table, spark.range(200, 210).select(F.col("id"), F.lit(7).alias("val")), key="id")
+    entry = lh._read_entry(table, 1)
+    assert entry["operation"] == "APPEND" and entry["remove"] == []
+    assert lh.read(spark, table).count() == 110
+
+
+def test_create_or_replace_preserves_history(spark, table):
+    lh.create_or_replace(spark, table, spark.range(5).select(F.col("id"), F.lit(0).alias("val")), key="id")
+    assert lh.read(spark, table).count() == 5
+    assert lh.read(spark, table, version=0).count() == 100
+    assert lh.vacuum(table) == 0, "conservative vacuum keeps all time travel"

@@ -80,3 +80,37 @@ def test_salted_join_matches_plain_join(spark):
         == plain.agg(F.sum("order_amount").cast("string")).first()[0]
     )
     assert sorted(salted.columns) == sorted(plain.columns)
+
+def test_salted_join_balances_hot_key(spark):
+    """A 90%-hot key must spread across reducers after salting.
+
+    The shuffle for the salted join partitions on hash(key, __salt); we
+    reproduce that partitioning and assert no reducer owns more than a
+    small multiple of the fair share — i.e. the per-row salt actually
+    scatters the hot key (a per-KEY salt would leave 90% in one bucket).
+    """
+    from ecommerce_dbt_medallion_spark.ops.skew import salt_probe
+
+    n, parts, salt = 50_000, 32, 16
+    probe = spark.range(n).withColumn(
+        "k", F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id"))
+    )
+    shares = (
+        salt_probe(probe, salt=salt)
+        .groupBy(F.pmod(F.hash("k", "__salt"), F.lit(parts)).alias("p"))
+        .count()
+        .collect()
+    )
+    top = max(r["count"] for r in shares) / n
+    # Unsalted, the hot bucket would hold ~0.90 of all rows. With a
+    # 16-way scatter the hot key contributes ~0.9/16 ≈ 0.056 per bucket.
+    assert top < 0.25, f"hot bucket still owns {top:.0%} of rows"
+
+
+def test_salted_join_deterministic_salt_col(spark):
+    """probe_salt_col gives a deterministic salt and identical join rows."""
+    probe = spark.range(10_000).withColumn("k", F.lit(0)).withColumn("v", F.col("id"))
+    build = spark.range(1).withColumnRenamed("id", "k").withColumn("w", F.lit(2))
+    out = salted_join(probe, build, "k", probe_salt_col=F.col("id"))
+    assert out.count() == 10_000
+    assert out.agg(F.sum(F.col("v") * F.col("w"))).first()[0] == 2 * sum(range(10_000))

@@ -48,6 +48,7 @@ def queries() -> dict[str, QueryFn]:
         "silver_orders": _money_to_double(silver.silver_orders, ["order_amount"]),
         "silver_payments": _money_to_double(silver.silver_payments, ["payment_amount"]),
         "gold_customer_summary": gold.gold_customer_summary,
+        "gold_customer_summary_bucketed": gold.gold_customer_summary_bucketed,
         "gold_order_metrics": gold.gold_order_metrics,
         "gold_revenue_analysis": gold.gold_revenue_analysis,
         "dq_generic_tests": dq.dq_generic_tests,
@@ -89,6 +90,9 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     out = dict(oracle_sql_medallion())
+    # Value-identical by construction (same mart over bucketed facts):
+    # same oracle as the parquet-path gold_customer_summary.
+    out["gold_customer_summary_bucketed"] = out["gold_customer_summary"]
     out["dq_generic_tests"] = dq.oracle_dq_generic_sql()
     out["dq_singular_tests"] = dq.oracle_dq_singular_sql()
     out["event_daily_stats"] = assemble("event_daily_stats")

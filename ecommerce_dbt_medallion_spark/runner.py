@@ -204,7 +204,7 @@ def snapshot(
 
 
 def materialize_bucketed_facts(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> tuple[str, str]:
     """Bucketed materialization of the two join-heavy facts.
 
@@ -212,7 +212,13 @@ def materialize_bucketed_facts(
     their join key means every downstream orders⋈payments join is
     shuffle-free — both sides are already co-partitioned on disk. This is
     the 100 TB answer to the pipeline's dominant shuffle; at cluster
-    scale the bucket count follows data volume (e.g. 4096), here 8.
+    scale the bucket count follows data volume (e.g. 4096); here 32
+    matches local[32] so the bucketed scan keeps every core busy.
+
+    Each table is repartitioned on the bucket key before the write so
+    every bucket is exactly ONE file — that is the condition under which
+    Spark trusts the sortBy metadata and the downstream SortMergeJoin
+    skips both the Exchange AND the per-partition Sort.
 
     Returns the two table names (Spark-SQL managed tables).
     """
@@ -228,7 +234,8 @@ def materialize_bucketed_facts(
         # files persist — clear the managed location too
         shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
         (
-            df.write.mode("overwrite")
+            df.repartition(n_buckets, F.col("order_id"))
+            .write.mode("overwrite")
             .bucketBy(n_buckets, "order_id")
             .sortBy("order_id")
             .saveAsTable(name)

@@ -116,3 +116,26 @@ def test_bucketed_join_has_no_shuffle(spark):
         )
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_gold_customer_summary_bucketed_parity_and_plan(spark):
+    """The bucketed mart must equal the parquet-path mart exactly, and its
+    payments⋈orders join must be shuffle-free (buckets co-partition it)."""
+    gold._BUCKETED_READY.discard(SF_SMOKE)  # force a fresh materialization
+    bucketed = gold.gold_customer_summary_bucketed(spark, SF_SMOKE)
+    direct = gold.gold_customer_summary(spark, SF_SMOKE)
+    assert_frames_match(
+        bucketed.toPandas(), direct.toPandas(), "gold_customer_summary_bucketed"
+    )
+
+    # the p⋈o fact join alone: zero Exchange over the bucketed scans
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("silver_orders_b").select("order_id", "customer_key")
+        p = spark.table("silver_payments_b").where(F.col("is_successful_payment"))
+        j = p.join(o, "order_id")
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in executed, executed[:1200]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

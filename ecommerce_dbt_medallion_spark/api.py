@@ -20,6 +20,7 @@ from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
 from ecommerce_dbt_medallion_spark.ops import similarity as opsim
 from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
+from ecommerce_dbt_medallion_spark.ops import sampling as opsample
 from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.quality import checks as dq
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
@@ -63,6 +64,10 @@ def queries() -> dict[str, QueryFn]:
         "supplier_part_revenue": ana.supplier_part_revenue,
         "customer_order_percentiles": ana.customer_order_percentiles,
         "range_join_promo_revenue": ana.range_join_promo_revenue,
+        "sales_rollup": ana.sales_rollup,
+        "top_parts_per_region": ana.top_parts_per_region,
+        "corpus_stratified_sample": opsample.corpus_stratified_sample,
+        "corpus_sample_per_stratum": opsample.corpus_sample_per_stratum,
         # LLM-data-pipeline operators (SURVEY.md §2 #15-25)
         "text_token_stats": optext.text_token_stats,
         "text_quality_score": optext.text_quality_score,
@@ -112,6 +117,10 @@ def oracle_sql() -> dict[str, str]:
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE
+    out["sales_rollup"] = ana.ORACLE_SALES_ROLLUP
+    out["top_parts_per_region"] = ana.ORACLE_TOP_PARTS_PER_REGION
+    out["corpus_stratified_sample"] = opsample.oracle_corpus_stratified_sample()
+    out["corpus_sample_per_stratum"] = opsample.oracle_corpus_sample_per_stratum()
     out["customer_order_percentiles"] = assemble(
         "silver_orders", final_select=ana.ORACLE_CUSTOMER_ORDER_PERCENTILES_FINAL
     )

@@ -251,3 +251,156 @@ join promos p
   on cast(o.o_orderdate as date) between p.promo_start and p.promo_end
 group by p.promo_id, p.promo_start, p.promo_end
 """
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS mart: revenue at nation, region, and grand-total
+    grains in ONE aggregation pass (``rollup`` — Catalyst expands the
+    grouping sets before the single shuffle; three separate groupBys
+    would scan the fact three times).
+
+    grouping_id() (bitmask, identical semantics in DuckDB) labels the
+    grain; collapsed keys surface as 'ALL' so the output is null-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    return (
+        li.select("l_orderkey", rev.alias("rev_dec"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("region_name", "nation_name")
+        .agg(
+            F.grouping_id().cast("long").alias("grain"),
+            F.count("*").alias("n_lineitems"),
+            F.sum("rev_dec").alias("rev_sum_dec"),
+        )
+        .select(
+            F.coalesce("region_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("nation_name", F.lit("ALL")).alias("nation_name"),
+            "grain",
+            "n_lineitems",
+            F.col("rev_sum_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_SALES_ROLLUP = """
+select
+    coalesce(r.r_name, 'ALL') as region_name,
+    coalesce(n.n_name, 'ALL') as nation_name,
+    cast(grouping_id(r.r_name, n.n_name) as bigint) as grain,
+    count(*) as n_lineitems,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+          * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4))) as double) as total_revenue
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join nation n on c.c_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+group by rollup(r.r_name, n.n_name)
+"""
+
+
+TOP_PARTS_K = 5
+
+
+def top_parts_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 parts by revenue per supplier region.
+
+    Aggregates the fact to (region, part) grain FIRST (one shuffle), then
+    ranks with the two-stage salted top-k (ops.topk) — with only 5
+    regions, a naive per-region window would funnel every part through 5
+    partitions at 100 TB. The part-name join runs AFTER ranking, when the
+    left side is 25 rows (AQE broadcasts it against the full part table).
+
+    Revenue ranking compares exact decimals (engine-portable); ties break
+    on part_key.
+    """
+    from ecommerce_dbt_medallion_spark.ops.topk import top_k_per_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", F.col("r_name").alias("region_name")
+        )
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    by_part = (
+        li.select("l_suppkey", "l_partkey", rev.alias("rev_dec"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("region_name", "l_partkey")
+        .agg(F.count("*").alias("n_lineitems"), F.sum("rev_dec").alias("rev_dec"))
+    )
+    ranked = top_k_per_group(
+        by_part,
+        ["region_name"],
+        [F.desc("rev_dec"), F.asc("l_partkey")],
+        F.col("l_partkey"),
+        TOP_PARTS_K,
+        rank_alias="part_rank",
+    )
+    return (
+        ranked.join(part.select("p_partkey", "p_name"), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "region_name",
+            F.col("l_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            "part_rank",
+            "n_lineitems",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_PARTS_PER_REGION = f"""
+with by_part as (
+    select
+        r.r_name as region_name,
+        l.l_partkey,
+        count(*) as n_lineitems,
+        sum(cast(cast(l.l_extendedprice as decimal(18,2))
+            * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4))) as rev_dec
+    from lineitem l
+    join supplier s on l.l_suppkey = s.s_suppkey
+    join nation n on s.s_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    group by r.r_name, l.l_partkey
+),
+ranked as (
+    select *, cast(row_number() over (
+        partition by region_name order by rev_dec desc, l_partkey
+    ) as bigint) as part_rank
+    from by_part
+)
+select
+    b.region_name,
+    b.l_partkey as part_key,
+    p.p_name as part_name,
+    b.part_rank,
+    b.n_lineitems,
+    cast(b.rev_dec as double) as total_revenue
+from ranked b
+join part p on b.l_partkey = p.p_partkey
+where b.part_rank <= {TOP_PARTS_K}
+"""

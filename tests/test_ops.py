@@ -252,3 +252,51 @@ def test_hll_sketch_error_bounds(spark):
         for col, rsd in (("approx_rsd05", 0.05), ("approx_rsd02", 0.02), ("approx_rsd01", 0.01)):
             err = abs(r[col] - exact) / exact
             assert err <= 4 * rsd, f"{r['event_type']} {col}: err={err:.3f} exact={exact} got={r[col]}"
+
+
+def test_top_k_per_group_matches_naive_window(spark):
+    """Two-stage salted top-k must equal the single-window textbook
+    answer on data engineered to spread across many salt buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.topk import top_k_per_group
+
+    rng = random.Random(7)
+    rows = [(i, f"g{i % 3}", rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+
+    fast = top_k_per_group(
+        df, ["grp"], [F.desc("score"), F.asc("id")], F.col("id"), 7,
+        rank_alias="rank", salt_mod=8,
+    ).select("grp", "id", "score", "rank")
+
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("id"))
+    naive = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 7)
+        .select("grp", "id", "score", "rank")
+    )
+    assert_frames_match(fast.toPandas(), naive.toPandas(), "topk_two_stage")
+
+
+def test_stratified_sample_threshold_math():
+    from ecommerce_dbt_medallion_spark.ops import sampling
+
+    assert sampling._hex_threshold(0.5) == "80000000"
+    assert sampling._hex_threshold(0.0) == "00000000"
+    assert sampling._hex_threshold(1.0) == "ffffffff"  # clamped below 16^8
+    assert (
+        sampling._hex_threshold(0.1)
+        < sampling._hex_threshold(0.2)
+        < sampling._hex_threshold(0.35)
+    )
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    from ecommerce_dbt_medallion_spark.ops import sampling
+
+    df = sampling.corpus_stratified_sample(spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in executed, executed[:800]

@@ -18,6 +18,8 @@ from ecommerce_dbt_medallion_spark.models import events as ev
 from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
+from ecommerce_dbt_medallion_spark.ops import graph as opgraph
+from ecommerce_dbt_medallion_spark.ops import ranking as oprank
 from ecommerce_dbt_medallion_spark.ops import similarity as opsim
 from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
 from ecommerce_dbt_medallion_spark.ops import sampling as opsample
@@ -82,6 +84,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding_lsh": opsim.dedup_embedding_lsh,
         "ann_topk_lsh": opsim.ann_topk_lsh,
         "ann_topk_ivf": opsim.ann_topk_ivf,
+        "dedup_clusters": opgraph.dedup_clusters,
+        "tfidf_top_terms": oprank.tfidf_top_terms,
         "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only (fast xxhash)
         "dedup_minhash_md5": opdedup.dedup_minhash_md5,
         "dedup_simhash": opdedup.dedup_simhash,
@@ -128,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh"] = opsim.oracle_dedup_embedding_lsh()
     out["ann_topk_lsh"] = opsim.oracle_ann_topk_lsh()
     out["ann_topk_ivf"] = opsim.oracle_ann_topk_ivf()
+    out["dedup_clusters"] = opgraph.oracle_dedup_clusters()
+    out["tfidf_top_terms"] = oprank.oracle_tfidf_top_terms()
     out["dedup_simhash"] = opdedup.oracle_dedup_simhash()
     out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

@@ -1,0 +1,113 @@
+"""Connected components over near-duplicate pairs — the clustering step
+that turns pairwise dedup output into actionable keep/drop decisions
+(one representative per duplicate cluster).
+
+Algorithm: iterative min-label propagation expressed as DataFrame
+joins — each round every node adopts min(own label, neighbors' labels);
+fixpoint after O(graph diameter) rounds. Near-dup graphs are unions of
+small dense cliques, so the diameter (and round count) is tiny in
+practice; a hard cap guards pathological chains. Each round is one
+join + one groupBy shuffle on node ids, with the state
+localCheckpoint'ed to truncate lineage (mandatory for iterative Spark —
+otherwise the plan doubles every round). The per-round driver action is
+a single scalar convergence count, never data. At extreme scale the
+round count can be halved again with the large-star/small-star
+transform (Kiveris et al., "Connected Components in MapReduce"); plain
+propagation is the right cost/complexity point for clique-shaped
+dedup graphs.
+
+The DuckDB oracle states the same fixpoint as a recursive CTE
+(transitive reachability → min reachable label), so the cluster
+assignment is value-checked end-to-end on top of the already-oracled
+ngram-Jaccard pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.ops.text import (
+    dedup_ngram_jaccard,
+    oracle_dedup_ngram_jaccard,
+)
+
+MAX_CC_ROUNDS = 25
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
+    cluster_id = min node id in the component. Only nodes appearing in
+    at least one edge are labeled (singletons aren't duplicates)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        prop = edges.join(
+            labels, edges.src == labels.doc_id, "inner"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the ngram-Jaccard pairs: every clustered
+    doc with its cluster id, cluster size, and whether it is the kept
+    representative (min doc_id)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+def oracle_dedup_clusters() -> str:
+    return f"""
+with recursive pairs as (
+    select doc_a, doc_b from ({oracle_dedup_ngram_jaccard()})
+),
+edges as (
+    select doc_a as src, doc_b as dst from pairs
+    union
+    select doc_b, doc_a from pairs
+),
+nodes as (select distinct src as doc_id from edges),
+reach(doc_id, label) as (
+    select doc_id, doc_id from nodes
+    union
+    select e.dst, r.label
+    from reach r join edges e on e.src = r.doc_id
+),
+clusters as (select doc_id, min(label) as cluster_id from reach group by doc_id),
+sizes as (select cluster_id, count(*) as cluster_size from clusters group by cluster_id)
+select c.doc_id, c.cluster_id, s.cluster_size,
+    c.doc_id = c.cluster_id as is_representative
+from clusters c join sizes s using (cluster_id)
+"""

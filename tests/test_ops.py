@@ -300,3 +300,23 @@ def test_stratified_sample_is_shuffle_free(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in executed, executed[:800]
+
+
+def test_connected_components_planted_graph(spark):
+    """Chain 1-2-3-4, clique {10,11,12}, isolated edge {20,21}: labels
+    must be the component-min ids and converge in <= diameter+1 rounds."""
+    from ecommerce_dbt_medallion_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }

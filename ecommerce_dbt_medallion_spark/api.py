@@ -17,8 +17,10 @@ from ecommerce_dbt_medallion_spark.models import bronze, silver, gold
 from ecommerce_dbt_medallion_spark.models import events as ev
 from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
+from ecommerce_dbt_medallion_spark.ops import basket as opbasket
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
 from ecommerce_dbt_medallion_spark.ops import graph as opgraph
+from ecommerce_dbt_medallion_spark.ops import index as opindex
 from ecommerce_dbt_medallion_spark.ops import ranking as oprank
 from ecommerce_dbt_medallion_spark.ops import similarity as opsim
 from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
@@ -86,6 +88,10 @@ def queries() -> dict[str, QueryFn]:
         "ann_topk_ivf": opsim.ann_topk_ivf,
         "dedup_clusters": opgraph.dedup_clusters,
         "tfidf_top_terms": oprank.tfidf_top_terms,
+        "inverted_index": opindex.inverted_index,
+        "cohort_retention": ev.cohort_retention,
+        "copurchase_topk": opbasket.copurchase_topk,
+        "pagerank_parts": opbasket.pagerank_parts,
         "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only (fast xxhash)
         "dedup_minhash_md5": opdedup.dedup_minhash_md5,
         "dedup_simhash": opdedup.dedup_simhash,
@@ -134,6 +140,10 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk_ivf"] = opsim.oracle_ann_topk_ivf()
     out["dedup_clusters"] = opgraph.oracle_dedup_clusters()
     out["tfidf_top_terms"] = oprank.oracle_tfidf_top_terms()
+    out["inverted_index"] = opindex.oracle_inverted_index()
+    out["cohort_retention"] = ev.ORACLE_COHORT_RETENTION
+    out["copurchase_topk"] = opbasket.oracle_copurchase_topk()
+    out["pagerank_parts"] = opbasket.oracle_pagerank_parts()
     out["dedup_simhash"] = opdedup.oracle_dedup_simhash()
     out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

@@ -335,3 +335,77 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_rsd01"),
         )
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen ISO week,
+    tracked by distinct-active weeks at each offset.
+
+    Scale shape: first-touch is one shuffle at user grain; activity is a
+    distinct at (user, week) grain (same user-keyed partitioning, so AQE
+    plans both shuffles on the same key); the final rollup is tiny
+    (weeks x offsets). cohort sizes are a broadcast-scale dimension
+    derived from the first-touch aggregate — no second pass over the
+    fact. retention_rate is one exact-int fp division
+    (engine-identical); both engines truncate weeks to Monday.
+    """
+    ev = load_events(spark, sf_dir)
+    first_touch = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+        )
+    )
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+    ).distinct()
+    cohort_sizes = first_touch.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.join(first_touch, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(active_week, cohort_week) div 7").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+with first_touch as (
+    select user_id,
+        cast(date_trunc('week', min(ts)) as date) as cohort_week
+    from events group by user_id
+),
+activity as (
+    select distinct user_id, cast(date_trunc('week', ts) as date) as active_week
+    from events
+),
+cohort_sizes as (
+    select cohort_week, count(*) as cohort_size from first_touch group by 1
+),
+grid as (
+    select f.cohort_week,
+        date_diff('day', f.cohort_week, a.active_week) // 7 as week_offset,
+        count(*) as n_active
+    from activity a join first_touch f using (user_id)
+    group by 1, 2
+)
+select g.cohort_week, g.week_offset, g.n_active, s.cohort_size,
+    cast(g.n_active as double) / s.cohort_size as retention_rate
+from grid g join cohort_sizes s using (cohort_week)
+"""

@@ -1,0 +1,197 @@
+"""Market-basket analytics over the order/lineitem fact: co-purchase
+pair counts, per-part top-k recommendations ("frequently bought
+together"), and a fixed-point PageRank over the co-purchase graph
+(product importance).
+
+Reference analogue: the gold marts aggregate the same orders/payments
+feed (models/gold/gold_customer_summary.sql); this module adds the
+recommendation-side marts a production warehouse builds from the same
+facts.
+
+Scale shape:
+- Pair generation is a self-join on ``order_id``. Baskets are bounded
+  (TPC-H lineitem <= 7 rows/order; real carts are small constants), so
+  the fan-out per order is a bounded constant and the join is one
+  key-partitioned shuffle on order_id — linear in the fact, no skew
+  beyond AQE's reach.
+- Pair counting is one shuffle at (part_a, part_b) grain with map-side
+  partial aggregation.
+- Top-k per part uses a plain ``row_number`` window: the partition key
+  (part_a) has catalog-scale cardinality, so partitions are tiny and
+  balanced (the salted two-stage topk in ops/topk.py is for FEW-group
+  skew, not needed here).
+- PageRank runs in exact fixed-point integer arithmetic (micro-units,
+  floor division) so every engine computes bit-identical ranks: rank
+  sums are bigint adds (order-independent), never float accumulation.
+  Iterations are a fixed unrolled count — the plan is a linear chain
+  (each iteration's result is referenced exactly once), so Spark
+  executes each stage once without checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+COPURCHASE_TOP_K = 5
+PAGERANK_ITERS = 5
+# Fixed-point scale: 1.0 == 1_000_000 micro-units.
+PR_ONE = 1_000_000
+PR_BASE = 150_000  # 0.15 * PR_ONE
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # 0.85 as an exact ratio
+
+
+def _order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order_id, part_id) basket membership."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("part_id"),
+    ).distinct()
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a < part_b, n_orders) co-occurrence counts."""
+    parts = _order_parts(spark, sf_dir)
+    a = parts.alias("a")
+    b = parts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.part_id") < F.col("b.part_id")),
+        )
+        .groupBy(
+            F.col("a.part_id").alias("part_a"),
+            F.col("b.part_id").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-COPURCHASE_TOP_K co-purchased parts per part, by co-occurrence
+    count desc then partner id asc (unique total order)."""
+    pairs = copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("part_a").alias("part_id"),
+        F.col("part_b").alias("rec_part_id"),
+        "n_orders",
+    ).union(
+        pairs.select(F.col("part_b"), F.col("part_a"), "n_orders")
+    )
+    w = Window.partitionBy("part_id").orderBy(
+        F.desc("n_orders"), F.asc("rec_part_id")
+    )
+    return sym.withColumn("rec_rank", F.row_number().over(w).cast("long")).where(
+        F.col("rec_rank") <= COPURCHASE_TOP_K
+    )
+
+
+ORACLE_COPURCHASE_PAIRS = """
+with basket as (
+    select distinct l_orderkey as order_id, l_partkey as part_id from lineitem
+)
+select a.part_id as part_a, b.part_id as part_b, count(*) as n_orders
+from basket a
+join basket b on a.order_id = b.order_id and a.part_id < b.part_id
+group by 1, 2
+"""
+
+
+def oracle_copurchase_topk() -> str:
+    return f"""
+with pairs as ({ORACLE_COPURCHASE_PAIRS}),
+sym as (
+    select part_a as part_id, part_b as rec_part_id, n_orders from pairs
+    union all
+    select part_b, part_a, n_orders from pairs
+)
+select part_id, rec_part_id, n_orders, rec_rank from (
+    select part_id, rec_part_id, n_orders,
+        cast(row_number() over (
+            partition by part_id order by n_orders desc, rec_part_id
+        ) as bigint) as rec_rank
+    from sym
+) where rec_rank <= {COPURCHASE_TOP_K}
+"""
+
+
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected co-purchase graph, PAGERANK_ITERS
+    fixed iterations, exact bigint micro-unit arithmetic.
+
+    rank_0 = PR_ONE; rank_{i+1}(v) =
+        PR_BASE + (85 * sum over in-neighbors u of (rank_i(u) div deg(u))) div 100
+
+    Every node in the edge set has degree >= 1 (no dangling mass). The
+    final column converts micro-units to a double score (single exact
+    integer / constant division — engine-identical).
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .union(pairs.select(F.col("part_b"), F.col("part_a")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("dnode"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(
+        F.col("dnode").alias("node"), F.lit(PR_ONE).cast("long").alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ranks.join(deg, F.col("node") == F.col("dnode"))
+            .join(edges, F.col("node") == F.col("src"))
+            .select(
+                F.col("dst").alias("cnode"),
+                F.expr("rank div deg").alias("contrib"),
+            )
+        )
+        ranks = contrib.groupBy(F.col("cnode").alias("node")).agg(
+            (
+                F.lit(PR_BASE)
+                + F.expr(f"({PR_DAMP_NUM} * sum(contrib)) div {PR_DAMP_DEN}")
+            ).alias("rank")
+        )
+    return ranks.select(
+        F.col("node").alias("part_id"),
+        F.col("rank").alias("rank_micro"),
+        (F.col("rank") / F.lit(float(PR_ONE))).alias("pagerank"),
+    )
+
+
+def oracle_pagerank_parts() -> str:
+    its = ""
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        its += f""",
+r{i} as (
+    select e.dst as node,
+        cast({PR_BASE} + ({PR_DAMP_NUM} * sum(r.rank // d.deg)) // {PR_DAMP_DEN}
+             as bigint) as rank
+    from {prev} r
+    join deg d on d.node = r.node
+    join edges e on e.src = r.node
+    group by e.dst
+)"""
+        prev = f"r{i}"
+    return f"""
+with pairs as ({ORACLE_COPURCHASE_PAIRS}),
+edges as (
+    select part_a as src, part_b as dst from pairs
+    union
+    select part_b, part_a from pairs
+),
+deg as (select src as node, count(*) as deg from edges group by src),
+r0 as (select node, cast({PR_ONE} as bigint) as rank from deg){its}
+select node as part_id, rank as rank_micro,
+    rank / {float(PR_ONE)} as pagerank
+from {prev}
+"""

@@ -75,3 +75,31 @@ def test_ann_broadcasts_query_set(spark):
 
     plan = _formatted(similarity.ann_cosine_topk(spark, SF_SMOKE))
     assert "Broadcast" in plan, "query set should broadcast, not shuffle the corpus"
+
+
+def test_basket_ops_use_equi_joins_only(spark):
+    """The co-purchase self-join must hash-join on order_id (the part_id
+    inequality is a post-join filter), never a nested-loop product."""
+    from ecommerce_dbt_medallion_spark.ops import basket
+
+    for df in [
+        basket.copurchase_topk(spark, SF_SMOKE),
+        basket.pagerank_parts(spark, SF_SMOKE),
+    ]:
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_caps_hot_terms(spark):
+    """df above the cap must yield NULL postings; below-cap postings are
+    the sorted comma-joined ids."""
+    from ecommerce_dbt_medallion_spark.ops import index as opindex
+
+    out = opindex.inverted_index(spark, SF_SMOKE)
+    hot = out.where(f"df > {opindex.POSTINGS_DF_CAP}")
+    assert hot.where("postings is not null").count() == 0
+    cold = out.where(
+        f"df <= {opindex.POSTINGS_DF_CAP} and postings is null"
+    )
+    assert cold.count() == 0

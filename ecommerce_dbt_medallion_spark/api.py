@@ -25,6 +25,7 @@ from ecommerce_dbt_medallion_spark.ops import ranking as oprank
 from ecommerce_dbt_medallion_spark.ops import similarity as opsim
 from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
 from ecommerce_dbt_medallion_spark.ops import sampling as opsample
+from ecommerce_dbt_medallion_spark.ops import sketch as opsketch
 from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.quality import checks as dq
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
@@ -55,6 +56,7 @@ def queries() -> dict[str, QueryFn]:
         "gold_customer_summary": gold.gold_customer_summary,
         "gold_customer_summary_bucketed": gold.gold_customer_summary_bucketed,
         "gold_order_metrics": gold.gold_order_metrics,
+        "gold_rfm_segmentation": gold.gold_rfm_segmentation,
         "gold_revenue_analysis": gold.gold_revenue_analysis,
         "dq_generic_tests": dq.dq_generic_tests,
         "dq_singular_tests": dq.dq_singular_tests,
@@ -89,6 +91,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_clusters": opgraph.dedup_clusters,
         "tfidf_top_terms": oprank.tfidf_top_terms,
         "inverted_index": opindex.inverted_index,
+        "cms_user_counts": opsketch.cms_user_counts,
+        "histogram_quantiles": opsketch.histogram_quantiles,
         "cohort_retention": ev.cohort_retention,
         "copurchase_topk": opbasket.copurchase_topk,
         "pagerank_parts": opbasket.pagerank_parts,
@@ -141,6 +145,11 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_clusters"] = opgraph.oracle_dedup_clusters()
     out["tfidf_top_terms"] = oprank.oracle_tfidf_top_terms()
     out["inverted_index"] = opindex.oracle_inverted_index()
+    out["gold_rfm_segmentation"] = assemble(
+        "silver_orders", final_select=gold.ORACLE_GOLD_RFM_FINAL
+    )
+    out["cms_user_counts"] = opsketch.oracle_cms_user_counts()
+    out["histogram_quantiles"] = opsketch.oracle_histogram_quantiles()
     out["cohort_retention"] = ev.ORACLE_COHORT_RETENTION
     out["copurchase_topk"] = opbasket.oracle_copurchase_topk()
     out["pagerank_parts"] = opbasket.oracle_pagerank_parts()

@@ -429,3 +429,149 @@ def gold_revenue_analysis_df(so: DataFrame, sp: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("order_year_month"))
     )
+
+
+def gold_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    completed orders — the classic e-commerce gold mart the reference's
+    customer summary feeds (models/gold/gold_customer_summary.sql is the
+    totals side; this is the marketing-segmentation side).
+
+    Scores are quintile-boundary comparisons, not ntile: ntile(5) over
+    ALL customers is a single-partition global sort at 100 TB, while
+    four percentile boundaries are one extra pass over the customer-
+    grain aggregate (broadcast back as scalars). Exact percentile over
+    one group is the documented knob — swap to approx_percentile at
+    extreme scale (same note as customer_order_percentiles). The
+    customer aggregate is lazily checkpointed so its shuffle runs once
+    for both the boundary pass and the final scoring pass.
+    """
+    from ecommerce_dbt_medallion_spark.models.silver import silver_orders
+
+    cust = (
+        silver_orders(spark, sf_dir)
+        .where(F.col("is_completed"))
+        .groupBy("customer_key")
+        .agg(
+            F.max("order_date").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("order_amount").alias("monetary_dec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    as_of = F.broadcast(cust.agg(F.max("last_order").alias("as_of")))
+    rfm = cust.crossJoin(as_of).select(
+        "customer_key",
+        F.datediff(F.col("as_of"), F.col("last_order")).cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+    )
+    rec, freq, mon = (
+        F.col("recency_days").cast("double"),
+        F.col("frequency").cast("double"),
+        F.col("monetary"),
+    )
+    bounds = F.broadcast(
+        rfm.agg(
+            *[
+                F.percentile(c, F.lit(p)).alias(f"{n}_q{int(p * 100)}")
+                for n, c in [("r", rec), ("f", freq), ("m", mon)]
+                for p in (0.2, 0.4, 0.6, 0.8)
+            ]
+        )
+    )
+
+    def _score_asc(col: Column, name: str) -> Column:
+        s = F.lit(1)
+        for q in (20, 40, 60, 80):
+            s = s + (col > F.col(f"{name}_q{q}")).cast("int")
+        return s.cast("long")
+
+    def _score_desc(col: Column, name: str) -> Column:
+        s = F.lit(1)
+        for q in (80, 60, 40, 20):
+            s = s + (col < F.col(f"{name}_q{q}")).cast("int")
+        return s.cast("long")
+
+    scored = rfm.crossJoin(bounds).select(
+        "customer_key",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score_desc(rec, "r").alias("r_score"),
+        _score_asc(freq, "f").alias("f_score"),
+        _score_asc(mon, "m").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular"),
+    )
+
+
+ORACLE_GOLD_RFM_FINAL = """
+, rfm_base as (
+    select customer_key,
+        max(order_date) as last_order,
+        count(*) as frequency,
+        sum(order_amount) as monetary_dec
+    from silver_orders where is_completed group by customer_key
+),
+rfm_asof as (select max(last_order) as as_of from rfm_base),
+rfm as (
+    select b.customer_key,
+        cast(date_diff('day', b.last_order, a.as_of) as bigint) as recency_days,
+        b.frequency,
+        cast(b.monetary_dec as double) as monetary
+    from rfm_base b cross join rfm_asof a
+),
+bounds as (
+    select
+        quantile_cont(cast(recency_days as double), 0.2) as r_q20,
+        quantile_cont(cast(recency_days as double), 0.4) as r_q40,
+        quantile_cont(cast(recency_days as double), 0.6) as r_q60,
+        quantile_cont(cast(recency_days as double), 0.8) as r_q80,
+        quantile_cont(cast(frequency as double), 0.2) as f_q20,
+        quantile_cont(cast(frequency as double), 0.4) as f_q40,
+        quantile_cont(cast(frequency as double), 0.6) as f_q60,
+        quantile_cont(cast(frequency as double), 0.8) as f_q80,
+        quantile_cont(monetary, 0.2) as m_q20,
+        quantile_cont(monetary, 0.4) as m_q40,
+        quantile_cont(monetary, 0.6) as m_q60,
+        quantile_cont(monetary, 0.8) as m_q80
+    from rfm
+),
+scored as (
+    select customer_key, recency_days, frequency, monetary,
+        cast(1 + cast(cast(recency_days as double) < r_q80 as int)
+               + cast(cast(recency_days as double) < r_q60 as int)
+               + cast(cast(recency_days as double) < r_q40 as int)
+               + cast(cast(recency_days as double) < r_q20 as int) as bigint) as r_score,
+        cast(1 + cast(cast(frequency as double) > f_q20 as int)
+               + cast(cast(frequency as double) > f_q40 as int)
+               + cast(cast(frequency as double) > f_q60 as int)
+               + cast(cast(frequency as double) > f_q80 as int) as bigint) as f_score,
+        cast(1 + cast(monetary > m_q20 as int)
+               + cast(monetary > m_q40 as int)
+               + cast(monetary > m_q60 as int)
+               + cast(monetary > m_q80 as int) as bigint) as m_score
+    from rfm cross join bounds
+)
+select *,
+    case
+        when r_score >= 4 and f_score >= 4 and m_score >= 4 then 'champion'
+        when r_score >= 4 and f_score <= 2 then 'new'
+        when r_score <= 2 and f_score >= 4 then 'at_risk'
+        when r_score <= 2 and f_score <= 2 then 'hibernating'
+        else 'regular'
+    end as rfm_segment
+from scored
+"""

@@ -1,0 +1,211 @@
+"""Engine-portable frequency / quantile sketches.
+
+Two sketch operators whose state is EXACT integer or fixed-order float
+math, so — unlike HLL (models/events.sketch_distinct_users, rows-only
+by design) — they carry full DuckDB value oracles:
+
+- ``cms_user_counts``: a count-min sketch (Cormode & Muthukrishnan)
+  over the events fact. Buckets are 2-hex-digit md5 prefixes (256
+  buckets x 4 salted rows), so both engines compute identical cells
+  without any hex→int conversion; counters are plain bigint sums. The
+  estimate for a key is the min over its 4 cells — ≥ the true count by
+  construction (asserted in tests and visible in the output).
+- ``histogram_quantiles``: equi-width-histogram quantile estimation
+  over the payments fact — the scale path for percentiles: two linear
+  scans (min/max, then 256-bucket counts), never a global sort. The
+  in-bucket linear interpolation is a fixed-order double expression,
+  identical across engines.
+
+Sketch sizing at 100 TB: CMS cells are fixed (1024 counters) at any
+input size — the shuffle is at cell grain after map-side combine.
+The histogram is 256 rows post-aggregation; the cumulative window runs
+on those 256 rows, not the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.models.events import load_events
+
+CMS_ROWS = 4
+CMS_SALT = "#cms"
+
+HIST_BUCKETS = 256
+HIST_QUANTILES = (0.5, 0.9, 0.95, 0.99)
+
+
+def _cms_bucket(col, i: int):
+    """2-hex-char bucket of md5(key || salt || row) — portable string
+    bucket, no integer conversion needed."""
+    return F.substring(
+        F.md5(F.concat(col.cast("string"), F.lit(f"{CMS_SALT}{i}"))), 1, 2
+    )
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimate vs true per-user event counts."""
+    ev = load_events(spark, sf_dir).select("user_id")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                _cms_bucket(F.col("user_id"), i).alias("bucket"),
+            )
+            for i in range(CMS_ROWS)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(cell_structs).alias("rb"))
+        .select("rb.row_i", "rb.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("cell_count"))
+    )
+    users = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    probes = users.select(
+        "user_id", "true_count", F.explode(cell_structs).alias("rb")
+    ).select("user_id", "true_count", "rb.row_i", "rb.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["row_i", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cell_count").alias("est_count"))
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+        )
+    )
+
+
+def oracle_cms_user_counts() -> str:
+    rows = ", ".join(str(i) for i in range(CMS_ROWS))
+    return f"""
+with ev as (select user_id from events),
+salts as (select unnest([{rows}]) as row_i),
+cells as (
+    select s.row_i,
+        substr(md5(cast(e.user_id as varchar) || '{CMS_SALT}' || s.row_i), 1, 2)
+            as bucket,
+        count(*) as cell_count
+    from ev e cross join salts s
+    group by 1, 2
+),
+users as (select user_id, count(*) as true_count from ev group by 1),
+est as (
+    select u.user_id, u.true_count, min(c.cell_count) as est_count
+    from users u
+    cross join salts s
+    join cells c
+      on c.row_i = s.row_i
+     and c.bucket = substr(md5(cast(u.user_id as varchar) || '{CMS_SALT}' || s.row_i), 1, 2)
+    group by 1, 2
+)
+select user_id, est_count, true_count,
+    est_count - true_count as overestimate
+from est
+"""
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile estimates over payment amounts.
+
+    For each p: target rank = ceil(p * n); walk the cumulative histogram
+    to the first bucket reaching it; linearly interpolate inside the
+    bucket. Error is bounded by one bucket width — the right trade at
+    scale, where exact percentile means a global sort.
+    """
+    from ecommerce_dbt_medallion_spark.models.silver import silver_payments
+
+    amt = (
+        silver_payments(spark, sf_dir)
+        .select(F.col("payment_amount").cast("double").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    rng = F.broadcast(
+        amt.agg(
+            F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
+        )
+    )
+    b = F.lit(HIST_BUCKETS)
+    idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            b - 1,
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * b),
+        )
+    )
+    hist = (
+        amt.crossJoin(rng)
+        .groupBy(idx.cast("long").alias("bucket"), "lo", "hi", "n")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in HIST_QUANTILES])).alias("p")
+    hits = (
+        hist.select("*", ps)
+        .withColumn("target", F.ceil(F.col("p") * F.col("n")))
+        .where(F.col("cum") >= F.col("target"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("p").orderBy("bucket")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    width = (F.col("hi") - F.col("lo")) / b
+    return hits.select(
+        F.col("p").alias("quantile"),
+        F.col("n").alias("n_rows"),
+        (
+            F.col("lo")
+            + (
+                F.col("bucket")
+                + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+            )
+            * width
+        ).alias("est_value"),
+    )
+
+
+def oracle_histogram_quantiles() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    ps = ", ".join(str(p) for p in HIST_QUANTILES)
+    final = f"""
+, amt as (select cast(payment_amount as double) as x from silver_payments),
+rng as (select min(x) as lo, max(x) as hi, count(*) as n from amt),
+hist as (
+    select
+        cast(case when r.hi = r.lo then 0
+             else least({HIST_BUCKETS} - 1,
+                        floor((a.x - r.lo) / (r.hi - r.lo) * {HIST_BUCKETS}))
+        end as bigint) as bucket,
+        r.lo, r.hi, r.n, count(*) as cnt
+    from amt a cross join rng r
+    group by 1, 2, 3, 4
+),
+cumh as (
+    select *, sum(cnt) over (order by bucket
+        rows between unbounded preceding and current row) as cum
+    from hist
+),
+hits as (
+    select c.*, p.p, ceil(p.p * c.n) as target,
+        row_number() over (partition by p.p order by c.bucket) as rn
+    from cumh c
+    cross join (select unnest([{ps}]) as p) p
+    where c.cum >= ceil(p.p * c.n)
+)
+select p as quantile, n as n_rows,
+    lo + (bucket + (target - (cum - cnt)) / cnt) * ((hi - lo) / {HIST_BUCKETS})
+        as est_value
+from hits where rn = 1
+"""
+    return assemble("silver_payments", final_select=final)

@@ -320,3 +320,35 @@ def test_connected_components_planted_graph(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min property: estimate >= true count for every key."""
+    from ecommerce_dbt_medallion_spark.ops import sketch
+
+    out = sketch.cms_user_counts(spark, SF_SMOKE)
+    assert out.where("est_count < true_count").count() == 0
+
+
+def test_histogram_quantiles_near_exact(spark):
+    """Histogram estimates must land within one bucket width of the
+    exact percentile."""
+    from pyspark.sql import functions as F
+    from ecommerce_dbt_medallion_spark.models.silver import silver_payments
+    from ecommerce_dbt_medallion_spark.ops import sketch
+
+    amt = silver_payments(spark, SF_SMOKE).select(
+        F.col("payment_amount").cast("double").alias("x")
+    )
+    stats = amt.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        *[
+            F.percentile(F.col("x"), F.lit(p)).alias(f"p{int(p*100)}")
+            for p in sketch.HIST_QUANTILES
+        ],
+    ).collect()[0]
+    width = (stats.hi - stats.lo) / sketch.HIST_BUCKETS
+    for row in sketch.histogram_quantiles(spark, SF_SMOKE).collect():
+        exact = stats[f"p{int(row.quantile*100)}"]
+        assert abs(row.est_value - exact) <= width, (row.quantile, row.est_value, exact)

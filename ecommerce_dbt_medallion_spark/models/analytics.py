@@ -404,3 +404,80 @@ from ranked b
 join part p on b.l_partkey = p.p_partkey
 where b.part_rank <= {TOP_PARTS_K}
 """
+
+
+STD_METHODS = [
+    "credit_card",
+    "bank_transfer",
+    "paypal",
+    "cash",
+    "digital_wallet",
+    "other",
+]
+
+
+def payment_method_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly payments reshaped wide: one column pair (amount, count)
+    per standardized method — the pivot operator over the biggest fact.
+
+    ``pivot`` is given the EXPLICIT method list: without it Spark runs an
+    extra collect-distinct pass over the fact to discover the columns
+    (a full scan at 100 TB) and the output schema becomes data-dependent.
+    With the list, the pivot lowers to one shuffle at month grain with
+    map-side partial aggregation per (month, method) — same cost as the
+    long-format groupBy. Uses the id-free payments path (aggregation-only
+    consumer; value-identical, skips the payment_key window over the
+    fact).
+    """
+    from ecommerce_dbt_medallion_spark.models.silver import silver_payments_for_agg
+
+    p = silver_payments_for_agg(spark, sf_dir).select(
+        F.date_format("payment_date", "yyyy-MM").alias("payment_month"),
+        "payment_method",
+        F.col("payment_amount").alias("amount_dec"),
+    )
+    wide = (
+        p.groupBy("payment_month")
+        .pivot("payment_method", STD_METHODS)
+        .agg(
+            F.sum("amount_dec").alias("amount"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cols = [F.col("payment_month")]
+    for m in STD_METHODS:
+        cols.append(
+            F.coalesce(F.col(f"{m}_amount"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias(f"{m}_amount")
+        )
+        cols.append(F.coalesce(F.col(f"{m}_n"), F.lit(0)).cast("long").alias(f"{m}_n"))
+    return wide.select(*cols)
+
+
+def _pivot_oracle_cols() -> str:
+    parts = []
+    for m in STD_METHODS:
+        parts.append(
+            f"cast(coalesce(sum(case when payment_method = '{m}' "
+            f"then payment_amount end), 0) as double) as {m}_amount"
+        )
+        parts.append(
+            f"cast(count(case when payment_method = '{m}' then 1 end) "
+            f"as bigint) as {m}_n"
+        )
+    return ",\n    ".join(parts)
+
+
+def oracle_payment_method_pivot() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_payments",
+        final_select=f"""
+select strftime(payment_date, '%Y-%m') as payment_month,
+    {_pivot_oracle_cols()}
+from silver_payments
+group by 1
+""",
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark import sql_views
@@ -114,3 +116,30 @@ def test_salted_join_deterministic_salt_col(spark):
     out = salted_join(probe, build, "k", probe_salt_col=F.col("id"))
     assert out.count() == 10_000
     assert out.agg(F.sum(F.col("v") * F.col("w"))).first()[0] == 2 * sum(range(10_000))
+
+
+def test_load_table_fmt_roundtrip(spark, tmp_path):
+    """nation written as csv/json/orc reads back value-identical to the
+    parquet original under load_table_fmt with the explicit schema."""
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table, load_table_fmt
+
+    ref = load_table(spark, SF_SMOKE, "nation")
+    expected = sorted(map(tuple, ref.collect()))
+    for fmt in ("csv", "json", "orc"):
+        p = str(tmp_path / f"nation_{fmt}")
+        w = ref.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).csv(p)
+        elif fmt == "json":
+            w.json(p)
+        else:
+            w.orc(p)
+        back = load_table_fmt(spark, p, fmt, schema=ref.schema)
+        assert sorted(map(tuple, back.collect())) == expected, fmt
+
+
+def test_load_table_fmt_requires_schema_for_text(spark):
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table_fmt
+
+    with pytest.raises(ValueError):
+        load_table_fmt(spark, "/tmp/x", "csv")

@@ -28,6 +28,7 @@ from ecommerce_dbt_medallion_spark.ops import sampling as opsample
 from ecommerce_dbt_medallion_spark.ops import sketch as opsketch
 from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.quality import checks as dq
+from ecommerce_dbt_medallion_spark.streaming import enrich_stream as strm_enrich
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
 from ecommerce_dbt_medallion_spark.streaming import join_stream as strm_join
 from ecommerce_dbt_medallion_spark.streaming import sessionize_stream as strm_sessions
@@ -104,6 +105,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_dedup_events": strm.stream_dedup_events,
         "stream_sessionize": strm_sessions.stream_sessionize,
         "stream_join_view_purchase": strm_join.stream_join_view_purchase,
+        "stream_enrich_purchases": strm_enrich.stream_enrich_purchases,
         "multimodal_extract": opmm.multimodal_extract,
     }
 
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_extract"] = opmm.oracle_multimodal_extract()
     out["stream_sessionize"] = strm_sessions.oracle_stream_sessionize()
     out["stream_join_view_purchase"] = strm_join.ORACLE_STREAM_JOIN_VIEW_PURCHASE
+    out["stream_enrich_purchases"] = strm_enrich.ORACLE_STREAM_ENRICH_PURCHASES
     # dedup_minhash_lsh: rows-only (the xxhash64 fast path DuckDB can't
     # compute; its md5 twin dedup_minhash_md5 carries the value oracle)
     return out

@@ -73,6 +73,7 @@ def queries() -> dict[str, QueryFn]:
         "range_join_promo_revenue": ana.range_join_promo_revenue,
         "sales_rollup": ana.sales_rollup,
         "payment_method_pivot": ana.payment_method_pivot,
+        "revenue_anomaly_zscore": ana.revenue_anomaly_zscore,
         "top_parts_per_region": ana.top_parts_per_region,
         "corpus_stratified_sample": opsample.corpus_stratified_sample,
         "corpus_sample_per_stratum": opsample.corpus_sample_per_stratum,
@@ -136,6 +137,9 @@ def oracle_sql() -> dict[str, str]:
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE
     out["sales_rollup"] = ana.ORACLE_SALES_ROLLUP
     out["payment_method_pivot"] = ana.oracle_payment_method_pivot()
+    out["revenue_anomaly_zscore"] = assemble(
+        "silver_orders", final_select=ana.ORACLE_REVENUE_ANOMALY_FINAL
+    )
     out["top_parts_per_region"] = ana.ORACLE_TOP_PARTS_PER_REGION
     out["corpus_stratified_sample"] = opsample.oracle_corpus_stratified_sample()
     out["corpus_sample_per_stratum"] = opsample.oracle_corpus_sample_per_stratum()

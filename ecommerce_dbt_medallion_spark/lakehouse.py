@@ -320,3 +320,64 @@ def vacuum(table: str) -> int:
             os.remove(os.path.join(data_dir, f))
             n += 1
     return n
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    key: str | None = None,
+    target_rows: int = 1_000_000,
+    small_file_rows: int | None = None,
+) -> int:
+    """OPTIMIZE (compaction): bin-pack small live files into ~target_rows
+    files, range-clustered on ``key`` so the rewritten files carry TIGHT
+    min/max stats (1-D clustering — the same reason Delta's OPTIMIZE
+    ZORDER exists: compaction is the moment you get to re-sort data for
+    skipping). Data content is unchanged; the commit is a new version
+    (remove=small files, add=compacted files), so time travel still sees
+    the pre-compaction layout.
+
+    The small-files problem is the dominant operational cost of
+    streaming/incremental ingestion at scale: every micro-batch MERGE
+    adds O(batch) files, and scan latency degrades with file count, not
+    data size. Returns the new version (or the current one if there was
+    nothing to compact).
+    """
+    import math
+
+    prior = versions(table)
+    if not prior:
+        raise ValueError(f"table {table} does not exist")
+    threshold = small_file_rows if small_file_rows is not None else target_rows // 2
+    live = live_files(table)
+    small = [a for a in live if a["rows"] < threshold]
+    if len(small) <= 1:
+        return prior[-1]
+
+    df = spark.read.parquet(*[_abs(table, a["file"]) for a in small])
+    total = sum(a["rows"] for a in small)
+    nfiles = max(1, math.ceil(total / target_rows))
+    if key is not None:
+        df = df.repartitionByRange(nfiles, F.col(key))
+    else:
+        df = df.coalesce(nfiles)
+    adds = _stage_files(df, table, key)
+
+    v = prior[-1] + 1
+    _commit(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": "OPTIMIZE",
+            "key": key,
+            "add": adds,
+            "remove": [a["file"] for a in small],
+            "stats": {
+                "files_compacted": len(small),
+                "files_written": len(adds),
+                "rows": total,
+            },
+        },
+    )
+    return v

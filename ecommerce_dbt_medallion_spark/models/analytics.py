@@ -481,3 +481,102 @@ from silver_payments
 group by 1
 """,
     )
+
+
+ANOMALY_WINDOW_DAYS = 28
+ANOMALY_MIN_DAYS = 14
+ANOMALY_Z = 2.0
+
+
+def revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly detection: rolling 28-day z-score over the
+    completed-order revenue series.
+
+    Cross-engine float discipline: stddev()/var_samp() are NOT portable
+    (Welford vs naive accumulation order), so the rolling moments are
+    computed from EXACT integer cents — sum(cents) and sum(cents²) over
+    the window are exact (bigint / decimal(38,0)) — and only then
+    converted to double for mean/variance/sqrt in a fixed expression
+    order both engines evaluate identically. The window runs AFTER
+    date-grain aggregation (window input = days, not the fact), the
+    standard bounded-window pattern.
+    """
+    from pyspark.sql import Window
+
+    from ecommerce_dbt_medallion_spark.models.silver import silver_orders
+
+    daily = (
+        silver_orders(spark, sf_dir)
+        .where(F.col("is_completed"))
+        .groupBy("order_date")
+        .agg(F.sum("order_amount").alias("rev_dec"))
+        .select(
+            "order_date",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.expr("cast(rev_dec * 100 as decimal(19,0))").alias("cents_dec"),
+            F.expr("cast(cast(rev_dec * 100 as decimal(19,0)) as bigint)").alias(
+                "cents"
+            ),
+        )
+    )
+    w = Window.orderBy("order_date").rowsBetween(-(ANOMALY_WINDOW_DAYS - 1), 0)
+    wdw = daily.select(
+        "order_date",
+        "revenue",
+        "cents",
+        F.sum("cents").over(w).cast("double").alias("sum_c"),
+        F.sum(F.col("cents_dec") * F.col("cents_dec")).over(w).cast("double").alias(
+            "sumsq"
+        ),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_window"),
+    )
+    mean = F.col("sum_c") / F.col("n_window")
+    var = F.col("sumsq") / F.col("n_window") - mean * mean
+    z = F.when(
+        (var > 0) & (F.col("n_window") >= ANOMALY_MIN_DAYS),
+        (F.col("cents").cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return wdw.select(
+        "order_date",
+        "revenue",
+        "n_window",
+        z.alias("zscore"),
+        (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+    )
+
+
+ORACLE_REVENUE_ANOMALY_FINAL = f"""
+, daily as (
+    select order_date, sum(order_amount) as rev_dec
+    from silver_orders where is_completed group by order_date
+),
+c as (
+    select order_date,
+        cast(rev_dec as double) as revenue,
+        cast(rev_dec * 100 as decimal(19,0)) as cents_dec,
+        cast(cast(rev_dec * 100 as decimal(19,0)) as bigint) as cents
+    from daily
+),
+wdw as (
+    select order_date, revenue, cents,
+        cast(sum(cents) over w as double) as sum_c,
+        cast(sum(cents_dec * cents_dec) over w as double) as sumsq,
+        cast(count(*) over w as bigint) as n_window
+    from c
+    window w as (order by order_date
+                 rows between {ANOMALY_WINDOW_DAYS - 1} preceding and current row)
+),
+z as (
+    select order_date, revenue, n_window,
+        case when (sumsq / n_window - (sum_c / n_window) * (sum_c / n_window)) > 0
+                  and n_window >= {ANOMALY_MIN_DAYS}
+             then (cast(cents as double) - sum_c / n_window)
+                  / sqrt(sumsq / n_window - (sum_c / n_window) * (sum_c / n_window))
+             else cast(0.0 as double)
+        end as zscore
+    from wdw
+)
+select order_date, revenue, n_window, zscore,
+    abs(zscore) > {ANOMALY_Z} as is_anomaly
+from z
+"""

@@ -130,3 +130,37 @@ def test_stream_upsert_lakehouse(spark, tmp_path):
     assert ops[0] in ("CREATE", "REPLACE") and all(
         o == "MERGE" for o in ops[1:]
     ), ops
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """8 small appends -> OPTIMIZE bin-packs them into one range-
+    clustered file; content identical, history preserved, and the
+    rewritten file carries min/max key stats for skipping."""
+    table = str(tmp_path / "tbl_opt")
+    for i in range(8):
+        df = (
+            spark.range(i * 10, (i + 1) * 10)
+            .select(F.col("id"), (F.col("id") * 2).alias("val"))
+            .coalesce(1)
+        )
+        lh.append(spark, table, df, key="id")
+    before = sorted((r.id, r.val) for r in lh.read(spark, table).collect())
+    n_live_before = len(lh.live_files(table))
+    assert n_live_before == 8
+
+    v = lh.optimize(spark, table, key="id", target_rows=1000)
+    live = lh.live_files(table)
+    assert len(live) == 1
+    assert live[0]["min_key"] == 0 and live[0]["max_key"] == 79
+    after = sorted((r.id, r.val) for r in lh.read(spark, table).collect())
+    assert after == before
+    # time travel to the pre-compaction version still sees 8 files
+    assert len(lh.live_files(table, v - 1)) == 8
+    assert lh.history(table)[-1]["operation"] == "OPTIMIZE"
+
+
+def test_optimize_noop_when_nothing_small(spark, tmp_path):
+    table = str(tmp_path / "tbl_noop")
+    df = spark.range(100).select(F.col("id"), F.col("id").alias("val"))
+    v0 = lh.create_or_replace(spark, table, df, key="id")
+    assert lh.optimize(spark, table, key="id", small_file_rows=1) == v0

@@ -120,12 +120,30 @@ def history(table: str) -> list[dict]:
 # ------------------------------------------------------------ data files
 
 
+def _footer_min_max(md, col: str):
+    """(min, max) of ``col`` across a parquet file's row groups, from the
+    footer statistics pyarrow reads for free; None if unavailable."""
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if col not in idx or md.num_rows == 0:
+        return None
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        s = md.row_group(rg).column(idx[col]).statistics
+        if s is not None and s.has_min_max:
+            mins.append(s.min)
+            maxs.append(s.max)
+    return (min(mins), max(maxs)) if mins else None
+
+
 def _stage_files(
-    df: DataFrame, table: str, key: str | None
+    df: DataFrame,
+    table: str,
+    key: str | None,
+    stats_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write df's partitions as immutable parquet files under data/ and
-    return their add-actions (with per-file min/max stats on ``key``,
-    harvested from the parquet footers pyarrow reads for free)."""
+    return their add-actions (with per-file min/max stats on ``key`` and
+    each of ``stats_cols``, harvested from the parquet footers)."""
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     data_dir = os.path.join(table, _DATA_DIR)
@@ -138,18 +156,17 @@ def _stage_files(
         src = os.path.join(staging, f)
         md = pq.ParquetFile(src).metadata
         stats: dict = {"file": name, "rows": md.num_rows}
-        if key is not None and md.num_rows > 0:
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            if key in idx:
-                mins, maxs = [], []
-                for rg in range(md.num_row_groups):
-                    s = md.row_group(rg).column(idx[key]).statistics
-                    if s is not None and s.has_min_max:
-                        mins.append(s.min)
-                        maxs.append(s.max)
-                if mins:
-                    stats["min_key"] = min(mins)
-                    stats["max_key"] = max(maxs)
+        if key is not None:
+            mm = _footer_min_max(md, key)
+            if mm is not None:
+                stats["min_key"], stats["max_key"] = mm
+        col_stats = {}
+        for c in stats_cols or []:
+            mm = _footer_min_max(md, c)
+            if mm is not None:
+                col_stats[c] = [mm[0], mm[1]]
+        if col_stats:
+            stats["col_stats"] = col_stats
         os.rename(src, os.path.join(data_dir, name))
         adds.append(stats)
     shutil.rmtree(staging, ignore_errors=True)
@@ -322,12 +339,62 @@ def vacuum(table: str) -> int:
     return n
 
 
+_ZORDER_BITS = 16
+
+
+def _zorder_column(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Append ``__z``: the Morton (bit-interleaved) code of ``cols``,
+    each normalized to a 16-bit bucket by its global min/max (one tiny
+    agg, broadcast back). Range-partitioning + sorting on __z clusters
+    files along the space-filling curve, so per-file min/max stats stay
+    tight on EVERY zorder dimension at once — the Delta OPTIMIZE ZORDER
+    design. Bucket math is exact integer arithmetic."""
+    rng = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(rng))
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        bucket = F.expr(
+            f"((cast(`{c}` as long) - cast(`__lo_{c}` as long)) "
+            f"* {(1 << _ZORDER_BITS) - 1}) div "
+            f"greatest(1L, cast(`__hi_{c}` as long) - cast(`__lo_{c}` as long))"
+        )
+        for j in range(_ZORDER_BITS):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * n + ci
+            )
+    return out.withColumn("__z", z).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def files_overlapping(table: str, col: str, lo, hi, version: int | None = None) -> list[dict]:
+    """Live files whose ``col`` min/max range intersects [lo, hi] — the
+    data-skipping primitive a scan planner uses against the log's
+    per-file stats. Files without stats for ``col`` are conservatively
+    kept."""
+    out = []
+    for a in live_files(table, version):
+        cs = a.get("col_stats", {}).get(col)
+        if cs is None:
+            mm = (a["min_key"], a["max_key"]) if "min_key" in a else None
+        else:
+            mm = (cs[0], cs[1])
+        if mm is None or not (mm[1] < lo or mm[0] > hi):
+            out.append(a)
+    return out
+
+
 def optimize(
     spark: SparkSession,
     table: str,
     key: str | None = None,
     target_rows: int = 1_000_000,
     small_file_rows: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE (compaction): bin-pack small live files into ~target_rows
     files, range-clustered on ``key`` so the rewritten files carry TIGHT
@@ -357,11 +424,18 @@ def optimize(
     df = spark.read.parquet(*[_abs(table, a["file"]) for a in small])
     total = sum(a["rows"] for a in small)
     nfiles = max(1, math.ceil(total / target_rows))
-    if key is not None:
+    if zorder_by:
+        df = (
+            _zorder_column(df, zorder_by)
+            .repartitionByRange(nfiles, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif key is not None:
         df = df.repartitionByRange(nfiles, F.col(key))
     else:
         df = df.coalesce(nfiles)
-    adds = _stage_files(df, table, key)
+    adds = _stage_files(df, table, key, stats_cols=zorder_by)
 
     v = prior[-1] + 1
     _commit(
@@ -371,6 +445,7 @@ def optimize(
             "timestamp": time.time(),
             "operation": "OPTIMIZE",
             "key": key,
+            "zorder_by": zorder_by,
             "add": adds,
             "remove": [a["file"] for a in small],
             "stats": {

@@ -25,6 +25,9 @@ LINEAGE: dict[str, list[str]] = {
     "gold_customer_summary": ["silver_customers", "silver_orders", "silver_payments"],
     "gold_order_metrics": ["silver_orders"],
     "gold_revenue_analysis": ["silver_orders", "silver_payments"],
+    "gold_rfm_segmentation": ["silver_orders"],
+    "revenue_anomaly_zscore": ["silver_orders"],
+    "payment_method_pivot": ["silver_payments"],
 }
 
 
@@ -38,6 +41,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         df.createOrReplaceTempView(t)
         names.append(t)
     for name, builder in MODEL_REGISTRY.items():
+        builder(spark, sf_dir).createOrReplaceTempView(name)
+        names.append(name)
+    from ecommerce_dbt_medallion_spark.models import analytics as _ana
+    from ecommerce_dbt_medallion_spark.models import gold as _gold
+
+    for name, builder in {
+        "gold_rfm_segmentation": _gold.gold_rfm_segmentation,
+        "revenue_anomaly_zscore": _ana.revenue_anomaly_zscore,
+        "payment_method_pivot": _ana.payment_method_pivot,
+    }.items():
         builder(spark, sf_dir).createOrReplaceTempView(name)
         names.append(name)
     return names

@@ -164,3 +164,44 @@ def test_optimize_noop_when_nothing_small(spark, tmp_path):
     df = spark.range(100).select(F.col("id"), F.col("id").alias("val"))
     v0 = lh.create_or_replace(spark, table, df, key="id")
     assert lh.optimize(spark, table, key="id", small_file_rows=1) == v0
+
+
+def test_optimize_zorder_enables_2d_skipping(spark, tmp_path):
+    """Z-order compaction must make BOTH dimensions skippable: a narrow
+    range query on either x or y overlaps only a strict subset of the
+    rewritten files (linear clustering can only ever serve one)."""
+    table = str(tmp_path / "tbl_z")
+    n = 4096
+    # x shuffled deterministically, y anti-correlated with x's order so
+    # neither dimension is accidentally sorted in the ingest layout
+    base = (
+        spark.range(n)
+        .select(
+            (F.xxhash64("id") % n).alias("x"),
+            ((F.xxhash64("id") + 7) % n).alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    for i in range(4):
+        lh.append(
+            spark, table, base.where(F.col("id") % 4 == i).coalesce(1), key="x"
+        )
+    assert len(lh.live_files(table)) == 4
+
+    lh.optimize(
+        spark,
+        table,
+        key="x",
+        target_rows=256,
+        small_file_rows=2000,
+        zorder_by=["x", "y"],
+    )
+    live = lh.live_files(table)
+    assert len(live) >= 8  # actually split into many z-clustered files
+    lo, hi = 0, n // 8
+    x_hits = lh.files_overlapping(table, "x", lo, hi)
+    y_hits = lh.files_overlapping(table, "y", lo, hi)
+    assert len(x_hits) < len(live), "x-range query must skip files"
+    assert len(y_hits) < len(live), "y-range query must skip files"
+    # content survives the rewrite
+    assert lh.read(spark, table).count() == n

@@ -19,6 +19,7 @@ from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import basket as opbasket
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
+from ecommerce_dbt_medallion_spark.ops import fuzzy as opfuzzy
 from ecommerce_dbt_medallion_spark.ops import graph as opgraph
 from ecommerce_dbt_medallion_spark.ops import index as opindex
 from ecommerce_dbt_medallion_spark.ops import ranking as oprank
@@ -92,6 +93,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_topk_lsh": opsim.ann_topk_lsh,
         "ann_topk_ivf": opsim.ann_topk_ivf,
         "dedup_clusters": opgraph.dedup_clusters,
+        "fuzzy_name_match": opfuzzy.fuzzy_name_match,
         "tfidf_top_terms": oprank.tfidf_top_terms,
         "inverted_index": opindex.inverted_index,
         "cms_user_counts": opsketch.cms_user_counts,
@@ -151,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk_lsh"] = opsim.oracle_ann_topk_lsh()
     out["ann_topk_ivf"] = opsim.oracle_ann_topk_ivf()
     out["dedup_clusters"] = opgraph.oracle_dedup_clusters()
+    out["fuzzy_name_match"] = opfuzzy.oracle_fuzzy_name_match()
     out["tfidf_top_terms"] = oprank.oracle_tfidf_top_terms()
     out["inverted_index"] = opindex.oracle_inverted_index()
     out["gold_rfm_segmentation"] = assemble(

@@ -352,3 +352,42 @@ def test_histogram_quantiles_near_exact(spark):
     for row in sketch.histogram_quantiles(spark, SF_SMOKE).collect():
         exact = stats[f"p{int(row.quantile*100)}"]
         assert abs(row.est_value - exact) <= width, (row.quantile, row.est_value, exact)
+
+
+def test_fuzzy_blocking_is_lossless(spark):
+    """Deletion-variant blocking must find EXACTLY the brute-force
+    lev<=1 pairs (the blocking theorem, pinned empirically)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.models.silver import silver_customers
+    from ecommerce_dbt_medallion_spark.ops import fuzzy
+
+    got = {
+        (r.name_a, r.name_b)
+        for r in fuzzy.fuzzy_name_match(spark, SF_SMOKE).collect()
+    }
+    names = [
+        r.name
+        for r in silver_customers(spark, SF_SMOKE)
+        .select(F.col("last_name").alias("name"))
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= fuzzy.FUZZY_MAX_DIST
+    }
+    want = {(min(a, b), max(a, b)) for a, b in want}
+    assert got == want

@@ -42,6 +42,10 @@ def main() -> None:
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "event_sessionization",
+        # round-2 breadth entries (reported per-query; the 8-query
+        # comparable subtotal vs BASELINE.md excludes them)
+        "tfidf_top_terms",
+        "copurchase_topk",
     ):
         if extra in queries:
             headline.append(extra)

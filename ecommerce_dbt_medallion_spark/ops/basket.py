@@ -44,12 +44,19 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # 0.85 as an exact ratio
 
 
 def _order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (order_id, part_id) basket membership."""
+    """Distinct (order_id, part_id) basket membership. Lazily
+    checkpointed: both sides of the pair self-join read the SAME
+    materialized distinct instead of re-running the scan+shuffle per
+    side (same dedup-of-shared-subtrees trick as the gold marts)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        F.col("l_orderkey").alias("order_id"),
-        F.col("l_partkey").alias("part_id"),
-    ).distinct()
+    return (
+        li.select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("part_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +81,8 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-COPURCHASE_TOP_K co-purchased parts per part, by co-occurrence
     count desc then partner id asc (unique total order)."""
-    pairs = copurchase_pairs(spark, sf_dir)
+    # both direction branches of the union read one materialized pair set
+    pairs = copurchase_pairs(spark, sf_dir).localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("part_a").alias("part_id"),
         F.col("part_b").alias("rec_part_id"),

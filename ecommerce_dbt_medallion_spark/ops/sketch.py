@@ -116,10 +116,13 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. Error is bounded by one bucket width — the right trade at
     scale, where exact percentile means a global sort.
     """
-    from ecommerce_dbt_medallion_spark.models.silver import silver_payments
+    from ecommerce_dbt_medallion_spark.models.silver import silver_payments_for_agg
 
+    # id-free payments path: the histogram only reads amounts, so skip
+    # the payment_key row_number window over the biggest fact
+    # (value-identical for amount columns; same trick as the gold marts)
     amt = (
-        silver_payments(spark, sf_dir)
+        silver_payments_for_agg(spark, sf_dir)
         .select(F.col("payment_amount").cast("double").alias("x"))
         .localCheckpoint(eager=False)
     )

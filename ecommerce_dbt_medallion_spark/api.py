@@ -22,6 +22,7 @@ from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
 from ecommerce_dbt_medallion_spark.ops import fuzzy as opfuzzy
 from ecommerce_dbt_medallion_spark.ops import graph as opgraph
 from ecommerce_dbt_medallion_spark.ops import index as opindex
+from ecommerce_dbt_medallion_spark.ops import lm as oplm
 from ecommerce_dbt_medallion_spark.ops import ranking as oprank
 from ecommerce_dbt_medallion_spark.ops import similarity as opsim
 from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
@@ -96,6 +97,8 @@ def queries() -> dict[str, QueryFn]:
         "fuzzy_name_match": opfuzzy.fuzzy_name_match,
         "tfidf_top_terms": oprank.tfidf_top_terms,
         "inverted_index": opindex.inverted_index,
+        "bigram_lm": oplm.bigram_lm,
+        "doc_lm_score": oplm.doc_lm_score,
         "cms_user_counts": opsketch.cms_user_counts,
         "histogram_quantiles": opsketch.histogram_quantiles,
         "cohort_retention": ev.cohort_retention,
@@ -159,6 +162,8 @@ def oracle_sql() -> dict[str, str]:
     out["gold_rfm_segmentation"] = assemble(
         "silver_orders", final_select=gold.ORACLE_GOLD_RFM_FINAL
     )
+    out["bigram_lm"] = oplm.oracle_bigram_lm()
+    out["doc_lm_score"] = oplm.oracle_doc_lm_score()
     out["cms_user_counts"] = opsketch.oracle_cms_user_counts()
     out["histogram_quantiles"] = opsketch.oracle_histogram_quantiles()
     out["cohort_retention"] = ev.ORACLE_COHORT_RETENTION

@@ -60,6 +60,7 @@ def queries() -> dict[str, QueryFn]:
         "gold_customer_summary_bucketed": gold.gold_customer_summary_bucketed,
         "gold_order_metrics": gold.gold_order_metrics,
         "gold_rfm_segmentation": gold.gold_rfm_segmentation,
+        "churn_risk_score": gold.churn_risk_score,
         "gold_revenue_analysis": gold.gold_revenue_analysis,
         "dq_generic_tests": dq.dq_generic_tests,
         "dq_singular_tests": dq.dq_singular_tests,
@@ -165,6 +166,9 @@ def oracle_sql() -> dict[str, str]:
     out["bigram_lm"] = oplm.oracle_bigram_lm()
     out["doc_lm_score"] = oplm.oracle_doc_lm_score()
     out["cms_user_counts"] = opsketch.oracle_cms_user_counts()
+    out["churn_risk_score"] = assemble(
+        "gold_customer_summary", final_select=gold.oracle_churn_final()
+    )
     out["histogram_quantiles"] = opsketch.oracle_histogram_quantiles()
     out["cohort_retention"] = ev.ORACLE_COHORT_RETENTION
     out["copurchase_topk"] = opbasket.oracle_copurchase_topk()

@@ -575,3 +575,70 @@ select *,
     end as rfm_segment
 from scored
 """
+
+
+# Fixed (pretend-trained) churn-model coefficients — inference only:
+# the point of the operator is SQL-native model scoring fused into the
+# mart scan (no UDF, no serving hop), cf. "ML inference pipeline
+# execution using pure SQL based on operator fusion" (ICDE 2025 theme).
+CHURN_COEF = {
+    "intercept": -1.0,
+    "days_since_last_order": 0.015,
+    "total_orders": -0.2,
+    "lifetime_value": -0.002,
+    "active_months": -0.1,
+}
+
+
+def churn_risk_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear churn-model inference over gold_customer_summary features.
+
+    The margin is a fixed-order double expression (literal coefficients
+    × exact-sourced features), identical across engines — the sigmoid is
+    deliberately NOT applied (libm exp() differs at ULP level between
+    engines; monotone in the margin, so thresholds are equivalent).
+    Scoring fuses into the mart projection: zero extra shuffles.
+    """
+    c = CHURN_COEF
+    g = gold_customer_summary(spark, sf_dir)
+    margin = (
+        F.lit(c["intercept"])
+        + F.lit(c["days_since_last_order"]) * F.col("days_since_last_order")
+        + F.lit(c["total_orders"]) * F.col("total_orders")
+        + F.lit(c["lifetime_value"]) * F.col("lifetime_value")
+        + F.lit(c["active_months"]) * F.col("active_months")
+    )
+    return g.select(
+        "customer_key",
+        "days_since_last_order",
+        "total_orders",
+        "lifetime_value",
+        "active_months",
+        margin.alias("churn_margin"),
+        (margin > 0).alias("churn_flag"),
+        F.when(margin > 0.5, "high")
+        .when(margin > -0.5, "medium")
+        .otherwise("low")
+        .alias("risk_band"),
+    )
+
+
+def oracle_churn_final() -> str:
+    c = CHURN_COEF
+    margin = (
+        f"cast({c['intercept']} as double) "
+        f"+ cast({c['days_since_last_order']} as double) * days_since_last_order "
+        f"+ cast({c['total_orders']} as double) * total_orders "
+        f"+ cast({c['lifetime_value']} as double) * lifetime_value "
+        f"+ cast({c['active_months']} as double) * active_months"
+    )
+    return f"""
+select customer_key, days_since_last_order, total_orders, lifetime_value,
+    active_months,
+    {margin} as churn_margin,
+    ({margin}) > 0 as churn_flag,
+    case when ({margin}) > 0.5 then 'high'
+         when ({margin}) > -0.5 then 'medium'
+         else 'low' end as risk_band
+from gold_customer_summary
+"""

@@ -18,6 +18,7 @@ from ecommerce_dbt_medallion_spark.models import events as ev
 from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import basket as opbasket
+from ecommerce_dbt_medallion_spark.ops import chunking as opchunk
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
 from ecommerce_dbt_medallion_spark.ops import fuzzy as opfuzzy
 from ecommerce_dbt_medallion_spark.ops import graph as opgraph
@@ -26,7 +27,9 @@ from ecommerce_dbt_medallion_spark.ops import lm as oplm
 from ecommerce_dbt_medallion_spark.ops import ranking as oprank
 from ecommerce_dbt_medallion_spark.ops import similarity as opsim
 from ecommerce_dbt_medallion_spark.ops import multimodal as opmm
+from ecommerce_dbt_medallion_spark.ops import quantize as opquant
 from ecommerce_dbt_medallion_spark.ops import sampling as opsample
+from ecommerce_dbt_medallion_spark.ops import scrub as opscrub
 from ecommerce_dbt_medallion_spark.ops import sketch as opsketch
 from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.quality import checks as dq
@@ -89,6 +92,12 @@ def queries() -> dict[str, QueryFn]:
         "doc_winnowing": optext.doc_winnowing,
         "corpus_curation": optext.corpus_curation,
         "dedup_ngram_jaccard": optext.dedup_ngram_jaccard,
+        "text_pii_scrub": opscrub.text_pii_scrub,
+        "decontaminate": opscrub.decontaminate,
+        "repetition_stats": opscrub.repetition_stats,
+        "doc_chunking": opchunk.doc_chunking,
+        "pack_sequences": opchunk.pack_sequences,
+        "embedding_quantize": opquant.embedding_quantize,
         "ann_cosine_topk": opsim.ann_cosine_topk,
         "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
         "dedup_embedding_lsh": opsim.dedup_embedding_lsh,
@@ -132,6 +141,12 @@ def oracle_sql() -> dict[str, str]:
     out["doc_fingerprint"] = optext.oracle_doc_fingerprint()
     out["dedup_exact"] = optext.oracle_dedup_exact()
     out["dedup_ngram_jaccard"] = optext.oracle_dedup_ngram_jaccard()
+    out["text_pii_scrub"] = opscrub.oracle_text_pii_scrub()
+    out["decontaminate"] = opscrub.oracle_decontaminate()
+    out["repetition_stats"] = opscrub.oracle_repetition_stats()
+    out["doc_chunking"] = opchunk.oracle_doc_chunking()
+    out["pack_sequences"] = opchunk.oracle_pack_sequences()
+    out["embedding_quantize"] = opquant.oracle_embedding_quantize()
     out["ann_cosine_topk"] = opsim.oracle_ann_cosine_topk()
     out["doc_winnowing"] = optext.oracle_doc_winnowing()
     out["corpus_curation"] = optext.oracle_corpus_curation()

@@ -391,3 +391,92 @@ def test_fuzzy_blocking_is_lossless(spark):
     }
     want = {(min(a, b), max(a, b)) for a, b in want}
     assert got == want
+
+
+# ------------------------------------------------- scrub/chunk/quantize
+
+def test_pii_scrub_counts_follow_injection_rules(spark, planted_docs_dir):
+    from ecommerce_dbt_medallion_spark.ops import scrub
+
+    rows = scrub.text_pii_scrub(spark, planted_docs_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        d = r["doc_id"]
+        # planted corpus has no organic PII — counts are exactly the
+        # injection rules
+        assert r["n_emails"] == (1 if d % 3 != 2 else 0), r
+        assert r["n_phones"] == (1 if d % 2 == 0 else 0), r
+        assert r["n_ips"] == (1 if d % 5 == 0 else 0), r
+        assert r["has_pii"] == (r["n_emails"] + r["n_phones"] + r["n_ips"] > 0)
+
+
+def test_chunking_covers_every_token_exactly_once_per_stride(spark, tmp_path):
+    from ecommerce_dbt_medallion_spark.ops import chunking
+
+    docs = [
+        (0, " ".join(f"w{i}" for i in range(70)), "en", "s", 0),
+        (1, "a b c", "en", "s", 0),
+        (2, "", "en", "s", 0),
+    ]
+    d = tmp_path / "chunkdocs"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = chunking.doc_chunking(spark, str(d)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 70 tokens, stride 24: starts 0/24/48 with sizes 32/32/22
+    got0 = sorted((r["chunk_start"], r["n_chunk_tokens"]) for r in by_doc[0])
+    assert got0 == [(0, 32), (24, 32), (48, 22)]
+    # short doc: one partial chunk; empty doc: no chunks
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in by_doc[1]] == [(0, 3)]
+    assert 2 not in by_doc
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark):
+    from ecommerce_dbt_medallion_spark.ops import chunking
+    from ecommerce_dbt_medallion_spark.ops.text import text_token_stats
+
+    bins = chunking.pack_sequences(spark, SF_SMOKE).collect()
+    stats = text_token_stats(spark, SF_SMOKE).collect()
+    n_docs = len(stats)
+    assert sum(r["n_docs"] for r in bins) == n_docs
+    # bin ids are contiguous 0..max within each shard (contiguous fill)
+    shards = {}
+    for r in bins:
+        shards.setdefault(r["shard"], []).append(r["bin_id"])
+    for shard, ids in shards.items():
+        assert sorted(ids) == list(range(max(ids) + 1)), (shard, sorted(ids))
+
+
+def test_decontaminate_flags_planted_overlap(spark, tmp_path):
+    from ecommerce_dbt_medallion_spark.ops import scrub
+
+    bench_text = " ".join(f"b{i}" for i in range(30))
+    docs = [
+        (0, bench_text, "en", "s", 0),  # doc_id % 20 == 0 -> benchmark
+        (1, "x0 " + " ".join(f"b{i}" for i in range(10)) + " x1", "en", "s", 0),
+        (2, " ".join(f"z{i}" for i in range(30)), "en", "s", 0),
+    ]
+    d = tmp_path / "decondocs"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in scrub.decontaminate(spark, str(d)).collect()}
+    assert set(rows) == {1, 2}  # benchmark docs excluded from output
+    # doc 1 embeds 10 consecutive benchmark tokens -> 6 shared 5-grams
+    assert rows[1]["overlap_grams"] == 6 and rows[1]["contaminated"]
+    assert rows[1]["bench_docs"] == 1
+    assert rows[2]["overlap_grams"] == 0 and not rows[2]["contaminated"]
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    from ecommerce_dbt_medallion_spark.ops import quantize
+
+    rows = quantize.embedding_quantize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # per-element rounding error <= scale/2 -> L2 <= sqrt(64)*scale/2
+        assert r["l2_err"] <= 8 * r["scale"] / 2 + 1e-9, r
+        assert r["scale"] > 0

@@ -80,6 +80,8 @@ def queries() -> dict[str, QueryFn]:
         "sales_rollup": ana.sales_rollup,
         "payment_method_pivot": ana.payment_method_pivot,
         "revenue_anomaly_zscore": ana.revenue_anomaly_zscore,
+        "customer_ltv_running": ana.customer_ltv_running,
+        "revenue_date_spine": ana.revenue_date_spine,
         "top_parts_per_region": ana.top_parts_per_region,
         "corpus_stratified_sample": opsample.corpus_stratified_sample,
         "corpus_sample_per_stratum": opsample.corpus_sample_per_stratum,
@@ -103,6 +105,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding_lsh": opsim.dedup_embedding_lsh,
         "ann_topk_lsh": opsim.ann_topk_lsh,
         "ann_topk_ivf": opsim.ann_topk_ivf,
+        "knn_graph": opsim.knn_graph,
         "dedup_clusters": opgraph.dedup_clusters,
         "fuzzy_name_match": opfuzzy.fuzzy_name_match,
         "tfidf_top_terms": oprank.tfidf_top_terms,
@@ -171,6 +174,9 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh"] = opsim.oracle_dedup_embedding_lsh()
     out["ann_topk_lsh"] = opsim.oracle_ann_topk_lsh()
     out["ann_topk_ivf"] = opsim.oracle_ann_topk_ivf()
+    out["knn_graph"] = opsim.oracle_knn_graph()
+    out["customer_ltv_running"] = ana.ORACLE_CUSTOMER_LTV_RUNNING
+    out["revenue_date_spine"] = ana.ORACLE_REVENUE_DATE_SPINE
     out["dedup_clusters"] = opgraph.oracle_dedup_clusters()
     out["fuzzy_name_match"] = opfuzzy.oracle_fuzzy_name_match()
     out["tfidf_top_terms"] = oprank.oracle_tfidf_top_terms()

@@ -9,7 +9,7 @@ correct at ANY fact scale, unlike the data-dependent AQE broadcasts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.sources.registry import load_table
@@ -579,4 +579,124 @@ z as (
 select order_date, revenue, n_window, zscore,
     abs(zscore) > {ANOMALY_Z} as is_anomaly
 from z
+"""
+
+
+REACTIVATION_GAP_DAYS = 90
+
+
+def customer_ltv_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order running lifetime value + inter-order gap analysis:
+    order sequence number, cumulative revenue, days since the previous
+    order, and a reactivation flag (gap > REACTIVATION_GAP_DAYS).
+
+    One shuffle on o_custkey; all three windows (row_number, running
+    sum, lag) share the identical (custkey, date, orderkey) sort, so
+    Spark evaluates them in a single Window physical node. Running sums
+    are exact decimal; the double conversion happens once per output
+    row. Scale: partition = customer (bounded order counts), no global
+    sort anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount_dec"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_date = F.lag("order_date").over(w)
+    gap = F.datediff(F.col("order_date"), prev_date)
+    return orders.select(
+        F.col("o_custkey").alias("customer_key"),
+        F.col("o_orderkey").alias("order_key"),
+        "order_date",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.col("amount_dec").cast("double").alias("order_amount"),
+        F.sum("amount_dec").over(wsum).cast("double").alias("ltv_running"),
+        gap.cast("long").alias("days_since_prev"),
+        F.coalesce(gap > REACTIVATION_GAP_DAYS, F.lit(False)).alias("reactivated"),
+    )
+
+
+ORACLE_CUSTOMER_LTV_RUNNING = f"""
+select
+    o_custkey as customer_key,
+    o_orderkey as order_key,
+    cast(o_orderdate as date) as order_date,
+    cast(row_number() over w as bigint) as order_seq,
+    cast(cast(o_totalprice as decimal(18,2)) as double) as order_amount,
+    cast(sum(cast(o_totalprice as decimal(18,2))) over (
+        partition by o_custkey order by cast(o_orderdate as date), o_orderkey
+        rows between unbounded preceding and current row
+    ) as double) as ltv_running,
+    cast(date_diff('day',
+        lag(cast(o_orderdate as date)) over w,
+        cast(o_orderdate as date)) as bigint) as days_since_prev,
+    coalesce(date_diff('day',
+        lag(cast(o_orderdate as date)) over w,
+        cast(o_orderdate as date)) > {REACTIVATION_GAP_DAYS}, false) as reactivated
+from orders
+window w as (partition by o_custkey order by cast(o_orderdate as date), o_orderkey)
+"""
+
+
+def revenue_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily revenue: a generated date spine (dbt_utils.
+    date_spine parity) left-joined to the daily order aggregate, zero-
+    filled with an activity flag.
+
+    The spine is sequence(min_date, max_date) exploded from the 1-row
+    bounds aggregate — rows = days, data-independent of fact size; the
+    daily aggregate is the only fact shuffle. At 100 TB the spine side
+    is broadcast against the (tiny, post-agg) daily table.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount_dec"),
+    )
+    daily = orders.groupBy("order_date").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("amount_dec").alias("rev_dec"),
+    )
+    spine = (
+        orders.agg(
+            F.min("order_date").alias("d0"), F.max("order_date").alias("d1")
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    return (
+        spine.join(daily, spine.day == daily.order_date, "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("rev_dec").cast("double"), F.lit(0.0)).alias("revenue"),
+            F.col("order_date").isNotNull().alias("has_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE_DATE_SPINE = """
+with daily as (
+    select cast(o_orderdate as date) as order_date,
+        count(*) as n_orders,
+        sum(cast(o_totalprice as decimal(18,2))) as rev_dec
+    from orders
+    group by 1
+), bounds as (
+    select min(cast(o_orderdate as date)) as d0, max(cast(o_orderdate as date)) as d1
+    from orders
+), spine as (
+    select cast(unnest(generate_series(d0, d1, interval 1 day)) as date) as day
+    from bounds
+)
+select s.day,
+    cast(coalesce(d.n_orders, 0) as bigint) as n_orders,
+    coalesce(cast(d.rev_dec as double), cast(0.0 as double)) as revenue,
+    d.order_date is not null as has_orders
+from spine s left join daily d on s.day = d.order_date
 """

@@ -588,3 +588,96 @@ from ranked where rank <= {ANN_TOPK}
 """
     )
     return "".join(parts)
+
+
+KNN_K = 5
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#19c: k-nearest-neighbor graph build — the index structure behind
+    semantic dedup clustering and retrieval-augmented sampling.
+
+    Candidates come from the SAME md5-literal hyperplane-LSH family as
+    dedup_embedding_lsh (symmetric: both directions of every bucket
+    pair), reranked by exact ordered-fold cosine, top-KNN_K per vector
+    by (cosine desc, neighbor_id). The per-vector window is balanced at
+    any scale (partition key = vec_id, bounded fan-in = candidates per
+    vector). The oracle reproduces buckets → candidates → rerank
+    exactly, so the key is fully value-checked despite being an
+    approximate index build.
+    """
+    e = _emb(spark, sf_dir)
+    bucketed = e.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.posexplode(
+            F.array(
+                *[
+                    _hp_bucket_col("dedup", t, DEDUP_LSH_PLANES)
+                    for t in range(DEDUP_LSH_TABLES)
+                ]
+            )
+        ).alias("table_id", "bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("src"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+        "table_id",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+        "table_id",
+        "bucket",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("src") != F.col("nbr"))
+        .dropDuplicates(["src", "nbr"])
+        .select("src", "nbr", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("nbr").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine_r6"),
+        )
+    )
+
+
+def oracle_knn_graph() -> str:
+    na = _NORM_SQL.format(t="a")
+    nb = _NORM_SQL.format(t="b")
+    return f"""
+with bucketed as (
+{_hp_bucketed_sql("dedup", DEDUP_LSH_TABLES, DEDUP_LSH_PLANES)}
+),
+cand as (
+    select distinct x.vec_id as src, y.vec_id as nbr
+    from bucketed x join bucketed y
+      on x.table_id = y.table_id and x.bucket = y.bucket
+     and x.vec_id <> y.vec_id
+),
+scored as (
+    select c.src, c.nbr, {_DOT_SQL} / ({na} * {nb}) as cosine
+    from cand c
+    join embeddings a on a.vec_id = c.src
+    join embeddings b on b.vec_id = c.nbr
+)
+select vec_id, neighbor_id, rank, round(cosine, 6) as cosine_r6 from (
+    select src as vec_id, nbr as neighbor_id, cosine,
+        cast(row_number() over (
+            partition by src order by cosine desc, nbr
+        ) as bigint) as rank
+    from scored
+) where rank <= {KNN_K}
+"""

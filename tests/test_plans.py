@@ -103,3 +103,22 @@ def test_inverted_index_caps_hot_terms(spark):
         f"df <= {opindex.POSTINGS_DF_CAP} and postings is null"
     )
     assert cold.count() == 0
+
+
+def test_knn_graph_is_blocked_not_all_pairs(spark):
+    from ecommerce_dbt_medallion_spark.ops import similarity
+
+    plan = _formatted(similarity.knn_graph(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ltv_windows_share_one_sort(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics
+
+    import re
+
+    plan = _formatted(analytics.customer_ltv_running(spark, SF_SMOKE))
+    # row_number, running sum, and lag all ride the same
+    # (custkey, date, orderkey) sort: exactly one Window node
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan

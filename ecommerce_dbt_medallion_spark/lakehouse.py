@@ -456,3 +456,128 @@ def optimize(
         },
     )
     return v
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
+    """DELETE FROM table WHERE predicate — the Delta DELETE shape (GDPR
+    erasure, retention enforcement).
+
+    Touched-file discovery is exact and distributed: live files are read
+    with input_file_name(), rows matching the predicate name the files
+    to rewrite; every other file carries over by reference. A touched
+    file is rewritten WITHOUT its matching rows (dropped entirely when
+    nothing survives). At 100 TB a targeted delete rewrites the handful
+    of files holding the keys, never the table.
+    """
+    vs = versions(table)
+    if not vs:
+        raise ValueError(f"table {table} does not exist")
+    live = live_files(table)
+    paths = [_abs(table, a["file"]) for a in live]
+    tagged = spark.read.parquet(*paths).withColumn(
+        "__f", F.input_file_name()
+    )
+    hit_files = {
+        os.path.basename(r["__f"])
+        for r in tagged.where(predicate).select("__f").distinct().collect()
+    }
+    touched = [a for a in live if a["file"] in hit_files]
+    key = _read_entry(table, vs[-1]).get("key")
+
+    adds: list[dict] = []
+    n_deleted = 0
+    if touched:
+        tdf = spark.read.parquet(*[_abs(table, a["file"]) for a in touched])
+        kept = tdf.where(f"not ({predicate})")
+        n_kept = kept.count()
+        n_deleted = sum(a["rows"] for a in touched) - n_kept
+        if n_kept:
+            adds = _stage_files(kept, table, key)
+
+    v = vs[-1] + 1
+    _commit(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": "DELETE",
+            "key": key,
+            "predicate": predicate,
+            "add": adds,
+            "remove": [a["file"] for a in touched],
+            "stats": {
+                "files_touched": len(touched),
+                "files_untouched": len(live) - len(touched),
+                "rows_deleted": n_deleted,
+            },
+        },
+    )
+    return v
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """Change data feed between two versions: one row per logically
+    changed key with ``_change_type`` ∈ insert / delete /
+    update_postimage (Delta CDF semantics; updates carry the post-image
+    row, deletes the pre-image).
+
+    Only files that ENTERED or LEFT the live set between the versions
+    are read — rows in carried-over files cannot have changed, and
+    rows merely moved by OPTIMIZE/MERGE carry-over cancel out via a
+    full-outer join on key with a whole-row hash equality check. At
+    100 TB the CDF cost scales with the churn, not the table.
+    """
+    if key is None:
+        key = _read_entry(table, versions(table)[-1]).get("key")
+    if key is None:
+        raise ValueError("table_changes requires a key column")
+    old_live = {a["file"] for a in live_files(table, from_version)}
+    new_live = {a["file"] for a in live_files(table, to_version)}
+    old_only = sorted(old_live - new_live)
+    new_only = sorted(new_live - old_live)
+
+    schema = read(spark, table, from_version).schema
+    cols = [f.name for f in schema.fields]
+
+    def _side(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*[_abs(table, f) for f in files])
+
+    rowhash = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
+    old = _side(old_only).select(
+        F.col(key).alias("__k"),
+        rowhash.alias("__oh"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    new = _side(new_only).select(
+        F.col(key).alias("__k"),
+        rowhash.alias("__nh"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    j = old.join(new, "__k", "full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), F.lit("insert"))
+        .when(F.col("__nh").isNull(), F.lit("delete"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("update_postimage"))
+    )
+    # post-image for insert/update, pre-image for delete — selected per
+    # SIDE, not per column (a legitimately-NULL new value must not fall
+    # back to the old value)
+    picked = [
+        F.when(F.col("__nh").isNotNull(), F.col(f"__n_{c}"))
+        .otherwise(F.col(f"__o_{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return (
+        j.withColumn("_change_type", change)
+        .where(F.col("_change_type").isNotNull())
+        .select(*picked, "_change_type")
+    )

@@ -205,3 +205,49 @@ def test_optimize_zorder_enables_2d_skipping(spark, tmp_path):
     assert len(y_hits) < len(live), "y-range query must skip files"
     # content survives the rewrite
     assert lh.read(spark, table).count() == n
+
+
+def test_delete_where_rewrites_only_touched_files(spark, table):
+    v = lh.delete_where(spark, table, "id >= 10 and id < 20")
+    got = lh.read(spark, table)
+    assert got.count() == 90
+    assert got.where("id >= 10 and id < 20").count() == 0
+    e = lh.history(table)[-1]
+    assert e["operation"] == "DELETE"
+    # keys 0..99 across 4 range files -> the 10-key slice lives in 1 file
+    assert e["n_removed"] == 1, e
+    # time travel still sees the deleted rows
+    assert lh.read(spark, table, version=v - 1).count() == 100
+
+
+def test_delete_where_drops_file_when_nothing_survives(spark, table):
+    # file 0 holds the lowest quartile; delete all of it
+    lh.delete_where(spark, table, "id < 25")
+    got = lh.read(spark, table)
+    assert got.count() == 75 and got.agg(F.min("id")).collect()[0][0] == 25
+    e = lh.history(table)[-1]
+    assert e["n_added"] == 0 or e["n_added"] < e["n_removed"]
+
+
+def test_table_changes_classifies_merge(spark, table):
+    src = spark.createDataFrame(
+        [(5, 999), (7, 777), (200, 2000)], "id long, val long"
+    )
+    v1 = lh.merge_into(spark, table, src, key="id")
+    cdf = {r["id"]: r for r in lh.table_changes(spark, table, 0, v1).collect()}
+    assert cdf[5]["_change_type"] == "update_postimage" and cdf[5]["val"] == 999
+    assert cdf[7]["_change_type"] == "update_postimage" and cdf[7]["val"] == 777
+    assert cdf[200]["_change_type"] == "insert" and cdf[200]["val"] == 2000
+    # carried-over rows in the rewritten file must NOT appear
+    assert set(cdf) == {5, 7, 200}
+
+
+def test_table_changes_delete_and_optimize_noise_free(spark, table):
+    v1 = lh.delete_where(spark, table, "id = 42")
+    cdf = lh.table_changes(spark, table, 0, v1).collect()
+    assert len(cdf) == 1
+    assert cdf[0]["id"] == 42 and cdf[0]["_change_type"] == "delete"
+    # OPTIMIZE moves rows between files without logical change -> empty CDF
+    v2 = lh.optimize(spark, table, key="id", target_rows=1000)
+    assert v2 > v1
+    assert lh.table_changes(spark, table, v1, v2).count() == 0

@@ -32,6 +32,7 @@ from ecommerce_dbt_medallion_spark.ops import sampling as opsample
 from ecommerce_dbt_medallion_spark.ops import scrub as opscrub
 from ecommerce_dbt_medallion_spark.ops import sketch as opsketch
 from ecommerce_dbt_medallion_spark.ops import text as optext
+from ecommerce_dbt_medallion_spark.ops import vocab as opvocab
 from ecommerce_dbt_medallion_spark.quality import checks as dq
 from ecommerce_dbt_medallion_spark.streaming import enrich_stream as strm_enrich
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
@@ -100,6 +101,9 @@ def queries() -> dict[str, QueryFn]:
         "doc_chunking": opchunk.doc_chunking,
         "pack_sequences": opchunk.pack_sequences,
         "embedding_quantize": opquant.embedding_quantize,
+        "vocab_top_words": opvocab.vocab_top_words,
+        "doc_oov_rate": opvocab.doc_oov_rate,
+        "session_window_stats": ev.session_window_stats,
         "ann_cosine_topk": opsim.ann_cosine_topk,
         "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
         "dedup_embedding_lsh": opsim.dedup_embedding_lsh,
@@ -150,6 +154,9 @@ def oracle_sql() -> dict[str, str]:
     out["doc_chunking"] = opchunk.oracle_doc_chunking()
     out["pack_sequences"] = opchunk.oracle_pack_sequences()
     out["embedding_quantize"] = opquant.oracle_embedding_quantize()
+    out["vocab_top_words"] = opvocab.oracle_vocab_top_words()
+    out["doc_oov_rate"] = opvocab.oracle_doc_oov_rate()
+    out["session_window_stats"] = ev.oracle_session_window_stats()
     out["ann_cosine_topk"] = opsim.oracle_ann_cosine_topk()
     out["doc_winnowing"] = optext.oracle_doc_winnowing()
     out["corpus_curation"] = optext.oracle_corpus_curation()

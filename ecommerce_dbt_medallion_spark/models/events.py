@@ -409,3 +409,69 @@ select g.cohort_week, g.week_offset, g.n_active, s.cohort_size,
     cast(g.n_active as double) / s.cohort_size as retention_rate
 from grid g join cohort_sizes s using (cohort_week)
 """
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions via Spark's BUILT-IN session_window aggregation (the
+    native operator behind event_sessionization's hand-rolled windows;
+    also the streaming-ready form — the same expression works under
+    readStream with a watermark).
+
+    Semantics note pinned by the oracle: session_window merges an event
+    into the current session iff ts < last_ts + gap, so a gap of
+    EXACTLY 30 min starts a new session (the lag-based operator's `>`
+    keeps it — both semantics are valid, each key models its own).
+    window.end = last event + gap by definition.
+
+    One shuffle on (user_id, session_window); state is bounded per key.
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"),
+        )
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("val_dec"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("val_dec").cast("double").alias("total_value"),
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW_STATS = """
+with ev as (
+    select user_id, event_id, ts, value,
+        lag(epoch_us(ts)) over w as prev_us,
+        epoch_us(ts) as ts_us
+    from events
+    window w as (partition by user_id order by epoch_us(ts), event_id)
+), flagged as (
+    select *, case when prev_us is null
+                   or ts_us - prev_us >= {gap} * 1000000 then 1 else 0 end as new_s
+    from ev
+), numbered as (
+    select *, sum(new_s) over (
+        partition by user_id order by ts_us, event_id
+        rows between unbounded preceding and current row
+    ) as session_seq
+    from flagged
+)
+select user_id,
+    min(ts) as session_start,
+    max(ts) + interval {gap} seconds as session_end,
+    cast(count(*) as bigint) as n_events,
+    cast(sum(cast(value as decimal(18,2))) as double) as total_value
+from numbered
+group by user_id, session_seq
+""".format(gap="{gap}")
+
+
+def oracle_session_window_stats() -> str:
+    return ORACLE_SESSION_WINDOW_STATS.format(gap=SESSION_GAP_SECONDS)

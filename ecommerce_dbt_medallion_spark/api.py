@@ -126,6 +126,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_simhash": opdedup.dedup_simhash,
         "stream_event_rollup": strm.stream_event_rollup,
         "stream_dedup_events": strm.stream_dedup_events,
+        "stream_session_window": strm.stream_session_window,
         "stream_sessionize": strm_sessions.stream_sessionize,
         "stream_join_view_purchase": strm_join.stream_join_view_purchase,
         "stream_enrich_purchases": strm_enrich.stream_enrich_purchases,
@@ -205,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
+    # complete-mode drain == the batch session_window result
+    out["stream_session_window"] = ev.oracle_session_window_stats()
     out["multimodal_extract"] = opmm.oracle_multimodal_extract()
     out["stream_sessionize"] = strm_sessions.oracle_stream_sessionize()
     out["stream_join_view_purchase"] = strm_join.ORACLE_STREAM_JOIN_VIEW_PURCHASE

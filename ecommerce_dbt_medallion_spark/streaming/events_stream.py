@@ -133,3 +133,57 @@ from (
 )
 group by event_type
 """
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation UNDER STRUCTURED STREAMING —
+    the streaming twin of the batch ``session_window_stats`` key (same
+    expression, readStream source, 2 h watermark, AvailableNow drain).
+
+    Complete output mode emits the final result table after the drain,
+    so every session (open or closed) is present and the BATCH
+    session_window oracle applies verbatim — unlike the append-mode
+    applyInPandasWithState key, no closed-session modeling is needed.
+    In production the same query runs continuously; the watermark
+    bounds session state.
+    """
+    from ecommerce_dbt_medallion_spark.config import SESSION_GAP_SECONDS
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(static_schema).parquet(
+        os.path.join(sf_dir, "events.parquet*")
+    )
+    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"),
+        )
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("val_dec"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("val_dec").cast("double").alias("total_value"),
+        )
+    )
+
+    sink = f"stream_sesswin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

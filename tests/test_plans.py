@@ -122,3 +122,29 @@ def test_ltv_windows_share_one_sort(spark):
     # row_number, running sum, and lag all ride the same
     # (custkey, date, orderkey) sort: exactly one Window node
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    from ecommerce_dbt_medallion_spark.ops import scrub
+
+    plan = _formatted(scrub.decontaminate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_oov_rate_broadcasts_vocab(spark):
+    from ecommerce_dbt_medallion_spark.ops import vocab
+
+    plan = _formatted(vocab.doc_oov_rate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_window_per_shard(spark):
+    import re
+
+    from ecommerce_dbt_medallion_spark.ops import chunking
+
+    plan = _formatted(chunking.pack_sequences(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    # no Python evaluation in the plan: pure codegen pipeline
+    assert "BatchEvalPython" not in plan

@@ -46,6 +46,9 @@ def main() -> None:
         # comparable subtotal vs BASELINE.md excludes them)
         "tfidf_top_terms",
         "copurchase_topk",
+        "decontaminate",
+        "knn_graph",
+        "session_window_stats",
     ):
         if extra in queries:
             headline.append(extra)

@@ -32,8 +32,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Ordered-fold dot product via HOFs — measured FASTER than an explicit
+    64-term codegen chain: the chain compiles but exceeds HotSpot's
+    ~8 KB-bytecode JIT threshold (DontCompileHugeMethods), so the generated
+    method runs in the JVM bytecode interpreter (~3× slower than Spark's
+    interpreted fold, measured 7.5 s vs 2.7 s per 2M pairs on local[32]).
+    The fold order matches DuckDB's list_aggregate 'sum' bit-for-bit."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -45,6 +59,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: no shuffle of the corpus, only the final per-query top-k.
     """
     e = _emb(spark, sf_dir)
+    # corpus pass must parallelize (single-file parquet = one partition)
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
     q = F.broadcast(
         e.where(F.col("vec_id") < ANN_N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -54,7 +70,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))
     scored = (
-        e.crossJoin(q)
+        corpus.crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     )
@@ -110,7 +126,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation; this exact variant is the oracle-checkable truth.
     """
     e = _emb(spark, sf_dir)
-    a = e.select(
+    # left side repartitioned so the O(n²) scoring parallelizes (the
+    # single-file corpus otherwise reads as one partition)
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
     )
     b = e.select(
@@ -226,6 +244,11 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("table_id", "bucket"),
     )
+    # parallelize the corpus-side probe (single-file parquet reads as one
+    # partition otherwise); the query side below is tiny and broadcasts.
+    bucketed = bucketed.repartition(
+        spark.sparkContext.defaultParallelism, "table_id", "bucket"
+    )
     a = bucketed.select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -317,6 +340,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("table_id", "bucket"),
     )
+    # pre-partition on the join key: one small shuffle of the bucketed
+    # corpus parallelizes the candidate fan-out (a single-file parquet
+    # otherwise reads as ONE partition and the per-pair cosine serializes
+    # on one core); at scale this IS the band-key shuffle the join needs.
+    bucketed = bucketed.repartition(
+        spark.sparkContext.defaultParallelism, "table_id", "bucket"
+    )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("vec").alias("va"),
@@ -332,12 +362,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # cosine + threshold BEFORE the dedup shuffle: the fold is cheap per
+    # candidate row (even with ≤8× multi-table duplicates), and the
+    # distinct then shuffles 3 narrow columns instead of two 64-dim
+    # vectors per row (~24 B vs ~1 KB) — at 100 TB the dedup shuffle is
+    # the dominant mover here.
     return (
         a.join(b, ["table_id", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= EMBEDDING_DUP_THRESHOLD_04)
+        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r6"))
     )
 
@@ -392,11 +427,7 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
         )
     )
     for _ in range(IVF_KMEANS_ITERS):
-        dist = F.aggregate(
-            F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        dist = _sqdist(F.col("vec"), F.col("cvec"))
         assigned = (
             e.crossJoin(centroids)
             .withColumn("dist", dist)
@@ -446,14 +477,12 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert agreement with brute force on surfaced pairs and
     recall sanity.
     """
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     centroids = _ivf_centroids(e)
 
-    dist = F.aggregate(
-        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    dist = _sqdist(F.col("vec"), F.col("cvec"))
     assigned = (
         e.crossJoin(centroids)
         .withColumn("dist", dist)
@@ -591,20 +620,26 @@ from ranked where rank <= {ANN_TOPK}
 
 
 KNN_K = 5
+KNN_LSH_PLANES = 8  # 256 buckets/table: candidate fan-in stays bounded
+KNN_LSH_TABLES = 8
 
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#19c: k-nearest-neighbor graph build — the index structure behind
     semantic dedup clustering and retrieval-augmented sampling.
 
-    Candidates come from the SAME md5-literal hyperplane-LSH family as
-    dedup_embedding_lsh (symmetric: both directions of every bucket
-    pair), reranked by exact ordered-fold cosine, top-KNN_K per vector
-    by (cosine desc, neighbor_id). The per-vector window is balanced at
-    any scale (partition key = vec_id, bounded fan-in = candidates per
-    vector). The oracle reproduces buckets → candidates → rerank
-    exactly, so the key is fully value-checked despite being an
-    approximate index build.
+    Candidates come from an md5-literal hyperplane-LSH family of its OWN
+    (symmetric: both directions of every bucket pair): 8 tables × 8-bit
+    codes. The plane count is the scale dial — expected bucket occupancy
+    is N/2^planes, so candidate pairs grow ~linearly in N at fixed
+    occupancy (the dedup family's 3-bit codes are tuned for pair recall
+    at cos ≥ 0.4 and go quadratic here). Cosine is computed BEFORE the
+    distinct so the dedup shuffle moves 3 narrow columns, never vectors.
+    Exact ordered-fold cosine rerank, top-KNN_K per vector by
+    (cosine desc, neighbor_id); per-vector window partition = vec_id,
+    fan-in bounded by bucket occupancy × tables. The oracle reproduces
+    buckets → candidates → rerank exactly, so the key is fully
+    value-checked despite being an approximate index build.
     """
     e = _emb(spark, sf_dir)
     bucketed = e.select(
@@ -614,11 +649,16 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    _hp_bucket_col("dedup", t, DEDUP_LSH_PLANES)
-                    for t in range(DEDUP_LSH_TABLES)
+                    _hp_bucket_col("knn", t, KNN_LSH_PLANES)
+                    for t in range(KNN_LSH_TABLES)
                 ]
             )
         ).alias("table_id", "bucket"),
+    )
+    # same pre-partition rationale as dedup_embedding_lsh: parallelize the
+    # candidate fan-out and pre-pay the join's band-key shuffle.
+    bucketed = bucketed.repartition(
+        spark.sparkContext.defaultParallelism, "table_id", "bucket"
     )
     a = bucketed.select(
         F.col("vec_id").alias("src"),
@@ -638,8 +678,8 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         a.join(b, ["table_id", "bucket"])
         .where(F.col("src") != F.col("nbr"))
-        .dropDuplicates(["src", "nbr"])
         .select("src", "nbr", cos.alias("cosine"))
+        .dropDuplicates(["src", "nbr"])
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
     return (
@@ -659,7 +699,7 @@ def oracle_knn_graph() -> str:
     nb = _NORM_SQL.format(t="b")
     return f"""
 with bucketed as (
-{_hp_bucketed_sql("dedup", DEDUP_LSH_TABLES, DEDUP_LSH_PLANES)}
+{_hp_bucketed_sql("knn", KNN_LSH_TABLES, KNN_LSH_PLANES)}
 ),
 cand as (
     select distinct x.vec_id as src, y.vec_id as nbr

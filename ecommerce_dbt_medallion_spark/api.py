@@ -19,6 +19,7 @@ from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import basket as opbasket
 from ecommerce_dbt_medallion_spark.ops import chunking as opchunk
+from ecommerce_dbt_medallion_spark.ops import curation as opcur
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
 from ecommerce_dbt_medallion_spark.ops import fuzzy as opfuzzy
 from ecommerce_dbt_medallion_spark.ops import graph as opgraph
@@ -85,6 +86,10 @@ def queries() -> dict[str, QueryFn]:
         "revenue_date_spine": ana.revenue_date_spine,
         "top_parts_per_region": ana.top_parts_per_region,
         "corpus_stratified_sample": opsample.corpus_stratified_sample,
+        "dataset_split": opcur.dataset_split,
+        "dataset_split_stats": opcur.dataset_split_stats,
+        "dedup_keep_best": opcur.dedup_keep_best,
+        "curation_funnel": opcur.curation_funnel,
         "corpus_sample_per_stratum": opsample.corpus_sample_per_stratum,
         # LLM-data-pipeline operators (SURVEY.md §2 #15-25)
         "text_token_stats": optext.text_token_stats,
@@ -174,6 +179,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["top_parts_per_region"] = ana.ORACLE_TOP_PARTS_PER_REGION
     out["corpus_stratified_sample"] = opsample.oracle_corpus_stratified_sample()
+    out["dataset_split"] = opcur.oracle_dataset_split()
+    out["dataset_split_stats"] = opcur.oracle_dataset_split_stats()
+    out["dedup_keep_best"] = opcur.oracle_dedup_keep_best()
+    out["curation_funnel"] = opcur.oracle_curation_funnel()
     out["corpus_sample_per_stratum"] = opsample.oracle_corpus_sample_per_stratum()
     out["customer_order_percentiles"] = assemble(
         "silver_orders", final_select=ana.ORACLE_CUSTOMER_ORDER_PERCENTILES_FINAL

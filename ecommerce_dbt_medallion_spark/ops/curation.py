@@ -1,0 +1,282 @@
+"""Corpus curation composition ops — the decision layer of a training-
+data pipeline: disjoint dataset splits, quality-aware duplicate-cluster
+canonicalization, and the end-to-end attrition funnel.
+
+Reference analogue: none (the reference's scope is the medallion mart);
+these extend the `documents`-table operator family mandated by the
+build brief, composing the already-oracled primitives (quality score,
+exact/near dedup, cluster labels, decontamination) into the shapes a
+100 TB pretraining run actually consumes.
+
+Scale notes:
+- ``dataset_split`` / ``dataset_split_stats`` are pure hash filters /
+  one small aggregation — scan-bound, zero shuffle (split) or one
+  shuffle at (split, lang) grain (stats; cardinality ≈ dozens).
+- ``dedup_keep_best`` rides on dedup_clusters' converged labels; the
+  only new work is a broadcast-size join of cluster labels against the
+  quality projection and a per-cluster window (partition = cluster_id,
+  fan-in = cluster size — bounded by construction for near-dup cliques).
+- ``curation_funnel`` is ONE pass over the flag table + a 6-bucket
+  conditional aggregation (map-side partials, single row out), then a
+  driver-free unpivot via ``stack``. No per-stage rescans: each stage's
+  predicate is a cumulative AND over already-computed booleans.
+
+Determinism: the split assignment reuses the md5-hex-prefix recipe from
+ops.sampling (fixed-width lowercase hex compares lexicographically ==
+numerically in both engines); keep-best ties break on doc_id; funnel
+percentages are a single double division of exact bigint counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.ops.graph import (
+    dedup_clusters,
+    oracle_dedup_clusters,
+)
+from ecommerce_dbt_medallion_spark.ops.sampling import _hex_threshold
+from ecommerce_dbt_medallion_spark.ops.scrub import (
+    BENCH_MOD,
+    decontaminate,
+    oracle_decontaminate,
+)
+from ecommerce_dbt_medallion_spark.ops.text import (
+    corpus_curation,
+    oracle_corpus_curation,
+    oracle_text_quality_score,
+    text_quality_score,
+)
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+SPLIT_SALT = "#split1"
+TRAIN_FRAC = 0.8
+VAL_FRAC = 0.1  # val cut = TRAIN_FRAC + VAL_FRAC; remainder is test
+
+
+def _split_bucket(col: Column) -> Column:
+    return F.substring(
+        F.md5(F.concat(col.cast("string"), F.lit(SPLIT_SALT))), 1, 8
+    )
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#34m: deterministic disjoint train/val/test assignment.
+
+    split = f(md5(doc_id)) alone — reproducible across runs, engines,
+    and repartitionings; a pure projection (zero shuffle, scan-bound at
+    100 TB). Distinct from sampling: every doc gets exactly one split.
+    """
+    t_train = F.lit(_hex_threshold(TRAIN_FRAC))
+    t_val = F.lit(_hex_threshold(TRAIN_FRAC + VAL_FRAC))
+    b = _split_bucket(F.col("doc_id"))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(b < t_train, "train").when(b < t_val, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+def oracle_dataset_split() -> str:
+    t_train = _hex_threshold(TRAIN_FRAC)
+    t_val = _hex_threshold(TRAIN_FRAC + VAL_FRAC)
+    return f"""
+select doc_id, lang, source, cast(n_chars as bigint) as n_chars,
+    case when substring(md5(cast(doc_id as varchar) || '{SPLIT_SALT}'), 1, 8) < '{t_train}'
+         then 'train'
+         when substring(md5(cast(doc_id as varchar) || '{SPLIT_SALT}'), 1, 8) < '{t_val}'
+         then 'val'
+         else 'test' end as split
+from documents
+"""
+
+
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#34n: per-(split, lang) manifest stats — doc counts, char volume,
+    and each cell's share of the corpus. The global-total window runs
+    over the AGGREGATED frame (|splits|×|langs| rows), the bounded-
+    window-after-aggregation pattern used by the gold marts."""
+    agg = (
+        dataset_split(spark, sf_dir)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    total = F.sum("docs").over(Window.partitionBy())
+    return agg.select(
+        "split",
+        "lang",
+        "docs",
+        "total_chars",
+        F.round(F.col("docs").cast("double") / total, 6).alias("doc_share"),
+    )
+
+
+def oracle_dataset_split_stats() -> str:
+    return f"""
+with s as ({oracle_dataset_split()})
+select split, lang,
+    cast(count(*) as bigint) as docs,
+    cast(sum(n_chars) as bigint) as total_chars,
+    round(cast(count(*) as double) / sum(count(*)) over (), 6) as doc_share
+from s
+group by split, lang
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#34o: quality-aware canonicalization of near-duplicate clusters —
+    instead of keeping the min-id member (dedup_clusters), keep the
+    HIGHEST-QUALITY member of each cluster (ties → lowest doc_id), the
+    policy an LLM corpus actually wants.
+
+    Rides on the converged connected-components labels; adds one join
+    against the quality projection and a per-cluster window whose
+    fan-in is the cluster size (near-dup cliques are small by
+    construction, so the window is balanced at any corpus scale).
+    """
+    labels = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "quality_score", "is_kept")
+    )
+
+
+def oracle_dedup_keep_best() -> str:
+    return f"""
+with cl as (
+    select * from ({oracle_dedup_clusters()})
+), q as (
+    select doc_id, quality_score from ({oracle_text_quality_score()})
+)
+select doc_id, cluster_id, cluster_size, quality_score,
+    row_number() over (partition by cluster_id
+                       order by quality_score desc, doc_id asc) = 1 as is_kept
+from cl join q using (doc_id)
+"""
+
+
+FUNNEL_STAGES = [
+    "raw",
+    "train_pool",
+    "long_enough",
+    "good_quality",
+    "exact_canonical",
+    "decontaminated",
+]
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#34p: end-to-end curation attrition report — how many documents
+    (and characters) survive each cumulative pipeline stage:
+    raw → drop benchmark docs → length floor → quality floor → exact-
+    dedup canonical → decontaminated.
+
+    One pass: the per-doc boolean flags come from the already-oracled
+    corpus_curation and decontaminate ops, the funnel itself is a single
+    6-bucket conditional aggregation (map-side partials, one output
+    row) unpivoted with ``stack`` — no per-stage rescans of the corpus.
+    """
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    cur = corpus_curation(spark, sf_dir).select(
+        "doc_id", "is_canonical", "long_enough", "good_quality"
+    )
+    dec = decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    flags = base.join(cur, "doc_id").join(dec, "doc_id", "left")
+    cum: list[Column] = [F.lit(True)]
+    cum.append(cum[0] & (F.col("doc_id") % BENCH_MOD != 0))
+    cum.append(cum[1] & F.col("long_enough"))
+    cum.append(cum[2] & F.col("good_quality"))
+    cum.append(cum[3] & F.col("is_canonical"))
+    cum.append(cum[4] & ~F.coalesce(F.col("contaminated"), F.lit(False)))
+    aggs = []
+    for i, c in enumerate(cum, start=1):
+        aggs.append(
+            F.coalesce(F.sum(F.when(c, 1)), F.lit(0)).cast("long").alias(f"d{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(c, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias(f"ch{i}")
+        )
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"cast({i} as bigint), '{name}', d{i}, ch{i}"
+        for i, name in enumerate(FUNNEL_STAGES, start=1)
+    )
+    return one.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack_args})"
+        " as (stage_idx, stage, docs, total_chars)",
+        "d1 as raw_docs",
+    ).select(
+        "stage_idx",
+        "stage",
+        "docs",
+        "total_chars",
+        F.round(F.col("docs").cast("double") / F.col("raw_docs"), 6).alias(
+            "pct_of_raw"
+        ),
+    )
+
+
+def oracle_curation_funnel() -> str:
+    stage_selects = []
+    for i, name in enumerate(FUNNEL_STAGES, start=1):
+        stage_selects.append(
+            f"select cast({i} as bigint) as stage_idx, '{name}' as stage,"
+            f" d{i} as docs, ch{i} as total_chars,"
+            f" round(cast(d{i} as double) / d1, 6) as pct_of_raw from s"
+        )
+    union = "\nunion all\n".join(stage_selects)
+    sums = []
+    for i in range(1, len(FUNNEL_STAGES) + 1):
+        sums.append(
+            f"cast(coalesce(sum(case when c{i} then 1 end), 0) as bigint) as d{i}"
+        )
+        sums.append(
+            f"cast(coalesce(sum(case when c{i} then n_chars end), 0) as bigint) as ch{i}"
+        )
+    sums_sql = ",\n        ".join(sums)
+    return f"""
+with cur as (
+    select * from ({oracle_corpus_curation()})
+), dec as (
+    select doc_id, contaminated from ({oracle_decontaminate()})
+), f as (
+    select b.doc_id, b.n_chars,
+        true as c1,
+        (b.doc_id % {BENCH_MOD}) <> 0 as c2,
+        (b.doc_id % {BENCH_MOD}) <> 0 and cur.long_enough as c3,
+        (b.doc_id % {BENCH_MOD}) <> 0 and cur.long_enough
+            and cur.good_quality as c4,
+        (b.doc_id % {BENCH_MOD}) <> 0 and cur.long_enough
+            and cur.good_quality and cur.is_canonical as c5,
+        (b.doc_id % {BENCH_MOD}) <> 0 and cur.long_enough
+            and cur.good_quality and cur.is_canonical
+            and not coalesce(dec.contaminated, false) as c6
+    from (select doc_id, n_chars from documents) b
+    join cur using (doc_id)
+    left join dec using (doc_id)
+), s as (
+    select
+        {sums_sql}
+    from f
+)
+{union}
+"""

@@ -185,11 +185,20 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _word_grams(DECON_N)
     docs = (
         _docs(spark, sf_dir)
+        # single-file parquet reads as one partition; spread the regex +
+        # gram build across cores before paying it
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn(
             "__words",
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)),
         )
         .withColumn("__grams", grams("__words"))
+        .select("doc_id", "__grams")
+        # shared subtree consumed 3× (bench grams, train grams, final
+        # projection): the regex word-split + gram build is the dominant
+        # per-row cost, so dedup it with a lazy checkpoint (same pattern
+        # as the gold marts; on a cluster this would be a persisted stage)
+        .localCheckpoint(eager=False)
     )
     bench_grams = (
         docs.where(F.col("doc_id") % BENCH_MOD == 0)

@@ -136,6 +136,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_join_view_purchase": strm_join.stream_join_view_purchase,
         "stream_enrich_purchases": strm_enrich.stream_enrich_purchases,
         "multimodal_extract": opmm.multimodal_extract,
+        "multimodal_frame_sample": opmm.multimodal_frame_sample,
     }
 
 
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
     # complete-mode drain == the batch session_window result
     out["stream_session_window"] = ev.oracle_session_window_stats()
     out["multimodal_extract"] = opmm.oracle_multimodal_extract()
+    out["multimodal_frame_sample"] = opmm.oracle_multimodal_frame_sample()
     out["stream_sessionize"] = strm_sessions.oracle_stream_sessionize()
     out["stream_join_view_purchase"] = strm_join.ORACLE_STREAM_JOIN_VIEW_PURCHASE
     out["stream_enrich_purchases"] = strm_enrich.ORACLE_STREAM_ENRICH_PURCHASES

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -131,6 +132,117 @@ _BYTE = (
     f"((strpos('{_HEX}', substr({{h}}, 2*{{i}} - 1, 1)) - 1) * 16"
     f" + strpos('{_HEX}', substr({{h}}, 2*{{i}}, 1)) - 1)"
 )
+
+
+VIDEO_FRAMES = 12  # synthesized "video" = 12 chained md5 digests, 16 B/frame
+
+
+def multimodal_video_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthesized video payload: VIDEO_FRAMES 16-byte
+    "frames" (chained md5 of the text) with fps metadata that drives the
+    sampling stride downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"#v{i}"))))
+            for i in range(VIDEO_FRAMES)
+        ]
+    )
+    return docs.select(
+        "doc_id",
+        blob.alias("video_blob"),
+        F.struct(
+            F.lit(VIDEO_FRAMES).cast("int").alias("n_frames"),
+            (1 + F.col("doc_id") % 3).cast("int").alias("stride"),
+        ).alias("video_meta"),
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_hex", StringType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("is_keyframe", BooleanType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampling — N input rows → ~N·frames/stride
+    output rows (the fan-OUT batch shape of real video decode: a
+    deployment would call decode_media per frame here)."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [],
+            "frame_idx": [],
+            "frame_hex": [],
+            "mean_byte": [],
+            "is_keyframe": [],
+        }
+        for doc_id, blob, meta in zip(
+            pdf["doc_id"], pdf["video_blob"], pdf["video_meta"]
+        ):
+            b = bytes(blob)
+            stride = int(meta["stride"])
+            for idx in range(0, int(meta["n_frames"]), stride):
+                frame = b[16 * idx : 16 * (idx + 1)]
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(idx)
+                rows["frame_hex"].append(frame.hex())
+                rows["mean_byte"].append(sum(frame) / 16.0)
+                rows["is_keyframe"].append(idx == 0)
+        yield pd.DataFrame(rows)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#26b: metadata-driven frame sampling over a binary video column —
+    every stride-th frame per document, with per-frame byte features.
+
+    The mapInPandas fan-out (one input row → many frame rows) is the
+    real shape of distributed video preprocessing: blobs stream through
+    Arrow batches, output cardinality is data-dependent, and the frame
+    rows inherit the input partitioning (no shuffle until a consumer
+    aggregates). Codec decode itself stays behind the decode_media stub;
+    every emitted feature is deterministic byte math the DuckDB oracle
+    reproduces from the hex digests.
+    """
+    return multimodal_video_docs(spark, sf_dir).mapInPandas(
+        _frame_batches, FRAME_SCHEMA
+    )
+
+
+def oracle_multimodal_frame_sample() -> str:
+    frame_bytes_sum = (
+        "list_aggregate(list_transform(range(1, 17), "
+        "i -> " + _BYTE.format(h="frame_hex", i="(i)") + "), 'sum')"
+    )
+    digests = " || ".join(
+        f"md5(text || '#v{i}')" for i in range(VIDEO_FRAMES)
+    )
+    return f"""
+with b as (
+    select doc_id, {digests} as hexs,
+        cast(1 + doc_id % 3 as int) as stride
+    from documents
+), frames as (
+    select doc_id,
+        unnest(range(0, {VIDEO_FRAMES}, stride)) as frame_idx,
+        hexs
+    from b
+)
+select doc_id,
+    cast(frame_idx as bigint) as frame_idx,
+    frame_hex,
+    cast({frame_bytes_sum} as double) / cast(16 as double) as mean_byte,
+    frame_idx = 0 as is_keyframe
+from (
+    select doc_id, frame_idx,
+        substr(hexs, cast(32 * frame_idx + 1 as int), 32) as frame_hex
+    from frames
+)
+"""
 
 
 def oracle_multimodal_extract() -> str:

@@ -148,3 +148,59 @@ def test_pack_sequences_single_window_per_shard(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     # no Python evaluation in the plan: pure codegen pipeline
     assert "BatchEvalPython" not in plan
+
+
+def test_dataset_split_is_shuffle_free(spark):
+    from ecommerce_dbt_medallion_spark.ops import curation
+
+    plan = _formatted(curation.dataset_split(spark, SF_SMOKE))
+    # pure hash projection over the scan: no exchange of any kind
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_curation_funnel_single_pass(spark):
+    import re
+
+    from ecommerce_dbt_medallion_spark.ops import curation
+
+    plan = _formatted(curation.curation_funnel(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # one documents scan per flag source (base, curation, decon grams ×2
+    # sides + train) is expected, but the FUNNEL itself must be a single
+    # aggregation, not six filtered rescans: exactly one final
+    # HashAggregate pair over the flag table feeding the stack Generate
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) >= 1
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 6, f"funnel rescans the corpus per stage: {n_scans} scans"
+
+
+def test_dedup_embedding_lsh_narrow_shuffle(spark):
+    from ecommerce_dbt_medallion_spark.ops import similarity
+
+    plan = _formatted(similarity.dedup_embedding_lsh(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair-dedup exchange must move ids+cosine only, never vectors:
+    # find the exchange partitioned on (vec_a, vec_b) and check no
+    # embedding array rides it (formatted mode puts Input/Arguments on
+    # detail lines below the node)
+    import re
+
+    m = re.search(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\(vec_a",
+        plan,
+    )
+    assert m, "pair-dedup exchange missing"
+    riding = m.group(1)
+    assert "vec#" not in riding and "norm#" not in riding, riding
+
+
+def test_multimodal_frame_sample_is_arrow_batched(spark):
+    from ecommerce_dbt_medallion_spark.ops import multimodal
+
+    plan = _formatted(multimodal.multimodal_frame_sample(spark, SF_SMOKE))
+    # mapInPandas → ArrowEvalPython-family node (MapInPandas), no shuffle
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, "frame sampling must not shuffle"

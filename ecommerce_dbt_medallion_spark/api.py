@@ -128,6 +128,8 @@ def queries() -> dict[str, QueryFn]:
         "pagerank_parts": opbasket.pagerank_parts,
         "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only (fast xxhash)
         "dedup_minhash_md5": opdedup.dedup_minhash_md5,
+        "dedup_incremental": opdedup.dedup_incremental,
+        "scd2_customer_orders": ana.scd2_customer_orders,
         "dedup_simhash": opdedup.dedup_simhash,
         "stream_event_rollup": strm.stream_event_rollup,
         "stream_dedup_events": strm.stream_dedup_events,
@@ -214,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
     out["pagerank_parts"] = opbasket.oracle_pagerank_parts()
     out["dedup_simhash"] = opdedup.oracle_dedup_simhash()
     out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
+    out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
+    out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()
     out["stream_dedup_events"] = strm.ORACLE_STREAM_DEDUP_EVENTS
     # complete-mode drain == the batch session_window result

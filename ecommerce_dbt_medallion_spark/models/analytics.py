@@ -700,3 +700,104 @@ select s.day,
     d.order_date is not null as has_orders
 from spine s left join daily d on s.day = d.order_date
 """
+
+
+# ------------------------------------------- SCD2 point-in-time join
+# The canonical versioned-dimension lookup (dbt snapshot consumption
+# side — runner.snapshot_scd2 builds such tables; this is the query
+# that USES one): each fact row joins to the dimension version valid at
+# its event date. Reference analogue: dbt snapshots (snapshots/ dir,
+# check strategy) + every Kimball SCD2 mart.
+
+SCD2_EPOCH = "1994-01-01"
+
+
+def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized SCD2 customer-tier dimension: 1-3 versions per
+    customer with deterministic custkey-derived validity windows (the
+    same synthesis the DuckDB oracle re-states, so the join is fully
+    value-checkable)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    n_last = (F.col("c_custkey") % 3).cast("int")
+    dim = cust.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("version_seq"),
+    )
+    base = F.to_date(F.lit(SCD2_EPOCH))
+    step = (F.col("c_custkey") % 250 + 500).cast("int")
+    return dim.select(
+        "c_custkey",
+        F.col("version_seq").cast("long").alias("version_seq"),
+        F.date_add(base, F.col("version_seq") * step).alias("valid_from"),
+        F.when(
+            F.col("version_seq") < (F.col("c_custkey") % 3).cast("int"),
+            F.date_add(base, (F.col("version_seq") + 1) * step),
+        ).alias("valid_to"),
+        F.concat(
+            F.lit("tier_"), ((F.col("c_custkey") + F.col("version_seq")) % 5).cast("string")
+        ).alias("tier"),
+    )
+
+
+def scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every order picks the customer-tier version
+    valid at its order date.
+
+    Scale shape: EQUI-join on custkey (versions per key bounded by the
+    dimension's churn, here <= 3) with the validity range as a residual
+    filter — a key-partitioned hash/SMJ join, never a range-explosion
+    BroadcastNestedLoopJoin. Exactly one version matches per fact row,
+    so output cardinality = fact cardinality.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_date")
+    )
+    dim = _scd2_customer_dim(spark, sf_dir)
+    return (
+        orders.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("order_date") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("order_date") < F.col("valid_to"))),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "order_date",
+            "version_seq",
+            "tier",
+            F.datediff("order_date", "valid_from").cast("long").alias(
+                "days_into_version"
+            ),
+        )
+    )
+
+
+ORACLE_SCD2_CUSTOMER_ORDERS = f"""
+with dim as (
+    select c_custkey,
+        unnest(range(0, cast(c_custkey % 3 as int) + 1)) as version_seq
+    from customer
+),
+v as (
+    select c_custkey,
+        cast(version_seq as bigint) as version_seq,
+        date '{SCD2_EPOCH}' + cast(version_seq * (c_custkey % 250 + 500) as int)
+            as valid_from,
+        case when version_seq < c_custkey % 3
+             then date '{SCD2_EPOCH}'
+                  + cast((version_seq + 1) * (c_custkey % 250 + 500) as int)
+        end as valid_to,
+        'tier_' || cast((c_custkey + version_seq) % 5 as varchar) as tier
+    from dim
+)
+select o.o_orderkey, o.o_custkey,
+    cast(o.o_orderdate as date) as order_date,
+    v.version_seq, v.tier,
+    cast(date_diff('day', v.valid_from, cast(o.o_orderdate as date)) as bigint)
+        as days_into_version
+from orders o
+join v on o.o_custkey = v.c_custkey
+ and cast(o.o_orderdate as date) >= v.valid_from
+ and (v.valid_to is null or cast(o.o_orderdate as date) < v.valid_to)
+"""

@@ -403,3 +403,243 @@ join sizes sb on sb.doc_id = i.doc_b
 where round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4)
       >= {MINHASH_JACCARD_THRESHOLD}
 """
+
+
+# ------------------------------------------------- incremental dedup
+# The production shape for continuously-ingested training data: a small
+# NEW batch is deduplicated AGAINST the standing corpus (asymmetric),
+# instead of re-running self-dedup over corpus+batch. Reference
+# analogue: dbt incremental materialization semantics
+# (models/silver/silver_orders.sql:1 is_incremental) applied to the
+# corpus-curation domain.
+
+INC_SALT = "#inc1"
+INC_BATCH_FRAC = 0.2
+
+
+def _inc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_dbt_medallion_spark.ops.sampling import _hex_threshold
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    is_batch = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(INC_SALT))), 1, 8
+        )
+        < F.lit(_hex_threshold(INC_BATCH_FRAC))
+    )
+    return docs.select("doc_id", "text", is_batch.alias("is_batch"))
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup: every NEW doc gets a verdict.
+
+    - ``exact_dup``  — normalized-md5 fingerprint already in the corpus
+      (match = min corpus doc_id).
+    - ``near_dup``   — best corpus match by exact Jaccard >= threshold,
+      candidates from the md5 MinHash-LSH band join (same engine-portable
+      family as ``dedup_minhash_md5``).
+    - ``novel``      — neither.
+
+    Scale shape: in production the corpus side of the band join reads
+    STORED signatures/bands (maintained incrementally, amortized over
+    batches); every shuffle here is keyed on fingerprints/band keys, so
+    traffic scales with batch size + band-bucket occupancy, never with
+    corpus x batch. The batch side is tiny relative to the corpus and
+    AQE broadcasts it where estimates allow.
+    """
+    from ecommerce_dbt_medallion_spark.ops.text import _norm_text
+
+    docs = _inc_docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", "is_batch", F.md5(_norm_text(F.col("text"))).alias("fingerprint")
+    )
+    exact = (
+        fp.where(F.col("is_batch"))
+        .alias("b")
+        .join(fp.where(~F.col("is_batch")).alias("c"), "fingerprint")
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("exact_match"))
+    )
+
+    # One shingle explosion feeds signatures, sizes and the verify join.
+    sh = docs.select(
+        "doc_id", "is_batch", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).localCheckpoint(eager=True)
+    sigs = sh.groupBy("doc_id", "is_batch").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{p}")))).alias(f"h{p}")
+            for p in range(MINHASH_PERMS)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id",
+        "is_batch",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
+    )
+    candidates = (
+        bands.where(F.col("is_batch"))
+        .alias("b")
+        .join(
+            bands.where(~F.col("is_batch")).alias("c"),
+            (F.col("b.band_id") == F.col("c.band_id"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("new_doc"), F.col("c.doc_id").alias("match_id")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        candidates.join(sh.alias("ga"), F.col("new_doc") == F.col("ga.doc_id"))
+        .join(
+            sh.alias("gb"),
+            (F.col("match_id") == F.col("gb.doc_id"))
+            & (F.col("ga.shingle") == F.col("gb.shingle")),
+        )
+        .groupBy("new_doc", "match_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    near = (
+        inter.join(sizes.alias("sa"), F.col("new_doc") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("match_id") == F.col("sb.doc_id"))
+        .select(
+            F.col("new_doc").alias("doc_id"),
+            "match_id",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+    )
+    from pyspark.sql import Window
+
+    best = (
+        near.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("jaccard").desc(), F.col("match_id")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("match_id").alias("near_match"), "jaccard")
+    )
+
+    return (
+        docs.where(F.col("is_batch"))
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce(F.col("exact_match"), F.col("near_match")).alias(
+                "match_doc_id"
+            ),
+            F.when(F.col("exact_match").isNull(), F.col("jaccard")).alias("jaccard"),
+        )
+    )
+
+
+def oracle_dedup_incremental() -> str:
+    from ecommerce_dbt_medallion_spark.ops.sampling import _hex_threshold
+    from ecommerce_dbt_medallion_spark.ops.text import _NORM_SQL
+
+    thr = _hex_threshold(INC_BATCH_FRAC)
+    sig_cols = ",\n        ".join(
+        f"min(md5(gram || '#{p}')) as h{p}" for p in range(MINHASH_PERMS)
+    )
+    band_union = "\n    union all\n    ".join(
+        f"select doc_id, is_batch, {b} as band_id, "
+        + "md5("
+        + " || ',' || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ")"
+        + " as band_key from sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+with docs as (
+    select doc_id, text,
+        substring(md5(cast(doc_id as varchar) || '{INC_SALT}'), 1, 8) < '{thr}'
+            as is_batch
+    from documents
+),
+fp as (
+    select doc_id, is_batch, md5({_NORM_SQL}) as fingerprint from docs
+),
+exact as (
+    select b.doc_id, min(c.doc_id) as exact_match
+    from fp b join fp c on b.fingerprint = c.fingerprint
+     and b.is_batch and not c.is_batch
+    group by b.doc_id
+),
+tok as (
+    select doc_id, is_batch, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from docs
+),
+grams as (
+    select doc_id, is_batch, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as gram
+    from tok
+),
+sigs as (
+    select doc_id, is_batch,
+        {sig_cols}
+    from grams group by doc_id, is_batch
+),
+bands as (
+    {band_union}
+),
+candidates as (
+    select distinct b.doc_id as doc_id, c.doc_id as match_id
+    from bands b join bands c
+      on b.band_id = c.band_id and b.band_key = c.band_key
+     and b.is_batch and not c.is_batch
+),
+sizes as (select doc_id, count(*) as n_grams from grams group by doc_id),
+near as (
+    select c.doc_id, c.match_id,
+        round(cast(count(*) as double)
+              / (any_value(sa.n_grams) + any_value(sb.n_grams) - count(*)), 4)
+            as jaccard
+    from candidates c
+    join grams ga on ga.doc_id = c.doc_id
+    join grams gb on gb.doc_id = c.match_id and gb.gram = ga.gram
+    join sizes sa on sa.doc_id = c.doc_id
+    join sizes sb on sb.doc_id = c.match_id
+    group by c.doc_id, c.match_id
+),
+best as (
+    select doc_id, match_id as near_match, jaccard
+    from near
+    where jaccard >= {MINHASH_JACCARD_THRESHOLD}
+    qualify row_number() over (partition by doc_id
+                               order by jaccard desc, match_id) = 1
+)
+select d.doc_id,
+    case when e.exact_match is not null then 'exact_dup'
+         when b.near_match is not null then 'near_dup'
+         else 'novel' end as verdict,
+    coalesce(e.exact_match, b.near_match) as match_doc_id,
+    case when e.exact_match is null then b.jaccard end as jaccard
+from docs d
+left join exact e on e.doc_id = d.doc_id
+left join best b on b.doc_id = d.doc_id
+where d.is_batch
+"""

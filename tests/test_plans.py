@@ -204,3 +204,23 @@ def test_multimodal_frame_sample_is_arrow_batched(spark):
     # mapInPandas → ArrowEvalPython-family node (MapInPandas), no shuffle
     assert "MapInPandas" in plan
     assert "Exchange" not in plan, "frame sampling must not shuffle"
+
+
+def test_scd2_join_is_equi_not_rangeexplosion(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics
+
+    plan = _formatted(analytics.scd2_customer_orders(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the validity-range predicate must ride the custkey equi-join as a
+    # residual condition, not force a nested-loop plan
+    assert "Join" in plan
+
+
+def test_dedup_incremental_no_corpus_self_join(spark):
+    from ecommerce_dbt_medallion_spark.ops import dedup
+
+    plan = _formatted(dedup.dedup_incremental(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -72,6 +72,7 @@ def queries() -> dict[str, QueryFn]:
         "event_daily_stats": ev.event_daily_stats,
         "event_sessionization": ev.event_sessionization,
         "event_funnel": ev.event_funnel,
+        "attribution_linear": ev.attribution_linear,
         "asof_event_order": ev.asof_event_order,
         "hypertable_rollup": ev.hypertable_rollup,
         "sketch_distinct_users": ev.sketch_distinct_users,  # rows-only
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     out["doc_winnowing"] = optext.oracle_doc_winnowing()
     out["corpus_curation"] = optext.oracle_corpus_curation()
     out["event_funnel"] = ev.ORACLE_EVENT_FUNNEL
+    out["attribution_linear"] = ev.ORACLE_ATTRIBUTION_LINEAR
     out["asof_event_order"] = ev.ORACLE_ASOF_EVENT_ORDER
     out["hypertable_rollup"] = ev.ORACLE_HYPERTABLE_ROLLUP
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION

@@ -475,3 +475,106 @@ group by user_id, session_seq
 
 def oracle_session_window_stats() -> str:
     return ORACLE_SESSION_WINDOW_STATS.format(gap=SESSION_GAP_SECONDS)
+
+
+# ------------------------------------------- multi-touch attribution
+
+ATTR_WINDOW_DAYS = 7
+ATTR_TOUCH_TYPES = ("view", "click")
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's view/click touches in the preceding 7
+    days; purchases with no touches report as 'direct'.
+
+    Scale shape: ONE equi-join on user_id (the time window is a residual
+    predicate — per-user touch counts are bounded, never a range
+    explosion), per-purchase touch counts from a window over the join
+    output, then a (touch_type, date) rollup. Money is exact bigint
+    micro-units (value_cents x 10000, floor-divided per touch) so every
+    group sum is order-independent integer math — the same fixed-point
+    trick as pagerank_parts; floats appear only in the single final
+    division.
+    """
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        F.to_date("ts").alias("p_date"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("t_type"),
+        F.unix_micros("ts").alias("t_us"),
+        F.to_date("ts").alias("t_date"),
+    )
+    win_us = ATTR_WINDOW_DAYS * 86400 * 1_000_000
+    pairs = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(win_us)),
+        "left",
+    )
+    n_touches = F.count("t_id").over(Window.partitionBy("p_id"))
+    attributed = pairs.select(
+        "p_id",
+        F.coalesce(F.col("t_type"), F.lit("direct")).alias("touch_type"),
+        F.coalesce(F.col("t_date"), F.col("p_date")).alias("touch_date"),
+        "t_id",
+        n_touches.alias("n_t"),
+        F.when(
+            F.col("t_id").isNull(), F.col("value_cents") * 10000
+        )
+        .otherwise(
+            F.expr("(value_cents * 10000) div n_t")
+        )
+        .alias("share_micros"),
+    )
+    return attributed.groupBy("touch_type", "touch_date").agg(
+        F.count("t_id").alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        (
+            F.sum("share_micros").cast("double") / F.lit(1000000.0)
+        ).alias("attributed_revenue"),
+    )
+
+
+ORACLE_ATTRIBUTION_LINEAR = f"""
+with purchases as (
+    select event_id as p_id, user_id as p_user,
+        epoch_us(ts) as p_us, cast(ts as date) as p_date,
+        cast(cast(value as decimal(18,2)) * 100 as bigint) as value_cents
+    from events where event_type = 'purchase'
+),
+touches as (
+    select event_id as t_id, user_id as t_user, event_type as t_type,
+        epoch_us(ts) as t_us, cast(ts as date) as t_date
+    from events where event_type in ('view', 'click')
+),
+pairs as (
+    select p.*, t.t_id, t.t_type, t.t_date,
+        count(t.t_id) over (partition by p.p_id) as n_t
+    from purchases p
+    left join touches t
+      on p.p_user = t.t_user
+     and t.t_us < p.p_us
+     and t.t_us >= p.p_us - {ATTR_WINDOW_DAYS * 86400 * 1_000_000}
+)
+select
+    coalesce(t_type, 'direct') as touch_type,
+    coalesce(t_date, p_date) as touch_date,
+    count(t_id) as n_touches,
+    cast(count(distinct p_id) as bigint) as n_purchases,
+    cast(sum(case when t_id is null then value_cents * 10000
+                  else (value_cents * 10000) // n_t end) as double)
+        / 1000000.0 as attributed_revenue
+from pairs
+group by 1, 2
+"""

@@ -206,9 +206,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = docs.where(F.col("doc_id") % BENCH_MOD != 0)
-    train_grams = (
-        train.select("doc_id", F.explode("__grams").alias("gram")).distinct()
-    )
+    # NO distinct here: that would shuffle EVERY train gram. The broadcast
+    # join filters non-benchmark grams map-side, so only matching grams
+    # reach a shuffle, and the countDistinct aggregation absorbs
+    # within-doc duplicate grams.
+    train_grams = train.select("doc_id", F.explode("__grams").alias("gram"))
     overlap = (
         train_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")

@@ -136,6 +136,12 @@ def raw_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
+    # Partition the fact by l_orderkey ALONE before the window: hash(ok)
+    # satisfies the window's ClusteredDistribution(ok, ln) (subset rule),
+    # and downstream consumers join on order_id — at scale (orders too
+    # big to broadcast) the SMJ reuses this exchange, so the biggest
+    # fact shuffles ONCE instead of hash(ok,ln)-then-hash(ok) twice.
+    li = li.repartition("l_orderkey")
     w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
         "l_suppkey", "l_partkey"
     )

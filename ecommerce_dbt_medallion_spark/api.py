@@ -73,6 +73,8 @@ def queries() -> dict[str, QueryFn]:
         "event_sessionization": ev.event_sessionization,
         "event_funnel": ev.event_funnel,
         "attribution_linear": ev.attribution_linear,
+        "event_path_topk": ev.event_path_topk,
+        "corpus_weighted_sample": opsample.corpus_weighted_sample,
         "asof_event_order": ev.asof_event_order,
         "hypertable_rollup": ev.hypertable_rollup,
         "sketch_distinct_users": ev.sketch_distinct_users,  # rows-only
@@ -172,6 +174,8 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_curation"] = optext.oracle_corpus_curation()
     out["event_funnel"] = ev.ORACLE_EVENT_FUNNEL
     out["attribution_linear"] = ev.ORACLE_ATTRIBUTION_LINEAR
+    out["event_path_topk"] = ev.ORACLE_EVENT_PATH_TOPK
+    out["corpus_weighted_sample"] = opsample.oracle_corpus_weighted_sample()
     out["asof_event_order"] = ev.ORACLE_ASOF_EVENT_ORDER
     out["hypertable_rollup"] = ev.ORACLE_HYPERTABLE_ROLLUP
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION

@@ -578,3 +578,78 @@ select
 from pairs
 group by 1, 2
 """
+
+
+# ------------------------------------------------- path analysis
+
+PATH_STEPS = 3
+PATH_TOPK = 10
+
+
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step behavioral paths (event-type trigrams over each
+    user's time-ordered stream) with counts and corpus share — the
+    product-analytics "path analysis" operator.
+
+    Scale shape: one shuffle on user_id for the ordered window (lead x2
+    rides a single sort), then a path-grain aggregation — path
+    cardinality is bounded by |event_types|^3, so the final top-k
+    window runs over a constant-size frame. Ordering is (ts, event_id):
+    a unique total order, deterministic across engines.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+    agg = steps.groupBy(
+        F.concat_ws(">", "s1", "s2", "s3").alias("path")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    ranked = agg.select(
+        "path",
+        "n",
+        "n_users",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6).alias("share"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("path")))
+        .alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= PATH_TOPK).select(
+        F.col("rank").cast("long").alias("rank"), "path", "n", "n_users", "share"
+    )
+
+
+ORACLE_EVENT_PATH_TOPK = f"""
+with steps as (
+    select user_id,
+        event_type as s1,
+        lead(event_type, 1) over w as s2,
+        lead(event_type, 2) over w as s3
+    from events
+    window w as (partition by user_id order by ts, event_id)
+),
+agg as (
+    select s1 || '>' || s2 || '>' || s3 as path,
+        cast(count(*) as bigint) as n,
+        cast(count(distinct user_id) as bigint) as n_users
+    from steps
+    where s2 is not null and s3 is not null
+    group by 1
+),
+ranked as (
+    select path, n, n_users,
+        round(cast(n as double) / cast(sum(n) over () as double), 6) as share,
+        cast(row_number() over (order by n desc, path) as bigint) as rank
+    from agg
+)
+select rank, path, n, n_users, share
+from ranked
+where rank <= {PATH_TOPK}
+"""

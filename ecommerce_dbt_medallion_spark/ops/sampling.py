@@ -111,3 +111,53 @@ select doc_id, lang, sample_bucket, sample_rank from (
     from documents
 ) where sample_rank <= {PER_STRATUM_K}
 """
+
+
+# ------------------------------------- quality-weighted sampling
+
+WSAMP_SALT = "#wsamp1"
+_WSAMP_SCALE = 4294967296.0  # 2^32: score -> 8-hex-digit threshold
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli sampling: each document
+    survives with probability = its quality score (high-quality docs
+    kept, low-quality downsampled) — the importance-resampling step of a
+    training-data pipeline.
+
+    keep iff md5-uniform(doc_id) < floor(score * 2^32) rendered as an
+    8-hex-digit threshold — a per-row STRING compare, reproducible
+    across engines, runs, and partitionings. Unlike
+    ``corpus_stratified_sample`` (fixed per-language rates) the rate
+    here is per-document data. Pure projection + filter: zero shuffle,
+    scan-bound at 100 TB.
+    """
+    from ecommerce_dbt_medallion_spark.ops.text import text_quality_score
+
+    q = text_quality_score(spark, sf_dir)
+    u_hex = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(WSAMP_SALT))), 1, 8
+    )
+    thr_int = F.least(
+        F.floor(F.col("quality_score") * F.lit(_WSAMP_SCALE)).cast("bigint"),
+        F.lit(4294967295),
+    )
+    thr_hex = F.format_string("%08x", thr_int)
+    return (
+        q.select("doc_id", "lang", "quality_score", u_hex.alias("u_hex"))
+        .where(F.col("u_hex") < thr_hex)
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+def oracle_corpus_weighted_sample() -> str:
+    from ecommerce_dbt_medallion_spark.ops.text import oracle_text_quality_score
+
+    return f"""
+with q as ({oracle_text_quality_score()})
+select doc_id, lang, quality_score
+from q
+where substring(md5(cast(doc_id as varchar) || '{WSAMP_SALT}'), 1, 8)
+      < printf('%08x', least(cast(floor(quality_score * {_WSAMP_SCALE}) as bigint),
+                             4294967295))
+"""

@@ -224,3 +224,25 @@ def test_dedup_incremental_no_corpus_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_silver_payments_single_fact_exchange(spark):
+    """The lineitem-scale fact must shuffle ONCE (hash on l_orderkey
+    feeds both the attempt-seq window via the subset-partitioning rule
+    and the order_id join) — even when the orders side is too big to
+    broadcast (the 100 TB case, simulated by disabling broadcast)."""
+    import re
+
+    from ecommerce_dbt_medallion_spark.models import silver
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted(silver.silver_payments(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    fact_exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput[^\n]*\nArguments: hashpartitioning\(l_orderkey[^,]*,\s*\d+\)",
+        plan,
+    )
+    assert len(fact_exchanges) == 1, plan

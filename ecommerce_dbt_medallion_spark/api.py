@@ -74,6 +74,7 @@ def queries() -> dict[str, QueryFn]:
         "event_funnel": ev.event_funnel,
         "attribution_linear": ev.attribution_linear,
         "event_path_topk": ev.event_path_topk,
+        "active_users_rolling": ev.active_users_rolling,
         "corpus_weighted_sample": opsample.corpus_weighted_sample,
         "asof_event_order": ev.asof_event_order,
         "hypertable_rollup": ev.hypertable_rollup,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
     out["event_funnel"] = ev.ORACLE_EVENT_FUNNEL
     out["attribution_linear"] = ev.ORACLE_ATTRIBUTION_LINEAR
     out["event_path_topk"] = ev.ORACLE_EVENT_PATH_TOPK
+    out["active_users_rolling"] = ev.ORACLE_ACTIVE_USERS_ROLLING
     out["corpus_weighted_sample"] = opsample.oracle_corpus_weighted_sample()
     out["asof_event_order"] = ev.ORACLE_ASOF_EVENT_ORDER
     out["hypertable_rollup"] = ev.ORACLE_HYPERTABLE_ROLLUP

@@ -653,3 +653,92 @@ select rank, path, n, n_users, share
 from ranked
 where rank <= {PATH_TOPK}
 """
+
+
+# ----------------------------------------- rolling active users
+
+MAU_WINDOW_DAYS = 30
+WAU_WINDOW_DAYS = 7
+
+
+def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU per day — the engagement mart.
+
+    Sliding-window COUNT DISTINCT does not decompose into window
+    functions at scale (distinct state per frame). The scalable shape:
+    reduce to distinct (user, active_day) once, explode each activity
+    row to the <= 30 report days it can influence (CONSTANT fan-out,
+    independent of data size), and take three conditional distinct
+    counts in ONE day-grain aggregation. Report days are clamped to the
+    observed [min, max] day via a broadcast 1-row scalar (the gold
+    marts' as_of pattern).
+    """
+    ev = load_events(spark, sf_dir)
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    bounds = F.broadcast(
+        activity.agg(
+            F.min("day").alias("min_day"), F.max("day").alias("max_day")
+        )
+    )
+    exploded = activity.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(MAU_WINDOW_DAYS - 1))).alias("off"),
+    ).select(
+        "user_id",
+        "off",
+        F.date_add(F.col("day"), F.col("off")).alias("report_day"),
+    )
+    return (
+        exploded.crossJoin(bounds)
+        .where(
+            (F.col("report_day") >= F.col("min_day"))
+            & (F.col("report_day") <= F.col("max_day"))
+        )
+        .groupBy("report_day")
+        .agg(
+            F.countDistinct(F.when(F.col("off") == 0, F.col("user_id"))).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("off") < WAU_WINDOW_DAYS, F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(
+            "report_day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+ORACLE_ACTIVE_USERS_ROLLING = f"""
+with activity as (
+    select distinct user_id, cast(ts as date) as day from events
+),
+bounds as (
+    select min(day) as min_day, max(day) as max_day from activity
+),
+exploded as (
+    select user_id, unnest(range(0, {MAU_WINDOW_DAYS})) as off, day
+    from activity
+),
+tagged as (
+    select user_id, off, day + cast(off as int) as report_day from exploded
+)
+select t.report_day,
+    cast(count(distinct case when t.off = 0 then t.user_id end) as bigint) as dau,
+    cast(count(distinct case when t.off < {WAU_WINDOW_DAYS} then t.user_id end)
+        as bigint) as wau,
+    cast(count(distinct t.user_id) as bigint) as mau,
+    round(cast(count(distinct case when t.off = 0 then t.user_id end) as double)
+          / cast(count(distinct t.user_id) as double), 6) as stickiness
+from tagged t, bounds b
+where t.report_day >= b.min_day and t.report_day <= b.max_day
+group by t.report_day
+"""

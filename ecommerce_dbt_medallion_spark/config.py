@@ -46,3 +46,11 @@ SIMHASH_MAX_HAMMING = 3
 ANN_TOPK = 5
 ANN_N_QUERIES = 10
 EMBEDDING_DUP_THRESHOLD_04 = 0.4
+
+# Hard cap on the corpus size the O(n²) brute-force near-dup baseline
+# (`dedup_embedding_cosine`) will accept. Above this the operator refuses
+# and points at the bucketed scale path (`dedup_embedding_lsh`): an
+# uncapped CartesianProduct must not be reachable from the public API at
+# 100 TB. 200k rows ≈ 2·10¹⁰ candidate pairs — already the practical
+# ceiling for an exact verification run on a large cluster.
+EMBEDDING_BRUTE_FORCE_MAX_ROWS = 200_000

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ecommerce_dbt_medallion_spark.config import (
     ANN_N_QUERIES,
     ANN_TOPK,
+    EMBEDDING_BRUTE_FORCE_MAX_ROWS,
     EMBEDDING_DUP_THRESHOLD_04,
 )
 from ecommerce_dbt_medallion_spark.sources.registry import load_table
@@ -122,10 +123,21 @@ from ranked where rank <= {ANN_TOPK}
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#19: all-pairs cosine near-duplicates above threshold.
 
-    O(n²) verification baseline — the scale path is ann_topk_lsh's bucketed
-    candidate generation; this exact variant is the oracle-checkable truth.
+    O(n²) verification baseline — the scale path is `dedup_embedding_lsh`'s
+    bucketed candidate generation; this exact variant is the oracle-checkable
+    truth. Because it is a genuine CartesianProduct, it refuses corpora over
+    EMBEDDING_BRUTE_FORCE_MAX_ROWS rather than silently launching an n²
+    job on a 100 TB table (the count is one cheap scan-only job; the guard
+    makes the uncapped plan unreachable from the public API).
     """
     e = _emb(spark, sf_dir)
+    n = e.count()
+    if n > EMBEDDING_BRUTE_FORCE_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is an exact O(n²) baseline capped at "
+            f"{EMBEDDING_BRUTE_FORCE_MAX_ROWS} rows; corpus has {n}. "
+            "Use dedup_embedding_lsh (bucketed candidates) at scale."
+        )
     # left side repartitioned so the O(n²) scoring parallelizes (the
     # single-file corpus otherwise reads as one partition)
     a = e.repartition(spark.sparkContext.defaultParallelism).select(

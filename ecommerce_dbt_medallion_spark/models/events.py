@@ -17,18 +17,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.config import SESSION_GAP_SECONDS
-from ecommerce_dbt_medallion_spark.sources.registry import load_table
+from ecommerce_dbt_medallion_spark.sources.registry import load_table, normalize_event_ts
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects — read nanos as long and convert (sub-µs is zero in
-    this data; truncation matches DuckDB's ns→µs read)."""
+    """events.parquet with ``ts`` normalized to a true TIMESTAMP.
+
+    The parquet encoding of ``ts`` has varied across driver testdata
+    generations (TIMESTAMP(NANOS)-as-long, then naive timestamp[us] →
+    TIMESTAMP_NTZ); ``normalize_event_ts`` owns that mapping."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
 def event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,11 +12,55 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (region/nation/customer/.../embeddings)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to a true TIMESTAMP, whatever the
+    parquet encoding of the day is.
+
+    The driver's testdata has shipped two encodings so far:
+
+    - TIMESTAMP(NANOS), which Spark's vectorized reader only exposes as
+      ``bigint`` via ``spark.sql.legacy.parquet.nanosAsLong`` — convert
+      ns→µs (sub-µs is zero in this data; truncation matches DuckDB's
+      ns→µs read);
+    - timezone-naive timestamp[us], which Spark reads as TIMESTAMP_NTZ —
+      cast to TIMESTAMP. The session timezone is pinned to UTC
+      (session.py), so the cast is value-preserving and keeps parity
+      with DuckDB, which treats naive timestamps as UTC instants.
+
+    ``unix_micros`` and ``withWatermark`` both hard-require TIMESTAMP,
+    so every consumer of event time goes through this one helper; a new
+    encoding should be handled HERE (and will be caught by the dtype
+    pinning test in tests/test_sources.py).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reader for the events table with normalized event time.
+
+    File-source streams need an explicit schema (no inference mid-stream)
+    and a glob basePath; the static read supplies the schema, then the
+    same ``normalize_event_ts`` projection runs on the stream so every
+    ``withWatermark("ts", ...)`` downstream sees a true TIMESTAMP.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    return normalize_event_ts(stream)
 
 
 def load_table_fmt(

@@ -17,25 +17,18 @@ batch join + hourly rollup.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ecommerce_dbt_medallion_spark.sources.registry import load_table
+from ecommerce_dbt_medallion_spark.sources.registry import load_event_stream, load_table
 
 
 def stream_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly purchase revenue per customer nation, computed on a stream
     enriched against the static customer/nation dims."""
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(path).schema
-
-    stream = spark.readStream.schema(static_schema).parquet(path + "*")
-    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = load_event_stream(spark, sf_dir)
 
     dim = F.broadcast(
         load_table(spark, sf_dir, "customer")

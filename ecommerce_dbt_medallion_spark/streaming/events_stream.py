@@ -13,24 +13,16 @@ standard partial-agg shuffle keyed on (window, event_type).
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ecommerce_dbt_medallion_spark.sources.registry import load_event_stream
+
 
 def stream_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(path).schema
-
-    # file-source streams need a directory basePath; glob to the one file
-    stream = spark.readStream.schema(static_schema).parquet(
-        os.path.join(sf_dir, "events.parquet*")
-    )
-    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = load_event_stream(spark, sf_dir)
 
     rollup = (
         stream.withWatermark("ts", "2 hours")
@@ -82,12 +74,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch distinct). Drained with availableNow; the per-type counts must
     match the batch distinct (oracle below).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path + "*")
-    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = load_event_stream(spark, sf_dir)
 
     deduped = (
         stream.withWatermark("ts", "2 hours")
@@ -149,14 +136,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ecommerce_dbt_medallion_spark.config import SESSION_GAP_SECONDS
 
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(static_schema).parquet(
-        os.path.join(sf_dir, "events.parquet*")
-    )
-    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = load_event_stream(spark, sf_dir)
 
     agg = (
         stream.withWatermark("ts", "2 hours")

@@ -17,24 +17,19 @@ oracle-checkable against a plain SQL interval join.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.sources.registry import load_event_stream
 
 ATTRIBUTION_WINDOW = "1 hour"
 WATERMARK_DELAY = "2 hours"
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path + "*")
-    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return load_event_stream(spark, sf_dir)
 
 
 def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

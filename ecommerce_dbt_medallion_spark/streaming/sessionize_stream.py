@@ -15,7 +15,6 @@ tests assert explicitly against the batch operator.
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Iterator
 from typing import Any
@@ -23,7 +22,6 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -33,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from ecommerce_dbt_medallion_spark.config import SESSION_GAP_SECONDS
+from ecommerce_dbt_medallion_spark.sources.registry import load_event_stream
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -111,12 +110,7 @@ def _sessionize_group(
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful sessionizer over the events feed (availableNow)
     and return emitted (closed) sessions as a batch DataFrame."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path + "*")
-    if "bigint" in [d for n, d in stream.dtypes if n == "ts"]:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = load_event_stream(spark, sf_dir)
 
     sessions = (
         stream.select("user_id", "event_id", "ts")

@@ -53,17 +53,80 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
     return wrapped
 
 
-def queries() -> dict[str, QueryFn]:
-    # ORDERING MATTERS: the driver's CORRECTNESS gate checks the first 50
-    # dict entries. Round-3 checked the 37 keys that had no round-2 row;
-    # this round rotates the OTHER 37 (checked in r1/r2 but not r3) back
-    # into the window, so over the r3+r4 rotation every key keeps a fresh
-    # driver-green row. New keys added this round go first — they have no
-    # driver row at all yet.
+# The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
+# DRIVER_WINDOW is that window, explicit and exactly DRIVER_WINDOW_SIZE
+# long (enforced by queries() and tests/test_api_window.py — round 4
+# accidentally shipped 51 keys ahead of the marker, silently dropping
+# key #51 from the gate).
+#
+# Round-5 rotation: the 9 keys broken by the TIMESTAMP_NTZ testdata
+# re-encode (fixed this round) + gold_revenue_analysis (the key that
+# fell out of round 4's window) go first so the driver re-certifies
+# them; then the keys whose most recent driver row is round 3; then
+# high-value keys kept in-window. Every key NOT listed here was
+# hash-green in round 4 (CORRECTNESS_r04.json).
+DRIVER_WINDOW_SIZE = 50
+DRIVER_WINDOW = [
+    # --- fixed this round (red in r4 / judge probe): re-certify first ---
+    "event_sessionization",
+    "asof_event_order",
+    "attribution_linear",
+    "stream_sessionize",
+    "stream_event_rollup",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_join_view_purchase",
+    "stream_enrich_purchases",
+    # --- fell out of r4's window at position 51 ---
+    "gold_revenue_analysis",
+    # --- most recent driver row is r3: refresh ---
+    "bronze_customers",
+    "bronze_orders",
+    "bronze_payments",
+    "silver_customers",
+    "silver_orders",
+    "gold_customer_summary_bucketed",
+    "dq_generic_tests",
+    "dq_singular_tests",
+    "dedup_minhash_lsh",  # rows-only (fast xxhash)
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "inverted_index",
+    "bigram_lm",
+    "doc_lm_score",
+    "cms_user_counts",
+    "histogram_quantiles",
+    "cohort_retention",
+    "copurchase_topk",
+    "pagerank_parts",
+    "fuzzy_name_match",
+    "scd2_customer_orders",
+    "repetition_stats",
+    "doc_chunking",
+    "pack_sequences",
+    "embedding_quantize",
+    "vocab_top_words",
+    "doc_oov_rate",
+    "session_window_stats",
+    # --- high-value keys kept in-window (green r4) ---
+    "dq_failed_rows",
+    "silver_payments",
+    "gold_customer_summary",
+    "gold_order_metrics",
+    "dedup_minhash_md5",
+    "dedup_incremental",
+    "knn_graph",
+    "multimodal_extract",
+    "hypertable_rollup",
+]
+
+
+def _all_queries() -> dict[str, QueryFn]:
     return {
-        # --- new this round (no driver row yet) ---
         "dq_failed_rows": dq.dq_failed_rows,
-        # --- r3-unchecked rotation: medallion tail + analytics ---
         "gold_rfm_segmentation": gold.gold_rfm_segmentation,
         "churn_risk_score": gold.churn_risk_score,
         "event_daily_stats": ev.event_daily_stats,
@@ -101,7 +164,6 @@ def queries() -> dict[str, QueryFn]:
         "dedup_ngram_jaccard": optext.dedup_ngram_jaccard,
         "text_pii_scrub": opscrub.text_pii_scrub,
         "decontaminate": opscrub.decontaminate,
-        # --- high-value keys kept in-window (also green in r3) ---
         "multimodal_extract": opmm.multimodal_extract,
         "multimodal_frame_sample": opmm.multimodal_frame_sample,
         "dedup_minhash_md5": opdedup.dedup_minhash_md5,
@@ -115,8 +177,6 @@ def queries() -> dict[str, QueryFn]:
         "gold_customer_summary": gold.gold_customer_summary,
         "gold_order_metrics": gold.gold_order_metrics,
         "gold_revenue_analysis": gold.gold_revenue_analysis,
-        # ---- end of 50-key driver window ----
-        # Everything below was driver-green in round 3 (CORRECTNESS_r03.json).
         "bronze_customers": bronze.bronze_customers,
         "bronze_orders": _money_to_double(bronze.bronze_orders, ["order_amount"]),
         "bronze_payments": _money_to_double(bronze.bronze_payments, ["payment_amount"]),
@@ -155,6 +215,25 @@ def queries() -> dict[str, QueryFn]:
         "doc_oov_rate": opvocab.doc_oov_rate,
         "session_window_stats": ev.session_window_stats,
     }
+
+
+def queries() -> dict[str, QueryFn]:
+    """All query keys, DRIVER_WINDOW first (the driver-checked prefix).
+
+    The reorder is structural so the window invariant can't silently
+    drift again: DRIVER_WINDOW must be exactly DRIVER_WINDOW_SIZE unique
+    existing keys, and every other key follows in stable order.
+    """
+    base = _all_queries()
+    assert len(DRIVER_WINDOW) == DRIVER_WINDOW_SIZE, (
+        f"DRIVER_WINDOW has {len(DRIVER_WINDOW)} keys, want {DRIVER_WINDOW_SIZE}"
+    )
+    assert len(set(DRIVER_WINDOW)) == len(DRIVER_WINDOW), "duplicate window key"
+    missing = [k for k in DRIVER_WINDOW if k not in base]
+    assert not missing, f"DRIVER_WINDOW keys not implemented: {missing}"
+    out = {k: base[k] for k in DRIVER_WINDOW}
+    out.update((k, fn) for k, fn in base.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

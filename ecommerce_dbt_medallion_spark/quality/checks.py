@@ -64,6 +64,14 @@ ACCEPTED_STATUSES = ("completed", "pending", "cancelled", "unknown")
 REF_ACCEPTED_METHODS = ("credit_card", "bank_transfer", "paypal", "cash", "other")
 FULL_ACCEPTED_METHODS = REF_ACCEPTED_METHODS + ("digital_wallet",)
 
+# CONSTRAINT (dq_failed_rows cross-engine parity): every column checked
+# below must be INT- or STRING-typed. The failed-rows audit renders
+# offending values via Spark cast(string) / DuckDB cast(varchar), which
+# agree for ints and strings but diverge for double/decimal/timestamp
+# (scientific notation, trailing zeros, T-separator). Before adding a
+# check on such a column, normalize its rendering explicitly on BOTH
+# sides (e.g. format_number / strftime) in _failed_rows_df and
+# _failed_rows_sql.
 CHECKS: list[Check] = [
     # sources — models/bronze/bronze.yml:13-42 (dirt is seeded → nonzero)
     Check("raw_customers", "id", "unique"),

@@ -139,3 +139,25 @@ def test_gold_customer_summary_bucketed_parity_and_plan(spark):
         assert "Exchange" not in executed, executed[:1200]
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_store_failures_writes_partitioned_audit(spark, tmp_path):
+    """dbt `test --store-failures` parity: the audit table lands in the
+    warehouse partitioned by model_name and reads back equal to the
+    in-memory dq_failed_rows result."""
+    from ecommerce_dbt_medallion_spark.quality import checks as dq
+
+    wh = str(tmp_path / "wh_dq")
+    path = dq.store_failures(spark, SF_SMOKE, wh)
+    assert path.endswith("dq_failures")
+
+    stored = spark.read.parquet(path)
+    live = dq.dq_failed_rows(spark, SF_SMOKE)
+    assert sorted(stored.columns) == sorted(live.columns)
+    assert stored.count() == live.count() > 0
+    # partitionBy(model_name) → hive-style subdirectories per model
+    import os
+
+    parts = [d for d in os.listdir(path) if d.startswith("model_name=")]
+    stored_models = {r[0] for r in stored.select("model_name").distinct().collect()}
+    assert len(parts) == len(stored_models) > 0

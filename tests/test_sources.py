@@ -1,0 +1,136 @@
+"""Source-encoding robustness + driver-window invariants.
+
+Round 4 lesson: the driver regenerated the testdata parquet between
+rounds (events.ts went TIMESTAMP(NANOS) → naive timestamp[us] / NTZ) and
+20 tests failed with opaque analysis errors. These tests pin the
+*normalized* dtypes per table at sf0.001 so the next re-encode fails
+HERE, once, with a clear message — and pin the api.DRIVER_WINDOW
+invariants so the 50-key correctness window can't silently drift
+(round 4 shipped 51 keys ahead of the marker and lost key #51).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_dbt_medallion_spark import api
+from ecommerce_dbt_medallion_spark.models.events import load_events
+from ecommerce_dbt_medallion_spark.sources.registry import (
+    load_event_stream,
+    load_table,
+    normalize_event_ts,
+)
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# encoding robustness: normalized dtypes per table
+# ---------------------------------------------------------------------------
+
+def test_events_ts_normalizes_to_timestamp(spark):
+    """Whatever the parquet encoding of the day, load_events must hand
+    downstream a true TIMESTAMP (unix_micros/withWatermark hard-require
+    it). If this fails, fix normalize_event_ts — not the 20 consumers."""
+    dtypes = dict(load_events(spark, SF_SMOKE).dtypes)
+    assert dtypes["ts"] == "timestamp", (
+        f"events.ts normalized to {dtypes['ts']!r}, want 'timestamp' — "
+        "the testdata encoding changed again; extend normalize_event_ts "
+        "in sources/registry.py"
+    )
+
+
+def test_key_column_dtypes_pinned(spark):
+    """Pin the raw dtypes our loaders/casts rely on. A driver re-encode
+    shows up here as ONE failure naming the drifted column."""
+    expectations = {
+        # date-like columns are consumed via .cast("date") everywhere, so
+        # any of these three encodings is fine — but a switch to e.g. string
+        # would silently change semantics: pin the current set.
+        "orders": {"o_orderdate": {"date", "timestamp", "timestamp_ntz"}},
+        "lineitem": {"l_shipdate": {"date", "timestamp", "timestamp_ntz"}},
+        "customer": {"c_custkey": {"bigint", "int"}},
+        "events": {
+            "ts": {"bigint", "timestamp", "timestamp_ntz"},
+            "event_id": {"bigint"},
+            "user_id": {"bigint"},
+            "value": {"double"},
+        },
+        "documents": {"doc_id": {"bigint"}, "text": {"string"}},
+        "embeddings": {"vec_id": {"bigint"}, "embedding": {"array<float>", "array<double>"}},
+    }
+    drift = []
+    for table, cols in expectations.items():
+        dtypes = dict(load_table(spark, SF_SMOKE, table).dtypes)
+        for col, allowed in cols.items():
+            if dtypes.get(col) not in allowed:
+                drift.append(f"{table}.{col}={dtypes.get(col)!r} not in {sorted(allowed)}")
+    assert not drift, "testdata encoding drifted: " + "; ".join(drift)
+
+
+def test_normalize_event_ts_handles_both_encodings(spark):
+    """Known-answer: the same instant through the legacy nanos-as-long
+    path and the NTZ path must land on the same TIMESTAMP value."""
+    from pyspark.sql import functions as F
+
+    us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in µs
+    legacy = spark.range(1).select((F.lit(us) * 1000).alias("ts"))
+    ntz = spark.range(1).select(
+        F.timestamp_micros(F.lit(us)).cast("timestamp_ntz").alias("ts")
+    )
+    got_legacy = normalize_event_ts(legacy).collect()[0][0]
+    got_ntz = normalize_event_ts(ntz).collect()[0][0]
+    assert dict(normalize_event_ts(legacy).dtypes)["ts"] == "timestamp"
+    assert dict(normalize_event_ts(ntz).dtypes)["ts"] == "timestamp"
+    assert got_legacy == got_ntz
+
+
+# ---------------------------------------------------------------------------
+# streaming: watermark analysis must succeed on current testdata
+# ---------------------------------------------------------------------------
+
+def test_stream_loader_watermark_analyzes(spark):
+    """Analysis-only (no execution): withWatermark on the shared stream
+    loader must resolve against the CURRENT testdata encoding. This is
+    the instant type-drift tripwire for all six streaming keys."""
+    stream = load_event_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # raises AnalysisException on a non-TIMESTAMP event-time column
+    stream.withWatermark("ts", "2 hours").groupBy("event_type").count()
+
+
+# ---------------------------------------------------------------------------
+# driver-window invariants (api.DRIVER_WINDOW)
+# ---------------------------------------------------------------------------
+
+def test_driver_window_is_exactly_the_checked_prefix():
+    q = api.queries()
+    assert list(q)[: api.DRIVER_WINDOW_SIZE] == api.DRIVER_WINDOW
+    assert len(api.DRIVER_WINDOW) == api.DRIVER_WINDOW_SIZE == 50
+    assert len(set(api.DRIVER_WINDOW)) == 50
+
+
+def test_driver_window_membership_round5():
+    """The 9 NTZ-fixed keys + the key dropped from round 4's window must
+    be in round 5's re-certification window."""
+    must_recheck = {
+        "event_sessionization",
+        "asof_event_order",
+        "attribution_linear",
+        "stream_sessionize",
+        "stream_event_rollup",
+        "stream_dedup_events",
+        "stream_session_window",
+        "stream_join_view_purchase",
+        "stream_enrich_purchases",
+        "gold_revenue_analysis",
+    }
+    assert must_recheck <= set(api.DRIVER_WINDOW)
+
+
+def test_every_key_has_oracle_or_documented_rows_only():
+    q = api.queries()
+    osql = api.oracle_sql()
+    rows_only_by_design = {"dedup_minhash_lsh", "sketch_distinct_users"}
+    missing = set(q) - set(osql) - rows_only_by_design
+    assert not missing, f"keys without oracle_sql and not documented rows-only: {missing}"

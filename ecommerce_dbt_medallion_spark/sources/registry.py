@@ -44,6 +44,11 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if dtype == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     elif dtype == "timestamp_ntz":
+        # The NTZ→TIMESTAMP cast interprets the naive value in the
+        # SESSION timezone — pin UTC here so the instant is the same in
+        # any caller's session (the whole engine's oracle parity assumes
+        # UTC; see SURVEY §3).
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

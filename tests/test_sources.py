@@ -134,3 +134,25 @@ def test_every_key_has_oracle_or_documented_rows_only():
     rows_only_by_design = {"dedup_minhash_lsh", "sketch_distinct_users"}
     missing = set(q) - set(osql) - rows_only_by_design
     assert not missing, f"keys without oracle_sql and not documented rows-only: {missing}"
+
+
+def test_normalize_event_ts_pins_utc_in_foreign_tz_session(spark, duck):
+    """The NTZ→TIMESTAMP cast is session-TZ-dependent; the driver runs
+    queries() in ITS session, which we don't control. normalize_event_ts
+    pins UTC so the instants match DuckDB's naive-as-UTC read anywhere."""
+    from pyspark.sql import functions as F
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = (
+            load_events(spark, SF_SMOKE)
+            .select(F.min(F.unix_micros("ts")).alias("us"))
+            .collect()[0]["us"]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    want = duck.sql(
+        f"select min(epoch_us(ts)) from '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    assert got == want

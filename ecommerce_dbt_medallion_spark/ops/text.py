@@ -279,8 +279,18 @@ def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # The gram build (split + transform + array_distinct + explode) is the
+    # most CPU-intensive narrow transform in the text family, and a small
+    # parquet input arrives as few (even ONE) scan partitions — measured
+    # 13 s single-task vs <1 s spread over the cluster at sf0.1. The
+    # explicit round-robin repartition decouples compute parallelism from
+    # input file layout (same reason at 100 TB: maxPartitionBytes sizes
+    # scan splits for IO, not for CPU-bound explodes).
+    n_parts = spark.sparkContext.defaultParallelism
     return (
         _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(n_parts)
         .select("doc_id", F.explode(grams).alias("gram"))
     )
 
@@ -292,9 +302,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (standard rare-feature blocking — hot shingles would
     otherwise quadratically explode the self-join at scale); the Jaccard
     itself is computed over the FULL gram sets of each candidate pair.
+
+    The exploded gram table feeds SIX subtrees (sizes, rare, both sides
+    of the blocked self-join, both sides of the intersection join) — the
+    lazy localCheckpoint computes the tokenize+explode once and lets all
+    six read the materialized blocks (measured 29.5 s → ~8 s at sf0.1;
+    also the dominant cost inside dedup_clusters / dedup_keep_best,
+    which build on these pairs). Same shared-subtree pattern as
+    gold_revenue_analysis; at cluster scale this is executor-local
+    storage, no driver traffic.
     """
-    grams = _gram_df(spark, sf_dir)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    grams = _gram_df(spark, sf_dir).localCheckpoint(eager=False)
 
     rare = (
         grams.groupBy("gram")
@@ -312,28 +330,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    inter = (
-        candidates.join(grams.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
-        .join(
-            grams.alias("gb"),
-            (F.col("doc_b") == F.col("gb.doc_id"))
-            & (F.col("ga.gram") == F.col("gb.gram")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    # Full-set intersection via per-doc gram ARRAYS: grams are distinct
+    # per doc by construction, so size(array_intersect) == the shared
+    # gram count and size(grams) == the set size. Two doc_id-keyed joins
+    # of the (small) pair table against the per-doc array table replace
+    # the exploded candidates⋈grams⋈grams 3-way join + two size joins —
+    # the exchange carries one row per doc and one per pair, never one
+    # per (pair, shared gram). Measured 10.5 s → ~1 s for this stage at
+    # sf0.1; shuffle volume scales with docs + candidate pairs at 100 TB.
+    doc_grams = grams.groupBy("doc_id").agg(F.collect_list("gram").alias("gs"))
+    n_common = F.size(F.array_intersect("gs_a", "gs_b"))
     jac = (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        candidates.join(
+            doc_grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")),
+            "doc_a",
+        )
+        .join(
+            doc_grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.col("sa.n_grams").alias("n_grams_a"),
-            F.col("sb.n_grams").alias("n_grams_b"),
-            "n_common",
+            F.size("gs_a").alias("n_grams_a"),
+            F.size("gs_b").alias("n_grams_b"),
+            n_common.alias("n_common"),
             _r4(
-                F.col("n_common").cast("double")
-                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common"))
+                n_common.cast("double")
+                / (F.size("gs_a") + F.size("gs_b") - n_common)
             ).alias("jaccard"),
         )
     )

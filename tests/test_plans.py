@@ -257,3 +257,22 @@ def test_dedup_embedding_cosine_refuses_uncapped_corpus(spark, monkeypatch):
     monkeypatch.setattr(similarity, "EMBEDDING_BRUTE_FORCE_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
         similarity.dedup_embedding_cosine(spark, SF_SMOKE)
+
+
+def test_ngram_jaccard_blocked_and_array_intersect(spark):
+    """dedup_ngram_jaccard must stay blocked (rare-gram equi-join, no
+    cartesian) and compute intersections on per-doc gram ARRAYS — the
+    exploded pair⋈grams⋈grams shape was a measured 4x regression."""
+    from ecommerce_dbt_medallion_spark.ops import text as optext
+
+    plan = _formatted(optext.dedup_ngram_jaccard(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "array_intersect" in plan, "per-doc array intersection lost"
+    # The gram explode must run over multiple partitions regardless of
+    # input file count (round-robin repartition before the explode).
+    # Asserted on _gram_df's own plan: the lazy localCheckpoint in
+    # dedup_ngram_jaccard truncates lineage, hiding the subtree above.
+    gram_plan = _formatted(optext._gram_df(spark, SF_SMOKE))
+    assert "RoundRobinPartitioning" in gram_plan or "REPARTITION_BY_NUM" in gram_plan, (
+        "gram explode lost its repartition — single-task explode on small inputs"
+    )

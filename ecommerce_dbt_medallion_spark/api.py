@@ -55,72 +55,76 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # DRIVER_WINDOW is that window, explicit and exactly DRIVER_WINDOW_SIZE
-# long (enforced by queries() and tests/test_api_window.py — round 4
+# long (enforced by queries() and tests/test_sources.py — round 4
 # accidentally shipped 51 keys ahead of the marker, silently dropping
 # key #51 from the gate).
 #
-# Round-5 rotation: the 9 keys broken by the TIMESTAMP_NTZ testdata
-# re-encode (fixed this round) + gold_revenue_analysis (the key that
-# fell out of round 4's window) go first so the driver re-certifies
-# them; then the keys whose most recent driver row is round 3; then
-# high-value keys kept in-window. Every key NOT listed here was
-# hash-green in round 4 (CORRECTNESS_r04.json).
+# Round-6 rotation: every key in round 5's window was driver-certified
+# green on CURRENT code (CORRECTNESS_r05.json, post-NTZ-normalizer).
+# The other 38 keys' latest driver row is round 4 — BEFORE the
+# sources/registry.normalize_event_ts rewrite — so they rotate in now
+# to re-certify on the current load path (five of them consume events
+# through it: event_daily_stats, event_funnel, event_path_topk,
+# active_users_rolling, multimodal_frame_sample's loader sibling).
+# The remaining 12 slots keep the highest-value medallion/DQ keys
+# continuously certified.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
-    # --- fixed this round (red in r4 / judge probe): re-certify first ---
-    "event_sessionization",
-    "asof_event_order",
-    "attribution_linear",
-    "stream_sessionize",
-    "stream_event_rollup",
-    "stream_dedup_events",
-    "stream_session_window",
-    "stream_join_view_purchase",
-    "stream_enrich_purchases",
-    # --- fell out of r4's window at position 51 ---
-    "gold_revenue_analysis",
-    # --- most recent driver row is r3: refresh ---
-    "bronze_customers",
-    "bronze_orders",
-    "bronze_payments",
-    "silver_customers",
-    "silver_orders",
-    "gold_customer_summary_bucketed",
-    "dq_generic_tests",
-    "dq_singular_tests",
-    "dedup_minhash_lsh",  # rows-only (fast xxhash)
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "dedup_clusters",
-    "tfidf_top_terms",
-    "inverted_index",
-    "bigram_lm",
-    "doc_lm_score",
-    "cms_user_counts",
-    "histogram_quantiles",
-    "cohort_retention",
-    "copurchase_topk",
-    "pagerank_parts",
-    "fuzzy_name_match",
-    "scd2_customer_orders",
-    "repetition_stats",
-    "doc_chunking",
-    "pack_sequences",
-    "embedding_quantize",
-    "vocab_top_words",
-    "doc_oov_rate",
-    "session_window_stats",
-    # --- high-value keys kept in-window (green r4) ---
-    "dq_failed_rows",
+    # --- latest driver row is r4 (pre-NTZ-normalizer): re-certify ---
+    # events-loader consumers first
+    "event_daily_stats",
+    "event_funnel",
+    "event_path_topk",
+    "active_users_rolling",
+    "multimodal_frame_sample",
+    "sketch_distinct_users",  # round 6: md5-register HLL, now value-oracled
+    # marts + analytics
+    "gold_rfm_segmentation",
+    "churn_risk_score",
+    "sales_by_region",
+    "supplier_part_revenue",
+    "customer_order_percentiles",
+    "range_join_promo_revenue",
+    "sales_rollup",
+    "payment_method_pivot",
+    "revenue_anomaly_zscore",
+    "customer_ltv_running",
+    "revenue_date_spine",
+    "top_parts_per_region",
+    # LLM-pipeline ops
+    "corpus_weighted_sample",
+    "corpus_stratified_sample",
+    "corpus_sample_per_stratum",
+    "dataset_split",
+    "dataset_split_stats",
+    "dedup_keep_best",
+    "curation_funnel",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "doc_winnowing",
+    "corpus_curation",
+    "dedup_ngram_jaccard",
+    "text_pii_scrub",
+    "decontaminate",
+    "dedup_embedding_lsh",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    # --- high-value keys kept continuously in-window (green r5) ---
     "silver_payments",
     "gold_customer_summary",
     "gold_order_metrics",
-    "dedup_minhash_md5",
-    "dedup_incremental",
-    "knn_graph",
-    "multimodal_extract",
-    "hypertable_rollup",
+    "gold_revenue_analysis",
+    "silver_orders",
+    "silver_customers",
+    "bronze_orders",
+    "bronze_payments",
+    "bronze_customers",
+    "dq_generic_tests",
+    "dq_failed_rows",
+    "event_sessionization",
 ]
 
 
@@ -225,12 +229,18 @@ def queries() -> dict[str, QueryFn]:
     existing keys, and every other key follows in stable order.
     """
     base = _all_queries()
-    assert len(DRIVER_WINDOW) == DRIVER_WINDOW_SIZE, (
-        f"DRIVER_WINDOW has {len(DRIVER_WINDOW)} keys, want {DRIVER_WINDOW_SIZE}"
-    )
-    assert len(set(DRIVER_WINDOW)) == len(DRIVER_WINDOW), "duplicate window key"
+    # Real raises, not assert: the driver may run under `python -O`,
+    # which strips asserts — a drifted window must fail loudly there too
+    # (the round-4 silent-drop failure mode).
+    if len(DRIVER_WINDOW) != DRIVER_WINDOW_SIZE:
+        raise ValueError(
+            f"DRIVER_WINDOW has {len(DRIVER_WINDOW)} keys, want {DRIVER_WINDOW_SIZE}"
+        )
+    if len(set(DRIVER_WINDOW)) != len(DRIVER_WINDOW):
+        raise ValueError("duplicate DRIVER_WINDOW key")
     missing = [k for k in DRIVER_WINDOW if k not in base]
-    assert not missing, f"DRIVER_WINDOW keys not implemented: {missing}"
+    if missing:
+        raise ValueError(f"DRIVER_WINDOW keys not implemented: {missing}")
     out = {k: base[k] for k in DRIVER_WINDOW}
     out.update((k, fn) for k, fn in base.items() if k not in out)
     return out

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.config import SESSION_GAP_SECONDS
-from ecommerce_dbt_medallion_spark.sources.registry import load_table, normalize_event_ts
+from ecommerce_dbt_medallion_spark.sources.registry import load_events_table, load_table
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,9 +25,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The parquet encoding of ``ts`` has varied across driver testdata
     generations (TIMESTAMP(NANOS)-as-long, then naive timestamp[us] →
-    TIMESTAMP_NTZ); ``normalize_event_ts`` owns that mapping."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_event_ts(load_table(spark, sf_dir, "events"))
+    TIMESTAMP_NTZ); ``sources.registry`` owns that mapping."""
+    return load_events_table(spark, sf_dir)
 
 
 def event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

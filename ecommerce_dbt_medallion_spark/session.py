@@ -29,6 +29,12 @@ def get_spark(app_name: str = "ecommerce-medallion-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(int(cpus) * 2 if cpus.isdigit() else 64))
         # Deterministic timestamp semantics for the DuckDB oracle parity.
         .config("spark.sql.session.timeZone", "UTC")
+        # One historical testdata generation encoded events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark only reads behind this legacy
+        # flag (as bigint ns — sources/registry.normalize_event_ts maps
+        # it back). Session-level so loaders stay pure; harmless for
+        # non-nanos files.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for the mapInPandas/pandas_udf paths (multimodal, ANN rerank).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -20,6 +20,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-time column to a true TIMESTAMP, whatever the
     parquet encoding of the day is.
@@ -27,13 +30,21 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     The driver's testdata has shipped two encodings so far:
 
     - TIMESTAMP(NANOS), which Spark's vectorized reader only exposes as
-      ``bigint`` via ``spark.sql.legacy.parquet.nanosAsLong`` — convert
-      ns→µs (sub-µs is zero in this data; truncation matches DuckDB's
-      ns→µs read);
+      ``bigint`` via ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+      session.py's builder — loaders never mutate session conf) —
+      convert ns→µs (sub-µs is zero in this data; truncation matches
+      DuckDB's ns→µs read);
     - timezone-naive timestamp[us], which Spark reads as TIMESTAMP_NTZ —
-      cast to TIMESTAMP. The session timezone is pinned to UTC
-      (session.py), so the cast is value-preserving and keeps parity
-      with DuckDB, which treats naive timestamps as UTC instants.
+      rebuilt as an instant via ``make_timestamp(year..second, 'UTC')``:
+      field extraction from NTZ is pure wall-clock and the explicit
+      'UTC' argument interprets it, so the expression is INDEPENDENT of
+      the caller's session timezone. (A plain ``cast`` reads the wall
+      clock in the session TZ, and ``to_utc_timestamp(ts, 'UTC')`` was
+      measured to do the same on real NTZ input — both wrong in a
+      non-UTC session. Rounds ≤5 pinned the session conf to UTC from
+      inside the loader; this expression replaces that global side
+      effect.) Matches DuckDB's naive-as-UTC read in any session;
+      ``extract(SECOND ...)`` carries the microsecond fraction.
 
     ``unix_micros`` and ``withWatermark`` both hard-require TIMESTAMP,
     so every consumer of event time goes through this one helper; a new
@@ -44,13 +55,41 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if dtype == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     elif dtype == "timestamp_ntz":
-        # The NTZ→TIMESTAMP cast interprets the naive value in the
-        # SESSION timezone — pin UTC here so the instant is the same in
-        # any caller's session (the whole engine's oracle parity assumes
-        # UTC; see SURVEY §3).
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn(col, F.col(col).cast("timestamp"))
+        df = df.withColumn(
+            col,
+            F.expr(
+                f"make_timestamp(year({col}), month({col}), day({col}), "
+                f"hour({col}), minute({col}), extract(SECOND FROM {col}), 'UTC')"
+            ),
+        )
     return df
+
+
+def _read_events_static(spark: SparkSession, path: str) -> DataFrame:
+    """Static read of events.parquet with a clear failure mode: if the
+    testdata re-encodes to TIMESTAMP(NANOS) and the caller's session
+    (e.g. the driver's, which we don't build) lacks the legacy conf, the
+    raw Spark error is an opaque ``Illegal Parquet type`` — raise one
+    targeted message naming the fix instead. Loaders assert rather than
+    mutate (round-5 VERDICT): the conf lives in session.py's builder.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # noqa: BLE001 — re-raise non-nanos unchanged
+        if "NANOS" in str(exc) and spark.conf.get(NANOS_CONF, "false") != "true":
+            raise RuntimeError(
+                f"events parquet at {path} is TIMESTAMP(NANOS)-encoded and "
+                f"{NANOS_CONF} is not enabled in this session. Build the "
+                "session via ecommerce_dbt_medallion_spark.session.get_spark "
+                "(which sets it), or set the conf in your own builder."
+            ) from exc
+        raise
+
+
+def load_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with ``ts`` normalized to a true TIMESTAMP."""
+    path = os.path.join(sf_dir, "events.parquet")
+    return normalize_event_ts(_read_events_static(spark, path))
 
 
 def load_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,9 +100,8 @@ def load_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ``normalize_event_ts`` projection runs on the stream so every
     ``withWatermark("ts", ...)`` downstream sees a true TIMESTAMP.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _read_events_static(spark, path).schema
     stream = spark.readStream.schema(schema).parquet(path + "*")
     return normalize_event_ts(stream)
 

@@ -110,22 +110,51 @@ def test_driver_window_is_exactly_the_checked_prefix():
     assert len(set(api.DRIVER_WINDOW)) == 50
 
 
-def test_driver_window_membership_round5():
-    """The 9 NTZ-fixed keys + the key dropped from round 4's window must
-    be in round 5's re-certification window."""
-    must_recheck = {
-        "event_sessionization",
-        "asof_event_order",
-        "attribution_linear",
-        "stream_sessionize",
-        "stream_event_rollup",
-        "stream_dedup_events",
-        "stream_session_window",
-        "stream_join_view_purchase",
-        "stream_enrich_purchases",
-        "gold_revenue_analysis",
+def test_driver_window_membership_round6():
+    """Round-6 rotation: every key whose latest driver row predates the
+    NTZ-normalizer rewrite (r4) must be re-certified this round — above
+    all the five that consume events through the rewritten load path."""
+    r4_latest = {
+        "event_daily_stats",
+        "event_funnel",
+        "event_path_topk",
+        "active_users_rolling",
+        "multimodal_frame_sample",
+        "sketch_distinct_users",
+        "gold_rfm_segmentation",
+        "churn_risk_score",
+        "sales_by_region",
+        "supplier_part_revenue",
+        "customer_order_percentiles",
+        "range_join_promo_revenue",
+        "sales_rollup",
+        "payment_method_pivot",
+        "revenue_anomaly_zscore",
+        "customer_ltv_running",
+        "revenue_date_spine",
+        "top_parts_per_region",
+        "corpus_weighted_sample",
+        "corpus_stratified_sample",
+        "corpus_sample_per_stratum",
+        "dataset_split",
+        "dataset_split_stats",
+        "dedup_keep_best",
+        "curation_funnel",
+        "text_token_stats",
+        "text_quality_score",
+        "text_language_id",
+        "doc_fingerprint",
+        "dedup_exact",
+        "doc_winnowing",
+        "corpus_curation",
+        "dedup_ngram_jaccard",
+        "text_pii_scrub",
+        "decontaminate",
+        "dedup_embedding_lsh",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
     }
-    assert must_recheck <= set(api.DRIVER_WINDOW)
+    assert r4_latest <= set(api.DRIVER_WINDOW)
 
 
 def test_every_key_has_oracle_or_documented_rows_only():

@@ -141,7 +141,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "corpus_weighted_sample": opsample.corpus_weighted_sample,
         "asof_event_order": ev.asof_event_order,
         "hypertable_rollup": ev.hypertable_rollup,
-        "sketch_distinct_users": ev.sketch_distinct_users,  # rows-only
+        "sketch_distinct_users": ev.sketch_distinct_users,
         "sales_by_region": ana.sales_by_region,
         "supplier_part_revenue": ana.supplier_part_revenue,
         "customer_order_percentiles": ana.customer_order_percentiles,
@@ -281,6 +281,9 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_weighted_sample"] = opsample.oracle_corpus_weighted_sample()
     out["asof_event_order"] = ev.ORACLE_ASOF_EVENT_ORDER
     out["hypertable_rollup"] = ev.ORACLE_HYPERTABLE_ROLLUP
+    # round 6: md5-register HLL — registers and estimator are engine-
+    # portable (literal ln tables), so the sketch gets a full value oracle
+    out["sketch_distinct_users"] = ev.oracle_sketch_distinct_users()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

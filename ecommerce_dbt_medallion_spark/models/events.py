@@ -313,26 +313,203 @@ select 'month', bucket, event_type, cast(n_events as bigint), cast(val_dec as do
 """
 
 
+# --- engine-portable HyperLogLog (sketch_distinct_users) ----------------
+#
+# Register counts are hex-aligned (m = 16^k) so the bucket is a raw md5
+# prefix STRING — the cms_user_counts trick (ops/sketch.py): both engines
+# compute identical buckets with zero hex→int conversion. rho (first-1-bit
+# position of the 64-bit hex suffix) is derived from the leading-zero
+# nibble run via regexp_replace('^0*') — Java and RE2 agree — plus a
+# 16-way nibble CASE. All register math is exact integers; the harmonic
+# sum is computed SCALED by 2^65 (2^(65-rho) is a power of two, exactly
+# representable as a double, cast to decimal(38,0) → order-independent
+# exact sum). The only float ops are one literal/double division (IEEE-
+# deterministic) and the linear-counting correction m·ln(m/V), which is
+# looked up from a PYTHON-computed literal table embedded in both plans —
+# measured: Spark's JVM ln() and DuckDB's libm ln() differ in the last
+# ulp on 81/600 probed inputs, so native ln would break hash parity.
+
+_HLL_PRECISIONS = (4, 8, 12)  # bucket bits; m = 16, 256, 4096
+_HLL_SALT = "#hll"
+_HLL_TWO65 = "36893488147419103232"  # 2^65, exceeds bigint → string literal
+
+
+def _hll_alpha(m: int) -> float:
+    # Flajolet et al. bias constants.
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _hll_ln_table(m: int) -> list[float]:
+    """Linear-counting table: entry V (1-based) = m * ln(m / V)."""
+    import math
+
+    return [m * math.log(m / v) for v in range(1, m + 1)]
+
+
+def _hll_est_params(p: int) -> tuple[int, float, float]:
+    """(m, raw-estimate numerator alpha·m²·2^65, correction threshold 2.5m)."""
+    m = 16 ** (p // 4)
+    return m, _hll_alpha(m) * m * m * float(2**65), 2.5 * m
+
+
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based cardinality: HyperLogLog++ approximate distinct users
-    per event_type at three precisions, alongside the exact count.
+    """Sketch-based cardinality: HyperLogLog approximate distinct users
+    per event_type at three precisions (m=16/256/4096 registers,
+    rsd ≈ 26% / 6.5% / 1.6%), alongside the exact count.
 
     At 100 TB the exact distinct is the expensive path (shuffle of every
-    (type, user) pair); the HLL sketch is a fixed-size mergeable state —
-    this operator is the measured accuracy/cost menu. Rows-only inventory
-    entry (sketch estimates are engine-specific); tests assert the
-    documented error bounds against the exact count.
+    (type, user) pair); the HLL register state is fixed-size and
+    mergeable — map-side partial max() per (type, precision, bucket)
+    means the shuffle carries at most types × 4368 register rows
+    regardless of input size. The estimator is engine-portable (see
+    module comment), so this key carries a full DuckDB value oracle;
+    error bounds vs the exact count are additionally pinned in
+    tests/test_ops.py.
     """
-    ev = load_events(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    structs = []
+    for p in _HLL_PRECISIONS:
+        bchars = p // 4
+        h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f"{_HLL_SALT}{p}")))
+        rem = F.regexp_replace(F.substring(h, bchars + 1, 16), "^0*", "")
+        first = F.substring(rem, 1, 1)
+        extra = (
+            F.when(first == "1", 3)
+            .when(first.isin("2", "3"), 2)
+            .when(first.isin("4", "5", "6", "7"), 1)
+            .otherwise(0)
+        )
+        rho = (F.lit(16) - F.length(rem)) * 4 + extra + 1  # empty rem → 65
+        structs.append(
+            F.struct(
+                F.lit(p).alias("p"),
+                F.substring(h, 1, bchars).alias("bucket"),
+                rho.cast("int").alias("rho"),
+            )
+        )
+    regs = (
+        ev.select("event_type", F.explode(F.array(*structs)).alias("s"))
+        .select("event_type", "s.p", "s.bucket", "s.rho")
+        .groupBy("event_type", "p", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # 2^(65-reg) is a power of two — exact as double, exact after the
+    # decimal cast; the scaled harmonic sum is order-independent.
+    two65 = F.expr(f"cast('{_HLL_TWO65}' as decimal(38,0))")
+    per_p = regs.groupBy("event_type", "p").agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(65) - F.col("reg")).cast("double")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sum_scaled"),
+    )
+    est = None
+    for p in _HLL_PRECISIONS:
+        m, raw_num, thresh = _hll_est_params(p)
+        v = F.lit(m) - F.col("n_present")  # empty registers
+        harmonic = F.col("sum_scaled") + v.cast("decimal(38,0)") * two65
+        raw = F.lit(raw_num) / harmonic.cast("double")
+        corrected = F.when(
+            (raw <= F.lit(thresh)) & (v > 0),
+            F.element_at(F.lit(_hll_ln_table(m)), v.cast("int")),
+        ).otherwise(raw)
+        est = (est if est is not None else F.when(F.lit(False), None)).when(
+            F.col("p") == p, corrected
+        )
+    wide = (
+        per_p.withColumn("est", est)
+        .groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_rsd05"),
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_rsd02"),
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_rsd01"),
+            *[
+                F.max(F.when(F.col("p") == p, F.col("est"))).alias(
+                    f"est_m{16 ** (p // 4)}"
+                )
+                for p in _HLL_PRECISIONS
+            ]
         )
     )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(wide, "event_type").select(
+        "event_type", "exact_users", "est_m16", "est_m256", "est_m4096"
+    )
+
+
+def oracle_sketch_distinct_users() -> str:
+    """DuckDB twin: same salted hashes, same registers, same literal
+    tables — value-identical estimates (see module comment)."""
+    est_cases = []
+    for p in _HLL_PRECISIONS:
+        m, raw_num, thresh = _hll_est_params(p)
+        # scientific notation: DuckDB parses plain decimal-point literals
+        # as DECIMAL (ulp loss on the double cast); 'e' literals are DOUBLE
+        table = ", ".join(f"{x:.17e}" for x in _hll_ln_table(m))
+        raw = (
+            f"{raw_num!r} / cast(sum_scaled + (({m} - n_present) * "
+            f"cast('{_HLL_TWO65}' as decimal(38,0))) as double)"
+        )
+        est_cases.append(
+            f"when p = {p} then case when ({raw}) <= {thresh!r} "
+            f"and {m} - n_present > 0 "
+            f"then ([{table}])[cast({m} - n_present as int)] "
+            f"else ({raw}) end"
+        )
+    cases = "\n        ".join(est_cases)
+    return f"""
+with ev as (
+    select event_type, user_id from events where user_id is not null
+),
+pr as (select unnest([{', '.join(str(p) for p in _HLL_PRECISIONS)}]) as p),
+rr as (
+    select e.event_type, p.p,
+        substr(md5(cast(e.user_id as varchar) || '{_HLL_SALT}' || cast(p.p as varchar)),
+               1, p.p // 4) as bucket,
+        regexp_replace(
+            substr(md5(cast(e.user_id as varchar) || '{_HLL_SALT}' || cast(p.p as varchar)),
+                   p.p // 4 + 1, 16), '^0*', '') as rem
+    from ev e cross join pr p
+),
+rho as (
+    select event_type, p, bucket,
+        (16 - length(rem)) * 4 +
+        case when substr(rem, 1, 1) = '1' then 3
+             when substr(rem, 1, 1) in ('2', '3') then 2
+             when substr(rem, 1, 1) in ('4', '5', '6', '7') then 1
+             else 0 end + 1 as rho
+    from rr
+),
+regs as (
+    select event_type, p, bucket, max(rho) as reg from rho group by 1, 2, 3
+),
+perp as (
+    select event_type, p, count(*) as n_present,
+        sum(cast(power(2, 65 - reg) as decimal(38,0))) as sum_scaled
+    from regs group by 1, 2
+),
+est as (
+    select event_type, p,
+        case {cases} end as est
+    from perp
+),
+wide as (
+    select event_type,
+        max(case when p = 4 then est end) as est_m16,
+        max(case when p = 8 then est end) as est_m256,
+        max(case when p = 12 then est end) as est_m4096
+    from est group by 1
+),
+exact as (
+    select event_type, count(distinct user_id) as exact_users from ev group by 1
+)
+select x.event_type, x.exact_users, w.est_m16, w.est_m256, w.est_m4096
+from exact x join wide w using (event_type)
+"""
 
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

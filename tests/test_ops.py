@@ -249,7 +249,9 @@ def test_hll_sketch_error_bounds(spark):
 
     for r in sketch_distinct_users(spark, SF_SMOKE).collect():
         exact = r["exact_users"]
-        for col, rsd in (("approx_rsd05", 0.05), ("approx_rsd02", 0.02), ("approx_rsd01", 0.01)):
+        # rsd = 1.04/sqrt(m); allow 4σ (linear counting makes small-m
+        # estimates at small cardinalities much tighter than raw HLL)
+        for col, rsd in (("est_m16", 0.26), ("est_m256", 0.065), ("est_m4096", 0.0163)):
             err = abs(r[col] - exact) / exact
             assert err <= 4 * rsd, f"{r['event_type']} {col}: err={err:.3f} exact={exact} got={r[col]}"
 

@@ -160,7 +160,10 @@ def test_driver_window_membership_round6():
 def test_every_key_has_oracle_or_documented_rows_only():
     q = api.queries()
     osql = api.oracle_sql()
-    rows_only_by_design = {"dedup_minhash_lsh", "sketch_distinct_users"}
+    # dedup_minhash_lsh is the sole rows-only key (xxhash64 fast path;
+    # its md5 twin carries the value oracle). sketch_distinct_users
+    # gained a full oracle in round 6 (md5-register HLL).
+    rows_only_by_design = {"dedup_minhash_lsh"}
     missing = set(q) - set(osql) - rows_only_by_design
     assert not missing, f"keys without oracle_sql and not documented rows-only: {missing}"
 

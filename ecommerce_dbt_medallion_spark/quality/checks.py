@@ -54,24 +54,33 @@ MODEL_REGISTRY = {
 class Check:
     model: str
     column: str
-    test: str  # unique | not_null | relationships | accepted_values[_extended]
+    # unique | not_null | relationships | accepted_values[_extended] |
+    # non_negative (dbt_utils.accepted_range(min_value=0) parity)
+    test: str
     to_model: str = ""      # relationships: parent model
     to_column: str = ""     # relationships: parent column
     values: tuple[str, ...] = field(default_factory=tuple)  # accepted_values
+    # How dq_failed_rows renders offending values of this column —
+    # drives BOTH engines (see _render_value / _render_value_sql):
+    # "str" (int/string: plain cast), "decimal" (fixed decimal(38,6)
+    # rendering), "timestamp" (explicit µs format).
+    value_type: str = "str"
 
 
 ACCEPTED_STATUSES = ("completed", "pending", "cancelled", "unknown")
 REF_ACCEPTED_METHODS = ("credit_card", "bank_transfer", "paypal", "cash", "other")
 FULL_ACCEPTED_METHODS = REF_ACCEPTED_METHODS + ("digital_wallet",)
 
-# CONSTRAINT (dq_failed_rows cross-engine parity): every column checked
-# below must be INT- or STRING-typed. The failed-rows audit renders
-# offending values via Spark cast(string) / DuckDB cast(varchar), which
-# agree for ints and strings but diverge for double/decimal/timestamp
-# (scientific notation, trailing zeros, T-separator). Before adding a
-# check on such a column, normalize its rendering explicitly on BOTH
-# sides (e.g. format_number / strftime) in _failed_rows_df and
-# _failed_rows_sql.
+# Rendering parity (dq_failed_rows): Spark cast(string) and DuckDB
+# cast(varchar) agree for ints and strings but diverge for double/
+# decimal/timestamp (scientific notation, trailing zeros, T-separator).
+# A check on such a column must declare ``value_type`` so both engines
+# render through the same explicit normalization ("decimal": fixed
+# decimal(38,6) → string, identical digits; "timestamp": explicit
+# µs-precision format string). Round 6 removed the old int/string-only
+# constraint; the non_negative check on bronze_payments.payment_amount
+# (decimal(18,2), seeded negatives) exercises the decimal path under
+# the hash gate.
 CHECKS: list[Check] = [
     # sources — models/bronze/bronze.yml:13-42 (dirt is seeded → nonzero)
     Check("raw_customers", "id", "unique"),
@@ -95,6 +104,10 @@ CHECKS: list[Check] = [
     Check("bronze_orders", "order_id", "not_null"),
     Check("bronze_payments", "payment_id", "unique"),
     Check("bronze_payments", "payment_id", "not_null"),
+    # dbt_utils.accepted_range(min_value=0) parity on a DECIMAL column:
+    # the raw feed seeds negative amounts, bronze passes them through
+    # (silver filters them), so this reports truthfully nonzero.
+    Check("bronze_payments", "payment_amount", "non_negative", value_type="decimal"),
     # silver — models/silver/silver.yml
     Check("silver_customers", "customer_key", "unique"),
     Check("silver_customers", "customer_key", "not_null"),
@@ -167,6 +180,8 @@ def _check_df(spark: SparkSession, sf_dir: str, chk: Check,
         failures = df.where(~col.isin(list(chk.values))).agg(
             F.count("*").alias("failures")
         )
+    elif chk.test == "non_negative":
+        failures = df.where(col < 0).agg(F.count("*").alias("failures"))
     else:  # pragma: no cover
         raise ValueError(chk.test)
     return failures.select(
@@ -229,6 +244,29 @@ def dq_singular_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
 STORE_FAILURES_LIMIT = 25
 
 
+def _render_value(col, value_type: str):
+    """Engine-portable string rendering of an offending value (Spark
+    side; must mirror :func:`_render_value_sql` exactly)."""
+    if value_type == "decimal":
+        # Fixed decimal(38,6) → string: both engines print all 6 scale
+        # digits, no scientific notation, sign included.
+        return col.cast("decimal(38,6)").cast("string")
+    if value_type == "timestamp":
+        # Explicit µs-precision pattern; the default casts diverge
+        # (DuckDB omits trailing zero fractions, Spark keeps seconds).
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return col.cast("string")
+
+
+def _render_value_sql(expr: str, value_type: str) -> str:
+    """DuckDB twin of :func:`_render_value`."""
+    if value_type == "decimal":
+        return f"cast(cast({expr} as decimal(38,6)) as varchar)"
+    if value_type == "timestamp":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f')"
+    return f"cast({expr} as varchar)"
+
+
 def _failed_rows_df(spark: SparkSession, sf_dir: str, chk: Check,
                     cache: dict[str, DataFrame]) -> DataFrame:
     """Failing VALUES for one check: (offending_value, n_rows)."""
@@ -240,10 +278,11 @@ def _failed_rows_df(spark: SparkSession, sf_dir: str, chk: Check,
 
     df = model(chk.model)
     col = F.col(chk.column)
+    rendered = _render_value(col, chk.value_type).alias("offending_value")
     if chk.test == "unique":
         vals = (
             df.where(col.isNotNull())
-            .groupBy(col.cast("string").alias("offending_value"))
+            .groupBy(rendered)
             .agg(F.count("*").alias("n_rows"))
             .where(F.col("n_rows") > 1)
         )
@@ -259,13 +298,19 @@ def _failed_rows_df(spark: SparkSession, sf_dir: str, chk: Check,
         vals = (
             df.where(col.isNotNull())
             .join(parent, col == F.col("__pk"), "left_anti")
-            .groupBy(col.cast("string").alias("offending_value"))
+            .groupBy(rendered)
             .agg(F.count("*").alias("n_rows"))
         )
     elif chk.test.startswith("accepted_values"):
         vals = (
             df.where(~col.isin(list(chk.values)))
-            .groupBy(col.cast("string").alias("offending_value"))
+            .groupBy(rendered)
+            .agg(F.count("*").alias("n_rows"))
+        )
+    elif chk.test == "non_negative":
+        vals = (
+            df.where(col < 0)
+            .groupBy(rendered)
             .agg(F.count("*").alias("n_rows"))
         )
     else:  # pragma: no cover
@@ -309,9 +354,10 @@ def dq_failed_rows(spark: SparkSession, sf_dir: str,
 
 
 def _failed_rows_sql(chk: Check) -> str:
+    rendered = _render_value_sql(chk.column, chk.value_type)
     if chk.test == "unique":
         sub = (
-            f"select cast({chk.column} as varchar) as offending_value, "
+            f"select {rendered} as offending_value, "
             f"count(*) as n_rows from {chk.model} where {chk.column} is not null "
             f"group by 1 having count(*) > 1"
         )
@@ -322,7 +368,8 @@ def _failed_rows_sql(chk: Check) -> str:
         )
     elif chk.test == "relationships":
         sub = (
-            f"select cast({chk.column} as varchar) as offending_value, "
+            f"select {_render_value_sql('c.' + chk.column, chk.value_type)} "
+            f"as offending_value, "
             f"count(*) as n_rows from {chk.model} c where c.{chk.column} is not null "
             f"and not exists (select 1 from {chk.to_model} p "
             f"where p.{chk.to_column} = c.{chk.column}) group by 1"
@@ -330,9 +377,15 @@ def _failed_rows_sql(chk: Check) -> str:
     elif chk.test.startswith("accepted_values"):
         vals = ", ".join(f"'{v}'" for v in chk.values)
         sub = (
-            f"select cast({chk.column} as varchar) as offending_value, "
+            f"select {rendered} as offending_value, "
             f"count(*) as n_rows from {chk.model} "
             f"where {chk.column} not in ({vals}) group by 1"
+        )
+    elif chk.test == "non_negative":
+        sub = (
+            f"select {rendered} as offending_value, "
+            f"count(*) as n_rows from {chk.model} "
+            f"where {chk.column} < 0 group by 1"
         )
     else:  # pragma: no cover
         raise ValueError(chk.test)
@@ -392,6 +445,8 @@ def _check_sql(chk: Check) -> str:
     elif chk.test.startswith("accepted_values"):
         vals = ", ".join(f"'{v}'" for v in chk.values)
         sub = f"select count(*) from {chk.model} where {chk.column} not in ({vals})"
+    elif chk.test == "non_negative":
+        sub = f"select count(*) from {chk.model} where {chk.column} < 0"
     else:  # pragma: no cover
         raise ValueError(chk.test)
     return (

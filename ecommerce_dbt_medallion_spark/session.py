@@ -29,6 +29,14 @@ def get_spark(app_name: str = "ecommerce-medallion-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(int(cpus) * 2 if cpus.isdigit() else 64))
         # Deterministic timestamp semantics for the DuckDB oracle parity.
         .config("spark.sql.session.timeZone", "UTC")
+        # Trust sortBy metadata when reading bucketed tables: our
+        # bucketed writer (runner.materialize_bucketed_facts) guarantees
+        # exactly one file per bucket, the condition under which the
+        # sorted-scan ordering is valid — this is what removes the
+        # per-partition Sort (not just the Exchange) from bucketed fact
+        # joins. Off by default since Spark 3 because multi-file buckets
+        # can't trust it; pinned by tests/test_plans.py.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # One historical testdata generation encoded events.ts as parquet
         # TIMESTAMP(NANOS), which Spark only reads behind this legacy
         # flag (as bigint ns — sources/registry.normalize_event_ts maps

@@ -276,3 +276,33 @@ def test_ngram_jaccard_blocked_and_array_intersect(spark):
     assert "RoundRobinPartitioning" in gram_plan or "REPARTITION_BY_NUM" in gram_plan, (
         "gram explode lost its repartition — single-task explode on small inputs"
     )
+
+
+def test_bucketed_fact_join_no_exchange_no_sort(spark):
+    """materialize_bucketed_facts writes one file per bucket, sorted on
+    order_id; Spark must then plan payments_b ⋈ orders_b as a
+    SortMergeJoin with NO Exchange and NO Sort on either side — the
+    condition under which the dominant fact-fact shuffle is paid once at
+    materialization time. A Spark upgrade or a write-path change that
+    breaks one-file-per-bucket would silently reintroduce the shuffle;
+    this pins it (VERDICT r5 next-round #8). Broadcast is disabled so
+    the tiny smoke-SF tables take the same SMJ path as 100 TB facts.
+    """
+    import re
+
+    from ecommerce_dbt_medallion_spark.runner import materialize_bucketed_facts
+
+    materialize_bucketed_facts(spark, SF_SMOKE)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("silver_orders_b").select("order_id", "order_date")
+        p = spark.table("silver_payments_b").select("order_id", "payment_amount")
+        plan = _formatted(p.join(o, "order_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle:\n" + plan
+    assert not re.search(r"\(\d+\) Sort\b", plan), (
+        "bucketed join must trust sortBy metadata (no Sort nodes):\n" + plan
+    )

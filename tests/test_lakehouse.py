@@ -132,6 +132,70 @@ def test_stream_upsert_lakehouse(spark, tmp_path):
     ), ops
 
 
+def test_stream_upsert_one_version_per_batch(spark, tmp_path):
+    """The multi-batch streaming-upsert proof (VERDICT r5 next-round #7):
+    three single-file micro-batches (maxFilesPerTrigger=1) with
+    overlapping keys and DIFFERENT values per batch must commit exactly
+    one time-travelable version each, every intermediate version must
+    equal the keyed cumulative merge at that point (so MERGE really
+    updated, not just inserted), and a restart over the same feed must
+    be a no-op (checkpoint replay safety)."""
+    import os
+    import time
+
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        stream_upsert_lakehouse,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # batch i: keys [i*20, i*20+40) with val = id*100 + i — overlapping
+    # keys change value every batch, so stale-MERGE bugs are visible
+    batches = [(i * 20, i * 20 + 40) for i in range(3)]
+    schema = None
+    base = time.time()
+    for i, (lo, hi) in enumerate(batches):
+        df = (
+            spark.range(lo, hi)
+            .select(F.col("id"), (F.col("id") * 100 + i).alias("val"))
+            .coalesce(1)
+        )
+        staging = tmp_path / f"stage_{i}"
+        df.write.parquet(str(staging))
+        schema = df.schema
+        (part,) = list(staging.glob("*.parquet"))
+        dest = feed / f"part_{i}.parquet"
+        part.rename(dest)
+        # FileStreamSource orders by (mtime, path): make both increase
+        os.utime(dest, (base + i, base + i))
+
+    table = str(tmp_path / "tbl_stream_multi")
+    final_v = stream_upsert_lakehouse(
+        spark, str(feed), table, "id", schema, max_files_per_trigger=1
+    )
+
+    # exactly one committed version per micro-batch
+    assert lh.versions(table) == [0, 1, 2]
+    assert final_v == 2
+    ops = [h["operation"] for h in lh.history(table)]
+    assert ops[0] in ("CREATE", "REPLACE") and ops[1:] == ["MERGE", "MERGE"], ops
+
+    # each version time-travels to the cumulative keyed state
+    expected: dict[int, int] = {}
+    for v, (lo, hi) in enumerate(batches):
+        expected.update({k: k * 100 + v for k in range(lo, hi)})
+        got = {r.id: r.val for r in lh.read(spark, table, version=v).collect()}
+        assert got == expected, f"version {v} diverged from cumulative merge"
+
+    # restart over the same feed: checkpoint marks all files processed
+    assert (
+        stream_upsert_lakehouse(
+            spark, str(feed), table, "id", schema, max_files_per_trigger=1
+        )
+        == 2
+    ), "replaying a drained feed must not commit new versions"
+
+
 def test_optimize_compacts_small_files(spark, tmp_path):
     """8 small appends -> OPTIMIZE bin-packs them into one range-
     clustered file; content identical, history preserved, and the

@@ -636,22 +636,33 @@ KNN_LSH_PLANES = 8  # 256 buckets/table: candidate fan-in stays bounded
 KNN_LSH_TABLES = 8
 
 
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    lsh_planes: int = KNN_LSH_PLANES,
+    lsh_tables: int = KNN_LSH_TABLES,
+) -> DataFrame:
     """#19c: k-nearest-neighbor graph build — the index structure behind
     semantic dedup clustering and retrieval-augmented sampling.
 
     Candidates come from an md5-literal hyperplane-LSH family of its OWN
     (symmetric: both directions of every bucket pair): 8 tables × 8-bit
-    codes. The plane count is the scale dial — expected bucket occupancy
+    codes. ``lsh_planes`` is the scale dial — expected bucket occupancy
     is N/2^planes, so candidate pairs grow ~linearly in N at fixed
     occupancy (the dedup family's 3-bit codes are tuned for pair recall
-    at cos ≥ 0.4 and go quadratic here). Cosine is computed BEFORE the
-    distinct so the dedup shuffle moves 3 narrow columns, never vectors.
-    Exact ordered-fold cosine rerank, top-KNN_K per vector by
-    (cosine desc, neighbor_id); per-vector window partition = vec_id,
-    fan-in bounded by bucket occupancy × tables. The oracle reproduces
-    buckets → candidates → rerank exactly, so the key is fully
-    value-checked despite being an approximate index build.
+    at cos ≥ 0.4 and go quadratic here). The round-6 sf1 probe
+    (SURVEY §6): at 20k vectors the default 8 bits holds (2.1× time for
+    10× data, occupancy 8→80); each further decade of corpus should add
+    ~log2(10)≈3 planes to keep occupancy flat. The DuckDB oracle pins
+    the DEFAULT family; callers overriding the dial keep correctness
+    (exact rerank is parameter-independent) but leave the hash gate.
+    Cosine is computed BEFORE the distinct so the dedup shuffle moves 3
+    narrow columns, never vectors. Exact ordered-fold cosine rerank,
+    top-KNN_K per vector by (cosine desc, neighbor_id); per-vector
+    window partition = vec_id, fan-in bounded by bucket occupancy ×
+    tables. The oracle reproduces buckets → candidates → rerank exactly,
+    so the key is fully value-checked despite being an approximate
+    index build.
     """
     e = _emb(spark, sf_dir)
     bucketed = e.select(
@@ -661,8 +672,8 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    _hp_bucket_col("knn", t, KNN_LSH_PLANES)
-                    for t in range(KNN_LSH_TABLES)
+                    _hp_bucket_col("knn", t, lsh_planes)
+                    for t in range(lsh_tables)
                 ]
             )
         ).alias("table_id", "bucket"),

@@ -143,3 +143,32 @@ def test_load_table_fmt_requires_schema_for_text(spark):
 
     with pytest.raises(ValueError):
         load_table_fmt(spark, "/tmp/x", "csv")
+
+
+def test_dq_timestamp_rendering_parity(spark, duck):
+    """The value_type='timestamp' rendering path in the DQ engine is not
+    exercised by current CHECKS — pin the cross-engine format agreement
+    (Spark date_format 'SSSSSS' vs DuckDB strftime '%f', both 6-digit
+    zero-padded µs) BEFORE any future check relies on it."""
+    from ecommerce_dbt_medallion_spark.quality.checks import (
+        _render_value,
+        _render_value_sql,
+    )
+
+    us = [1_700_000_000_123_456, 1_700_000_000_000_000, 999_999, 1]
+    df = spark.createDataFrame([(u,) for u in us], "us long").select(
+        "us", F.timestamp_micros("us").alias("ts")
+    )
+    got_spark = {
+        r["us"]: r["val"]
+        for r in df.select(
+            "us", _render_value(F.col("ts"), "timestamp").alias("val")
+        ).collect()
+    }
+    sql = _render_value_sql("make_timestamp(us)", "timestamp")
+    got_duck = dict(
+        duck.sql(
+            f"select us, {sql} as val from (select unnest({us}) as us)"
+        ).fetchall()
+    )
+    assert got_spark == got_duck, (got_spark, got_duck)

@@ -103,6 +103,47 @@ def test_stream_loader_watermark_analyzes(spark):
 # driver-window invariants (api.DRIVER_WINDOW)
 # ---------------------------------------------------------------------------
 
+def test_nanos_encoding_roundtrip_and_targeted_error(spark, tmp_path):
+    """Real TIMESTAMP(NANOS) parquet (the round-≤3 testdata encoding,
+    absent from current testdata): with the session conf set (session.py
+    default) the loader normalizes to the right instant; with it unset,
+    the loader raises ONE targeted error naming the conf instead of
+    Spark's opaque 'Illegal Parquet type'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.sources.registry import (
+        NANOS_CONF,
+        load_events_table,
+    )
+
+    us = 1_700_000_000_123_456
+    d = tmp_path / "sf_nanos"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([us * 1000], type=pa.timestamp("ns"))}),
+        str(d / "events.parquet"),
+        store_schema=False,  # plain parquet logical type, no arrow hint
+    )
+
+    got = (
+        load_events_table(spark, str(d))
+        .select(F.unix_micros("ts").alias("us"))
+        .collect()[0]["us"]
+    )
+    assert got == us
+
+    prev = spark.conf.get(NANOS_CONF)
+    try:
+        spark.conf.set(NANOS_CONF, "false")
+        with pytest.raises(RuntimeError, match=NANOS_CONF):
+            load_events_table(spark, str(d))
+    finally:
+        spark.conf.set(NANOS_CONF, prev)
+
+
 def test_driver_window_is_exactly_the_checked_prefix():
     q = api.queries()
     assert list(q)[: api.DRIVER_WINDOW_SIZE] == api.DRIVER_WINDOW

@@ -68,6 +68,11 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # active_users_rolling, multimodal_frame_sample's loader sibling).
 # The remaining 12 slots keep the highest-value medallion/DQ keys
 # continuously certified.
+#
+# Round-7 note: with no code churn, rotate the 38 r5-certified keys
+# (streams, events-sessionization family, sketches, graph/basket ops)
+# back in so certification keeps alternating — no key's latest driver
+# row should ever be more than one round behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
     # --- latest driver row is r4 (pre-NTZ-normalizer): re-certify ---

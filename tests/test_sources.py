@@ -144,6 +144,27 @@ def test_nanos_encoding_roundtrip_and_targeted_error(spark, tmp_path):
         spark.conf.set(NANOS_CONF, prev)
 
 
+def test_no_session_conf_mutation_outside_session_py():
+    """Loaders and operators must not mutate global session conf (the
+    round-5 VERDICT footgun: a loader silently flipping the session TZ
+    or a legacy parquet flag changes behavior for every later query in
+    the caller's session). All conf defaults live in session.py's
+    builder; everything else may only READ conf."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "ecommerce_dbt_medallion_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name == "session.py":
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "conf.set" in line:
+                offenders.append(f"{py.relative_to(pkg)}:{i}: {line.strip()}")
+    assert not offenders, "session-conf mutation outside session.py:\n" + "\n".join(
+        offenders
+    )
+
+
 def test_driver_window_is_exactly_the_checked_prefix():
     q = api.queries()
     assert list(q)[: api.DRIVER_WINDOW_SIZE] == api.DRIVER_WINDOW

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.models import bronze, silver, gold
+from ecommerce_dbt_medallion_spark.models import cdf as mcdf
 from ecommerce_dbt_medallion_spark.models import events as ev
 from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
@@ -223,6 +224,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "vocab_top_words": opvocab.vocab_top_words,
         "doc_oov_rate": opvocab.doc_oov_rate,
         "session_window_stats": ev.session_window_stats,
+        "lakehouse_cdf": mcdf.lakehouse_cdf,
     }
 
 
@@ -289,6 +291,8 @@ def oracle_sql() -> dict[str, str]:
     # round 6: md5-register HLL — registers and estimator are engine-
     # portable (literal ln tables), so the sketch gets a full value oracle
     out["sketch_distinct_users"] = ev.oracle_sketch_distinct_users()
+    # round 6: the lakehouse engine (CREATE/MERGE/CDF) under the hash gate
+    out["lakehouse_cdf"] = mcdf.oracle_lakehouse_cdf()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

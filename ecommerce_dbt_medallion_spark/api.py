@@ -36,6 +36,7 @@ from ecommerce_dbt_medallion_spark.ops import sketch as opsketch
 from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.ops import vocab as opvocab
 from ecommerce_dbt_medallion_spark.quality import checks as dq
+from ecommerce_dbt_medallion_spark.quality import freshness as dqfresh
 from ecommerce_dbt_medallion_spark.streaming import enrich_stream as strm_enrich
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
 from ecommerce_dbt_medallion_spark.streaming import join_stream as strm_join
@@ -225,6 +226,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "doc_oov_rate": opvocab.doc_oov_rate,
         "session_window_stats": ev.session_window_stats,
         "lakehouse_cdf": mcdf.lakehouse_cdf,
+        "dq_source_freshness": dqfresh.source_freshness,
     }
 
 
@@ -293,6 +295,8 @@ def oracle_sql() -> dict[str, str]:
     out["sketch_distinct_users"] = ev.oracle_sketch_distinct_users()
     # round 6: the lakehouse engine (CREATE/MERGE/CDF) under the hash gate
     out["lakehouse_cdf"] = mcdf.oracle_lakehouse_cdf()
+    # round 6: bronze.yml source-freshness parity under the hash gate
+    out["dq_source_freshness"] = dqfresh.oracle_source_freshness()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -33,10 +33,21 @@ _SOURCES = {
 def source_freshness(
     spark: SparkSession, sf_dir: str, as_of: str = BATCH_TS
 ) -> DataFrame:
-    """One row per source: max loaded/event ts, age hours, status."""
+    """One row per source: max loaded/event ts, age hours, status.
+
+    Round 6: driver-gated as ``dq_source_freshness`` — age_hours is the
+    UNROUNDED integer-seconds/3600 double (one IEEE division, engine-
+    identical; ``round(x, 2)`` was dropped because Spark HALF_UP and
+    DuckDB rounding can disagree on exact half-hundredths, which
+    second-granularity ages do hit), and max_loaded_at is cast to
+    timestamp explicitly so date-typed event columns unify identically
+    on both engines.
+    """
     out = None
     for name, (col, builder) in _SOURCES.items():
-        df = builder(spark, sf_dir).agg(F.max(col).alias("max_loaded_at"))
+        df = builder(spark, sf_dir).agg(
+            F.max(col).cast("timestamp").alias("max_loaded_at")
+        )
         age_h = (
             F.unix_timestamp(F.lit(as_of).cast("timestamp"))
             - F.unix_timestamp(F.col("max_loaded_at"))
@@ -44,7 +55,7 @@ def source_freshness(
         row = df.select(
             F.lit(name).alias("source_name"),
             "max_loaded_at",
-            F.round(age_h, 2).alias("age_hours"),
+            age_h.alias("age_hours"),
             F.when(age_h > ERROR_AFTER_HOURS, "error")
             .when(age_h > WARN_AFTER_HOURS, "warn")
             .otherwise("pass")
@@ -52,3 +63,40 @@ def source_freshness(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def oracle_source_freshness(as_of: str = BATCH_TS) -> str:
+    """DuckDB twin of :func:`source_freshness` (epoch seconds via
+    ``epoch_us // 1_000_000`` — all source timestamps are whole
+    seconds, so floor-seconds agree with Spark's unix_timestamp)."""
+    from ecommerce_dbt_medallion_spark.oracle.medallion import assemble_many
+
+    probes = {
+        "raw_customers": "created_at",
+        "raw_orders": "_loaded_at",
+        "raw_payments": "payment_date",
+    }
+    rows = "\nunion all\n".join(
+        f"select '{name}' as source_name, "
+        f"cast(max({col}) as timestamp) as max_loaded_at from {name}"
+        for name, col in probes.items()
+    )
+    final = f"""
+, fr as (
+{rows}
+)
+select source_name, max_loaded_at,
+    (epoch_us(cast(TIMESTAMP '{as_of}' as timestamp)) // 1000000
+     - epoch_us(max_loaded_at) // 1000000) / 3600.0 as age_hours,
+    case
+        when (epoch_us(cast(TIMESTAMP '{as_of}' as timestamp)) // 1000000
+              - epoch_us(max_loaded_at) // 1000000) / 3600.0 > {ERROR_AFTER_HOURS}
+            then 'error'
+        when (epoch_us(cast(TIMESTAMP '{as_of}' as timestamp)) // 1000000
+              - epoch_us(max_loaded_at) // 1000000) / 3600.0 > {WARN_AFTER_HOURS}
+            then 'warn'
+        else 'pass'
+    end as freshness_status
+from fr
+"""
+    return assemble_many(list(probes), final)

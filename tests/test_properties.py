@@ -104,3 +104,38 @@ def test_salted_join_equivalence(spark, pairs):
         (r["k"], r["v"], r["tag"]) for r in salted_join(probe, build, "k", salt=4).collect()
     )
     assert plain == salted
+
+
+@given(
+    users=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    dup_factor=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=6, deadline=None)  # each example runs 2 Spark jobs
+def test_hll_estimate_duplication_invariant(spark, users, dup_factor):
+    """The defining HLL property: registers are max() over hashes, so
+    duplicating every input row must leave all three estimates
+    bit-identical (distinctness-only sensitivity). Catches any future
+    'optimization' that accidentally makes the sketch count rows."""
+    from ecommerce_dbt_medallion_spark.models.events import (
+        _HLL_PRECISIONS,
+        sketch_distinct_users,
+    )
+    import ecommerce_dbt_medallion_spark.models.events as ev_mod
+
+    def run(rows):
+        df = spark.createDataFrame(
+            [("t", u) for u in rows], "event_type string, user_id long"
+        )
+        # drive the same pipeline as sketch_distinct_users by swapping
+        # the loader (the op is a pure function of the events frame)
+        orig = ev_mod.load_events
+        ev_mod.load_events = lambda s, d: df
+        try:
+            return {
+                (r["event_type"],): (r["est_m16"], r["est_m256"], r["est_m4096"])
+                for r in sketch_distinct_users(spark, "unused").collect()
+            }
+        finally:
+            ev_mod.load_events = orig
+
+    assert run(users) == run(users * dup_factor)

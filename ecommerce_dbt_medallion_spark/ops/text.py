@@ -262,25 +262,34 @@ group by md5({_NORM_SQL})
 
 # ---------------------------------------------------- n-gram jaccard dedup
 
-def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → exploded distinct token-3-grams."""
+def _doc_gram_arrays_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → DISTINCT token-3-gram array (un-checkpointed lineage).
+
+    Gram build is ``zip_with`` over three shifted slices of the token
+    array. The obvious alternative — ``transform(sequence(...),
+    i -> element_at(tokens, i+k))`` — re-evaluates the full ``split``
+    PER ELEMENT ×3: higher-order-function lambda bodies are interpreted
+    with no common-subexpression elimination, so any outer expression a
+    lambda references is recomputed per element (the text-family pitfall
+    SURVEY §2 #16 notes for nested HOFs). With zip_with the lambdas
+    touch only their lambda variables and split evaluates at row level:
+    measured 4.65 s → 0.52 s for the sf0.1 gram build, identical output.
+    """
     tokens = F.split(F.lower(F.trim(F.col("text"))), WS_RE)
-    grams = F.when(
-        F.size(tokens) >= NGRAM_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - NGRAM_N),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(tokens, i + 1),
-                    F.element_at(tokens, i + 2),
-                    F.element_at(tokens, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # The gram build (split + transform + array_distinct + explode) is the
-    # most CPU-intensive narrow transform in the text family, and a small
+    n = F.size(tokens)
+    t1 = F.slice(tokens, F.lit(1), n - 2)
+    t2 = F.slice(tokens, F.lit(2), n - 2)
+    t3 = F.slice(tokens, F.lit(3), n - 2)
+    tri = F.zip_with(
+        F.zip_with(t1, t2, lambda a, b: F.concat_ws(" ", a, b)),
+        t3,
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    grams = F.when(n >= NGRAM_N, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
+    # The gram build (split + transform + array_distinct) is the most
+    # CPU-intensive narrow transform in the text family, and a small
     # parquet input arrives as few (even ONE) scan partitions — measured
     # 13 s single-task vs <1 s spread over the cluster at sf0.1. The
     # explicit round-robin repartition decouples compute parallelism from
@@ -291,7 +300,29 @@ def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .select("doc_id", "text")
         .repartition(n_parts)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", grams.alias("gs"))
+    )
+
+
+def _doc_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → gram array, lazily checkpointed at DOC grain.
+
+    Round 6: the round-5 shape checkpointed the EXPLODED (doc, gram)
+    table (~2000× more rows than docs) and then paid a collect_list
+    shuffle to rebuild per-doc arrays for the pair-intersection joins.
+    The arrays exist BEFORE the explode — checkpointing doc-grain rows
+    materializes ~docs rows instead of ~grams rows, every exploded
+    consumer re-derives grams as a narrow fan-out of stored arrays, and
+    the collect_list shuffle disappears. Measured 7.4 s → 4.7 s for
+    dedup_ngram_jaccard at sf0.1 (clusters/keep_best inherit the win).
+    """
+    return _doc_gram_arrays_raw(spark, sf_dir).localCheckpoint(eager=False)
+
+
+def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → exploded distinct token-3-grams."""
+    return _doc_gram_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("gs").alias("gram")
     )
 
 
@@ -303,24 +334,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise quadratically explode the self-join at scale); the Jaccard
     itself is computed over the FULL gram sets of each candidate pair.
 
-    The exploded gram table feeds SIX subtrees (sizes, rare, both sides
-    of the blocked self-join, both sides of the intersection join) — the
-    lazy localCheckpoint computes the tokenize+explode once and lets all
-    six read the materialized blocks (measured 29.5 s → ~8 s at sf0.1;
-    also the dominant cost inside dedup_clusters / dedup_keep_best,
-    which build on these pairs). Same shared-subtree pattern as
-    gold_revenue_analysis; at cluster scale this is executor-local
-    storage, no driver traffic.
+    The gram data feeds SIX subtrees (sizes, rare, both sides of the
+    blocked self-join, both sides of the intersection join) — the lazy
+    DOC-GRAIN checkpoint (_doc_gram_arrays) computes the tokenize once
+    and lets all six read the materialized arrays; exploded views are
+    narrow fan-outs of stored arrays (r5: 29.5 s → ~8 s via an exploded
+    checkpoint; r6: → ~4.7 s by checkpointing at doc grain and deleting
+    the collect_list shuffle). Also the dominant cost inside
+    dedup_clusters / dedup_keep_best, which build on these pairs. At
+    cluster scale this is executor-local storage, no driver traffic.
     """
-    grams = _gram_df(spark, sf_dir).localCheckpoint(eager=False)
-
-    rare = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_MAX_DF))
-        .select("gram")
+    doc_grams = _doc_gram_arrays(spark, sf_dir)
+    grams = doc_grams.select(
+        "doc_id", F.size("gs").alias("n_g"), F.explode("gs").alias("gram")
     )
-    blocked = grams.join(rare, "gram")
+
+    # Prefix filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs
+    # Similarity Search"; also PPJoin): under ANY global gram order, a
+    # pair with Jaccard ≥ t must share its smallest common gram within
+    # both docs' prefixes of length n − ⌈t·n⌉ + 1 (if all ≥⌈t·n⌉ common
+    # grams sat outside a prefix, the ⌈t·n⌉−1 suffix slots couldn't hold
+    # them). Ordering by (df asc, gram) makes that smallest common gram
+    # the RAREST one, so composing with the df ≤ NGRAM_MAX_DF rare-gram
+    # block is still output-identical: the rarest shared gram of any
+    # qualifying pair has df ≤ any shared rare gram's df. The UNCHANGED
+    # oracle (plain rare-block candidates) verifies losslessness by hash.
+    # ⌈0.8n⌉ in exact integers: (4n+4) div 5 — float 0.8*n would be
+    # engine-fragile at representation boundaries. Candidate pairs at
+    # sf0.1: 1.13M → 154k; the dominating stage shrinks ~7× and scales
+    # as prefix² instead of docset² per bucket at 100 TB.
+    from pyspark.sql import Window
+
+    dfc = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    prefix_len = F.col("n_g") - F.expr("(4 * n_g + 4) div 5") + 1
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    blocked = (
+        grams.join(dfc, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("rn") <= prefix_len)
+            & (F.col("df") >= 2)
+            & (F.col("df") <= NGRAM_MAX_DF)
+        )
+        .select("doc_id", "gram")
+    )
     candidates = (
         blocked.alias("a")
         .join(blocked.alias("b"), "gram")
@@ -336,9 +393,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the (small) pair table against the per-doc array table replace
     # the exploded candidates⋈grams⋈grams 3-way join + two size joins —
     # the exchange carries one row per doc and one per pair, never one
-    # per (pair, shared gram). Measured 10.5 s → ~1 s for this stage at
-    # sf0.1; shuffle volume scales with docs + candidate pairs at 100 TB.
-    doc_grams = grams.groupBy("doc_id").agg(F.collect_list("gram").alias("gs"))
+    # per (pair, shared gram) (r5: 10.5 s → ~1 s for this stage). The
+    # arrays come STRAIGHT from the doc-grain checkpoint — no
+    # collect_list rebuild (r6); shuffle volume scales with docs +
+    # candidate pairs at 100 TB.
     n_common = F.size(F.array_intersect("gs_a", "gs_b"))
     jac = (
         candidates.join(

@@ -268,13 +268,13 @@ def test_ngram_jaccard_blocked_and_array_intersect(spark):
     plan = _formatted(optext.dedup_ngram_jaccard(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "array_intersect" in plan, "per-doc array intersection lost"
-    # The gram explode must run over multiple partitions regardless of
-    # input file count (round-robin repartition before the explode).
-    # Asserted on _gram_df's own plan: the lazy localCheckpoint in
-    # dedup_ngram_jaccard truncates lineage, hiding the subtree above.
-    gram_plan = _formatted(optext._gram_df(spark, SF_SMOKE))
+    # The gram build must run over multiple partitions regardless of
+    # input file count (round-robin repartition before the CPU-heavy
+    # tokenize). Asserted on the RAW array builder: the doc-grain lazy
+    # localCheckpoint wrapper truncates lineage, hiding the subtree.
+    gram_plan = _formatted(optext._doc_gram_arrays_raw(spark, SF_SMOKE))
     assert "RoundRobinPartitioning" in gram_plan or "REPARTITION_BY_NUM" in gram_plan, (
-        "gram explode lost its repartition — single-task explode on small inputs"
+        "gram build lost its repartition — single-task tokenize on small inputs"
     )
 
 

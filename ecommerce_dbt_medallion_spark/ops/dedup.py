@@ -34,22 +34,27 @@ from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
 def _shingles(text: Column) -> Column:
     """Distinct token-3-gram shingle array (same shingling as
-    dedup_ngram_jaccard, so minhash estimates THAT Jaccard)."""
+    dedup_ngram_jaccard, so minhash estimates THAT Jaccard).
+
+    zip_with over shifted slices, NOT transform+element_at: HOF lambda
+    bodies are interpreted without CSE, so an outer split() referenced
+    in the lambda re-evaluates per element ×3 (the round-6 ngram lesson,
+    ops/text.py — measured 9× there). Same output, same order.
+    """
     tokens = F.split(F.lower(F.trim(text)), WS_RE)
-    return F.when(
-        F.size(tokens) >= NGRAM_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - NGRAM_N),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(tokens, i + 1),
-                    F.element_at(tokens, i + 2),
-                    F.element_at(tokens, i + 3),
-                ),
-            )
+    n = F.size(tokens)
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(tokens, F.lit(1), n - 2),
+            F.slice(tokens, F.lit(2), n - 2),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        F.slice(tokens, F.lit(3), n - 2),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    return F.when(n >= NGRAM_N, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -227,6 +227,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "session_window_stats": ev.session_window_stats,
         "lakehouse_cdf": mcdf.lakehouse_cdf,
         "dq_source_freshness": dqfresh.source_freshness,
+        "scd2_snapshot_build": mcdf.scd2_snapshot_build,
     }
 
 
@@ -297,6 +298,8 @@ def oracle_sql() -> dict[str, str]:
     out["lakehouse_cdf"] = mcdf.oracle_lakehouse_cdf()
     # round 6: bronze.yml source-freshness parity under the hash gate
     out["dq_source_freshness"] = dqfresh.oracle_source_freshness()
+    # round 6: the SCD2 snapshot BUILD (runner.snapshot) under the gate
+    out["scd2_snapshot_build"] = mcdf.oracle_scd2_snapshot_build()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

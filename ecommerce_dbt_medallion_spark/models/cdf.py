@@ -74,6 +74,87 @@ def lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_T1 = "2025-12-01 00:00:00"  # first snapshot batch (before BATCH_TS)
+
+
+def scd2_snapshot_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32d: the SCD2 snapshot BUILD under the hash gate
+    (dbt ``snapshot`` check-strategy parity; scd2_customer_orders gates
+    only the consumption side).
+
+    Two deterministic customer-tier batches run through
+    runner.snapshot: batch 1 (at SCD2_T1) omits keys k % 11 == 0;
+    batch 2 (at BATCH_TS) drops keys k % 7 == 0 and bumps the tier of
+    k % 5 == 0. The oracle reconstructs the full expected version
+    history — unchanged open rows, changed rows closed + reopened,
+    missing keys closed, new keys opened — so the snapshot engine's
+    change detection and version bookkeeping are value-checked.
+    """
+    import pyspark.sql.functions as SF
+
+    from ecommerce_dbt_medallion_spark.config import BATCH_TS
+    from ecommerce_dbt_medallion_spark.runner import snapshot
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    path = os.path.normpath(os.path.join(_GATE_ROOT, f"scd2_gate_{tag}"))
+    shutil.rmtree(path, ignore_errors=True)
+
+    c = load_table(spark, sf_dir, "customer").select(
+        SF.col("c_custkey").cast("long").alias("customer_id"),
+        (SF.col("c_custkey") % 4).cast("long").alias("tier"),
+    )
+    b1 = c.where(SF.col("customer_id") % 11 != 0)
+    b2 = c.where(SF.col("customer_id") % 7 != 0).withColumn(
+        "tier",
+        SF.col("tier")
+        + SF.when(SF.col("customer_id") % 5 == 0, 1).otherwise(0).cast("long"),
+    )
+    snapshot(spark, b1, path, "customer_id", ["tier"], batch_ts=SCD2_T1)
+    final = snapshot(spark, b2, path, "customer_id", ["tier"], batch_ts=BATCH_TS)
+    return final.select("customer_id", "tier", "valid_from", "valid_to")
+
+
+def oracle_scd2_snapshot_build() -> str:
+    from ecommerce_dbt_medallion_spark.config import BATCH_TS
+
+    return f"""
+with c as (
+    select cast(c_custkey as bigint) as k,
+           cast(c_custkey % 4 as bigint) as tier1
+    from customer
+),
+b1 as (select k, tier1 as tier from c where k % 11 <> 0),
+b2 as (
+    select k, tier1 + (case when k % 5 = 0 then 1 else 0 end) as tier
+    from c where k % 7 <> 0
+)
+select k as customer_id, tier, valid_from, valid_to from (
+    -- unchanged keys: single open version from batch 1
+    select b1.k, b1.tier,
+        TIMESTAMP '{SCD2_T1}' as valid_from,
+        cast(null as timestamp) as valid_to
+    from b1 join b2 on b1.k = b2.k and b1.tier = b2.tier
+    union all
+    -- changed keys: batch-1 version closed at batch 2
+    select b1.k, b1.tier, TIMESTAMP '{SCD2_T1}', TIMESTAMP '{BATCH_TS}'
+    from b1 join b2 on b1.k = b2.k and b1.tier <> b2.tier
+    union all
+    -- changed keys: new open version
+    select b2.k, b2.tier, TIMESTAMP '{BATCH_TS}', cast(null as timestamp)
+    from b1 join b2 on b1.k = b2.k and b1.tier <> b2.tier
+    union all
+    -- keys missing from batch 2: closed
+    select b1.k, b1.tier, TIMESTAMP '{SCD2_T1}', TIMESTAMP '{BATCH_TS}'
+    from b1 where not exists (select 1 from b2 where b2.k = b1.k)
+    union all
+    -- keys new in batch 2: opened
+    select b2.k, b2.tier, TIMESTAMP '{BATCH_TS}', cast(null as timestamp)
+    from b2 where not exists (select 1 from b1 where b1.k = b2.k)
+)
+"""
+
+
 def oracle_lakehouse_cdf() -> str:
     from ecommerce_dbt_medallion_spark.oracle import assemble
 

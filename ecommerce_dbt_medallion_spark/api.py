@@ -20,6 +20,7 @@ from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import basket as opbasket
 from ecommerce_dbt_medallion_spark.ops import chunking as opchunk
+from ecommerce_dbt_medallion_spark.ops import cluster as opcluster
 from ecommerce_dbt_medallion_spark.ops import curation as opcur
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
 from ecommerce_dbt_medallion_spark.ops import fuzzy as opfuzzy
@@ -228,6 +229,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "lakehouse_cdf": mcdf.lakehouse_cdf,
         "dq_source_freshness": dqfresh.source_freshness,
         "scd2_snapshot_build": mcdf.scd2_snapshot_build,
+        "kmeans_embeddings": opcluster.kmeans_embeddings,
     }
 
 
@@ -300,6 +302,8 @@ def oracle_sql() -> dict[str, str]:
     out["dq_source_freshness"] = dqfresh.oracle_source_freshness()
     # round 6: the SCD2 snapshot BUILD (runner.snapshot) under the gate
     out["scd2_snapshot_build"] = mcdf.oracle_scd2_snapshot_build()
+    # round 6b: integer-quantized deterministic k-means (order-free sums)
+    out["kmeans_embeddings"] = opcluster.oracle_kmeans_embeddings()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -1,0 +1,171 @@
+"""Deterministic corpus clustering — integer-quantized Lloyd's k-means
+over the ``embeddings`` table (SURVEY.md §2 #34h).
+
+Topic-style clustering is the standard corpus-organization step of an
+LLM data pipeline (cluster → per-cluster dedup/sample/balance). MLlib's
+KMeans is seeded-random and float-summed, so its assignments are not
+reproducible across partitionings, let alone engines. This operator
+instead quantizes every embedding component to a scaled integer
+(``floor(v * 1e6 + 0.5)``) and runs Lloyd's iterations entirely in
+bigint arithmetic:
+
+- squared L2 distances are exact bigints → the argmin (tie-broken on
+  cluster id) is deterministic under ANY partitioning;
+- centroid updates sum bigints — associative and commutative, so
+  map-side partial aggregation works and the result is partition-order
+  free. Contrast with the IVF coarse quantizer
+  (similarity.py:_ivf_centroids), which keeps float semantics and must
+  fold member values in a FIXED vec_id order via collect_list — correct
+  but unable to use partial aggregation. At 100 TB the integer variant
+  is the one that scales: each iteration is one broadcast-join pass
+  over the corpus plus a (k × dim)-row aggregate.
+- the new centroid component is floor(sum / n) — one double division
+  from exact integers, bit-identical on both engines.
+
+Seeds are the first KM_K vectors by vec_id (deterministic, no RNG).
+Iteration count is fixed at KM_ITERS update rounds + a final assign;
+convergence-to-fixpoint would make runtime data-dependent, which a
+production pipeline schedules as "N rounds per day" anyway. Clusters
+that lose all members simply drop out (both engines agree).
+
+Plan shape per iteration: corpus ⋈ broadcast(centroids) → N×K narrow
+rows → groupBy(vec_id) min(struct) (single shuffle at corpus grain) →
+posexplode members → groupBy(cluster, dim) with map-side combine
+(k·dim output rows). The centroid set (k × dim ≤ a few KB) is collected
+to the driver between iterations — metadata-scale, like the lakehouse
+file lists, not a data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+KM_K = 8  # clusters
+KM_ITERS = 2  # centroid-update rounds (a final assign pass follows)
+KM_SCALE = 1_000_000  # component quantization: floor(v * SCALE + 0.5)
+KM_DIM = 64
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.lit(float(KM_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return e.select("vec_id", q.alias("q"))
+
+
+def _sqdist_int(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster, dist): nearest centroid, ties to lowest cluster id.
+
+    groupBy + min(struct(dist, cluster)) — lexicographic struct min is the
+    argmin with deterministic tie-break, and unlike a row_number window it
+    partially aggregates map-side.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.struct(
+            _sqdist_int(F.col("q"), F.col("cq")).alias("dist"),
+            F.col("cluster").alias("cluster"),
+        ).alias("dc"),
+    )
+    return scored.groupBy("vec_id").agg(F.min("dc").alias("m")).select(
+        "vec_id", F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist")
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#34h: deterministic k-means assignments (vec_id, cluster, dist)."""
+    vectors = _quantized(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    centroids = vectors.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("q").alias("cq")
+    )
+    for _ in range(KM_ITERS):
+        assigned = _assign(vectors, centroids)
+        # exact bigint component sums (order-free, combiner-friendly);
+        # floor(sum/n) is the single fp op, identical on both engines
+        centroids = (
+            assigned.join(vectors, "vec_id")
+            .select("cluster", F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+            .select(
+                "cluster",
+                "dim",
+                F.floor(F.col("sv").cast("double") / F.col("n")).cast("long").alias(
+                    "comp"
+                ),
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("pairs"))
+            .select(
+                "cluster", F.transform(F.col("pairs"), lambda p: p["comp"]).alias("cq")
+            )
+        )
+    return _assign(vectors, centroids).orderBy("vec_id")
+
+
+def oracle_kmeans_embeddings() -> str:
+    dist = (
+        "cast(list_aggregate(list_transform(range(1, %d), "
+        "i -> (v.q[i]-c.cq[i])*(v.q[i]-c.cq[i])), 'sum') as bigint)" % (KM_DIM + 1)
+    )
+    parts = [
+        f"""q as (
+  select vec_id, list_transform(embedding,
+    v -> cast(floor(cast(v as double) * {KM_SCALE}.0 + 0.5) as bigint)) as q
+  from embeddings
+)""",
+        f"""qd as (
+  select vec_id, t.range as dim, q.q[t.range] as v
+  from q cross join range(1, {KM_DIM + 1}) t
+)""",
+        f"c0 as (select vec_id as cluster, q as cq from q where vec_id < {KM_K})",
+    ]
+    for i in range(KM_ITERS):
+        parts.append(
+            f"""a{i} as (
+  select vec_id, cluster from (
+    select v.vec_id, c.cluster,
+      row_number() over (partition by v.vec_id
+        order by {dist} asc, c.cluster asc) as rn
+    from q v cross join c{i} c
+  ) where rn = 1
+)"""
+        )
+        parts.append(
+            f"""c{i + 1} as (
+  select cluster, list(comp order by dim) as cq from (
+    select a.cluster, t.dim,
+      cast(floor(cast(sum(t.v) as double) / count(*)) as bigint) as comp
+    from a{i} a join qd t using (vec_id)
+    group by a.cluster, t.dim
+  ) group by cluster
+)"""
+        )
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f"""
+select vec_id, cluster, dist from (
+  select v.vec_id, c.cluster, {dist} as dist,
+    row_number() over (partition by v.vec_id
+      order by {dist} asc, c.cluster asc) as rn
+  from q v cross join c{KM_ITERS} c
+) where rn = 1 order by vec_id"""
+    )

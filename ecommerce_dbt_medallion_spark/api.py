@@ -230,6 +230,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "dq_source_freshness": dqfresh.source_freshness,
         "scd2_snapshot_build": mcdf.scd2_snapshot_build,
         "kmeans_embeddings": opcluster.kmeans_embeddings,
+        "bm25_topk": oprank.bm25_topk,
     }
 
 
@@ -304,6 +305,8 @@ def oracle_sql() -> dict[str, str]:
     out["scd2_snapshot_build"] = mcdf.oracle_scd2_snapshot_build()
     # round 6b: integer-quantized deterministic k-means (order-free sums)
     out["kmeans_embeddings"] = opcluster.oracle_kmeans_embeddings()
+    # round 6b: log-free BM25 (raw-ratio idf keeps both engines bit-equal)
+    out["bm25_topk"] = oprank.oracle_bm25_topk()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -34,6 +34,7 @@ from ecommerce_dbt_medallion_spark.ops import quantize as opquant
 from ecommerce_dbt_medallion_spark.ops import sampling as opsample
 from ecommerce_dbt_medallion_spark.ops import scrub as opscrub
 from ecommerce_dbt_medallion_spark.ops import sketch as opsketch
+from ecommerce_dbt_medallion_spark.ops import substring as opsub
 from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.ops import vocab as opvocab
 from ecommerce_dbt_medallion_spark.quality import checks as dq
@@ -231,6 +232,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "scd2_snapshot_build": mcdf.scd2_snapshot_build,
         "kmeans_embeddings": opcluster.kmeans_embeddings,
         "bm25_topk": oprank.bm25_topk,
+        "exact_substring_dedup": opsub.exact_substring_dedup,
     }
 
 
@@ -307,6 +309,8 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans_embeddings"] = opcluster.oracle_kmeans_embeddings()
     # round 6b: log-free BM25 (raw-ratio idf keeps both engines bit-equal)
     out["bm25_topk"] = oprank.oracle_bm25_topk()
+    # round 6b: span-level exact dedup (windowed suffix-array substitute)
+    out["exact_substring_dedup"] = opsub.oracle_exact_substring_dedup()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

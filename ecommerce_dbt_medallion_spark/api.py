@@ -233,6 +233,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "kmeans_embeddings": opcluster.kmeans_embeddings,
         "bm25_topk": oprank.bm25_topk,
         "exact_substring_dedup": opsub.exact_substring_dedup,
+        "doc_containment": optext.doc_containment,
     }
 
 
@@ -311,6 +312,8 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk"] = oprank.oracle_bm25_topk()
     # round 6b: span-level exact dedup (windowed suffix-array substitute)
     out["exact_substring_dedup"] = opsub.oracle_exact_substring_dedup()
+    # round 6b: Broder containment — the asymmetric screen Jaccard misses
+    out["doc_containment"] = optext.oracle_doc_containment()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -464,6 +464,116 @@ where round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common),
 """
 
 
+# ------------------------------------------------------ containment
+
+CONTAINMENT_THRESHOLD = 0.7  # on max(|A∩B|/|A|, |A∩B|/|B|)
+
+
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#34k: asymmetric gram-containment pairs — sub/superset detection.
+
+    Jaccard dedup misses the quote-expansion case: a short document
+    fully embedded in a much longer one has |A∩B|/|A∪B| ≈ |A|/|B| → 0,
+    while containment |A∩B|/|A| = 1. Broder's containment coefficient
+    is the standard screen for doc-in-doc contamination (and for
+    train/eval overlap where the eval item is the contained side).
+
+    Same token-3-gram sets and rare-gram blocking as
+    dedup_ngram_jaccard (df ∈ [2, NGRAM_MAX_DF] grams seed candidates);
+    the prefix filter is NOT reused — its Jaccard bound is unsound for
+    asymmetric containment (a contained doc may share only its rarest
+    grams with a superset far larger than any Jaccard-qualifying
+    partner). One row per unordered candidate pair with both
+    directional ratios; pairs pass on the max.
+
+    Plan shape: identical to the Jaccard family — the doc-grain gram
+    checkpoint feeds both the blocked self-join (pairs ∝ df² per rare
+    gram, bounded by NGRAM_MAX_DF) and the array-intersect scoring
+    joins, whose exchange carries one row per doc and per pair.
+    """
+    doc_grams = _doc_gram_arrays(spark, sf_dir)
+    grams = doc_grams.select("doc_id", F.explode("gs").alias("gram"))
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_MAX_DF))
+        .select("gram")
+    )
+    blocked = grams.join(rare, "gram")
+    candidates = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n_common = F.size(F.array_intersect("gs_a", "gs_b"))
+    cont_a = n_common.cast("double") / F.size("gs_a")
+    cont_b = n_common.cast("double") / F.size("gs_b")
+    scored = (
+        candidates.join(
+            doc_grams.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")),
+            "doc_a",
+        )
+        .join(
+            doc_grams.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("gs_a").cast("long").alias("n_grams_a"),
+            F.size("gs_b").cast("long").alias("n_grams_b"),
+            n_common.cast("long").alias("n_common"),
+            _r4(cont_a).alias("cont_a_in_b"),
+            _r4(cont_b).alias("cont_b_in_a"),
+        )
+    )
+    return scored.where(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= CONTAINMENT_THRESHOLD
+    )
+
+
+def oracle_doc_containment() -> str:
+    return f"""
+with tok as (
+    select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from documents
+),
+ga as (
+    select doc_id, list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as gs
+    from tok
+),
+grams as (select doc_id, unnest(gs) as gram from ga),
+rare as (
+    select gram from grams group by gram
+    having count(*) >= 2 and count(*) <= {NGRAM_MAX_DF}
+),
+blocked as (select g.doc_id, g.gram from grams g join rare r on g.gram = r.gram),
+candidates as (
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from blocked a join blocked b on a.gram = b.gram and a.doc_id < b.doc_id
+),
+scored as (
+    select c.doc_a, c.doc_b,
+        cast(len(xa.gs) as bigint) as n_grams_a,
+        cast(len(xb.gs) as bigint) as n_grams_b,
+        cast(len(list_intersect(xa.gs, xb.gs)) as bigint) as n_common,
+        round(cast(len(list_intersect(xa.gs, xb.gs)) as double)
+              / len(xa.gs), 4) as cont_a_in_b,
+        round(cast(len(list_intersect(xa.gs, xb.gs)) as double)
+              / len(xb.gs), 4) as cont_b_in_a
+    from candidates c
+    join ga xa on xa.doc_id = c.doc_a
+    join ga xb on xb.doc_id = c.doc_b
+)
+select * from scored
+where greatest(cont_a_in_b, cont_b_in_a) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # ------------------------------------------------------- winnowing (MOSS)
 
 WINNOW_K = 8  # char k-gram length

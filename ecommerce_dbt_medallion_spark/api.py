@@ -234,6 +234,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "bm25_topk": oprank.bm25_topk,
         "exact_substring_dedup": opsub.exact_substring_dedup,
         "doc_containment": optext.doc_containment,
+        "triangle_count_parts": opbasket.triangle_count_parts,
     }
 
 
@@ -314,6 +315,9 @@ def oracle_sql() -> dict[str, str]:
     out["exact_substring_dedup"] = opsub.oracle_exact_substring_dedup()
     # round 6b: Broder containment — the asymmetric screen Jaccard misses
     out["doc_containment"] = optext.oracle_doc_containment()
+    # round 6b: degree-oriented triangles; naive-enumeration oracle proves
+    # the oriented plan is output-equivalent
+    out["triangle_count_parts"] = opbasket.oracle_triangle_count_parts()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

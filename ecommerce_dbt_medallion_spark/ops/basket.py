@@ -127,6 +127,111 @@ select part_id, rec_part_id, n_orders, rec_rank from (
 """
 
 
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#34l: per-part triangle count + local clustering coefficient over
+    the undirected co-purchase graph.
+
+    Triangle density distinguishes genuine product communities from
+    star-shaped popularity (a hub co-bought with everything closes few
+    triangles); the local clustering coefficient 2T/(deg·(deg−1)) is the
+    standard graph feature alongside pagerank_parts.
+
+    Enumeration uses DEGREE ORIENTATION (each undirected edge directed
+    from its (deg, id)-smaller endpoint): every vertex's out-degree is
+    O(sqrt(m)), so the wedge self-join — the only quadratic-per-key
+    stage — is bounded by m^1.5 total wedges regardless of hub skew,
+    where the naive id-ordered 3-way join blows up on a high-degree
+    low-id vertex. Wedges close against the id-canonical undirected
+    edge set (a broadcast-or-shuffle hash join on the (v, w) pair key).
+    The oracle intentionally enumerates the naive id-ordered way: the
+    triangle SET is orientation-invariant, so hash parity doubles as an
+    equivalence proof of the oriented plan.
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    und = (
+        pairs.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "src").where(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        und, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
+    ).select("src", "v", "w")
+    tri_nodes = (
+        tri.select(F.explode(F.array("src", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nt = F.coalesce("n_triangles", F.lit(0)).cast("long")
+    clustering = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            (nt * 2).cast("double") / (F.col("deg") * (F.col("deg") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri_nodes, "node", "left").select(
+        F.col("node").alias("part_id"),
+        F.col("deg").cast("long").alias("degree"),
+        nt.alias("n_triangles"),
+        clustering.alias("clustering_r6"),
+    )
+
+
+def oracle_triangle_count_parts() -> str:
+    return f"""
+with pairs as ({ORACLE_COPURCHASE_PAIRS}),
+und as (select part_a as a, part_b as b from pairs),
+deg as (
+    select node, count(*) as deg from (
+        select a as node from und union all select b from und
+    ) group by node
+),
+tri as (
+    select e1.a as x, e1.b as y, e2.b as z
+    from und e1
+    join und e2 on e2.a = e1.b
+    join und e3 on e3.a = e1.a and e3.b = e2.b
+),
+tn as (
+    select node, count(*) as n_triangles from (
+        select x as node from tri
+        union all select y from tri
+        union all select z from tri
+    ) group by node
+)
+select d.node as part_id,
+    cast(d.deg as bigint) as degree,
+    cast(coalesce(tn.n_triangles, 0) as bigint) as n_triangles,
+    case when d.deg >= 2 then
+        round(cast(coalesce(tn.n_triangles, 0) * 2 as double)
+              / (d.deg * (d.deg - 1)), 6)
+    else 0.0 end as clustering_r6
+from deg d left join tn on tn.node = d.node
+"""
+
+
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected co-purchase graph, PAGERANK_ITERS
     fixed iterations, exact bigint micro-unit arithmetic.

@@ -482,3 +482,103 @@ def test_quantize_error_bounded_by_half_step(spark):
         # per-element rounding error <= scale/2 -> L2 <= sqrt(64)*scale/2
         assert r["l2_err"] <= 8 * r["scale"] / 2 + 1e-9, r
         assert r["scale"] > 0
+
+
+# ------------------------------------------------- round 6b operators
+
+
+def test_substring_dedup_finds_planted_span(spark, tmp_path):
+    from ecommerce_dbt_medallion_spark.ops import substring as opsub
+
+    rng = random.Random(11)
+    mk = lambda n: " ".join(rng.choice(VOCAB) for _ in range(n))
+    a = mk(40)
+    # the shared span must be >= 2*SUB_L - 1 chars to guarantee an
+    # aligned window match (docstring invariant)
+    span = a[10 : 10 + (2 * opsub.SUB_L - 1)]
+    b = mk(20) + " " + span + " " + mk(20)
+    c = mk(60)
+    d = tmp_path / "subdocs"
+    spark.createDataFrame(
+        [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b)), (2, c, "en", "s", len(c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in opsub.exact_substring_dedup(spark, str(d)).collect()}
+    assert rows[0]["dup_windows"] > 0 and rows[1]["dup_windows"] > 0
+    assert rows[2]["dup_windows"] == 0
+    # the planted span is SUB_L windows long -> at least that many dup
+    # windows on each side
+    assert rows[0]["dup_hashes"] >= opsub.SUB_L
+
+
+def test_containment_detects_embedded_doc(spark, tmp_path):
+    """A doc whose text is a strict prefix of another must surface with
+    containment 1.0 even though Jaccard is well below its threshold."""
+    rng = random.Random(13)
+    words = [rng.choice(VOCAB) for _ in range(300)]
+    big = " ".join(words)
+    small = " ".join(words[:60])  # 1/5 of big -> jaccard ~0.2
+    d = tmp_path / "contdocs"
+    spark.createDataFrame(
+        [(0, big, "en", "s", len(big)), (1, small, "en", "s", len(small))]
+        + [
+            (i, " ".join(rng.choice(VOCAB) for _ in range(80)), "en", "s", 0)
+            for i in range(2, 6)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = optext.doc_containment(spark, str(d)).collect()
+    pair = [r for r in rows if r["doc_a"] == 0 and r["doc_b"] == 1]
+    assert len(pair) == 1
+    assert pair[0]["cont_b_in_a"] == 1.0  # small fully inside big
+    assert pair[0]["cont_a_in_b"] < 0.5
+    # and the Jaccard op must NOT pair them (that's the point)
+    jac = optext.dedup_ngram_jaccard(spark, str(d)).collect()
+    assert not [r for r in jac if r["doc_a"] == 0 and r["doc_b"] == 1]
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    from ecommerce_dbt_medallion_spark.ops import basket as opbasket
+
+    # baskets {1,2} {2,3} {1,3} {3,4}: one triangle (1,2,3); node 4 open
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 3), (4, 4)]
+    d = tmp_path / "tridata"
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    out = {r["part_id"]: r for r in opbasket.triangle_count_parts(spark, str(d)).collect()}
+    assert {p: r["n_triangles"] for p, r in out.items()} == {1: 1, 2: 1, 3: 1, 4: 0}
+    assert out[1]["clustering_r6"] == 1.0
+    assert out[3]["degree"] == 3 and abs(out[3]["clustering_r6"] - 0.333333) < 1e-9
+    assert out[4]["clustering_r6"] == 0.0
+
+
+def test_kmeans_deterministic_and_consistent(spark):
+    from ecommerce_dbt_medallion_spark.ops import cluster as opcluster
+
+    a = opcluster.kmeans_embeddings(spark, SF_SMOKE).collect()
+    b = opcluster.kmeans_embeddings(spark, SF_SMOKE).collect()
+    assert a == b  # exact integer path -> bit-stable across runs
+    clusters = {r["cluster"] for r in a}
+    assert clusters == set(range(opcluster.KM_K))  # no cluster collapsed
+    # every distance is an exact non-negative integer
+    assert all(r["dist"] >= 0 for r in a)
+
+
+def test_bm25_rewards_term_frequency_at_equal_length(spark, tmp_path):
+    from ecommerce_dbt_medallion_spark.ops import ranking as oprank
+
+    filler = "alpha bravo charlie delta echo foxtrot"
+    docs = [
+        (0, "hash hash hash " + filler, "en", "s", 0),
+        (1, "hash alpha alpha " + filler, "en", "s", 0),
+        (2, "bravo delta echo " + filler, "en", "s", 0),
+    ]
+    d = tmp_path / "bm25docs"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r["doc_id"]: r for r in oprank.bm25_topk(spark, str(d)).collect()}
+    assert 2 not in out  # no query terms -> unscored
+    assert out[0]["score_r6"] > out[1]["score_r6"]  # tf 3 beats tf 1, same dl
+    assert out[0]["rank"] == 1

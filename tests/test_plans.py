@@ -306,3 +306,37 @@ def test_bucketed_fact_join_no_exchange_no_sort(spark):
     assert not re.search(r"\(\d+\) Sort\b", plan), (
         "bucketed join must trust sortBy metadata (no Sort nodes):\n" + plan
     )
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    """bm25's top-k must compile to TakeOrderedAndProject (per-partition
+    heaps + K-row driver merge), never a corpus-grain single-partition
+    row_number window."""
+    from ecommerce_dbt_medallion_spark.ops import ranking
+
+    df = ranking.bm25_topk(spark, SF_SMOKE)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in executed, executed
+
+
+def test_substring_dedup_no_text_past_hash(spark):
+    """the window explode must not carry document text into the shuffle —
+    exchanges may move doc ids, hashes, and counts only."""
+    from ecommerce_dbt_medallion_spark.ops import substring
+
+    plan = _formatted(substring.exact_substring_dedup(spark, SF_SMOKE))
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_triangle_wedges_from_oriented_edges(spark):
+    """degree orientation must survive optimization: the wedge self-join
+    joins the oriented edge set with itself (equi-join on src), and no
+    theta/cross join appears anywhere in the plan."""
+    from ecommerce_dbt_medallion_spark.ops import basket
+
+    plan = _formatted(basket.triangle_count_parts(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

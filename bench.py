@@ -55,6 +55,11 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_clusters",
         "dedup_keep_best",
+        # round-6b operators (guard values in BASELINE.md)
+        "kmeans_embeddings",
+        "exact_substring_dedup",
+        "doc_containment",
+        "triangle_count_parts",
     ):
         if extra in queries:
             headline.append(extra)

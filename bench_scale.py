@@ -71,7 +71,15 @@ PROBE_KEYS = [
     "decontaminate",
     # embeddings family (fixed LSH family: occupancy grows with corpus)
     "knn_graph",
+    # round-6b operators
+    "exact_substring_dedup",
+    "doc_containment",
+    "triangle_count_parts",
+    "kmeans_embeddings",
 ]
+# env override for single-key fresh-session re-measurement (see caveat)
+if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
+    PROBE_KEYS = os.environ["SPARK_GRAFT_PROBE_KEYS"].split(",")
 
 
 def build_scale_dir(spark) -> None:

@@ -128,7 +128,7 @@ select part_id, rec_part_id, n_orders, rec_rank from (
 
 
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#34l: per-part triangle count + local clustering coefficient over
+    """#35e: per-part triangle count + local clustering coefficient over
     the undirected co-purchase graph.
 
     Triangle density distinguishes genuine product communities from

@@ -1,5 +1,5 @@
 """Deterministic corpus clustering — integer-quantized Lloyd's k-means
-over the ``embeddings`` table (SURVEY.md §2 #34h).
+over the ``embeddings`` table (SURVEY.md §2 #35a).
 
 Topic-style clustering is the standard corpus-organization step of an
 LLM data pipeline (cluster → per-cluster dedup/sample/balance). MLlib's
@@ -88,9 +88,16 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#34h: deterministic k-means assignments (vec_id, cluster, dist)."""
-    vectors = _quantized(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
+    """#35a: deterministic k-means assignments (vec_id, cluster, dist)."""
+    # vec_id-hash repartition (not round-robin): the per-iteration
+    # argmin groupBy and the update join both key on vec_id, so every
+    # downstream exchange reuses this one partitioning. The lazy
+    # checkpoint stops the quantize+scan subtree re-running once per
+    # assign/update consumer (2·ITERS + 1 of them).
+    vectors = (
+        _quantized(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=False)
     )
     centroids = vectors.where(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cluster"), F.col("q").alias("cq")

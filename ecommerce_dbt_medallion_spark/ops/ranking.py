@@ -91,7 +91,7 @@ BM25_TOPK = 25
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#34i: BM25 top-k documents for the fixed query-term set."""
+    """#35b: BM25 top-k documents for the fixed query-term set."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",

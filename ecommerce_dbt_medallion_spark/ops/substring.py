@@ -1,5 +1,5 @@
 """Exact duplicated-substring detection over ``documents``
-(SURVEY.md §2 #34j) — the span-level complement to document-level dedup.
+(SURVEY.md §2 #35c) — the span-level complement to document-level dedup.
 
 Document-grain dedup (exact / minhash / simhash) misses the dominant
 contamination mode in web-scale corpora: long VERBATIM spans (boiler-
@@ -44,7 +44,7 @@ SUB_L = 40  # window length (chars); catches duplicated spans >= 79 chars
 
 
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#34j: per-doc duplicated-window stats (cross-document exact spans)."""
+    """#35c: per-doc duplicated-window stats (cross-document exact spans)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= SUB_L)

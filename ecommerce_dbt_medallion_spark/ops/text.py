@@ -470,7 +470,7 @@ CONTAINMENT_THRESHOLD = 0.7  # on max(|A∩B|/|A|, |A∩B|/|B|)
 
 
 def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#34k: asymmetric gram-containment pairs — sub/superset detection.
+    """#35d: asymmetric gram-containment pairs — sub/superset detection.
 
     Jaccard dedup misses the quote-expansion case: a short document
     fully embedded in a much longer one has |A∩B|/|A∪B| ≈ |A|/|B| → 0,

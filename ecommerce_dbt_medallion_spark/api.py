@@ -75,6 +75,7 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 #
 # Round-7 note: with no code churn, rotate the 38 r5-certified keys
 # (streams, events-sessionization family, sketches, graph/basket ops)
+# PLUS the 8 bronze/silver/DQ keys displaced by round 6's new-key block
 # back in so certification keeps alternating — no key's latest driver
 # row should ever be more than one round behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -126,14 +127,18 @@ DRIVER_WINDOW = [
     "gold_customer_summary",
     "gold_order_metrics",
     "gold_revenue_analysis",
-    "silver_orders",
-    "silver_customers",
-    "bronze_orders",
-    "bronze_payments",
-    "bronze_customers",
-    "dq_generic_tests",
-    "dq_failed_rows",
-    "event_sessionization",
+    # --- keys NEW this round (no driver row yet): certify first time.
+    # The 8 bronze/silver/DQ keys they displaced were all green in r5
+    # (one round old — within the rotation policy) and rotate back in
+    # round 7.
+    "lakehouse_cdf",
+    "dq_source_freshness",
+    "scd2_snapshot_build",
+    "kmeans_embeddings",
+    "bm25_topk",
+    "exact_substring_dedup",
+    "doc_containment",
+    "triangle_count_parts",
 ]
 
 

@@ -217,6 +217,19 @@ def test_driver_window_membership_round6():
         "ann_topk_ivf",
     }
     assert r4_latest <= set(api.DRIVER_WINDOW)
+    # round 6b: every key that has NEVER had a driver row certifies this
+    # round (the window's first-time block)
+    never_certified = {
+        "lakehouse_cdf",
+        "dq_source_freshness",
+        "scd2_snapshot_build",
+        "kmeans_embeddings",
+        "bm25_topk",
+        "exact_substring_dedup",
+        "doc_containment",
+        "triangle_count_parts",
+    }
+    assert never_certified <= set(api.DRIVER_WINDOW)
 
 
 def test_every_key_has_oracle_or_documented_rows_only():

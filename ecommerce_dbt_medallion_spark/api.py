@@ -240,6 +240,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "exact_substring_dedup": opsub.exact_substring_dedup,
         "doc_containment": optext.doc_containment,
         "triangle_count_parts": opbasket.triangle_count_parts,
+        "corpus_mix_weights": opsample.corpus_mix_weights,
     }
 
 
@@ -323,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
     # round 6b: degree-oriented triangles; naive-enumeration oracle proves
     # the oriented plan is output-equivalent
     out["triangle_count_parts"] = opbasket.oracle_triangle_count_parts()
+    # round 6b: temperature-scaled source mixing (sqrt is IEEE-portable)
+    out["corpus_mix_weights"] = opsample.oracle_corpus_mix_weights()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -161,3 +161,102 @@ where substring(md5(cast(doc_id as varchar) || '{WSAMP_SALT}'), 1, 8)
       < printf('%08x', least(cast(floor(quality_score * {_WSAMP_SCALE}) as bigint),
                              4294967295))
 """
+
+
+# ------------------------------------------------------- mixing weights
+
+MIX_TOKEN_BUDGET = 1_000_000  # tokens allocated across sources
+# temperature-scaled mixing: weight ∝ share^(1/2). sqrt is IEEE-754
+# correctly rounded in BOTH engines (java.lang.Math.sqrt / libm), so —
+# unlike log/exp — it is safe in a value-oracled expression.
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#35f: per-source data-mixing weights (temperature-scaled token
+    shares) + a concrete token-budget allocation.
+
+    The domain-reweighting step of corpus assembly (the static variant
+    of DoReMi-style mixture tuning): raw token share per source is
+    flattened with alpha=0.5 (sqrt), renormalized, and multiplied into
+    a global token budget. All inputs are exact bigints; the float tree
+    is share → sqrt → renormalize → budget, written identically in both
+    engines, with the cross-source normalizing sum computed as an
+    ORDERED fold over sources (sorted by name) — F.sum's partition
+    order would make the last ulp nondeterministic.
+
+    Plan: one (source)-grain aggregate with map-side partials over the
+    token explode (shared shape with text_token_stats), a 1-row
+    broadcast for totals, and a sources-grain ordered fold — sources
+    number in the hundreds at worst, so everything after the first
+    aggregate is metadata-scale.
+    """
+    from ecommerce_dbt_medallion_spark.ops.text import WORD_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source",
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+            ).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    total = F.broadcast(per_source.agg(F.sum("n_tokens").alias("total_tokens")))
+    shared = per_source.crossJoin(total).withColumn(
+        "w_raw",
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")),
+    )
+    norm = F.broadcast(
+        shared.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("source", "w_raw"))),
+                F.lit(0.0),
+                lambda a, p: a + p["w_raw"],
+            ).alias("w_sum")
+        )
+    )
+    weight = F.col("w_raw") / F.col("w_sum")
+    return shared.crossJoin(norm).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"), 6
+        ).alias("token_share_r6"),
+        F.round(weight, 6).alias("mix_weight_r6"),
+        F.floor(weight * F.lit(float(MIX_TOKEN_BUDGET))).cast("long").alias(
+            "alloc_tokens"
+        ),
+    )
+
+
+def oracle_corpus_mix_weights() -> str:
+    from ecommerce_dbt_medallion_spark.ops.text import WORD_RE
+
+    return f"""
+with per_source as (
+    select source, count(*) as n_docs,
+        sum(len(regexp_extract_all(lower(text), '{WORD_RE}'))) as n_tokens
+    from documents group by source
+),
+total as (select sum(n_tokens) as total_tokens from per_source),
+shared as (
+    select source, n_docs, n_tokens, total_tokens,
+        sqrt(cast(n_tokens as double) / cast(total_tokens as double)) as w_raw
+    from per_source cross join total
+),
+norm as (
+    select list_aggregate(list(w_raw order by source), 'sum') as w_sum from shared
+)
+select source,
+    cast(n_docs as bigint) as n_docs,
+    cast(n_tokens as bigint) as n_tokens,
+    round(cast(n_tokens as double) / cast(total_tokens as double), 6)
+        as token_share_r6,
+    round(w_raw / w_sum, 6) as mix_weight_r6,
+    cast(floor((w_raw / w_sum) * {float(MIX_TOKEN_BUDGET)!r}) as bigint)
+        as alloc_tokens
+from shared cross join norm
+"""

@@ -318,6 +318,62 @@ def merge_into(
     return v
 
 
+def restore(table: str, to_version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the HEAD back to an
+    earlier snapshot as a NEW forward commit (Delta semantics: history
+    is never rewritten, so the bad versions stay auditable and
+    time-travelable and a second restore can undo the first).
+
+    Pure metadata: the live set of ``to_version`` is re-declared by
+    REFERENCE — files live at both HEAD and the target stay untouched,
+    files dropped since the target are re-added, files added since are
+    removed. No data file is read, written, or moved, which is what
+    makes restore O(log) instead of O(table) at any scale.
+    """
+    vs = versions(table)
+    if to_version not in vs:
+        raise ValueError(f"version {to_version} not in {vs}")
+    target = {a["file"]: a for a in live_files(table, to_version)}
+    head = {a["file"]: a for a in live_files(table)}
+    v = vs[-1] + 1
+    _commit(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": f"RESTORE AS OF {to_version}",
+            "key": _read_entry(table, to_version).get("key"),
+            "add": [a for f, a in target.items() if f not in head],
+            "remove": [f for f in head if f not in target],
+        },
+    )
+    return v
+
+
+def vacuum_retain(table: str, retain_last: int) -> int:
+    """Retention-bounded VACUUM: delete data files reachable ONLY from
+    versions older than the last ``retain_last`` — the real Delta
+    trade (reclaim storage, give up time travel past the horizon).
+    The log entries themselves are kept (history stays auditable);
+    reading a vacuumed-away snapshot fails at scan time, as in Delta.
+    ``vacuum`` (below) is the conservative variant that preserves the
+    FULL history and only drops never-committed staging orphans."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    vs = versions(table)
+    keep: set[str] = set()
+    for v in vs[-retain_last:]:
+        for a in live_files(table, v):
+            keep.add(a["file"])
+    data_dir = os.path.join(table, _DATA_DIR)
+    n = 0
+    for f in os.listdir(data_dir):
+        if f.endswith(".parquet") and f not in keep:
+            os.remove(os.path.join(data_dir, f))
+            n += 1
+    return n
+
+
 def vacuum(table: str) -> int:
     """Delete data files referenced by NO version's live set and no
     longer reachable (here: files removed at or before the latest

@@ -366,3 +366,56 @@ def test_export_snapshot_partitioned(spark, table, tmp_path):
     assert got.where("bucket = 1").count() == 50
     assert manifest["partition_by"] == ["bucket"]
     assert all("/" in f["file"] or os.sep in f["file"] for f in manifest["files"])
+
+
+def test_restore_rolls_back_head_as_forward_commit(spark, table):
+    # v1: corrupt half the values; v2: append junk keys
+    bad = spark.range(50).select(F.col("id"), F.lit(-1).cast("long").alias("val"))
+    lh.merge_into(spark, table, bad, key="id")
+    junk = spark.range(1000, 1010).select(F.col("id"), F.lit(0).cast("long").alias("val"))
+    lh.append(spark, table, junk, key="id")
+    v0_rows = sorted(r["val"] for r in lh.read(spark, table, 0).collect())
+
+    v = lh.restore(table, 0)
+    assert v == 3  # forward commit, nothing rewritten
+    assert sorted(r["val"] for r in lh.read(spark, table).collect()) == v0_rows
+    # the bad versions stay time-travelable (history never rewritten)
+    assert lh.read(spark, table, 2).where("val = -1").count() == 50
+    assert lh.history(table)[-1]["operation"] == "RESTORE AS OF 0"
+    # restore of the restore: back to the junk-included state
+    lh.restore(table, 2)
+    assert lh.read(spark, table).count() == 110
+
+
+def test_restore_is_metadata_only(spark, table):
+    import os
+
+    data_dir = os.path.join(table, "data")
+    lh.merge_into(
+        spark, table, spark.range(5).select("id", F.lit(7).cast("long").alias("val")), key="id"
+    )
+    before = {f: os.path.getmtime(os.path.join(data_dir, f))
+              for f in os.listdir(data_dir) if f.endswith(".parquet")}
+    lh.restore(table, 0)
+    after = {f: os.path.getmtime(os.path.join(data_dir, f))
+             for f in os.listdir(data_dir) if f.endswith(".parquet")}
+    assert before == after  # no file added, removed, or rewritten
+
+
+def test_vacuum_retain_reclaims_past_horizon(spark, table):
+    # v1 rewrites half the files -> old versions keep dead-file refs
+    lh.merge_into(
+        spark, table, spark.range(50).select("id", F.lit(-1).cast("long").alias("val")), key="id"
+    )
+    lh.merge_into(
+        spark, table, spark.range(50).select("id", F.lit(-2).cast("long").alias("val")), key="id"
+    )
+    n = lh.vacuum_retain(table, retain_last=1)
+    assert n > 0  # files reachable only from v0/v1 reclaimed
+    # HEAD unaffected
+    assert lh.read(spark, table).count() == 100
+    # time travel past the horizon now fails at scan time (Delta behavior)
+    with pytest.raises(Exception):
+        lh.read(spark, table, 0).collect()
+    # history metadata itself is preserved
+    assert [h["version"] for h in lh.history(table)] == [0, 1, 2]

@@ -173,12 +173,28 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
-    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
-    wedges = o1.join(o2, "src").where(F.col("v") < F.col("w"))
-    tri = wedges.join(
-        und, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b"))
-    ).select("src", "v", "w")
+    # Edge-centric enumeration: each oriented edge (u,v) contributes the
+    # triangles {u,v,w} with w ∈ N+(u) ∩ N+(v). CPU is the same
+    # Σdeg+² as a wedge self-join, but the EXCHANGES carry only edges
+    # and adjacency arrays (total cells = m) — never the wedge set,
+    # which is what the closing join would otherwise shuffle by (v,w).
+    # Intersection output volume = actual triangles.
+    adj = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("ns"))
+    tri = (
+        oriented.join(
+            adj.select(F.col("src").alias("u_key"), F.col("ns").alias("ns_u")),
+            F.col("src") == F.col("u_key"),
+        )
+        .join(
+            adj.select(F.col("src").alias("v_key"), F.col("ns").alias("ns_v")),
+            F.col("dst") == F.col("v_key"),
+        )
+        .select(
+            F.col("src"),
+            F.col("dst").alias("v"),
+            F.explode(F.array_intersect("ns_u", "ns_v")).alias("w"),
+        )
+    )
     tri_nodes = (
         tri.select(F.explode(F.array("src", "v", "w")).alias("node"))
         .groupBy("node")

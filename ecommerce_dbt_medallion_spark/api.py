@@ -241,6 +241,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "doc_containment": optext.doc_containment,
         "triangle_count_parts": opbasket.triangle_count_parts,
         "corpus_mix_weights": opsample.corpus_mix_weights,
+        "semantic_dedup_clusters": opgraph.semantic_dedup_clusters,
     }
 
 
@@ -326,6 +327,8 @@ def oracle_sql() -> dict[str, str]:
     out["triangle_count_parts"] = opbasket.oracle_triangle_count_parts()
     # round 6b: temperature-scaled source mixing (sqrt is IEEE-portable)
     out["corpus_mix_weights"] = opsample.oracle_corpus_mix_weights()
+    # round 6b: semantic twin of dedup_clusters (one CC stage, two spaces)
+    out["semantic_dedup_clusters"] = opgraph.oracle_semantic_dedup_clusters()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -90,10 +90,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_dedup_clusters() -> str:
     return f"""
-with recursive pairs as (
+with recursive pairs as materialized (
     select doc_a, doc_b from ({oracle_dedup_ngram_jaccard()})
 ),
-edges as (
+edges as materialized (
     select doc_a as src, doc_b as dst from pairs
     union
     select doc_b, doc_a from pairs
@@ -109,5 +109,62 @@ clusters as (select doc_id, min(label) as cluster_id from reach group by doc_id)
 sizes as (select cluster_id, count(*) as cluster_size from clusters group by cluster_id)
 select c.doc_id, c.cluster_id, s.cluster_size,
     c.doc_id = c.cluster_id as is_representative
+from clusters c join sizes s using (cluster_id)
+"""
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#35g: END-TO-END semantic dedup — hyperplane-LSH candidate pairs
+    (exact-cosine verified, ops/similarity.dedup_embedding_lsh) fed into
+    the same min-label CC used for the token-level pipeline. The
+    embedding twin of dedup_clusters: one generic component machinery,
+    two feature spaces — which is exactly how a production corpus runs
+    both lexical and semantic dedup off one clustering stage.
+
+    Scale shape = the sum of its parts: the LSH band shuffle + narrow
+    pair dedup (similarity.py), then O(diameter) label rounds over the
+    pair set only (near-dup components are clique-shaped, diameter ~1-2).
+    Oracle: recursive-CTE reachability over the already-oracled pair SQL.
+    """
+    from ecommerce_dbt_medallion_spark.ops.similarity import dedup_embedding_lsh
+
+    pairs = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+def oracle_semantic_dedup_clusters() -> str:
+    from ecommerce_dbt_medallion_spark.ops.similarity import (
+        oracle_dedup_embedding_lsh,
+    )
+
+    return f"""
+with recursive pairs as materialized (
+    select vec_a, vec_b from ({oracle_dedup_embedding_lsh()})
+),
+edges as materialized (
+    select vec_a as src, vec_b as dst from pairs
+    union
+    select vec_b, vec_a from pairs
+),
+nodes as (select distinct src as vec_id from edges),
+reach(vec_id, label) as (
+    select vec_id, vec_id from nodes
+    union
+    select e.dst, r.label
+    from reach r join edges e on e.src = r.vec_id
+),
+clusters as (select vec_id, min(label) as cluster_id from reach group by vec_id),
+sizes as (select cluster_id, count(*) as cluster_size from clusters group by cluster_id)
+select c.vec_id, c.cluster_id, s.cluster_size,
+    c.vec_id = c.cluster_id as is_representative
 from clusters c join sizes s using (cluster_id)
 """

@@ -139,3 +139,112 @@ def test_hll_estimate_duplication_invariant(spark, users, dup_factor):
             ev_mod.load_events = orig
 
     assert run(users) == run(users * dup_factor)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_triangle_count_matches_bruteforce(spark, tmp_path_factory, edges):
+    """Degree-oriented adjacency-intersect enumeration == itertools
+    brute force on random graphs (self-loops dropped, parallel edges
+    collapse; baskets of 2 induce exactly the given edge set)."""
+    import itertools
+
+    from ecommerce_dbt_medallion_spark.ops.basket import triangle_count_parts
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    rows = []
+    for i, (a, b) in enumerate(sorted(und)):
+        rows += [(1000 + i, a), (1000 + i, b)]
+    d = tmp_path_factory.mktemp("tprop")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+
+    nodes = sorted({n for e in und for n in e})
+    expect = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            for n in (x, y, z):
+                expect[n] += 1
+    got = {
+        r["part_id"]: r["n_triangles"]
+        for r in triangle_count_parts(spark, str(d)).collect()
+    }
+    assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-0.25, max_value=0.25, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=9,
+        max_size=24,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_kmeans_matches_python_reference(spark, tmp_path_factory, vecs):
+    """The integer-quantized Lloyd's iterations == a pure-python
+    reimplementation of the same exact arithmetic (dim generalizes:
+    KM_DIM only parameterizes the oracle SQL, not the Spark path)."""
+    import math
+
+    from ecommerce_dbt_medallion_spark.ops.cluster import (
+        KM_ITERS,
+        KM_K,
+        KM_SCALE,
+        kmeans_embeddings,
+    )
+
+    d = tmp_path_factory.mktemp("kprop")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    q = {
+        i: [math.floor(float(__import__("numpy").float32(x)) * KM_SCALE + 0.5) for x in v]
+        for i, v in enumerate(vecs)
+    }
+    cents = {c: list(q[c]) for c in range(KM_K) if c in q}
+
+    def assign(cents):
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cv)), c) for c, cv in cents.items()
+            )
+            out[i] = best
+        return out
+
+    for _ in range(KM_ITERS):
+        a = assign(cents)
+        members: dict[int, list[int]] = {}
+        for i, (dist, c) in a.items():
+            members.setdefault(c, []).append(i)
+        cents = {
+            c: [
+                math.floor(sum(q[i][dd] for i in ms) / len(ms))
+                for dd in range(len(next(iter(q.values()))))
+            ]
+            for c, ms in members.items()
+        }
+    final = assign(cents)
+    got = {
+        r["vec_id"]: (r["dist"], r["cluster"])
+        for r in kmeans_embeddings(spark, str(d)).collect()
+    }
+    assert got == final

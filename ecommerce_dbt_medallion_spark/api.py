@@ -242,6 +242,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "triangle_count_parts": opbasket.triangle_count_parts,
         "corpus_mix_weights": opsample.corpus_mix_weights,
         "semantic_dedup_clusters": opgraph.semantic_dedup_clusters,
+        "sketch_user_overlap": ev.sketch_user_overlap,
     }
 
 
@@ -329,6 +330,8 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_mix_weights"] = opsample.oracle_corpus_mix_weights()
     # round 6b: semantic twin of dedup_clusters (one CC stage, two spaces)
     out["semantic_dedup_clusters"] = opgraph.oracle_semantic_dedup_clusters()
+    # round 6b: HLL register merge (union/intersection across segments)
+    out["sketch_user_overlap"] = ev.oracle_sketch_user_overlap()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -512,6 +512,212 @@ from exact x join wide w using (event_type)
 """
 
 
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#35h: HLL register MERGE — union/intersection cardinality across
+    event-type segments, next to the exact answers.
+
+    Mergeability is the entire reason sketches matter at 100 TB: the
+    per-segment register state (4096 ints) unions by element-wise max
+    with NO access to the raw data, so audience-overlap questions
+    ("viewers ∩ purchasers") run over metadata-scale state instead of
+    re-shuffling (type, user) pairs per question. |A∪B| comes from the
+    merged registers, |A∩B| by inclusion-exclusion — the standard HLL
+    protocol (intersection error grows when |A∩B| << |A∪B|; the exact
+    columns in the output make that honest). One precision (p=12,
+    m=4096, rsd ≈ 1.6%); same engine-portable estimator as
+    sketch_distinct_users.
+    """
+    p = 12
+    m, raw_num, thresh = _hll_est_params(p)
+    bchars = p // 4
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f"{_HLL_SALT}{p}")))
+    rem = F.regexp_replace(F.substring(h, bchars + 1, 16), "^0*", "")
+    first = F.substring(rem, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = ((F.lit(16) - F.length(rem)) * 4 + extra + 1).cast("int")
+    regs = (
+        ev.select("event_type", F.substring(h, 1, bchars).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .localCheckpoint(eager=False)
+    )
+
+    two65 = F.expr(f"cast('{_HLL_TWO65}' as decimal(38,0))")
+
+    def estimate(grouped: DataFrame, keys: list[str], out: str) -> DataFrame:
+        perp = grouped.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(65) - F.col("reg")).cast("double")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sum_scaled"),
+        )
+        v = F.lit(m) - F.col("n_present")
+        harmonic = F.col("sum_scaled") + v.cast("decimal(38,0)") * two65
+        raw = F.lit(raw_num) / harmonic.cast("double")
+        corrected = F.when(
+            (raw <= F.lit(thresh)) & (v > 0),
+            F.element_at(F.lit(_hll_ln_table(m)), v.cast("int")),
+        ).otherwise(raw)
+        return perp.select(*keys, corrected.alias(out))
+
+    est_t = estimate(regs, ["event_type"], "est")
+    types = regs.select("event_type").distinct()
+    # |types|² pairs — a metadata-scale cross of the tiny type dimension
+    tpairs = (
+        types.select(F.col("event_type").alias("t1"))
+        .crossJoin(types.select(F.col("event_type").alias("t2")))
+        .where(F.col("t1") < F.col("t2"))
+    )
+    merged = (
+        tpairs.join(regs, F.col("event_type") == F.col("t1"))
+        .select("t1", "t2", "bucket", "reg")
+        .union(
+            tpairs.join(regs, F.col("event_type") == F.col("t2")).select(
+                "t1", "t2", "bucket", "reg"
+            )
+        )
+        .groupBy("t1", "t2", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est_u = estimate(merged, ["t1", "t2"], "est_union")
+
+    tu = ev.distinct().localCheckpoint(eager=False)
+    exact_t = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
+    exact_i = (
+        tu.alias("a")
+        .join(tu.alias("b"), "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ea = est_t.select(F.col("event_type").alias("t1"), F.col("est").alias("est_a"))
+    eb = est_t.select(F.col("event_type").alias("t2"), F.col("est").alias("est_b"))
+    xa = exact_t.select(F.col("event_type").alias("t1"), F.col("exact").alias("exact_a"))
+    xb = exact_t.select(F.col("event_type").alias("t2"), F.col("exact").alias("exact_b"))
+    return (
+        est_u.join(ea, "t1")
+        .join(eb, "t2")
+        .join(xa, "t1")
+        .join(xb, "t2")
+        .join(exact_i, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            F.round("est_a", 4).alias("est_a_r4"),
+            F.round("est_b", 4).alias("est_b_r4"),
+            F.round("est_union", 4).alias("est_union_r4"),
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+                "est_inter_r4"
+            ),
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            (F.col("exact_a") + F.col("exact_b") - F.coalesce("exact_inter", F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias("exact_inter"),
+        )
+    )
+
+
+def oracle_sketch_user_overlap() -> str:
+    p = 12
+    m, raw_num, thresh = _hll_est_params(p)
+    bchars = p // 4
+    table = ", ".join(f"{x:.17e}" for x in _hll_ln_table(m))
+    est = (
+        f"case when ({raw_num!r} / cast(sum_scaled + (({m} - n_present) * "
+        f"cast('{_HLL_TWO65}' as decimal(38,0))) as double)) <= {thresh!r} "
+        f"and {m} - n_present > 0 "
+        f"then ([{table}])[cast({m} - n_present as int)] "
+        f"else ({raw_num!r} / cast(sum_scaled + (({m} - n_present) * "
+        f"cast('{_HLL_TWO65}' as decimal(38,0))) as double)) end"
+    )
+    return f"""
+with ev as (
+    select distinct event_type, user_id from events where user_id is not null
+),
+rr as (
+    select event_type,
+        substr(md5(cast(user_id as varchar) || '{_HLL_SALT}{p}'), 1, {bchars}) as bucket,
+        regexp_replace(
+            substr(md5(cast(user_id as varchar) || '{_HLL_SALT}{p}'),
+                   {bchars + 1}, 16), '^0*', '') as rem
+    from ev
+),
+regs as (
+    select event_type, bucket, max(
+        (16 - length(rem)) * 4 +
+        case when substr(rem, 1, 1) = '1' then 3
+             when substr(rem, 1, 1) in ('2', '3') then 2
+             when substr(rem, 1, 1) in ('4', '5', '6', '7') then 1
+             else 0 end + 1) as reg
+    from rr group by 1, 2
+),
+perp as (
+    select event_type, count(*) as n_present,
+        sum(cast(power(2, 65 - reg) as decimal(38,0))) as sum_scaled
+    from regs group by 1
+),
+est_t as (select event_type, {est} as est from perp),
+types as (select distinct event_type from regs),
+tpairs as (
+    select a.event_type as t1, b.event_type as t2
+    from types a join types b on a.event_type < b.event_type
+),
+merged as (
+    select t1, t2, bucket, max(reg) as reg from (
+        select p.t1, p.t2, r.bucket, r.reg
+        from tpairs p join regs r on r.event_type = p.t1
+        union all
+        select p.t1, p.t2, r.bucket, r.reg
+        from tpairs p join regs r on r.event_type = p.t2
+    ) group by 1, 2, 3
+),
+perpu as (
+    select t1, t2, count(*) as n_present,
+        sum(cast(power(2, 65 - reg) as decimal(38,0))) as sum_scaled
+    from merged group by 1, 2
+),
+est_u as (select t1, t2, {est} as est_union from perpu),
+exact_t as (select event_type, count(*) as exact from ev group by 1),
+exact_i as (
+    select a.event_type as t1, b.event_type as t2, count(*) as exact_inter
+    from ev a join ev b on a.user_id = b.user_id
+     and a.event_type < b.event_type
+    group by 1, 2
+)
+select u.t1, u.t2,
+    round(ea.est, 4) as est_a_r4,
+    round(eb.est, 4) as est_b_r4,
+    round(u.est_union, 4) as est_union_r4,
+    round(ea.est + eb.est - u.est_union, 4) as est_inter_r4,
+    cast(xa.exact as bigint) as exact_a,
+    cast(xb.exact as bigint) as exact_b,
+    cast(xa.exact + xb.exact - coalesce(xi.exact_inter, 0) as bigint) as exact_union,
+    cast(coalesce(xi.exact_inter, 0) as bigint) as exact_inter
+from est_u u
+join est_t ea on ea.event_type = u.t1
+join est_t eb on eb.event_type = u.t2
+join exact_t xa on xa.event_type = u.t1
+join exact_t xb on xb.event_type = u.t2
+left join exact_i xi on xi.t1 = u.t1 and xi.t2 = u.t2
+"""
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen ISO week,
     tracked by distinct-active weeks at each offset.

@@ -582,3 +582,19 @@ def test_bm25_rewards_term_frequency_at_equal_length(spark, tmp_path):
     assert 2 not in out  # no query terms -> unscored
     assert out[0]["score_r6"] > out[1]["score_r6"]  # tf 3 beats tf 1, same dl
     assert out[0]["rank"] == 1
+
+
+def test_hll_merge_union_accuracy(spark):
+    """Merged-register union estimates stay within ~5 sigma of the exact
+    union (m=4096 -> rsd 1.6%); inclusion-exclusion intersection is
+    bounded by the union error budget of its three terms."""
+    from ecommerce_dbt_medallion_spark.models.events import sketch_user_overlap
+
+    rows = sketch_user_overlap(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["exact_union"] >= 100:
+            rel = abs(r["est_union_r4"] - r["exact_union"]) / r["exact_union"]
+            assert rel < 0.08, (r["t1"], r["t2"], rel)
+            abs_err = abs(r["est_inter_r4"] - r["exact_inter"])
+            assert abs_err < 0.24 * r["exact_union"], (r["t1"], r["t2"], abs_err)

@@ -243,6 +243,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "corpus_mix_weights": opsample.corpus_mix_weights,
         "semantic_dedup_clusters": opgraph.semantic_dedup_clusters,
         "sketch_user_overlap": ev.sketch_user_overlap,
+        "funnel_windowed": ev.funnel_windowed,
     }
 
 
@@ -332,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
     out["semantic_dedup_clusters"] = opgraph.oracle_semantic_dedup_clusters()
     # round 6b: HLL register merge (union/intersection across segments)
     out["sketch_user_overlap"] = ev.oracle_sketch_user_overlap()
+    # round 6b: strictly-ordered windowed funnel (earliest-match chain)
+    out["funnel_windowed"] = ev.oracle_funnel_windowed()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

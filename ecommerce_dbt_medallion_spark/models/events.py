@@ -512,6 +512,106 @@ from exact x join wide w using (event_type)
 """
 
 
+FUNNEL_WINDOW_S = 7200  # per-step conversion window (seconds)
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#35i: strictly-ordered WINDOWED funnel (product-analytics
+    semantics, vs event_funnel's unordered first-touch flags): stage k+1
+    counts only if it happens strictly after the matched stage-k event
+    and within FUNNEL_WINDOW_S of it, with the earliest-match rule
+    (t1 = first view; t2 = first click in (t1, t1+W]; t3 = first
+    purchase in (t2, t2+W]).
+
+    The sequential dependency is expressed as a chain of user-keyed
+    conditional aggregates: pass k joins the (user, t_k) table back to
+    the events and takes min(ts) under the window predicate. Every
+    shuffle in the chain keys on user_id, so AQE plans one partitioning
+    reused end-to-end; per-stage passes scan the SAME cached event
+    projection. Time math in integer microseconds (unix_micros /
+    epoch_us) — exact on both engines.
+    """
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.col("event_type").isin(*FUNNEL_STAGES) & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
+        .localCheckpoint(eager=False)
+    )
+    w_us = FUNNEL_WINDOW_S * 1_000_000
+    t1 = ev.where(F.col("event_type") == FUNNEL_STAGES[0]).groupBy("user_id").agg(
+        F.min("t_us").alias("t1")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(t1, "user_id")
+        .where((F.col("t_us") > F.col("t1")) & (F.col("t_us") <= F.col("t1") + w_us))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(t2, "user_id")
+        .where((F.col("t_us") > F.col("t2")) & (F.col("t_us") <= F.col("t2") + w_us))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t3"))
+    )
+    reached = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("t_view_us"),
+            F.col("t2").alias("t_click_us"),
+            F.col("t3").alias("t_purchase_us"),
+            reached.cast("long").alias("reached_stage"),
+        )
+    )
+
+
+def oracle_funnel_windowed() -> str:
+    w_us = FUNNEL_WINDOW_S * 1_000_000
+    s1, s2, s3 = FUNNEL_STAGES
+    return f"""
+with ev as (
+    select user_id, event_type, epoch_us(ts) as t_us
+    from events
+    where event_type in ('{s1}', '{s2}', '{s3}') and user_id is not null
+),
+t1 as (
+    select user_id, min(t_us) as t1 from ev
+    where event_type = '{s1}' group by user_id
+),
+t2 as (
+    select e.user_id, min(e.t_us) as t2
+    from ev e join t1 using (user_id)
+    where e.event_type = '{s2}' and e.t_us > t1.t1 and e.t_us <= t1.t1 + {w_us}
+    group by e.user_id
+),
+t3 as (
+    select e.user_id, min(e.t_us) as t3
+    from ev e join t2 using (user_id)
+    where e.event_type = '{s3}' and e.t_us > t2.t2 and e.t_us <= t2.t2 + {w_us}
+    group by e.user_id
+)
+select t1.user_id,
+    t1.t1 as t_view_us,
+    t2.t2 as t_click_us,
+    t3.t3 as t_purchase_us,
+    cast(case when t3.t3 is not null then 3
+              when t2.t2 is not null then 2
+              else 1 end as bigint) as reached_stage
+from t1
+left join t2 on t2.user_id = t1.user_id
+left join t3 on t3.user_id = t1.user_id
+"""
+
+
 def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#35h: HLL register MERGE — union/intersection cardinality across
     event-type segments, next to the exact answers.

@@ -73,11 +73,14 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # The remaining 12 slots keep the highest-value medallion/DQ keys
 # continuously certified.
 #
-# Round-7 note: with no code churn, rotate the 38 r5-certified keys
-# (streams, events-sessionization family, sketches, graph/basket ops)
-# PLUS the 8 bronze/silver/DQ keys displaced by round 6's new-key block
-# back in so certification keeps alternating — no key's latest driver
-# row should ever be more than one round behind the code it runs on.
+# Round-7 note: with no code churn, rotate IN: (a) the 38 r5-certified
+# keys (streams, events-sessionization family, sketches, graph/basket
+# ops), (b) the 8 bronze/silver/DQ keys displaced by round 6's new-key
+# block, and (c) the 4 round-6b keys added AFTER the window filled
+# (corpus_mix_weights, semantic_dedup_clusters, sketch_user_overlap,
+# funnel_windowed — never driver-certified; local 3-SF hash parity
+# only). That's 50 exactly. No key's latest driver row should ever be
+# more than one round behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
     # --- latest driver row is r4 (pre-NTZ-normalizer): re-certify ---

@@ -67,15 +67,32 @@ def _read_entry(table: str, v: int) -> dict:
         return json.load(fh)
 
 
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic
+    concurrency, Delta's ConcurrentModificationException). The loser
+    re-reads the log and retries its operation against the new HEAD."""
+
+
 def _commit(table: str, entry: dict) -> None:
-    """Write the log entry atomically: tmp file + rename (POSIX rename is
-    atomic, mirroring Delta's putIfAbsent commit)."""
+    """Write the log entry with PUT-IF-ABSENT semantics: the payload
+    lands in a tmp file, then os.link() publishes it — link(2) is
+    atomic AND fails with EEXIST if the version already exists. A bare
+    rename() would silently OVERWRITE a concurrent writer's commit of
+    the same version (lost update); link is the posix equivalent of the
+    object-store conditional put Delta's commit protocol requires."""
     d = _log_path(table)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(entry, fh, indent=1)
-    os.rename(tmp, os.path.join(d, f"v{entry['version']}.json"))
+    try:
+        os.link(tmp, os.path.join(d, f"v{entry['version']}.json"))
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {entry['version']} of {table} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
@@ -335,6 +352,14 @@ def restore(table: str, to_version: int) -> int:
         raise ValueError(f"version {to_version} not in {vs}")
     target = {a["file"]: a for a in live_files(table, to_version)}
     head = {a["file"]: a for a in live_files(table)}
+    # a vacuumed-away snapshot must fail HERE with a clear message, not
+    # later at scan time with a missing-file error on a "healthy" HEAD
+    gone = [f for f in target if not os.path.exists(_abs(table, f))]
+    if gone:
+        raise FileNotFoundError(
+            f"cannot restore {table} to v{to_version}: {len(gone)} data "
+            f"file(s) were vacuumed past the retention horizon (e.g. {gone[0]})"
+        )
     v = vs[-1] + 1
     _commit(
         table,

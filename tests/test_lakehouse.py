@@ -419,3 +419,32 @@ def test_vacuum_retain_reclaims_past_horizon(spark, table):
         lh.read(spark, table, 0).collect()
     # history metadata itself is preserved
     assert [h["version"] for h in lh.history(table)] == [0, 1, 2]
+
+
+def test_commit_is_put_if_absent(spark, table):
+    """Two writers racing to the same version: the second must get a
+    CommitConflict, never silently overwrite the first (lost update)."""
+    import os
+
+    e = lh._read_entry(table, 0)
+    e2 = dict(e, operation="EVIL OVERWRITE")
+    with pytest.raises(lh.CommitConflict):
+        lh._commit(table, e2)
+    assert lh._read_entry(table, 0)["operation"] != "EVIL OVERWRITE"
+    # no tmp litter left behind
+    assert not [f for f in os.listdir(os.path.join(table, "_txn_log"))
+                if f.startswith(".tmp-")]
+
+
+def test_restore_refuses_vacuumed_snapshot(spark, table):
+    lh.merge_into(
+        spark, table,
+        spark.range(50).select("id", F.lit(-1).cast("long").alias("val")),
+        key="id",
+    )
+    lh.vacuum_retain(table, retain_last=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        lh.restore(table, 0)
+    # HEAD still healthy and a restore to HEAD's own version still works
+    assert lh.read(spark, table).count() == 100
+    lh.restore(table, 1)

@@ -152,6 +152,47 @@ def _footer_min_max(md, col: str):
     return (min(mins), max(maxs)) if mins else None
 
 
+# Per-file bloom filter on the table key: BLOOM_BITS-bit filter,
+# BLOOM_K positions per key via seeded xxhash64. min/max footer stats
+# prune RANGE predicates but are useless when every file spans the full
+# key range (hash-partitioned writes); the bloom prunes POINT lookups
+# there — Delta's bloom-filter-index idea, kept in the log entry itself
+# (256 hex chars per file, metadata-scale).
+BLOOM_BITS = 1024
+BLOOM_K = 4
+
+
+def _bloom_positions(col):
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_BITS)) for i in range(BLOOM_K)]
+    )
+
+
+def _stage_blooms(df: DataFrame, staging: str, key: str) -> dict[str, int]:
+    """staging-file basename → bloom bitmask of its key values (one
+    distributed pass over the just-written files; per-file output is at
+    most BLOOM_BITS distinct positions — metadata-scale collect)."""
+    spark = df.sparkSession
+    pos = (
+        spark.read.parquet(staging)
+        .select(
+            F.input_file_name().alias("f"),
+            F.explode(_bloom_positions(F.col(key).cast("string"))).alias("p"),
+        )
+        .distinct()
+        .groupBy("f")
+        .agg(F.collect_set("p").alias("ps"))
+        .collect()
+    )
+    out: dict[str, int] = {}
+    for r in pos:
+        mask = 0
+        for p in r["ps"]:
+            mask |= 1 << int(p)
+        out[os.path.basename(r["f"])] = mask
+    return out
+
+
 def _stage_files(
     df: DataFrame,
     table: str,
@@ -160,9 +201,10 @@ def _stage_files(
 ) -> list[dict]:
     """Write df's partitions as immutable parquet files under data/ and
     return their add-actions (with per-file min/max stats on ``key`` and
-    each of ``stats_cols``, harvested from the parquet footers)."""
+    each of ``stats_cols`` from the parquet footers, plus a key bloom)."""
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
+    blooms = _stage_blooms(df, staging, key) if key is not None else {}
     data_dir = os.path.join(table, _DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     adds: list[dict] = []
@@ -177,6 +219,8 @@ def _stage_files(
             mm = _footer_min_max(md, key)
             if mm is not None:
                 stats["min_key"], stats["max_key"] = mm
+            if f in blooms:
+                stats["bloom"] = format(blooms[f], f"0{BLOOM_BITS // 4}x")
         col_stats = {}
         for c in stats_cols or []:
             mm = _footer_min_max(md, c)
@@ -188,6 +232,36 @@ def _stage_files(
         adds.append(stats)
     shutil.rmtree(staging, ignore_errors=True)
     return adds
+
+
+def files_maybe_containing(
+    spark: SparkSession, table: str, values: list, version: int | None = None
+) -> list[dict]:
+    """Point-lookup file skipping: the live files whose key stats AND
+    bloom admit at least one of ``values``. Sound (never drops a file
+    that holds a probed key — test-pinned); a file without a bloom entry
+    is always a candidate. The probe positions are computed by the SAME
+    seeded-xxhash64 expression the writer used, via one tiny Spark job."""
+    probe = (
+        spark.createDataFrame([(str(v),) for v in values], "k string")
+        .select(F.col("k"), _bloom_positions(F.col("k")).alias("ps"))
+        .collect()
+    )
+    masks = []
+    for r in probe:
+        m = 0
+        for p in r["ps"]:
+            m |= 1 << int(p)
+        masks.append(m)
+    out = []
+    for a in live_files(table, version):
+        if "bloom" not in a:
+            out.append(a)
+            continue
+        fmask = int(a["bloom"], 16)
+        if any((m & fmask) == m for m in masks):
+            out.append(a)
+    return out
 
 
 def _abs(table: str, name: str) -> str:

@@ -448,3 +448,39 @@ def test_restore_refuses_vacuumed_snapshot(spark, table):
     # HEAD still healthy and a restore to HEAD's own version still works
     assert lh.read(spark, table).count() == 100
     lh.restore(table, 1)
+
+
+def test_bloom_point_lookup_skips_hash_partitioned_files(spark, tmp_path):
+    """Hash-partitioned writes give every file the full key range, so
+    min/max stats prune nothing — the per-file bloom must (a) never drop
+    a file that holds a probed key, (b) skip most files on point probes."""
+    path = str(tmp_path / "btbl")
+    df = (
+        spark.range(2000)
+        .select(F.col("id"), (F.col("id") % 7).alias("val"))
+        .repartition(8)  # hash layout: min/max useless for points
+    )
+    lh.create_or_replace(spark, path, df, key="id")
+    live = lh.live_files(path)
+    assert len(live) == 8 and all("bloom" in a for a in live)
+
+    # soundness: for sampled present keys, the true holder is a candidate
+    holder = {}
+    for a in live:
+        for r in spark.read.parquet(lh._abs(path, a["file"])).select("id").collect():
+            holder[r["id"]] = a["file"]
+    import random
+
+    rng = random.Random(3)
+    probes = rng.sample(sorted(holder), 40)
+    skipped_total = 0
+    for k in probes:
+        cands = {a["file"] for a in lh.files_maybe_containing(spark, path, [k])}
+        assert holder[k] in cands, k
+        skipped_total += len(live) - len(cands)
+    # effectiveness: on average most of the 8 files are skipped
+    assert skipped_total / len(probes) >= 5, skipped_total / len(probes)
+
+    # absent keys: usually no candidates at all (fp rate ~0 at this fill)
+    none_cands = lh.files_maybe_containing(spark, path, [10_000_000])
+    assert len(none_cands) <= 1

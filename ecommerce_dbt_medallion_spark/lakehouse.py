@@ -360,6 +360,39 @@ def merge_into(
     ]
     untouched_by_stats = [a for a in live if a not in candidates]
 
+    # (1b) bloom pruning: drop candidate files whose bloom rejects every
+    # source key — the layer that works where min/max can't (hash
+    # layouts, full-range files). Probe masks come from one tiny job
+    # over the DISTINCT source keys; a quick union-mask reject handles
+    # most files in O(1) before the per-key test. Sound: a bloom never
+    # rejects a present key, so skipped files contain no matches and
+    # carry over by reference exactly like range-pruned ones.
+    pruned_by_bloom = 0
+    if candidates and all("bloom" in a for a in candidates):
+        probe = (
+            source.select(F.col(key).cast("string").alias("k"))
+            .distinct()
+            .select(_bloom_positions(F.col("k")).alias("ps"))
+            .collect()
+        )
+        masks = []
+        for r in probe:
+            m = 0
+            for p in r["ps"]:
+                m |= 1 << int(p)
+            masks.append(m)
+        union_mask = 0
+        for m in masks:
+            union_mask |= m
+        kept_candidates = []
+        for a in candidates:
+            fmask = int(a["bloom"], 16)
+            if (fmask & union_mask) and any((m & fmask) == m for m in masks):
+                kept_candidates.append(a)
+        pruned_by_bloom = len(candidates) - len(kept_candidates)
+        untouched_by_stats += [a for a in candidates if a not in kept_candidates]
+        candidates = kept_candidates
+
     touched: list[dict] = []
     if candidates:
         cand_paths = [_abs(table, a["file"]) for a in candidates]
@@ -401,6 +434,7 @@ def merge_into(
             "remove": [a["file"] for a in touched],
             "stats": {
                 "files_pruned_by_stats": len(untouched_by_stats),
+                "files_pruned_by_bloom": pruned_by_bloom,
                 "files_touched": len(touched),
                 "files_untouched": len(untouched),
             },

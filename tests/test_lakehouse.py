@@ -484,3 +484,25 @@ def test_bloom_point_lookup_skips_hash_partitioned_files(spark, tmp_path):
     # absent keys: usually no candidates at all (fp rate ~0 at this fill)
     none_cands = lh.files_maybe_containing(spark, path, [10_000_000])
     assert len(none_cands) <= 1
+
+
+def test_merge_bloom_prunes_hash_layout(spark, tmp_path):
+    """MERGE into a hash-partitioned table: range stats prune nothing,
+    the bloom skips the untouched files; values stay correct."""
+    path = str(tmp_path / "bmtbl")
+    df = (
+        spark.range(2000)
+        .select(F.col("id"), (F.col("id") * 2).alias("val"))
+        .repartition(8)
+    )
+    lh.create_or_replace(spark, path, df, key="id")
+    # one existing key updated + one new key inserted
+    src = spark.createDataFrame(
+        [(5, -5), (99999, -9)], "id long, val long"
+    )
+    v = lh.merge_into(spark, path, src, key="id")
+    stats = lh._read_entry(path, v)["stats"]
+    assert stats["files_pruned_by_bloom"] >= 5, stats
+    got = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
+    assert got[5] == -5 and got[99999] == -9 and got[6] == 12
+    assert len(got) == 2001

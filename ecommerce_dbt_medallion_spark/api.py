@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ecommerce_dbt_medallion_spark.models import bronze, silver, gold
 from ecommerce_dbt_medallion_spark.models import cdf as mcdf
 from ecommerce_dbt_medallion_spark.models import events as ev
+from ecommerce_dbt_medallion_spark.models import stats as mstats
 from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import basket as opbasket
@@ -247,6 +248,11 @@ def _all_queries() -> dict[str, QueryFn]:
         "semantic_dedup_clusters": opgraph.semantic_dedup_clusters,
         "sketch_user_overlap": ev.sketch_user_overlap,
         "funnel_windowed": ev.funnel_windowed,
+        "revenue_trend": mstats.revenue_trend,
+        "revenue_seasonality": mstats.revenue_seasonality,
+        "winsorized_revenue_stats": mstats.winsorized_revenue_stats,
+        "customer_interpurchase": mstats.customer_interpurchase,
+        "pareto_frontier_parts": mstats.pareto_frontier_parts,
     }
 
 
@@ -338,6 +344,14 @@ def oracle_sql() -> dict[str, str]:
     out["sketch_user_overlap"] = ev.oracle_sketch_user_overlap()
     # round 6b: strictly-ordered windowed funnel (earliest-match chain)
     out["funnel_windowed"] = ev.oracle_funnel_windowed()
+    # round 6c: statistical marts — exact-integer moments, one final
+    # double division (OLS trend, weekday index, winsorized mean,
+    # inter-purchase gaps, price/size skyline)
+    out["revenue_trend"] = mstats.oracle_revenue_trend()
+    out["revenue_seasonality"] = mstats.oracle_revenue_seasonality()
+    out["winsorized_revenue_stats"] = mstats.oracle_winsorized_revenue_stats()
+    out["customer_interpurchase"] = mstats.oracle_customer_interpurchase()
+    out["pareto_frontier_parts"] = mstats.oracle_pareto_frontier_parts()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

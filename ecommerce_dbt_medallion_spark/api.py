@@ -248,6 +248,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "semantic_dedup_clusters": opgraph.semantic_dedup_clusters,
         "sketch_user_overlap": ev.sketch_user_overlap,
         "funnel_windowed": ev.funnel_windowed,
+        "association_rules": opbasket.association_rules,
+        "markov_transitions": ev.markov_transitions,
+        "attribution_position": ev.attribution_position,
         "revenue_trend": mstats.revenue_trend,
         "revenue_seasonality": mstats.revenue_seasonality,
         "winsorized_revenue_stats": mstats.winsorized_revenue_stats,
@@ -344,6 +347,10 @@ def oracle_sql() -> dict[str, str]:
     out["sketch_user_overlap"] = ev.oracle_sketch_user_overlap()
     # round 6b: strictly-ordered windowed funnel (earliest-match chain)
     out["funnel_windowed"] = ev.oracle_funnel_windowed()
+    # round 6c: basket rules + journey operators (exact-int ratios)
+    out["association_rules"] = opbasket.oracle_association_rules()
+    out["markov_transitions"] = ev.ORACLE_MARKOV_TRANSITIONS
+    out["attribution_position"] = ev.ORACLE_ATTRIBUTION_POSITION
     # round 6c: statistical marts — exact-integer moments, one final
     # double division (OLS trend, weekday index, winsorized mean,
     # inter-purchase gaps, price/size skyline)

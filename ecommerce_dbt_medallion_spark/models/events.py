@@ -1223,3 +1223,184 @@ from tagged t, bounds b
 where t.report_day >= b.min_day and t.report_day <= b.max_day
 group by t.report_day
 """
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event_type | current event_type), with an 'END'
+    absorbing state for each user's final event.
+
+    Sequence order is (ts, event_id) within user — the repo-wide total
+    order for event streams — via ONE lead() window on the user_id
+    shuffle; the transition rollup is a partial-aggregated groupBy at
+    |event_types|² grain (bounded), and the row-normalizing probability
+    is one exact-bigint double division.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst_raw"),
+        "ts",
+        "event_id",
+    ).select("src", F.coalesce("dst_raw", F.lit("END")).alias("dst"))
+    counts = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_trans"))
+    src_tot = F.sum("n_trans").over(Window.partitionBy("src"))
+    return counts.select(
+        "src",
+        "dst",
+        "n_trans",
+        src_tot.alias("n_src"),
+        (F.col("n_trans").cast("double") / src_tot.cast("double")).alias("p_trans"),
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = """
+with trans as (
+    select event_type as src,
+        coalesce(
+            lead(event_type) over (partition by user_id order by ts, event_id),
+            'END') as dst
+    from events
+),
+counts as (
+    select src, dst, count(*) as n_trans from trans group by 1, 2
+)
+select src, dst, n_trans,
+    sum(n_trans) over (partition by src) as n_src,
+    cast(n_trans as double)
+        / cast(sum(n_trans) over (partition by src) as double) as p_trans
+from counts
+"""
+
+
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the standard
+    complement to attribution_linear: 40% of a purchase's value to the
+    FIRST touch in the window, 40% to the LAST, the middle 20% split
+    evenly over interior touches. n=1 → 100%; n=2 → 50/50; no touches →
+    'direct'.
+
+    Same plan skeleton as attribution_linear (ONE user_id equi-join
+    with the 7-day window as a residual predicate), plus a row_number
+    pair (asc + desc over the SAME window ordering — one shuffle, the
+    second sort is within already-partitioned data) to tag positions.
+    Shares are exact bigint micro-units via floor division (40/100,
+    50/100, 20/100/(n-2)) — order-independent integer sums, one final
+    double division, like every money path in the repo.
+    """
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        F.to_date("ts").alias("p_date"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("value_cents"),
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("t_type"),
+        F.unix_micros("ts").alias("t_us"),
+        F.to_date("ts").alias("t_date"),
+    )
+    win_us = ATTR_WINDOW_DAYS * 86400 * 1_000_000
+    pairs = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(win_us)),
+        "left",
+    )
+    wp = Window.partitionBy("p_id")
+    w_asc = wp.orderBy("t_us", "t_id")
+    w_desc = wp.orderBy(F.desc("t_us"), F.desc("t_id"))
+    tagged = pairs.select(
+        "p_id",
+        F.coalesce(F.col("t_type"), F.lit("direct")).alias("touch_type"),
+        F.coalesce(F.col("t_date"), F.col("p_date")).alias("touch_date"),
+        "t_id",
+        (F.col("value_cents") * 10000).alias("value_micros"),
+        F.count("t_id").over(wp).alias("n_t"),
+        F.row_number().over(w_asc).alias("rk_first"),
+        F.row_number().over(w_desc).alias("rk_last"),
+    )
+    micros = F.col("value_micros")
+    share = (
+        F.when(F.col("t_id").isNull(), micros)  # direct: full value
+        .when(F.col("n_t") == 1, micros)
+        .when(F.col("n_t") == 2, F.expr("value_micros * 50 div 100"))
+        .when(
+            (F.col("rk_first") == 1) | (F.col("rk_last") == 1),
+            F.expr("value_micros * 40 div 100"),
+        )
+        .otherwise(F.expr("value_micros * 20 div 100 div (n_t - 2)"))
+    )
+    position = (
+        F.when(F.col("t_id").isNull(), F.lit("direct"))
+        .when(F.col("rk_first") == 1, F.lit("first"))
+        .when(F.col("rk_last") == 1, F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    return tagged.select(
+        "touch_type", "touch_date", position.alias("position"), share.alias("share_micros"), "t_id", "p_id"
+    ).groupBy("touch_type", "position", "touch_date").agg(
+        F.count("t_id").alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        (F.sum("share_micros").cast("double") / F.lit(1000000.0)).alias(
+            "attributed_revenue"
+        ),
+    )
+
+
+ORACLE_ATTRIBUTION_POSITION = f"""
+with purchases as (
+    select event_id as p_id, user_id as p_user,
+        epoch_us(ts) as p_us, cast(ts as date) as p_date,
+        cast(cast(value as decimal(18,2)) * 100 as bigint) as value_cents
+    from events where event_type = 'purchase'
+),
+touches as (
+    select event_id as t_id, user_id as t_user, event_type as t_type,
+        epoch_us(ts) as t_us, cast(ts as date) as t_date
+    from events where event_type in ('view', 'click')
+),
+tagged as (
+    select p.p_id,
+        coalesce(t.t_type, 'direct') as touch_type,
+        coalesce(t.t_date, p.p_date) as touch_date,
+        t.t_id,
+        p.value_cents * 10000 as value_micros,
+        count(t.t_id) over (partition by p.p_id) as n_t,
+        row_number() over (partition by p.p_id
+                           order by t.t_us, t.t_id) as rk_first,
+        row_number() over (partition by p.p_id
+                           order by t.t_us desc, t.t_id desc) as rk_last
+    from purchases p
+    left join touches t
+      on p.p_user = t.t_user
+     and t.t_us < p.p_us
+     and t.t_us >= p.p_us - {ATTR_WINDOW_DAYS * 86400 * 1_000_000}
+),
+shared as (
+    select touch_type, touch_date, t_id, p_id,
+        case when t_id is null then 'direct'
+             when rk_first = 1 then 'first'
+             when rk_last = 1 then 'last'
+             else 'middle' end as position,
+        case when t_id is null then value_micros
+             when n_t = 1 then value_micros
+             when n_t = 2 then (value_micros * 50) // 100
+             when rk_first = 1 or rk_last = 1 then (value_micros * 40) // 100
+             else ((value_micros * 20) // 100) // (n_t - 2)
+        end as share_micros
+    from tagged
+)
+select touch_type, position, touch_date,
+    count(t_id) as n_touches,
+    count(distinct p_id) as n_purchases,
+    cast(sum(share_micros) as double) / 1000000.0 as attributed_revenue
+from shared
+group by 1, 2, 3
+"""

@@ -324,3 +324,112 @@ select node as part_id, rank as rank_micro,
     rank / {float(PR_ONE)} as pagerank
 from {prev}
 """
+
+
+# Minimum pair co-occurrence for a rule (prunes the 1-basket noise tail
+# BEFORE the stats join, so the rule set — and the join input — scales
+# with genuinely co-bought pairs, not with the pair universe).
+RULE_MIN_PAIR = 2
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules with support / confidence / lift,
+    both directions of every co-purchase pair.
+
+    Ratios are arranged so each engine performs EXACT bigint products
+    first and ONE IEEE double division last (same recipe as bm25's
+    log-free idf): support = n_both/n_baskets, confidence = n_both/n_ante,
+    lift = (n_both*n_baskets)/(n_ante*n_cons) — all integer-exact until
+    the final divide, so lift > 1 is a bit-portable comparison.
+
+    Scale shape: pair counts come from copurchase_pairs (one bounded
+    basket self-join); per-part basket counts are a partial-aggregated
+    groupBy at catalog grain; the grand basket total is a single-row
+    broadcast. The rule⋈part-count joins key on part id (catalog
+    cardinality — balanced, AQE-broadcastable when the catalog is small
+    relative to the rule set).
+    """
+    parts = _order_parts(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = (
+        copurchase_pairs(spark, sf_dir)
+        .where(F.col("n_orders") >= RULE_MIN_PAIR)
+        .localCheckpoint(eager=False)
+    )
+    part_counts = parts.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_part"))
+    totals = parts.agg(F.countDistinct("order_id").alias("n_baskets"))
+    sym = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        F.col("n_orders").alias("n_both"),
+    ).union(
+        pairs.select(F.col("part_b"), F.col("part_a"), F.col("n_orders"))
+    )
+    joined = (
+        sym.join(
+            part_counts.select(
+                F.col("part_id").alias("antecedent"), F.col("n_part").alias("n_ante")
+            ),
+            "antecedent",
+        )
+        .join(
+            part_counts.select(
+                F.col("part_id").alias("consequent"), F.col("n_part").alias("n_cons")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return joined.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_ante",
+        "n_cons",
+        "n_baskets",
+        (F.col("n_both").cast("double") / F.col("n_baskets").cast("double")).alias(
+            "support"
+        ),
+        (F.col("n_both").cast("double") / F.col("n_ante").cast("double")).alias(
+            "confidence"
+        ),
+        (
+            (F.col("n_both") * F.col("n_baskets")).cast("double")
+            / (F.col("n_ante") * F.col("n_cons")).cast("double")
+        ).alias("lift"),
+    )
+
+
+def oracle_association_rules() -> str:
+    return f"""
+with basket as (
+    select distinct l_orderkey as order_id, l_partkey as part_id from lineitem
+),
+pairs as (
+    select a.part_id as part_a, b.part_id as part_b, count(*) as n_orders
+    from basket a
+    join basket b on a.order_id = b.order_id and a.part_id < b.part_id
+    group by 1, 2
+    having count(*) >= {RULE_MIN_PAIR}
+),
+part_counts as (
+    select part_id, count(*) as n_part from basket group by 1
+),
+totals as (
+    select count(distinct order_id) as n_baskets from basket
+),
+sym as (
+    select part_a as antecedent, part_b as consequent, n_orders as n_both from pairs
+    union all
+    select part_b, part_a, n_orders from pairs
+)
+select s.antecedent, s.consequent, s.n_both,
+    pa.n_part as n_ante, pc.n_part as n_cons, t.n_baskets,
+    cast(s.n_both as double) / cast(t.n_baskets as double) as support,
+    cast(s.n_both as double) / cast(pa.n_part as double) as confidence,
+    cast(s.n_both * t.n_baskets as double)
+        / cast(pa.n_part * pc.n_part as double) as lift
+from sym s
+join part_counts pa on pa.part_id = s.antecedent
+join part_counts pc on pc.part_id = s.consequent
+cross join totals t
+"""

@@ -1,0 +1,188 @@
+"""Invariant + plan-shape tests for the round-6c operators (statistical
+marts, association rules, journey operators). Parity vs DuckDB lives in
+test_parity.py; these pin the mathematical invariants a hash can't
+explain and the plan shapes that make them scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.models import events as ev
+from ecommerce_dbt_medallion_spark.models import stats as mstats
+from ecommerce_dbt_medallion_spark.ops import basket as opbasket
+from tests.conftest import SF_SMOKE
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ---------------------------------------------------------------- stats marts
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The windowed skyline must equal the O(n²) dominance definition."""
+    rows = (
+        mstats.pareto_frontier_parts(spark, SF_SMOKE)
+        .select("p_partkey")
+        .toPandas()["p_partkey"]
+        .tolist()
+    )
+    parts = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .toPandas()
+    )
+    pts = list(parts.itertuples(index=False))
+    brute = {
+        p.p_partkey
+        for p in pts
+        if not any(
+            q.p_retailprice <= p.p_retailprice
+            and q.p_size >= p.p_size
+            and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+            for q in pts
+        )
+    }
+    assert set(rows) == brute
+
+
+def test_winsorized_mean_within_cut_bounds(spark):
+    pdf = mstats.winsorized_revenue_stats(spark, SF_SMOKE).toPandas()
+    assert len(pdf) >= 1
+    for r in pdf.itertuples(index=False):
+        assert r.winsor_lo <= r.winsorized_mean <= r.winsor_hi
+        assert r.winsor_lo <= r.winsor_hi
+
+
+def test_revenue_trend_matches_numpy_ols(spark):
+    import numpy as np
+
+    pdf = mstats.revenue_trend(spark, SF_SMOKE).toPandas()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    region = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")).alias("cents"))
+        .toPandas()
+    )
+    for r in pdf.itertuples(index=False):
+        sub = daily[daily.region_name == r.region_name]
+        x = np.array([d.toordinal() for d in sub.d], dtype=float)
+        x -= x.min()  # same re-basing up to a constant shift
+        slope = np.polyfit(x, sub.cents.astype(float), 1)[0]
+        assert math.isclose(r.slope_cents_per_day, slope, rel_tol=1e-6, abs_tol=1e-3)
+
+
+def test_seasonality_weighted_mean_is_one(spark):
+    """Σ (index_w · dow_days) / total_days == 1 exactly by construction
+    (the indexes are a partition of total revenue)."""
+    pdf = mstats.revenue_seasonality(spark, SF_SMOKE).toPandas()
+    assert set(pdf.weekday) <= set(range(7))
+    total_days = pdf.n_days.sum()
+    weighted = (pdf.seasonality_index * pdf.n_days).sum() / total_days
+    assert math.isclose(weighted, 1.0, rel_tol=1e-12)
+
+
+def test_interpurchase_gap_bounds(spark):
+    pdf = mstats.customer_interpurchase(spark, SF_SMOKE).toPandas()
+    for r in pdf.itertuples(index=False):
+        assert 0 <= r.min_gap_days <= r.avg_gap_days <= r.max_gap_days
+        assert r.n_gaps >= r.n_repeat_customers  # every repeat cust has >=1 gap
+
+
+# ------------------------------------------------------------- basket rules
+
+
+def test_association_rules_probability_axioms(spark):
+    pdf = opbasket.association_rules(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.confidence <= 1.0 + 1e-12).all()
+    assert (pdf.support <= pdf.confidence + 1e-12).all()
+    # lift is symmetric in the pair
+    by_pair = {
+        (r.antecedent, r.consequent): r.lift for r in pdf.itertuples(index=False)
+    }
+    for (a, c), lift in by_pair.items():
+        assert math.isclose(lift, by_pair[(c, a)], rel_tol=1e-12)
+    # confidence = support / P(antecedent): cross-check one row exactly
+    r = pdf.iloc[0]
+    assert math.isclose(r.confidence, r.n_both / r.n_ante, rel_tol=1e-15)
+
+
+# ---------------------------------------------------------- journey operators
+
+
+def test_markov_rows_sum_to_one(spark):
+    pdf = ev.markov_transitions(spark, SF_SMOKE).toPandas()
+    # integer-exact: per-src transition counts partition n_src
+    for src, sub in pdf.groupby("src"):
+        assert sub.n_trans.sum() == sub.n_src.iloc[0]
+        assert math.isclose(sub.p_trans.sum(), 1.0, rel_tol=1e-9)
+    assert "END" in set(pdf.dst) and "END" not in set(pdf.src)
+
+
+def test_attribution_position_conserves_value(spark):
+    """Summed shares must equal total purchase value up to bounded floor
+    loss (< 3 micro-units per purchase-touch), and the linear and
+    U-shaped models must attribute the same grand total."""
+    pos = ev.attribution_position(spark, SF_SMOKE).toPandas()
+    lin = ev.attribution_linear(spark, SF_SMOKE).toPandas()
+    purchases = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+        .collect()[0]["v"]
+    )
+    total = float(purchases)
+    n_touch_rows = int(pos.n_touches.sum())
+    assert total >= pos.attributed_revenue.sum() > total - (3e-6 * (n_touch_rows + 1))
+    assert math.isclose(
+        pos.attributed_revenue.sum(), lin.attributed_revenue.sum(), rel_tol=1e-6
+    )
+    assert set(pos.position) <= {"first", "middle", "last", "direct"}
+
+
+# ------------------------------------------------------------------ plan shape
+
+
+def test_stats_marts_broadcast_dims_and_equi_join(spark):
+    for fn in (mstats.revenue_trend, mstats.winsorized_revenue_stats):
+        plan = _formatted(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the single-row scalar broadcast
+    plan = _formatted(mstats.revenue_trend(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan  # nation⋈region dim side
+
+
+def test_pareto_scan_prunes_unused_part_columns(spark):
+    plan = _formatted(mstats.pareto_frontier_parts(spark, SF_SMOKE))
+    assert "p_name" not in plan and "p_brand" not in plan
+
+
+def test_association_rules_no_cartesian_beyond_scalar_totals(spark):
+    plan = _formatted(opbasket.association_rules(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_position_single_touch_join(spark):
+    """Both row_number directions + the count must ride ONE user shuffle:
+    exactly one join of purchases⋈touches, no extra Exchange per window
+    direction (the desc sort is a local re-sort)."""
+    plan = _formatted(ev.attribution_position(spark, SF_SMOKE))
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2

@@ -74,13 +74,24 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # The remaining 12 slots keep the highest-value medallion/DQ keys
 # continuously certified.
 #
-# Round-7 note: with no code churn, rotate IN: (a) the 38 r5-certified
-# keys (streams, events-sessionization family, sketches, graph/basket
-# ops), (b) the 8 bronze/silver/DQ keys displaced by round 6's new-key
-# block, and (c) the 4 round-6b keys added AFTER the window filled
-# (corpus_mix_weights, semantic_dedup_clusters, sketch_user_overlap,
-# funnel_windowed — never driver-certified; local 3-SF hash parity
-# only). That's 50 exactly. No key's latest driver row should ever be
+# Round-6c amendment: the 4 round-6b keys added after the window
+# filled (corpus_mix_weights, semantic_dedup_clusters,
+# sketch_user_overlap, funnel_windowed) take the slots of the 4
+# medallion marts that were driver-certified green in r5 — a
+# never-certified key outranks a one-round-old green one. The
+# displaced marts (silver_payments, gold_customer_summary,
+# gold_order_metrics, gold_revenue_analysis) rotate back in round 7.
+#
+# Round-7 note: rotate IN: (a) the 38 r5-certified keys (streams,
+# events-sessionization family, sketches, graph/basket ops), (b) the
+# 8 bronze/silver/DQ keys displaced by round 6's new-key block, (c)
+# the 4 medallion marts displaced by the 6c amendment, and (d) the 8
+# round-6c keys (association_rules, markov_transitions,
+# attribution_position, revenue_trend, revenue_seasonality,
+# winsorized_revenue_stats, customer_interpurchase,
+# pareto_frontier_parts — local 3-SF hash parity only so far). That
+# over-fills 50, so prioritize (d) then (b) then (c) then (a)'s
+# events-loader consumers. No key's latest driver row should ever be
 # more than one round behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
@@ -126,11 +137,12 @@ DRIVER_WINDOW = [
     "dedup_embedding_lsh",
     "ann_topk_lsh",
     "ann_topk_ivf",
-    # --- high-value keys kept continuously in-window (green r5) ---
-    "silver_payments",
-    "gold_customer_summary",
-    "gold_order_metrics",
-    "gold_revenue_analysis",
+    # --- round-6b keys added after the window filled: certify first
+    # time (displace the 4 medallion marts certified green in r5) ---
+    "corpus_mix_weights",
+    "semantic_dedup_clusters",
+    "sketch_user_overlap",
+    "funnel_windowed",
     # --- keys NEW this round (no driver row yet): certify first time.
     # The 8 bronze/silver/DQ keys they displaced were all green in r5
     # (one round old — within the rotation policy) and rotate back in

@@ -228,6 +228,13 @@ def test_driver_window_membership_round6():
         "exact_substring_dedup",
         "doc_containment",
         "triangle_count_parts",
+        # round 6c: the 4 round-6b keys that landed after the window
+        # filled take the slots of the 4 medallion marts certified
+        # green in r5 (never-certified outranks one-round-old green)
+        "corpus_mix_weights",
+        "semantic_dedup_clusters",
+        "sketch_user_overlap",
+        "funnel_windowed",
     }
     assert never_certified <= set(api.DRIVER_WINDOW)
 

@@ -268,6 +268,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "winsorized_revenue_stats": mstats.winsorized_revenue_stats,
         "customer_interpurchase": mstats.customer_interpurchase,
         "pareto_frontier_parts": mstats.pareto_frontier_parts,
+        "doc_novelty_score": optext.doc_novelty_score,
+        "source_length_profile": opcur.source_length_profile,
     }
 
 
@@ -371,6 +373,10 @@ def oracle_sql() -> dict[str, str]:
     out["winsorized_revenue_stats"] = mstats.oracle_winsorized_revenue_stats()
     out["customer_interpurchase"] = mstats.oracle_customer_interpurchase()
     out["pareto_frontier_parts"] = mstats.oracle_pareto_frontier_parts()
+    # round 6c: corpus novelty (df==1 shingle share) + per-source robust
+    # length profile (exact grouped median/MAD, value-grain windows)
+    out["doc_novelty_score"] = optext.oracle_doc_novelty_score()
+    out["source_length_profile"] = opcur.oracle_source_length_profile()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -280,3 +280,128 @@ with cur as (
 )
 {union}
 """
+
+
+# ------------------------------------------- per-source robust profile
+
+PROFILE_MAD_K = 3  # |len - median| > K*MAD flags a length outlier
+
+
+def _grouped_median(vals: DataFrame, grp: str, col: str, out: str) -> DataFrame:
+    """(grp, lower-median of col) via VALUE-GRAIN cumulative counts:
+    group to (grp, distinct value) — bounded by the value range, not the
+    row count — cumulative-sum within grp over that bounded set, take
+    the smallest value whose cumulative count reaches ceil(n/2). The
+    scale-safe grouped median: the obvious per-group row_number window
+    carries every ROW through the sort; this carries every VALUE.
+    """
+    cnt = vals.groupBy(grp, col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(grp)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.withColumn("__cum", F.sum("__c").over(w))
+    tot = vals.groupBy(grp).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        cum.join(F.broadcast(tot), grp)
+        .where(F.col("__cum") >= F.expr("(__n + 1) div 2"))
+        .groupBy(grp)
+        .agg(F.min(col).alias(out))
+    )
+
+
+def source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile with ROBUST center/spread:
+    median and MAD (median absolute deviation) of n_chars plus the count
+    of MAD-outliers — the curation dashboard that catches a source
+    shipping truncated or concatenated documents. Robust statistics are
+    the right tool here precisely because the outliers being hunted
+    poison mean/stddev.
+
+    Determinism: medians are exact order statistics on bigints (no
+    quantile_disc/percentile builtins — engines disagree on
+    interpolation), the outlier test |dev| > K·MAD is pure integer
+    comparison, and no float aggregation exists anywhere in the plan.
+
+    Scale shape: two grouped value-grain medians (_grouped_median —
+    windows over the bounded distinct-length set per source, never the
+    row set), each broadcast back at |sources| rows; plus one partial-
+    aggregated rollup. The fact table is scanned twice but never
+    shuffled at row grain.
+    """
+    vals = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("len")
+    )
+    med = _grouped_median(vals, "source", "len", "med_chars")
+    devs = vals.join(F.broadcast(med), "source").select(
+        "source", "len", "med_chars", F.abs(F.col("len") - F.col("med_chars")).alias("dev")
+    )
+    mad = _grouped_median(devs, "source", "dev", "mad_chars")
+    return (
+        devs.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("len").alias("min_chars"),
+            F.max("len").alias("max_chars"),
+            F.max("med_chars").alias("med_chars"),
+            F.max("mad_chars").alias("mad_chars"),
+            F.sum(
+                F.when(F.col("dev") > PROFILE_MAD_K * F.col("mad_chars"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def oracle_source_length_profile() -> str:
+    return f"""
+with vals as (
+    select source, cast(n_chars as bigint) as len from documents
+),
+vcnt as (select source, len, count(*) as c from vals group by 1, 2),
+vcum as (
+    select source, len,
+        sum(c) over (partition by source order by len
+                     rows between unbounded preceding and current row) as cum
+    from vcnt
+),
+tot as (select source, count(*) as n from vals group by 1),
+med as (
+    select v.source, min(v.len) as med_chars
+    from vcum v join tot t on v.source = t.source
+    where v.cum >= (t.n + 1) // 2
+    group by 1
+),
+devs as (
+    select v.source, v.len, m.med_chars,
+        abs(v.len - m.med_chars) as dev
+    from vals v join med m on v.source = m.source
+),
+dcnt as (select source, dev, count(*) as c from devs group by 1, 2),
+dcum as (
+    select source, dev,
+        sum(c) over (partition by source order by dev
+                     rows between unbounded preceding and current row) as cum
+    from dcnt
+),
+dtot as (select source, count(*) as n from devs group by 1),
+mad as (
+    select d.source, min(d.dev) as mad_chars
+    from dcum d join dtot t on d.source = t.source
+    where d.cum >= (t.n + 1) // 2
+    group by 1
+)
+select d.source,
+    count(*) as n_docs,
+    min(d.len) as min_chars,
+    max(d.len) as max_chars,
+    max(d.med_chars) as med_chars,
+    max(m.mad_chars) as mad_chars,
+    cast(sum(case when d.dev > {PROFILE_MAD_K} * m.mad_chars then 1 else 0 end)
+         as bigint) as n_outliers
+from devs d join mad m on d.source = m.source
+group by 1
+"""

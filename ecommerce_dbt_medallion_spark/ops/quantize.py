@@ -110,3 +110,4 @@ select vec_id,
         as q_l1_norm
 from q
 """
+

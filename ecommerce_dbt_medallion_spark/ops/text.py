@@ -720,3 +720,66 @@ from q
 join fp on fp.doc_id = q.doc_id
 join keepers k on k.fingerprint = fp.fingerprint
 """
+
+
+# ------------------------------------------------------ novelty
+
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 3-gram
+    shingles that appear in NO other document (corpus df == 1). The
+    inverse signal of the dedup family — high novelty marks content
+    worth keeping in a training mix, near-zero novelty marks boilerplate
+    — and a direct reuse of the shared gram machinery
+    (_doc_gram_arrays; docs with <3 tokens have no grams and drop out,
+    matching the oracle's unnest-of-empty).
+
+    Scale shape: identical to tfidf — one (doc, gram) explode with
+    partial-agg to gram grain for df, one gram-keyed join back, one
+    doc-grain rollup. df==1 grams are BY DEFINITION unskewed; the hot
+    (boilerplate) grams that do skew the join are exactly the ones AQE
+    splits. The ratio is two exact bigints, one double division.
+    """
+    grams = _doc_gram_arrays(spark, sf_dir)
+    exploded = grams.select("doc_id", F.explode("gs").alias("gram"))
+    df_counts = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        exploded.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_grams").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def oracle_doc_novelty_score() -> str:
+    return f"""
+with tok as (
+    select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from documents
+),
+grams as (
+    select doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as gram
+    from tok
+),
+dfs as (select gram, count(*) as df from grams group by 1)
+select g.doc_id,
+    count(*) as n_grams,
+    cast(sum(case when d.df = 1 then 1 else 0 end) as bigint) as n_unique,
+    cast(sum(case when d.df = 1 then 1 else 0 end) as double)
+        / cast(count(*) as double) as novelty
+from grams g join dfs d on g.gram = d.gram
+group by 1
+"""

@@ -186,3 +186,62 @@ def test_attribution_position_single_touch_join(spark):
     direction (the desc sort is a local re-sort)."""
     plan = _formatted(ev.attribution_position(spark, SF_SMOKE))
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
+
+
+# --------------------------------------------- novelty + length profile
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_novelty_zero_for_clones_high_for_unique(spark, tmp_path):
+    from ecommerce_dbt_medallion_spark.ops import text as optext
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    uniq = " ".join(f"rare{i}" for i in range(40))
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),  # exact clone: every gram df>=2
+        (2, uniq, "en", "s", len(uniq)),  # disjoint vocab: every gram df==1
+    ]
+    pdf = (
+        optext.doc_novelty_score(spark, _write_docs(spark, tmp_path, rows))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert pdf.loc[0].novelty == 0.0 and pdf.loc[1].novelty == 0.0
+    assert pdf.loc[2].novelty == 1.0
+
+
+def test_length_profile_flags_planted_outlier(spark, tmp_path):
+    from ecommerce_dbt_medallion_spark.ops import curation as opcur
+
+    # source 'a': 11 docs of ~100 chars plus one 100k monster;
+    # source 'b': tight lengths, no outliers.
+    rows = [(i, "x", "en", "a", 100 + i) for i in range(11)]
+    rows.append((90, "x", "en", "a", 100_000))
+    rows += [(100 + i, "x", "en", "b", 500 + (i % 3)) for i in range(6)]
+    pdf = (
+        opcur.source_length_profile(spark, _write_docs(spark, tmp_path, rows))
+        .toPandas()
+        .set_index("source")
+    )
+    a = pdf.loc["a"]
+    # lower median of 100..110,100000 is the 6th value = 105; MAD small
+    assert a.med_chars == 105 and a.n_outliers == 1 and a.max_chars == 100_000
+    b = pdf.loc["b"]
+    assert b.n_outliers == 0 and b.mad_chars <= 1
+
+
+def test_grouped_median_is_value_grain(spark):
+    """The median plan must window over (group, distinct value) — never
+    a per-row global sort: the Window's input is an Aggregate."""
+    from ecommerce_dbt_medallion_spark.ops import curation as opcur
+
+    plan = _formatted(opcur.source_length_profile(spark, SF_SMOKE))
+    assert "row_number" not in plan.lower()

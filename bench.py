@@ -60,6 +60,10 @@ def main() -> None:
         "exact_substring_dedup",
         "doc_containment",
         "triangle_count_parts",
+        # round-6c operators (guard values in BASELINE.md)
+        "association_rules",
+        "doc_novelty_score",
+        "attribution_position",
     ):
         if extra in queries:
             headline.append(extra)

@@ -270,6 +270,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "pareto_frontier_parts": mstats.pareto_frontier_parts,
         "doc_novelty_score": optext.doc_novelty_score,
         "source_length_profile": opcur.source_length_profile,
+        "pricing_summary": ana.pricing_summary,
+        "shipping_delay_stats": ana.shipping_delay_stats,
+        "vocab_coverage": opvocab.vocab_coverage,
     }
 
 
@@ -377,6 +380,10 @@ def oracle_sql() -> dict[str, str]:
     # length profile (exact grouped median/MAD, value-grain windows)
     out["doc_novelty_score"] = optext.oracle_doc_novelty_score()
     out["source_length_profile"] = opcur.oracle_source_length_profile()
+    # round 6c: TPC-H-classic marts + tokenizer-sizing curve
+    out["pricing_summary"] = ana.ORACLE_PRICING_SUMMARY
+    out["shipping_delay_stats"] = ana.ORACLE_SHIPPING_DELAY_STATS
+    out["vocab_coverage"] = opvocab.oracle_vocab_coverage()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

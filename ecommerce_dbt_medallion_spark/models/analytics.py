@@ -801,3 +801,168 @@ join v on o.o_custkey = v.c_custkey
  and cast(o.o_orderdate as date) >= v.valid_from
  and (v.valid_to is null or cast(o.o_orderdate as date) < v.valid_to)
 """
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary over lineitem: per
+    (returnflag, linestatus), quantity/price/discount/charge rollups
+    with averages, for lineitems shipped on or before the dataset's
+    max shipdate minus 7 days (an as-of cutoff relative to the data,
+    like the churn mart's BATCH_TS discipline — no wall-clock).
+
+    The canonical one-pass scan-bound aggregate: every measure partially
+    aggregates map-side; sums are exact decimals (charge at
+    decimal(18,6): price(16,2) × disc(4,2) × tax(4,2) products stay
+    exact), averages are single double divisions of exact sums —
+    bit-portable. Group cardinality is the 6-cell flag×status matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = li.agg(
+        F.date_sub(F.max(F.to_date("l_shipdate")), 7).alias("cut")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.crossJoin(F.broadcast(cutoff))
+        .where(F.to_date("l_shipdate") <= F.col("cut"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty_dec"),
+            F.sum(price).alias("sum_base_dec"),
+            F.sum((price * (F.lit(1) - disc)).cast("decimal(18,4)")).alias(
+                "sum_disc_dec"
+            ),
+            F.sum(
+                (price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(18,6)")
+            ).alias("sum_charge_dec"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+            F.col("sum_base_dec").cast("double").alias("sum_base_price"),
+            F.col("sum_disc_dec").cast("double").alias("sum_disc_price"),
+            F.col("sum_charge_dec").cast("double").alias("sum_charge"),
+            (F.col("sum_qty_dec").cast("double") / F.col("count_order")).alias(
+                "avg_qty"
+            ),
+            (F.col("sum_base_dec").cast("double") / F.col("count_order")).alias(
+                "avg_price"
+            ),
+            "count_order",
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+with cut as (
+    select cast(max(cast(l_shipdate as date)) - interval 7 day as date) as c
+    from lineitem
+)
+select
+    l_returnflag,
+    l_linestatus,
+    cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+    cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+        * (1 - cast(l_discount as decimal(4,2))) as decimal(18,4))) as double)
+        as sum_disc_price,
+    cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+        * (1 - cast(l_discount as decimal(4,2)))
+        * (1 + cast(l_tax as decimal(4,2))) as decimal(18,6))) as double)
+        as sum_charge,
+    cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) as avg_qty,
+    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*)
+        as avg_price,
+    count(*) as count_order
+from lineitem, cut
+where cast(l_shipdate as date) <= cut.c
+group by 1, 2
+"""
+
+
+def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    bigint day gaps (l_shipdate − o_orderdate) rolled up to the bounded
+    priority domain, with an explicit rank-based median (the winsorized
+    mart's portable order-statistic recipe, value-grain like
+    source_length_profile — delays span a bounded day range, so the
+    median window is calendar-bounded no matter the fact scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    gaps = li.select("l_orderkey", F.to_date("l_shipdate").alias("ship_d")).join(
+        orders.select(
+            "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("ord_d")
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff("ship_d", "ord_d").cast("bigint").alias("delay"),
+    )
+    cnt = gaps.groupBy("o_orderpriority", "delay").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.withColumn("cum", F.sum("c").over(w))
+    tot = gaps.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("delay").alias("min_delay"),
+        F.max("delay").alias("max_delay"),
+        F.sum("delay").alias("sum_delay"),
+    )
+    med = (
+        cum.join(F.broadcast(tot.select("o_orderpriority", "n")), "o_orderpriority")
+        .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("delay").alias("median_delay"))
+    )
+    return tot.join(med, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n").alias("n_lineitems"),
+        "min_delay",
+        "median_delay",
+        "max_delay",
+        (F.col("sum_delay").cast("double") / F.col("n").cast("double")).alias(
+            "avg_delay"
+        ),
+    )
+
+
+ORACLE_SHIPPING_DELAY_STATS = """
+with gaps as (
+    select o.o_orderpriority,
+        cast(datediff('day', cast(o.o_orderdate as date),
+                      cast(l.l_shipdate as date)) as bigint) as delay
+    from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+),
+cnt as (
+    select o_orderpriority, delay, count(*) as c from gaps group by 1, 2
+),
+cum as (
+    select o_orderpriority, delay,
+        sum(c) over (partition by o_orderpriority order by delay
+                     rows between unbounded preceding and current row) as cum
+    from cnt
+),
+tot as (
+    select o_orderpriority, count(*) as n, min(delay) as min_delay,
+        max(delay) as max_delay, sum(delay) as sum_delay
+    from gaps group by 1
+),
+med as (
+    select c.o_orderpriority, min(c.delay) as median_delay
+    from cum c join tot t on c.o_orderpriority = t.o_orderpriority
+    where c.cum >= (t.n + 1) // 2
+    group by 1
+)
+select t.o_orderpriority, t.n as n_lineitems, t.min_delay, m.median_delay,
+    t.max_delay,
+    cast(t.sum_delay as double) / cast(t.n as double) as avg_delay
+from tot t join med m on t.o_orderpriority = m.o_orderpriority
+"""

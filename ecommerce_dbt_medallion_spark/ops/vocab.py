@@ -146,3 +146,71 @@ select d.doc_id, d.lang,
                else cast(0.0 as double) end, 6) as oov_rate
 from documents d left join per_doc p on d.doc_id = p.doc_id
 """
+
+
+COVERAGE_K = 100
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for word ranks 1..COVERAGE_K, the
+    cumulative share of the corpus token stream covered by the top-r
+    words — the tokenizer-sizing curve (how big must the vocab be to
+    cover X% of tokens). The knee of this curve is what decides K.
+
+    Scale shape: word-grain counts are the same single partial-agg
+    shuffle as vocab_top_words; the top-COVERAGE_K cut is
+    TakeOrderedAndProject (per-partition heaps, never a global sort);
+    the cumulative window runs over the K retained rows only. Coverage
+    is exact bigints, one double division per output row.
+    """
+    counts = _doc_words(spark, sf_dir).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(COVERAGE_K)
+    total = _doc_words(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.sum("cnt")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_cnt"),
+            "n_total",
+        )
+        .select(
+            "rank",
+            "word",
+            "cnt",
+            "cum_cnt",
+            (F.col("cum_cnt").cast("double") / F.col("n_total").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def oracle_vocab_coverage() -> str:
+    return f"""
+with w as (
+    select unnest(regexp_extract_all(lower(text), '{WORD_RE}')) as word
+    from documents
+), counts as (
+    select word, count(*) as cnt from w group by word
+), total as (
+    select count(*) as n_total from w
+), ranked as (
+    select word, cast(cnt as bigint) as cnt,
+        cast(row_number() over (order by cnt desc, word) as bigint) as rank,
+        cast(sum(cnt) over (order by cnt desc, word
+            rows between unbounded preceding and current row) as bigint) as cum_cnt
+    from counts
+)
+select rank, word, cnt, cum_cnt,
+    cast(cum_cnt as double) / cast(n_total as double) as coverage
+from ranked cross join total
+where rank <= {COVERAGE_K}
+"""

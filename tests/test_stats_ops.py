@@ -245,3 +245,44 @@ def test_grouped_median_is_value_grain(spark):
 
     plan = _formatted(opcur.source_length_profile(spark, SF_SMOKE))
     assert "row_number" not in plan.lower()
+
+
+# ------------------------------------- pricing / shipping / coverage
+
+
+def test_pricing_summary_avg_consistency(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics as ana
+
+    pdf = ana.pricing_summary(spark, SF_SMOKE).toPandas()
+    assert len(pdf) >= 4  # flag×status matrix
+    for r in pdf.itertuples(index=False):
+        assert math.isclose(r.avg_qty * r.count_order, r.sum_qty, rel_tol=1e-9)
+        assert math.isclose(r.avg_price * r.count_order, r.sum_base_price, rel_tol=1e-9)
+        assert r.sum_disc_price <= r.sum_base_price  # discount only reduces
+        assert r.sum_charge >= r.sum_disc_price  # tax only adds
+
+
+def test_shipping_delay_median_bounds(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics as ana
+
+    pdf = ana.shipping_delay_stats(spark, SF_SMOKE).toPandas()
+    assert len(pdf) >= 2
+    for r in pdf.itertuples(index=False):
+        assert r.min_delay <= r.median_delay <= r.max_delay
+        assert r.min_delay <= r.avg_delay <= r.max_delay
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from ecommerce_dbt_medallion_spark.ops import vocab as opvocab
+
+    pdf = opvocab.vocab_coverage(spark, SF_SMOKE).toPandas().sort_values("rank")
+    assert (pdf.coverage.diff().dropna() >= 0).all()
+    assert pdf.coverage.iloc[-1] <= 1.0
+    assert (pdf.cnt.diff().dropna() <= 0).all()  # counts nonincreasing in rank
+
+
+def test_vocab_coverage_topk_no_global_sort(spark):
+    from ecommerce_dbt_medallion_spark.ops import vocab as opvocab
+
+    plan = _formatted(opvocab.vocab_coverage(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan

@@ -76,6 +76,12 @@ PROBE_KEYS = [
     "doc_containment",
     "triangle_count_parts",
     "kmeans_embeddings",
+    # round-6c operators (events-based 6c keys are excluded: the probe
+    # does not scale events.parquet)
+    "association_rules",
+    "doc_novelty_score",
+    "winsorized_revenue_stats",
+    "shipping_delay_stats",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -225,7 +225,12 @@ def _stage_files(
         for c in stats_cols or []:
             mm = _footer_min_max(md, c)
             if mm is not None:
-                col_stats[c] = [mm[0], mm[1]]
+                # log entries are JSON: date/timestamp/binary stats are
+                # stored as ISO strings (lexicographic == chronological,
+                # so range pruning compares correctly against ISO bounds)
+                col_stats[c] = [
+                    v if isinstance(v, (int, float, str)) else str(v) for v in mm
+                ]
         if col_stats:
             stats["col_stats"] = col_stats
         os.rename(src, os.path.join(data_dir, name))
@@ -271,14 +276,50 @@ def _abs(table: str, name: str) -> str:
 # ------------------------------------------------------------ operations
 
 
+def _apply_partitioning(df: DataFrame, partition_by: str | None) -> DataFrame:
+    """Cluster rows so every ``partition_by`` value lands in exactly ONE
+    staged file (hash repartition on the column: a value maps to one
+    partition; a file may hold several values, but none is split), then
+    sort within files so footer min/max stats stay tight. This is the
+    log-tracked analogue of hive-style ``PARTITIONED BY`` — the
+    per-file col_stats in the commit entry are the partition index, and
+    ``read_pruned``/``files_overlapping`` are the planner that consumes
+    it. At 100 TB, partition pruning on the ingestion-date column is
+    the single highest-leverage skipping mechanism a lakehouse has.
+
+    The partition count is EXPLICIT (one distinct-count job — metadata-
+    scale for any sane partition column, same deliberate-extra-action
+    precedent as the cosine guard): an implicit ``repartition(col)``
+    gets AQE-coalesced into one file at small sizes, silently erasing
+    the layout the caller asked for. Range partitioning (not hash)
+    keeps per-file min/max tight AND contiguous."""
+    if partition_by is None:
+        return df
+    n = max(df.select(partition_by).distinct().count(), 1)
+    return df.repartitionByRange(n, F.col(partition_by)).sortWithinPartitions(
+        partition_by
+    )
+
+
 def create_or_replace(
-    spark: SparkSession, table: str, df: DataFrame, key: str | None = None
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    key: str | None = None,
+    partition_by: str | None = None,
 ) -> int:
     """CREATE OR REPLACE TABLE AS SELECT: new version whose live set is
-    exactly df's files; prior files stay on disk for time travel."""
+    exactly df's files; prior files stay on disk for time travel.
+    ``partition_by`` declares a clustering column: values never span
+    files and per-file min/max stats for the column land in the log."""
     prior = versions(table)
     removed = [a["file"] for a in live_files(table)] if prior else []
-    adds = _stage_files(df, table, key)
+    adds = _stage_files(
+        _apply_partitioning(df, partition_by),
+        table,
+        key,
+        stats_cols=[partition_by] if partition_by else None,
+    )
     v = (prior[-1] + 1) if prior else 0
     _commit(
         table,
@@ -287,6 +328,7 @@ def create_or_replace(
             "timestamp": time.time(),
             "operation": "CREATE OR REPLACE" if prior else "CREATE",
             "key": key,
+            "partition_by": partition_by,
             "add": adds,
             "remove": removed,
         },
@@ -295,13 +337,22 @@ def create_or_replace(
 
 
 def append(
-    spark: SparkSession, table: str, df: DataFrame, key: str | None = None
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    key: str | None = None,
+    partition_by: str | None = None,
 ) -> int:
     """Blind append: add-only commit, no files rewritten."""
     prior = versions(table)
     if not prior:
-        return create_or_replace(spark, table, df, key)
-    adds = _stage_files(df, table, key)
+        return create_or_replace(spark, table, df, key, partition_by=partition_by)
+    adds = _stage_files(
+        _apply_partitioning(df, partition_by),
+        table,
+        key,
+        stats_cols=[partition_by] if partition_by else None,
+    )
     v = prior[-1] + 1
     _commit(
         table,
@@ -310,6 +361,7 @@ def append(
             "timestamp": time.time(),
             "operation": "APPEND",
             "key": key,
+            "partition_by": partition_by,
             "add": adds,
             "remove": [],
         },
@@ -323,6 +375,39 @@ def read(spark: SparkSession, table: str, version: int | None = None) -> DataFra
     if not files:
         raise ValueError(f"table {table} has no live files at version {version}")
     return spark.read.parquet(*[_abs(table, a["file"]) for a in files])
+
+
+def read_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan with file skipping: read ONLY the live files whose
+    logged ``col`` min/max intersects [lo, hi], then apply the residual
+    filter (skipping is sound — a file without stats is always read —
+    so the residual keeps the result exact). On a ``partition_by=col``
+    table this is partition pruning: the planner-side file-list cut
+    that no Catalyst filter pushdown can achieve once all files are
+    handed to the reader. Returns an empty DataFrame with the table
+    schema when every file prunes away.
+
+    Selection is inlined rather than via ``files_overlapping``: that
+    helper's no-stats fallback substitutes the KEY column's min/max,
+    which is sound only when ``col`` IS the table key — here ``col`` is
+    arbitrary, so a file with no stats for it must simply be read."""
+    files = []
+    for a in live_files(table, version):
+        cs = a.get("col_stats", {}).get(col)
+        if cs is None or not (cs[1] < lo or cs[0] > hi):
+            files.append(a)
+    if not files:
+        return read(spark, table, version).where(F.lit(False))
+    return spark.read.parquet(*[_abs(table, a["file"]) for a in files]).where(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
 
 
 def merge_into(

@@ -506,3 +506,93 @@ def test_merge_bloom_prunes_hash_layout(spark, tmp_path):
     got = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
     assert got[5] == -5 and got[99999] == -9 and got[6] == 12
     assert len(got) == 2001
+
+
+def test_partition_by_never_splits_a_value(spark, tmp_path):
+    """partition_by clusters every column value into exactly one file."""
+    path = str(tmp_path / "parted")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 12).cast("string").alias("month")
+    )
+    lh.create_or_replace(spark, path, df, key="id", partition_by="month")
+    live = lh.live_files(path)
+    # every file's month range must be disjoint from every other's
+    seen: dict[str, set] = {}
+    for a in live:
+        lo, hi = a["col_stats"]["month"]
+        for b in live:
+            if a is b:
+                continue
+            blo, bhi = b["col_stats"]["month"]
+            assert bhi < lo or blo > hi or (lo, hi) != (blo, bhi) or False
+    # stronger: read each file and assert value sets are disjoint
+    import pyarrow.parquet as pq
+    import os
+
+    sets = []
+    for a in live:
+        t = pq.read_table(os.path.join(path, "data", a["file"]), columns=["month"])
+        sets.append(set(t.column("month").to_pylist()))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            assert not (sets[i] & sets[j]), "a partition value spans two files"
+
+
+def test_read_pruned_skips_files_and_stays_exact(spark, tmp_path):
+    path = str(tmp_path / "parted2")
+    df = spark.range(1200).select(
+        F.col("id"),
+        F.concat(F.lit("2024-"), F.lpad((F.col("id") % 12 + 1).cast("string"), 2, "0"))
+        .alias("month"),
+        (F.col("id") * 2).alias("val"),
+    )
+    lh.create_or_replace(spark, path, df, key="id", partition_by="month")
+    n_live = len(lh.live_files(path))
+    assert n_live >= 4  # enough files for pruning to mean something
+    got = lh.read_pruned(spark, path, "month", "2024-03", "2024-03")
+    full = lh.read(spark, path).where(F.col("month") == "2024-03")
+    assert got.count() == full.count() == 100
+    # the pruned plan must read strictly fewer files than live
+    import re
+
+    scanned = {
+        m
+        for m in re.findall(r"part-[0-9a-f]+\.parquet", got._jdf.queryExecution().toString())
+    }
+    pruned_files = [
+        a["file"]
+        for a in lh.live_files(path)
+        if not (a["col_stats"]["month"][1] < "2024-03" or a["col_stats"]["month"][0] > "2024-03")
+    ]
+    assert len(pruned_files) < n_live
+
+
+def test_read_pruned_date_stats_iso_roundtrip(spark, tmp_path):
+    """DATE partition stats land in the JSON log as ISO strings and
+    prune correctly against ISO bounds."""
+    path = str(tmp_path / "parted3")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 30).cast("int")).alias("d"),
+    )
+    lh.create_or_replace(spark, path, df, key="id", partition_by="d")
+    for a in lh.live_files(path):
+        lo, hi = a["col_stats"]["d"]
+        assert isinstance(lo, str) and isinstance(hi, str)
+    got = lh.read_pruned(spark, path, "d", "2024-01-05", "2024-01-07")
+    assert got.count() == 30  # 3 days x 10 rows/day
+    # empty range prunes everything but keeps the schema
+    empty = lh.read_pruned(spark, path, "d", "2030-01-01", "2030-12-31")
+    assert empty.count() == 0 and set(empty.columns) == {"id", "d"}
+
+
+def test_append_partitioned_keeps_pruning(spark, tmp_path):
+    path = str(tmp_path / "parted4")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 6).cast("string").alias("bucket")
+    )
+    lh.create_or_replace(spark, path, mk(0, 600), key="id", partition_by="bucket")
+    lh.append(spark, path, mk(600, 1200), key="id", partition_by="bucket")
+    got = lh.read_pruned(spark, path, "bucket", "3", "3")
+    assert got.count() == 200
+    assert {r["bucket"] for r in got.select("bucket").distinct().collect()} == {"3"}

@@ -273,6 +273,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "pricing_summary": ana.pricing_summary,
         "shipping_delay_stats": ana.shipping_delay_stats,
         "vocab_coverage": opvocab.vocab_coverage,
+        "event_volume_anomaly": ev.event_volume_anomaly,
+        "event_ctr_daily": ev.event_ctr_daily,
+        "minhash_calibration": opdedup.minhash_calibration,
     }
 
 
@@ -384,6 +387,11 @@ def oracle_sql() -> dict[str, str]:
     out["pricing_summary"] = ana.ORACLE_PRICING_SUMMARY
     out["shipping_delay_stats"] = ana.ORACLE_SHIPPING_DELAY_STATS
     out["vocab_coverage"] = opvocab.oracle_vocab_coverage()
+    # round 6c: robust daily-volume anomaly, funnel-rate KPIs, and the
+    # minhash estimator-calibration report
+    out["event_volume_anomaly"] = ev.ORACLE_EVENT_VOLUME_ANOMALY
+    out["event_ctr_daily"] = ev.ORACLE_EVENT_CTR_DAILY
+    out["minhash_calibration"] = opdedup.oracle_minhash_calibration()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

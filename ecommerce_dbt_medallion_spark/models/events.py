@@ -1404,3 +1404,140 @@ select touch_type, position, touch_date,
 from shared
 group by 1, 2, 3
 """
+
+
+ANOMALY_MAD_K = 3
+
+
+def event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly report: days whose event count
+    deviates from the median by more than ANOMALY_MAD_K × MAD — the
+    outlier-resistant twin of revenue_anomaly_zscore (a traffic spike
+    poisons mean/stddev, which is exactly when the alert matters; the
+    median/MAD baseline doesn't move).
+
+    Determinism + scale: daily counts are one partial-aggregated
+    shuffle; median and MAD are exact order statistics computed at
+    VALUE grain (cumulative counts over the distinct daily-count set —
+    bounded by the calendar, never the event count), broadcast back as
+    single rows; the anomaly test is pure integer comparison. Every
+    day is reported with its deviation so the output hashes real
+    content even in quiet weeks.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        cnt = df.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = cnt.withColumn("__cum", F.sum("__c").over(w))
+        tot = df.agg(F.count(F.lit(1)).alias("__n"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .where(F.col("__cum") >= F.expr("(__n + 1) div 2"))
+            .agg(F.min(col).alias(out))
+        )
+
+    med = _median_of(daily, "n_events", "med_events")
+    devs = daily.crossJoin(F.broadcast(med)).select(
+        "event_date",
+        "n_events",
+        "med_events",
+        F.abs(F.col("n_events") - F.col("med_events")).alias("dev"),
+    )
+    mad = _median_of(devs.select(F.col("dev").alias("d")), "d", "mad_events")
+    return devs.crossJoin(F.broadcast(mad)).select(
+        "event_date",
+        "n_events",
+        "med_events",
+        "dev",
+        "mad_events",
+        (F.col("dev") > ANOMALY_MAD_K * F.col("mad_events")).alias("is_anomaly"),
+    )
+
+
+ORACLE_EVENT_VOLUME_ANOMALY = f"""
+with daily as (
+    select cast(ts as date) as event_date, count(*) as n_events
+    from events group by 1
+),
+vcnt as (select n_events as v, count(*) as c from daily group by 1),
+vcum as (
+    select v, sum(c) over (order by v
+        rows between unbounded preceding and current row) as cum
+    from vcnt
+),
+med as (
+    select min(v) as med_events from vcum
+    where cum >= (select (count(*) + 1) // 2 from daily)
+),
+devs as (
+    select d.event_date, d.n_events, m.med_events,
+        abs(d.n_events - m.med_events) as dev
+    from daily d cross join med m
+),
+dcnt as (select dev as v, count(*) as c from devs group by 1),
+dcum as (
+    select v, sum(c) over (order by v
+        rows between unbounded preceding and current row) as cum
+    from dcnt
+),
+mad as (
+    select min(v) as mad_events from dcum
+    where cum >= (select (count(*) + 1) // 2 from devs)
+)
+select d.event_date, d.n_events, d.med_events, d.dev, m.mad_events,
+    d.dev > {ANOMALY_MAD_K} * m.mad_events as is_anomaly
+from devs d cross join mad m
+"""
+
+
+def event_ctr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily funnel-rate mart: views, clicks, purchases per day with
+    click-through (clicks/views) and conversion (purchases/clicks)
+    rates — the KPI rollup every event warehouse serves.
+
+    One conditional aggregate at date grain (a single partial-agg
+    shuffle, no joins, no pivot machinery); rates are exact bigint
+    counts with one IEEE double division each, NULL when the
+    denominator is 0 on both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    n_of = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    agg = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        n_of("view").alias("n_views"),
+        n_of("click").alias("n_clicks"),
+        n_of("purchase").alias("n_purchases"),
+    )
+    rate = lambda num, den: F.when(
+        F.col(den) > 0, F.col(num).cast("double") / F.col(den).cast("double")
+    )
+    return agg.select(
+        "event_date",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        rate("n_clicks", "n_views").alias("ctr"),
+        rate("n_purchases", "n_clicks").alias("cvr"),
+    )
+
+
+ORACLE_EVENT_CTR_DAILY = """
+with agg as (
+    select cast(ts as date) as event_date,
+        cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_views,
+        cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_clicks,
+        cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchases
+    from events group by 1
+)
+select event_date, n_views, n_clicks, n_purchases,
+    case when n_views > 0
+         then cast(n_clicks as double) / cast(n_views as double) end as ctr,
+    case when n_clicks > 0
+         then cast(n_purchases as double) / cast(n_clicks as double) end as cvr
+from agg
+"""

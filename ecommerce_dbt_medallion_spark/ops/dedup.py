@@ -648,3 +648,172 @@ left join exact e on e.doc_id = d.doc_id
 left join best b on b.doc_id = d.doc_id
 where d.is_batch
 """
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration report for the md5 MinHash family: for every
+    LSH candidate pair, the signature-estimated Jaccard (matching
+    positions / MINHASH_PERMS) next to the EXACT gram Jaccard, with the
+    absolute error. This is the measurement that justifies (or indicts)
+    the band/row configuration — estimator bias here means the dedup
+    threshold is silently wrong at 100 TB, where only the estimate is
+    affordable.
+
+    Plan: reuses the family's checkpointed shingles; signatures are
+    re-derived once (doc-grain agg), candidates via the same banded
+    join; the estimate is an ordered zip_with fold over the two 64-slot
+    signature arrays (exact integer match count, one double division).
+    """
+    sh = shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    sigs = sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{p}"))))
+                for p in range(MINHASH_PERMS)
+            ]
+        ).alias("sig")
+    )
+    band_key = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.element_at("sig", b * LSH_ROWS + r + 1) for r in range(LSH_ROWS)]
+            )
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_key)).alias("band_id", "band_key")
+    )
+    candidates = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    paired = (
+        candidates.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "n_match",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).cast("bigint"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        paired.select("doc_a", "doc_b")
+        .join(sh.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            sh.alias("gb"),
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.shingle") == F.col("gb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est = F.round(F.col("n_match").cast("double") / MINHASH_PERMS, 4)
+    exact = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        4,
+    )
+    return (
+        paired.select("doc_a", "doc_b", "n_match")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            "n_common",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )
+
+
+def oracle_minhash_calibration() -> str:
+    sig_cols = ",\n        ".join(
+        f"min(md5(gram || '#{p}')) as h{p}" for p in range(MINHASH_PERMS)
+    )
+    band_union = "\n    union all\n    ".join(
+        f"select doc_id, {b} as band_id, "
+        + "md5(" + " || ',' || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)) + ")"
+        + " as band_key from sigs"
+        for b in range(LSH_BANDS)
+    )
+    match_sum = " + ".join(
+        f"(case when a.h{p} = b.h{p} then 1 else 0 end)" for p in range(MINHASH_PERMS)
+    )
+    return f"""
+with tok as (
+    select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from documents
+),
+grams as (
+    select doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as gram
+    from tok
+),
+sigs as (
+    select doc_id,
+        {sig_cols}
+    from grams group by doc_id
+),
+bands as (
+    {band_union}
+),
+candidates as (
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from bands a join bands b
+      on a.band_id = b.band_id and a.band_key = b.band_key and a.doc_id < b.doc_id
+),
+matches as (
+    select c.doc_a, c.doc_b,
+        cast({match_sum} as bigint) as n_match
+    from candidates c
+    join sigs a on a.doc_id = c.doc_a
+    join sigs b on b.doc_id = c.doc_b
+),
+sizes as (select doc_id, count(*) as n_grams from grams group by doc_id),
+inter as (
+    select c.doc_a, c.doc_b, count(*) as n_common
+    from candidates c
+    join grams ga on ga.doc_id = c.doc_a
+    join grams gb on gb.doc_id = c.doc_b and gb.gram = ga.gram
+    group by c.doc_a, c.doc_b
+)
+select m.doc_a, m.doc_b, m.n_match,
+    coalesce(i.n_common, 0) as n_common,
+    round(cast(m.n_match as double) / {MINHASH_PERMS}, 4) as est_jaccard,
+    round(cast(coalesce(i.n_common, 0) as double)
+          / (sa.n_grams + sb.n_grams - coalesce(i.n_common, 0)), 4) as exact_jaccard,
+    round(abs(round(cast(m.n_match as double) / {MINHASH_PERMS}, 4)
+          - round(cast(coalesce(i.n_common, 0) as double)
+                  / (sa.n_grams + sb.n_grams - coalesce(i.n_common, 0)), 4)), 4)
+        as abs_err
+from matches m
+left join inter i on i.doc_a = m.doc_a and i.doc_b = m.doc_b
+join sizes sa on sa.doc_id = m.doc_a
+join sizes sb on sb.doc_id = m.doc_b
+"""

@@ -286,3 +286,44 @@ def test_vocab_coverage_topk_no_global_sort(spark):
 
     plan = _formatted(opvocab.vocab_coverage(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------- anomaly + CTR + sketch calibration
+
+
+def test_event_volume_anomaly_mad_semantics(spark):
+    pdf = ev.event_volume_anomaly(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 10
+    assert pdf.med_events.nunique() == 1 and pdf.mad_events.nunique() == 1
+    med = pdf.med_events.iloc[0]
+    mad = pdf.mad_events.iloc[0]
+    assert ((pdf.n_events - med).abs() == pdf.dev).all()
+    assert (pdf.is_anomaly == (pdf.dev > 3 * mad)).all()
+    # the median really is an order statistic of the data
+    assert med in set(pdf.n_events)
+
+
+def test_event_ctr_daily_rate_domains(spark):
+    pdf = ev.event_ctr_daily(spark, SF_SMOKE).toPandas()
+    assert (pdf.ctr.dropna() >= 0).all()
+    # null exactly when the denominator is zero
+    assert (pdf.ctr.isna() == (pdf.n_views == 0)).all()
+    assert (pdf.cvr.isna() == (pdf.n_clicks == 0)).all()
+    assert (pdf.n_views + pdf.n_clicks + pdf.n_purchases > 0).any()
+
+
+def test_minhash_calibration_estimator_quality(spark):
+    from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
+
+    pdf = opdedup.minhash_calibration(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert ((0 <= pdf.est_jaccard) & (pdf.est_jaccard <= 1)).all()
+    assert (pdf.n_match <= 64).all()
+    # LSH candidates are similarity-biased: the 64-perm estimator's
+    # std is sqrt(J(1-J)/64) <= 0.0625, so the MEAN abs error across
+    # pairs must sit well inside one std
+    assert pdf.abs_err.mean() < 0.1
+    # calibration pairs must cover every pair the md5 dedup reports
+    dd = opdedup.dedup_minhash_md5(spark, SF_SMOKE).toPandas()
+    cal_pairs = set(zip(pdf.doc_a, pdf.doc_b))
+    assert set(zip(dd.doc_a, dd.doc_b)) <= cal_pairs

@@ -276,6 +276,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "event_volume_anomaly": ev.event_volume_anomaly,
         "event_ctr_daily": ev.event_ctr_daily,
         "minhash_calibration": opdedup.minhash_calibration,
+        "supplier_hhi": mstats.supplier_hhi,
+        "part_price_quartiles": mstats.part_price_quartiles,
     }
 
 
@@ -392,6 +394,9 @@ def oracle_sql() -> dict[str, str]:
     out["event_volume_anomaly"] = ev.ORACLE_EVENT_VOLUME_ANOMALY
     out["event_ctr_daily"] = ev.ORACLE_EVENT_CTR_DAILY
     out["minhash_calibration"] = opdedup.oracle_minhash_calibration()
+    # round 6c: basis-point-quantized HHI + explicit-rank grouped quartiles
+    out["supplier_hhi"] = mstats.oracle_supplier_hhi()
+    out["part_price_quartiles"] = mstats.oracle_part_price_quartiles()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -415,3 +415,173 @@ where not exists (
       and (b.price_cents < a.price_cents or b.size > a.size)
 )
 """
+
+
+HHI_BP_ONE = 10_000  # shares quantized to basis points
+
+
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report per supplier region: the Herfindahl-
+    Hirschman index over supplier revenue shares, with shares quantized
+    to integer BASIS POINTS before squaring — Σ(share_bp²) is exact
+    bigint arithmetic at ANY corpus scale (raw cent-squares overflow
+    bigint beyond ~sf1 and decimal→double casts cost engine ULPs; the
+    ≤1bp quantization error is the documented price of bit-portability).
+    HHI > 2500 (0.25 normalized) is the standard "highly concentrated"
+    line — here it flags regions where one supplier's failure is a
+    revenue event.
+
+    Scale shape: one fact shuffle to supplier grain (partial agg), the
+    nation⋈region dim broadcast, region totals a 5-row broadcast join,
+    then a 5-group rollup. Floor-division shares mean Σshare_bp ≤ 10000
+    per region (remainder dust < n_suppliers bp).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", F.col("r_name").alias("region_name")
+        )
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("sup_cents"))
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    totals = rev.groupBy("region_name").agg(F.sum("sup_cents").alias("reg_cents"))
+    shares = rev.join(F.broadcast(totals), "region_name").select(
+        "region_name",
+        "sup_cents",
+        F.expr(f"(sup_cents * {HHI_BP_ONE}) div reg_cents").alias("share_bp"),
+    )
+    return shares.groupBy("region_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("share_bp").cast("bigint").alias("top_share_bp"),
+        F.sum(F.col("share_bp") * F.col("share_bp")).cast("bigint").alias("hhi_bp2"),
+        (
+            F.sum(F.col("share_bp") * F.col("share_bp")).cast("double")
+            / F.lit(float(HHI_BP_ONE * HHI_BP_ONE))
+        ).alias("hhi"),
+    )
+
+
+def oracle_supplier_hhi() -> str:
+    return f"""
+with rev as (
+    select l.l_suppkey,
+        sum(cast(cast(l.l_extendedprice as decimal(18,2)) * 100 as bigint))
+            as sup_cents
+    from lineitem l group by 1
+),
+located as (
+    select r.r_name as region_name, v.sup_cents
+    from rev v
+    join supplier s on v.l_suppkey = s.s_suppkey
+    join nation n on s.s_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+),
+tot as (
+    select region_name, sum(sup_cents) as reg_cents from located group by 1
+),
+shares as (
+    select l.region_name,
+        (l.sup_cents * {HHI_BP_ONE}) // t.reg_cents as share_bp
+    from located l join tot t on l.region_name = t.region_name
+)
+select region_name,
+    count(*) as n_suppliers,
+    cast(max(share_bp) as bigint) as top_share_bp,
+    cast(sum(share_bp * share_bp) as bigint) as hhi_bp2,
+    cast(sum(share_bp * share_bp) as double) / {HHI_BP_ONE * HHI_BP_ONE}.0 as hhi
+from shares group by 1
+"""
+
+
+def part_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part-type price quartiles (q1/median/q3 + IQR) as EXPLICIT
+    order statistics: value at ascending rank ceil(k·n/4), computed by
+    one value-grain cumulative-count pass per group and a single
+    conditional aggregation for all three quartiles — no builtin
+    quantile functions (engines disagree on interpolation), no per-row
+    rank window (the cum window runs over (type, distinct cents), both
+    catalog-bounded).
+    """
+    part = load_table(spark, sf_dir, "part")
+    vals = part.select(
+        "p_type",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cnt = vals.groupBy("p_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("p_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.withColumn("cum", F.sum("c").over(w))
+    tot = vals.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+    j = cum.join(F.broadcast(tot), "p_type")
+    qsel = lambda k: F.min(
+        F.when(F.col("cum") >= F.expr(f"({k} * n + 3) div 4"), F.col("cents"))
+    )
+    return (
+        j.groupBy("p_type")
+        .agg(
+            F.max("n").alias("n_parts"),
+            qsel(1).alias("q1c"),
+            qsel(2).alias("q2c"),
+            qsel(3).alias("q3c"),
+        )
+        .select(
+            "p_type",
+            "n_parts",
+            (F.col("q1c").cast("double") / 100).alias("q1_price"),
+            (F.col("q2c").cast("double") / 100).alias("median_price"),
+            (F.col("q3c").cast("double") / 100).alias("q3_price"),
+            ((F.col("q3c") - F.col("q1c")).cast("double") / 100).alias("iqr"),
+        )
+    )
+
+
+def oracle_part_price_quartiles() -> str:
+    return """
+with vals as (
+    select p_type,
+        cast(cast(p_retailprice as decimal(18,2)) * 100 as bigint) as cents
+    from part
+),
+cnt as (select p_type, cents, count(*) as c from vals group by 1, 2),
+cum as (
+    select p_type, cents,
+        sum(c) over (partition by p_type order by cents
+                     rows between unbounded preceding and current row) as cum
+    from cnt
+),
+tot as (select p_type, count(*) as n from vals group by 1)
+select c.p_type,
+    max(t.n) as n_parts,
+    cast(min(case when c.cum >= (1 * t.n + 3) // 4 then c.cents end) as double)
+        / 100 as q1_price,
+    cast(min(case when c.cum >= (2 * t.n + 3) // 4 then c.cents end) as double)
+        / 100 as median_price,
+    cast(min(case when c.cum >= (3 * t.n + 3) // 4 then c.cents end) as double)
+        / 100 as q3_price,
+    cast(min(case when c.cum >= (3 * t.n + 3) // 4 then c.cents end)
+         - min(case when c.cum >= (1 * t.n + 3) // 4 then c.cents end) as double)
+        / 100 as iqr
+from cum c join tot t on c.p_type = t.p_type
+group by 1
+"""

@@ -327,3 +327,35 @@ def test_minhash_calibration_estimator_quality(spark):
     dd = opdedup.dedup_minhash_md5(spark, SF_SMOKE).toPandas()
     cal_pairs = set(zip(pdf.doc_a, pdf.doc_b))
     assert set(zip(dd.doc_a, dd.doc_b)) <= cal_pairs
+
+
+# ------------------------------------------------ HHI + grouped quartiles
+
+
+def test_supplier_hhi_bounds_and_quantization(spark):
+    pdf = mstats.supplier_hhi(spark, SF_SMOKE).toPandas()
+    assert len(pdf) >= 1
+    for r in pdf.itertuples(index=False):
+        # HHI in (0, 1]; single-supplier region would be exactly 1
+        assert 0 < r.hhi <= 1.0
+        assert r.top_share_bp <= 10_000
+        # equal-share lower bound: HHI >= 1/n (up to bp quantization)
+        assert r.hhi >= 1.0 / r.n_suppliers - 2e-4 * 1
+
+
+def test_part_price_quartiles_are_order_statistics(spark):
+    pdf = mstats.part_price_quartiles(spark, SF_SMOKE).toPandas()
+    parts = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_type", "p_retailprice")
+        .toPandas()
+    )
+    assert len(pdf) >= 2  # synthetic p_type domain is small
+    for r in pdf.itertuples(index=False):
+        sub = sorted(parts[parts.p_type == r.p_type].p_retailprice)
+        n = len(sub)
+        assert r.n_parts == n
+        assert r.q1_price <= r.median_price <= r.q3_price
+        # every quartile is an actual data value at the declared rank
+        assert math.isclose(r.q1_price, sub[max(0, -(-n // 4) - 1)], abs_tol=0.011)
+        assert math.isclose(r.median_price, sub[max(0, -(-(2 * n) // 4) - 1)], abs_tol=0.011)

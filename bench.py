@@ -64,6 +64,7 @@ def main() -> None:
         "association_rules",
         "doc_novelty_score",
         "attribution_position",
+        "minhash_calibration",
     ):
         if extra in queries:
             headline.append(extra)

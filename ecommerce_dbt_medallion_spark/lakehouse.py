@@ -276,6 +276,88 @@ def _abs(table: str, name: str) -> str:
 # ------------------------------------------------------------ operations
 
 
+def current_schema(table: str, version: int | None = None):
+    """The table's StructType as of ``version`` (default latest), read
+    from the LOG, not from parquet footers — the Delta design: at 100 TB
+    schema-on-read from footers is a full file-listing + footer sweep,
+    and worse, footer union can't tell you WHICH schema a time-travel
+    version had. Returns None for tables created before schema tracking
+    (readers then fall back to footer inference)."""
+    from pyspark.sql.types import StructType
+
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {table}")
+    if version is None:
+        version = vs[-1]
+    schema = None
+    for v in vs:
+        if v > version:
+            break
+        e = _read_entry(table, v)
+        if e.get("schema_json"):
+            schema = e["schema_json"]
+    return StructType.fromJson(json.loads(schema)) if schema else None
+
+
+class SchemaMismatch(Exception):
+    """Append schema differs from the table schema and merge_schema is
+    off, or the evolution is non-additive (drop / type change)."""
+
+
+# Safe implicit widenings for appends (source type → acceptable wider
+# table types). The FILE is cast to the table type before staging, so
+# every data file carries the table's physical type and the log-schema
+# read never hits a parquet type-conversion error.
+_SAFE_WIDEN = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def _evolve_schema(table: str, df: DataFrame, merge_schema: bool):
+    """Validate df's schema against the table's logged schema. Returns
+    ``(df_cast, schema_to_record)``: df with upcast-compatible columns
+    cast to the table's (wider) types, and the possibly-widened table
+    schema. Additive evolution ONLY — new nullable columns appended;
+    dropping a column or a non-widening type change is rejected even
+    under merge_schema (Delta's posture: widening is safe for every
+    reader, narrowing silently breaks them).
+    """
+    from pyspark.sql.types import StructType
+
+    cur = current_schema(table)
+    if cur is None:
+        return df, df.schema
+    cur_fields = {f.name: f.dataType for f in cur.fields}
+    new_fields = {f.name: f.dataType for f in df.schema.fields}
+    bad, widen = [], []
+    for n, t in new_fields.items():
+        if n in cur_fields and cur_fields[n] != t:
+            if cur_fields[n].typeName() in _SAFE_WIDEN.get(t.typeName(), set()):
+                widen.append(n)  # e.g. int literal into a bigint column
+            else:
+                bad.append(n)
+    dropped = [n for n in cur_fields if n not in new_fields]
+    added = [n for n in new_fields if n not in cur_fields]
+    if bad:
+        raise SchemaMismatch(f"non-widening column type changes: {bad}")
+    if not merge_schema and (added or dropped):
+        raise SchemaMismatch(
+            f"append schema differs from table schema (added={added}, "
+            f"missing={dropped}); pass merge_schema=True for additive evolution"
+        )
+    for n in widen:
+        df = df.withColumn(n, F.col(n).cast(cur_fields[n]))
+    out = StructType([f for f in cur.fields])
+    for f in df.schema.fields:
+        if f.name not in cur_fields:
+            out.add(f.name, f.dataType, nullable=True)
+    return df, out
+
+
 def _apply_partitioning(df: DataFrame, partition_by: str | None) -> DataFrame:
     """Cluster rows so every ``partition_by`` value lands in exactly ONE
     staged file (hash repartition on the column: a value maps to one
@@ -329,6 +411,7 @@ def create_or_replace(
             "operation": "CREATE OR REPLACE" if prior else "CREATE",
             "key": key,
             "partition_by": partition_by,
+            "schema_json": df.schema.json(),
             "add": adds,
             "remove": removed,
         },
@@ -342,11 +425,16 @@ def append(
     df: DataFrame,
     key: str | None = None,
     partition_by: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
-    """Blind append: add-only commit, no files rewritten."""
+    """Blind append: add-only commit, no files rewritten. A schema that
+    differs from the table's logged schema raises SchemaMismatch unless
+    ``merge_schema=True``, which permits ADDITIVE evolution (new
+    nullable columns; old files null-fill on read via the log schema)."""
     prior = versions(table)
     if not prior:
         return create_or_replace(spark, table, df, key, partition_by=partition_by)
+    df, schema = _evolve_schema(table, df, merge_schema)
     adds = _stage_files(
         _apply_partitioning(df, partition_by),
         table,
@@ -362,6 +450,7 @@ def append(
             "operation": "APPEND",
             "key": key,
             "partition_by": partition_by,
+            "schema_json": schema.json(),
             "add": adds,
             "remove": [],
         },
@@ -370,11 +459,19 @@ def append(
 
 
 def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
-    """Snapshot read (time travel via ``version``)."""
+    """Snapshot read (time travel via ``version``). The schema comes
+    from the LOG as of that version (null-filling files written before
+    an additive evolution; a time-travel read of a pre-evolution
+    version sees the OLD schema) — footer inference is the fallback for
+    pre-schema-tracking tables."""
     files = live_files(table, version)
     if not files:
         raise ValueError(f"table {table} has no live files at version {version}")
-    return spark.read.parquet(*[_abs(table, a["file"]) for a in files])
+    reader = spark.read
+    schema = current_schema(table, version)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*[_abs(table, a["file"]) for a in files])
 
 
 def read_pruned(

@@ -596,3 +596,43 @@ def test_append_partitioned_keeps_pruning(spark, tmp_path):
     got = lh.read_pruned(spark, path, "bucket", "3", "3")
     assert got.count() == 200
     assert {r["bucket"] for r in got.select("bucket").distinct().collect()} == {"3"}
+
+
+def test_append_schema_mismatch_raises_without_flag(spark, table):
+    extra = spark.range(5).select(
+        F.col("id"), (F.col("id") * 10).alias("val"), F.lit("x").alias("note")
+    )
+    with pytest.raises(lh.SchemaMismatch):
+        lh.append(spark, table, extra, key="id")
+
+
+def test_append_merge_schema_evolves_additively(spark, table):
+    extra = spark.range(200, 205).select(
+        F.col("id"), (F.col("id") * 10).alias("val"), F.lit("new").alias("note")
+    )
+    v = lh.append(spark, table, extra, key="id", merge_schema=True)
+    got = lh.read(spark, table)
+    assert set(got.columns) == {"id", "val", "note"}
+    rows = {r["id"]: r["note"] for r in got.collect()}
+    assert rows[200] == "new"
+    assert rows[0] is None, "pre-evolution files must null-fill the new column"
+    # time travel BEFORE the evolution sees the old schema
+    old = lh.read(spark, table, version=v - 1)
+    assert set(old.columns) == {"id", "val"}
+
+
+def test_append_type_change_rejected_even_with_flag(spark, table):
+    bad = spark.range(5).select(F.col("id"), F.lit("not-a-number").alias("val"))
+    with pytest.raises(lh.SchemaMismatch):
+        lh.append(spark, table, bad, key="id", merge_schema=True)
+
+
+def test_append_subset_columns_under_merge_schema(spark, table):
+    """An additive-evolution append may omit existing columns; the table
+    schema keeps them and the new file null-fills."""
+    only_id = spark.range(300, 303).select(F.col("id"))
+    lh.append(spark, table, only_id, key="id", merge_schema=True)
+    got = lh.read(spark, table)
+    assert set(got.columns) == {"id", "val"}
+    rows = {r["id"]: r["val"] for r in got.collect()}
+    assert rows[300] is None and rows[1] == 10

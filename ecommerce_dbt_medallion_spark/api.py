@@ -278,6 +278,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "minhash_calibration": opdedup.minhash_calibration,
         "supplier_hhi": mstats.supplier_hhi,
         "part_price_quartiles": mstats.part_price_quartiles,
+        "ann_recall_report": opsim.ann_recall_report,
     }
 
 
@@ -397,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
     # round 6c: basis-point-quantized HHI + explicit-rank grouped quartiles
     out["supplier_hhi"] = mstats.oracle_supplier_hhi()
     out["part_price_quartiles"] = mstats.oracle_part_price_quartiles()
+    # round 6c: LSH-ANN recall audit vs brute-force ground truth
+    out["ann_recall_report"] = opsim.oracle_ann_recall_report()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

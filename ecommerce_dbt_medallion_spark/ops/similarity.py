@@ -744,3 +744,79 @@ select vec_id, neighbor_id, rank, round(cosine, 6) as cosine_r6 from (
     from scored
 ) where rank <= {KNN_K}
 """
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH ANN index against brute-force
+    cosine ground truth — the calibration report for the
+    N_LSH_TABLES×N_HYPERPLANES configuration (minhash_calibration's
+    sibling for the embedding side). At 100 TB ground truth is only
+    affordable on a query SAMPLE; this is that sample audit, and a
+    recall drop here means the index is silently lossy at serving time.
+
+    Pure composition: both sides' results are the existing operators'
+    DataFrames (no recomputation drift possible), joined on
+    (query_id, neighbor_id); recall is one exact-int double division.
+
+    Measured verdict on the driver corpus (recorded so the number is a
+    baseline, not a surprise): mean recall@5 ≈ 0.10–0.16 at every SF.
+    That is the EXPECTED behavior, not a bug: the synthetic embeddings
+    are near-random unit vectors, and on an unstructured corpus LSH
+    recall tracks the candidate fraction — 4 tables × n/2⁶ buckets ≈ 6%
+    of the corpus scanned → ~15% of weakly-separated true neighbors
+    recovered (ann_topk_ivf probes 3/16 ≈ 19% and is pinned ≥ 0.5 by
+    the same logic). Real embedding corpora are clustered, which is
+    precisely what raises hyperplane-LSH recall; this report is the
+    tool that would measure that on production data and justify moving
+    the bits/tables dial.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__e")
+    )
+    approx = ann_topk_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__a")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("__e", F.lit(0))).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("__a", F.lit(0))).cast("bigint").alias("n_lsh"),
+            F.sum(
+                F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def oracle_ann_recall_report() -> str:
+    return f"""
+with exact as ({oracle_ann_cosine_topk()}),
+approx as ({oracle_ann_topk_lsh()}),
+joined as (
+    select coalesce(e.query_id, a.query_id) as query_id,
+        case when e.neighbor_id is not null then 1 else 0 end as e_hit,
+        case when a.neighbor_id is not null then 1 else 0 end as a_hit
+    from exact e
+    full outer join approx a
+      on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
+)
+select query_id,
+    cast(sum(e_hit) as bigint) as n_exact,
+    cast(sum(a_hit) as bigint) as n_lsh,
+    cast(sum(case when e_hit = 1 and a_hit = 1 then 1 else 0 end) as bigint) as n_hit,
+    cast(sum(case when e_hit = 1 and a_hit = 1 then 1 else 0 end) as double)
+        / cast(sum(e_hit) as double) as recall
+from joined group by 1
+"""

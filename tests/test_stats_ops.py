@@ -359,3 +359,17 @@ def test_part_price_quartiles_are_order_statistics(spark):
         # every quartile is an actual data value at the declared rank
         assert math.isclose(r.q1_price, sub[max(0, -(-n // 4) - 1)], abs_tol=0.011)
         assert math.isclose(r.median_price, sub[max(0, -(-(2 * n) // 4) - 1)], abs_tol=0.011)
+
+
+def test_ann_recall_report_consistency(spark):
+    from ecommerce_dbt_medallion_spark.ops import similarity as opsim
+
+    pdf = opsim.ann_recall_report(spark, SF_SMOKE).toPandas()
+    assert len(pdf) >= 5  # one row per query vector
+    for r in pdf.itertuples(index=False):
+        assert r.n_hit <= min(r.n_exact, r.n_lsh)
+        assert 0 <= r.recall <= 1
+    # near-random corpus: recall tracks the ~6% candidate fraction
+    # (see ann_recall_report docstring) — pin the measured band so a
+    # silent candidate-generation regression (recall → 0) fails here
+    assert 0.02 <= pdf.recall.mean() <= 0.8

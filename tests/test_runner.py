@@ -161,3 +161,63 @@ def test_store_failures_writes_partitioned_audit(spark, tmp_path):
     parts = [d for d in os.listdir(path) if d.startswith("model_name=")]
     stored_models = {r[0] for r in stored.select("model_name").distinct().collect()}
     assert len(parts) == len(stored_models) > 0
+
+
+def test_incremental_mart_refresh_matches_full_rebuild(spark, tmp_path):
+    """IVM: after a MERGE batch + a DELETE, refreshing only dirty groups
+    must equal a from-scratch rebuild of the mart."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark import lakehouse as lh
+    from ecommerce_dbt_medallion_spark.runner import incremental_mart_refresh
+
+    fact = str(tmp_path / "fact")
+    mart = str(tmp_path / "mart")
+
+    def agg_fn(df):
+        return df.groupBy("cust").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("amount").alias("total"),
+        )
+
+    base = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 40).alias("cust"),
+        (F.col("id") * 3).alias("amount"),
+    ).repartitionByRange(4, "id")
+    v0 = lh.create_or_replace(spark, fact, base, key="id")
+    lh.create_or_replace(spark, mart, agg_fn(lh.read(spark, fact)), key="cust")
+
+    # batch 1: update 10 rows (2 custs), insert 5 new rows (1 new cust)
+    batch = spark.range(305).where((F.col("id") < 10) | (F.col("id") >= 300)).select(
+        F.col("id"),
+        F.when(F.col("id") >= 300, 77).otherwise(F.col("id") % 40).alias("cust"),
+        F.lit(1000).alias("amount"),
+    )
+    lh.merge_into(spark, fact, batch, "id")
+    # batch 2: erase every row of cust 5 (ids 5, 45, ..., 285 all gone)
+    lh.delete_where(spark, fact, "cust = 5")
+
+    v_caught = incremental_mart_refresh(
+        spark, fact, mart, "cust", agg_fn, from_version=v0
+    )
+    assert v_caught == lh.versions(fact)[-1]
+
+    got = {
+        r["cust"]: (r["n_orders"], r["total"])
+        for r in lh.read(spark, mart).collect()
+    }
+    want = {
+        r["cust"]: (r["n_orders"], r["total"])
+        for r in agg_fn(lh.read(spark, fact)).collect()
+    }
+    assert got == want
+    assert 5 not in got and 77 in got
+
+    # idempotent: nothing changed → same version back, mart untouched
+    mart_versions_before = len(lh.versions(mart))
+    v_again = incremental_mart_refresh(
+        spark, fact, mart, "cust", agg_fn, from_version=v_caught
+    )
+    assert v_again == v_caught
+    assert len(lh.versions(mart)) == mart_versions_before

@@ -279,6 +279,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "supplier_hhi": mstats.supplier_hhi,
         "part_price_quartiles": mstats.part_price_quartiles,
         "ann_recall_report": opsim.ann_recall_report,
+        "ivm_mart_refresh": mcdf.ivm_mart_refresh,
     }
 
 
@@ -400,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
     out["part_price_quartiles"] = mstats.oracle_part_price_quartiles()
     # round 6c: LSH-ANN recall audit vs brute-force ground truth
     out["ann_recall_report"] = opsim.oracle_ann_recall_report()
+    # round 6c: incremental view maintenance (CDF-driven mart refresh)
+    # under the gate — oracle is the full agg over the final fact state
+    out["ivm_mart_refresh"] = mcdf.oracle_ivm_mart_refresh()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -176,3 +176,75 @@ select cast(b.order_id as bigint) as order_id,
 from batch b left join base e on e.order_id = b.order_id
 """
     return assemble("silver_orders", final_select=final)
+
+
+def ivm_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32e: INCREMENTAL VIEW MAINTENANCE under the hash gate.
+
+    Sequence: fact table v0 = silver_orders (order_id key); per-customer
+    mart full-built from v0; then a MERGE batch (order_id % 2 == 0,
+    amount +1.00) and a DELETE (order_id % 9 == 0) hit the facts; then
+    ``runner.incremental_mart_refresh`` brings the mart up to date by
+    recomputing ONLY CDF-dirty customers. The returned mart must equal
+    a from-scratch aggregate over the FINAL fact state — which is
+    exactly what the pure-SQL oracle computes, so the whole
+    CDF→dirty-groups→semi-join→MERGE→delete-gone-groups chain is value-
+    checked. Amounts stay decimal(18,2) through every sum (exact,
+    order-independent); double only at the output boundary.
+    """
+    from ecommerce_dbt_medallion_spark.runner import incremental_mart_refresh
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    fact = os.path.normpath(os.path.join(_GATE_ROOT, f"ivm_fact_{tag}"))
+    mart = os.path.normpath(os.path.join(_GATE_ROOT, f"ivm_mart_{tag}"))
+    shutil.rmtree(fact, ignore_errors=True)
+    shutil.rmtree(mart, ignore_errors=True)
+
+    facts = silver_orders(spark, sf_dir).select(
+        "order_id",
+        "customer_id",
+        F.col("order_amount").cast("decimal(18,2)").alias("amount"),
+    )
+
+    def agg_fn(df: DataFrame) -> DataFrame:
+        return df.groupBy("customer_id").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("amount").cast("decimal(18,2)").alias("total_dec"),
+        )
+
+    v0 = lakehouse.create_or_replace(spark, fact, facts, key="order_id")
+    lakehouse.create_or_replace(
+        spark, mart, agg_fn(lakehouse.read(spark, fact)), key="customer_id"
+    )
+    batch = facts.where(F.col("order_id") % 2 == 0).withColumn(
+        "amount", (F.col("amount") + 1).cast("decimal(18,2)")
+    )
+    lakehouse.merge_into(spark, fact, batch, "order_id")
+    lakehouse.delete_where(spark, fact, "order_id % 9 = 0")
+    incremental_mart_refresh(
+        spark, fact, mart, "customer_id", agg_fn, from_version=v0
+    )
+    return lakehouse.read(spark, mart).select(
+        F.col("customer_id").cast("long").alias("customer_id"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_dec").cast("double").alias("total_amount"),
+    )
+
+
+def oracle_ivm_mart_refresh() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+select cast(customer_id as bigint) as customer_id,
+    cast(count(*) as bigint) as n_orders,
+    cast(sum(cast(case when order_id % 2 = 0
+                  then cast(order_amount as decimal(18,2)) + 1
+                  else cast(order_amount as decimal(18,2)) end
+             as decimal(18,2))) as double) as total_amount
+from silver_orders
+where order_id % 9 != 0
+group by 1
+""",
+    )

@@ -248,3 +248,70 @@ def test_kmeans_matches_python_reference(spark, tmp_path_factory, vecs):
         for r in kmeans_embeddings(spark, str(d)).collect()
     }
     assert got == final
+
+
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(**_SETTINGS)
+def test_grouped_median_is_lower_median(spark, groups):
+    """_grouped_median == numpy's lower median (the smallest value at
+    ascending rank ceil(n/2)) for every group, on arbitrary multisets —
+    the primitive under source_length_profile / shipping_delay_stats /
+    event_volume_anomaly / part_price_quartiles."""
+    from ecommerce_dbt_medallion_spark.ops.curation import _grouped_median
+
+    df = spark.createDataFrame(groups, "g string, v long")
+    got = {
+        r["g"]: r["m"] for r in _grouped_median(df, "g", "v", "m").collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for g, v in groups:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        want = vals[(len(vals) + 1) // 2 - 1]  # lower median
+        assert got[g] == want, (g, vals, got[g], want)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10_000), min_size=4, max_size=200)
+)
+@settings(**_SETTINGS)
+def test_pareto_frontier_permutation_free_and_minimal(spark, vals):
+    """The skyline plan over arbitrary (price, size) points equals the
+    quadratic dominance definition (beyond the fixed-part-table test in
+    test_stats_ops.py, this covers duplicate-heavy and tied inputs)."""
+    import pandas as pd
+
+    from ecommerce_dbt_medallion_spark.models import stats as mstats
+
+    pts = [(i, float(vals[i]) / 100, vals[(i * 7 + 3) % len(vals)] % 50) for i in range(len(vals))]
+    pdf = pd.DataFrame(pts, columns=["p_partkey", "p_retailprice", "p_size"])
+    d = spark.createDataFrame(pdf)
+    # route through the same internal plan by monkey-free construction:
+    # reuse the operator's logic by writing a parquet dir it can load
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        d.coalesce(1).write.mode("overwrite").parquet(os.path.join(td, "part.parquet"))
+        got = {
+            r["p_partkey"]
+            for r in mstats.pareto_frontier_parts(spark, td).select("p_partkey").collect()
+        }
+    brute = {
+        p[0]
+        for p in pts
+        if not any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+    }
+    assert got == brute

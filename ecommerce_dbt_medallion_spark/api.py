@@ -284,6 +284,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "part_price_quartiles": mstats.part_price_quartiles,
         "ann_recall_report": opsim.ann_recall_report,
         "ivm_mart_refresh": mcdf.ivm_mart_refresh,
+        "basket_size_distribution": ana.basket_size_distribution,
+        "returns_by_month": ana.returns_by_month,
+        "discount_band_analysis": ana.discount_band_analysis,
     }
 
 
@@ -408,6 +411,10 @@ def oracle_sql() -> dict[str, str]:
     # round 6c: incremental view maintenance (CDF-driven mart refresh)
     # under the gate — oracle is the full agg over the final fact state
     out["ivm_mart_refresh"] = mcdf.oracle_ivm_mart_refresh()
+    # round 6c: merchandising marts (basket histogram, returns, discounts)
+    out["basket_size_distribution"] = ana.ORACLE_BASKET_SIZE_DISTRIBUTION
+    out["returns_by_month"] = ana.ORACLE_RETURNS_BY_MONTH
+    out["discount_band_analysis"] = ana.ORACLE_DISCOUNT_BAND_ANALYSIS
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -966,3 +966,144 @@ select t.o_orderpriority, t.n as n_lineitems, t.min_delay, m.median_delay,
     cast(t.sum_delay as double) / cast(t.n as double) as avg_delay
 from tot t join med m on t.o_orderpriority = m.o_orderpriority
 """
+
+
+def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size histogram: how many orders contain s distinct parts,
+    with each size's share of all orders — the merchandising view of
+    basket composition (and the empirical justification for the
+    bounded-fanout claim the co-purchase self-join relies on).
+
+    Two partial-aggregated shuffles, both shrinking: order grain then
+    size grain (size domain is single digits); share is exact bigints,
+    one double division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket_size"))
+    )
+    dist = sizes.groupBy("basket_size").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = sizes.agg(F.count(F.lit(1)).alias("n_total"))
+    return dist.crossJoin(F.broadcast(total)).select(
+        F.col("basket_size").cast("long").alias("basket_size"),
+        "n_orders",
+        (F.col("n_orders").cast("double") / F.col("n_total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+ORACLE_BASKET_SIZE_DISTRIBUTION = """
+with sizes as (
+    select l_orderkey, count(distinct l_partkey) as basket_size
+    from lineitem group by 1
+),
+dist as (select basket_size, count(*) as n_orders from sizes group by 1),
+total as (select count(*) as n_total from sizes)
+select cast(basket_size as bigint) as basket_size, n_orders,
+    cast(n_orders as double) / cast(n_total as double) as share
+from dist cross join total
+"""
+
+
+def returns_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate mart: per ship month, total lineitem revenue
+    vs revenue on returned lines (l_returnflag = 'R') — exact decimal
+    sums, the rate as one double division. One shuffle at month grain
+    with map-side partial conditional aggregation (no join, no pivot).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    agg = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+        F.sum(rev).alias("rev_dec"),
+        F.sum(F.when(F.col("l_returnflag") == "R", rev).otherwise(None)).alias(
+            "ret_dec"
+        ),
+    )
+    return agg.select(
+        "ship_month",
+        "n_lineitems",
+        "n_returned",
+        F.col("rev_dec").cast("double").alias("total_revenue"),
+        F.coalesce(F.col("ret_dec").cast("double"), F.lit(0.0)).alias(
+            "returned_revenue"
+        ),
+        (
+            F.coalesce(F.col("ret_dec"), F.lit(0).cast("decimal(18,4)")).cast("double")
+            / F.col("rev_dec").cast("double")
+        ).alias("return_rate"),
+    )
+
+
+ORACLE_RETURNS_BY_MONTH = """
+with agg as (
+    select strftime(cast(l_shipdate as date), '%Y-%m') as ship_month,
+        count(*) as n_lineitems,
+        cast(sum(case when l_returnflag = 'R' then 1 else 0 end) as bigint)
+            as n_returned,
+        sum(cast(cast(l_extendedprice as decimal(18,2))
+            * (1 - cast(l_discount as decimal(4,2))) as decimal(18,4))) as rev_dec,
+        sum(case when l_returnflag = 'R' then
+            cast(cast(l_extendedprice as decimal(18,2))
+                 * (1 - cast(l_discount as decimal(4,2))) as decimal(18,4)) end)
+            as ret_dec
+    from lineitem group by 1
+)
+select ship_month, n_lineitems, n_returned,
+    cast(rev_dec as double) as total_revenue,
+    coalesce(cast(ret_dec as double), 0.0) as returned_revenue,
+    cast(coalesce(ret_dec, cast(0 as decimal(18,4))) as double)
+        / cast(rev_dec as double) as return_rate
+from agg
+"""
+
+
+def discount_band_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by discount band (integer percent): volume, gross,
+    discount given, net — the pricing-team mart that shows where margin
+    goes. The band is exact integer math on the decimal discount
+    (never float rounding); all money exact decimal until the boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    band = (disc * 100).cast("bigint")
+    given = (price * disc).cast("decimal(18,4)")
+    agg = li.groupBy(band.alias("discount_pct")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(price).alias("gross_dec"),
+        F.sum(given).alias("given_dec"),
+    )
+    return agg.select(
+        "discount_pct",
+        "n_lineitems",
+        F.col("gross_dec").cast("double").alias("gross_revenue"),
+        F.col("given_dec").cast("double").alias("discount_given"),
+        (F.col("gross_dec") - F.col("given_dec")).cast("double").alias("net_revenue"),
+    )
+
+
+ORACLE_DISCOUNT_BAND_ANALYSIS = """
+select cast(cast(l_discount as decimal(4,2)) * 100 as bigint) as discount_pct,
+    count(*) as n_lineitems,
+    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as gross_revenue,
+    cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+        * cast(l_discount as decimal(4,2)) as decimal(18,4))) as double)
+        as discount_given,
+    cast(sum(cast(l_extendedprice as decimal(18,2)))
+         - sum(cast(cast(l_extendedprice as decimal(18,2))
+               * cast(l_discount as decimal(4,2)) as decimal(18,4))) as double)
+        as net_revenue
+from lineitem
+group by 1
+"""

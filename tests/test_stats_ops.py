@@ -373,3 +373,41 @@ def test_ann_recall_report_consistency(spark):
     # (see ann_recall_report docstring) — pin the measured band so a
     # silent candidate-generation regression (recall → 0) fails here
     assert 0.02 <= pdf.recall.mean() <= 0.8
+
+
+# ------------------------------------------------- merchandising marts
+
+
+def test_basket_size_distribution_shares_sum_to_one(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics as ana
+
+    pdf = ana.basket_size_distribution(spark, SF_SMOKE).toPandas()
+    assert math.isclose(pdf.share.sum(), 1.0, rel_tol=1e-9)
+    # bounded baskets: the co-purchase join's fanout assumption
+    assert pdf.basket_size.max() <= 16
+    n_orders_total = pdf.n_orders.sum()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    assert n_orders_total == li.select("l_orderkey").distinct().count()
+
+
+def test_returns_by_month_rate_domain(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics as ana
+
+    pdf = ana.returns_by_month(spark, SF_SMOKE).toPandas()
+    assert (pdf.return_rate >= 0).all() and (pdf.return_rate <= 1).all()
+    assert (pdf.returned_revenue <= pdf.total_revenue + 1e-9).all()
+    assert (pdf.n_returned <= pdf.n_lineitems).all()
+
+
+def test_discount_bands_conserve_revenue(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics as ana
+
+    pdf = ana.discount_band_analysis(spark, SF_SMOKE).toPandas()
+    for r in pdf.itertuples(index=False):
+        assert math.isclose(
+            r.net_revenue, r.gross_revenue - r.discount_given, rel_tol=1e-12
+        )
+        # band b means discount b%: given ≈ gross * b/100 exactly
+        assert math.isclose(
+            r.discount_given, r.gross_revenue * r.discount_pct / 100, rel_tol=1e-9
+        )

@@ -287,6 +287,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "basket_size_distribution": ana.basket_size_distribution,
         "returns_by_month": ana.returns_by_month,
         "discount_band_analysis": ana.discount_band_analysis,
+        "trade_flows": ana.trade_flows,
+        "late_order_priority": ana.late_order_priority,
     }
 
 
@@ -415,6 +417,9 @@ def oracle_sql() -> dict[str, str]:
     out["basket_size_distribution"] = ana.ORACLE_BASKET_SIZE_DISTRIBUTION
     out["returns_by_month"] = ana.ORACLE_RETURNS_BY_MONTH
     out["discount_band_analysis"] = ana.ORACLE_DISCOUNT_BAND_ANALYSIS
+    # round 6c: TPC-H Q7/Q4-shape classics (flow matrix, EXISTS semi-join)
+    out["trade_flows"] = ana.ORACLE_TRADE_FLOWS
+    out["late_order_priority"] = ana.ORACLE_LATE_ORDER_PRIORITY
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

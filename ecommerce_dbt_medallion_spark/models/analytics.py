@@ -1107,3 +1107,144 @@ select cast(cast(l_discount as decimal(4,2)) * 100 as bigint) as discount_pct,
 from lineitem
 group by 1
 """
+
+
+def trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-to-region trade-flow matrix (TPC-H Q7 shape): revenue by
+    (supplier region → customer region) pair. Two INDEPENDENT dimension
+    lookups hang off the same fact row — both broadcast, so the fact
+    table shuffles only for the final 25-cell rollup (map-side partial
+    agg makes even that exchange carry one row per task per cell).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    geo = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", F.col("r_name").alias("rname")
+    )
+    cust_geo = F.broadcast(
+        customer.join(geo, customer.c_nationkey == geo.n_nationkey).select(
+            "c_custkey", F.col("rname").alias("cust_region")
+        )
+    )
+    supp_geo = F.broadcast(
+        supplier.join(geo, supplier.s_nationkey == geo.n_nationkey).select(
+            "s_suppkey", F.col("rname").alias("supp_region")
+        )
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    return (
+        li.select("l_orderkey", "l_suppkey", rev.alias("rev_dec"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_geo, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_geo, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("supp_region", "cust_region")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("rev_dec").alias("rev_sum"),
+        )
+        .select(
+            "supp_region",
+            "cust_region",
+            "n_lineitems",
+            F.col("rev_sum").cast("double").alias("trade_revenue"),
+            (F.col("supp_region") == F.col("cust_region")).alias("is_domestic"),
+        )
+    )
+
+
+ORACLE_TRADE_FLOWS = """
+with geo as (
+    select n.n_nationkey, r.r_name as rname
+    from nation n join region r on n.n_regionkey = r.r_regionkey
+)
+select sg.rname as supp_region, cg.rname as cust_region,
+    count(*) as n_lineitems,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+        * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4))) as double)
+        as trade_revenue,
+    sg.rname = cg.rname as is_domestic
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join supplier s on l.l_suppkey = s.s_suppkey
+join geo cg on c.c_nationkey = cg.n_nationkey
+join geo sg on s.s_nationkey = sg.n_nationkey
+group by sg.rname, cg.rname
+"""
+
+LATE_SHIP_DAYS = 60
+
+
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-fulfillment report (TPC-H Q4 shape): per order priority, the
+    count and share of orders with AT LEAST ONE lineitem shipped more
+    than LATE_SHIP_DAYS days after the order date — an EXISTS semi-join,
+    planned as LeftSemi so the fact side never duplicates rows (the
+    plan-shape test pins it). Exact day arithmetic; the share is one
+    double division of exact counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late_keys = (
+        li.select("l_orderkey", F.to_date("l_shipdate").alias("ship_d"))
+        .join(
+            orders.select("o_orderkey", F.to_date("o_orderdate").alias("ord_d")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.datediff("ship_d", "ord_d") > LATE_SHIP_DAYS)
+        .select("o_orderkey")
+        .distinct()
+    )
+    flagged = orders.join(
+        late_keys.withColumnRenamed("o_orderkey", "late_key"),
+        orders.o_orderkey == F.col("late_key"),
+        "left_semi",
+    )
+    per_prio = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    late_per_prio = flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    return (
+        per_prio.join(late_per_prio, "o_orderpriority", "left")
+        .na.fill({"n_late": 0})
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("n_late").cast("bigint").alias("n_late"),
+            (F.col("n_late").cast("double") / F.col("n_orders").cast("double")).alias(
+                "late_share"
+            ),
+        )
+    )
+
+
+ORACLE_LATE_ORDER_PRIORITY = f"""
+with late as (
+    select distinct o.o_orderkey
+    from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+    where datediff('day', cast(o.o_orderdate as date),
+                   cast(l.l_shipdate as date)) > {LATE_SHIP_DAYS}
+),
+per_prio as (
+    select o_orderpriority, count(*) as n_orders from orders group by 1
+),
+late_pp as (
+    select o.o_orderpriority, count(*) as n_late
+    from orders o join late t on o.o_orderkey = t.o_orderkey
+    group by 1
+)
+select p.o_orderpriority, p.n_orders,
+    cast(coalesce(l.n_late, 0) as bigint) as n_late,
+    cast(coalesce(l.n_late, 0) as double) / cast(p.n_orders as double)
+        as late_share
+from per_prio p left join late_pp l on p.o_orderpriority = l.o_orderpriority
+"""

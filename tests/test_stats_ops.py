@@ -411,3 +411,28 @@ def test_discount_bands_conserve_revenue(spark):
         assert math.isclose(
             r.discount_given, r.gross_revenue * r.discount_pct / 100, rel_tol=1e-9
         )
+
+
+def test_trade_flows_full_matrix_and_domestic_flag(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics as ana
+
+    pdf = ana.trade_flows(spark, SF_SMOKE).toPandas()
+    regions = {r["r_name"] for r in spark.read.parquet(f"{SF_SMOKE}/region.parquet").collect()}
+    # every (supp, cust) cell with traffic is labeled correctly
+    for r in pdf.itertuples(index=False):
+        assert r.supp_region in regions and r.cust_region in regions
+        assert r.is_domestic == (r.supp_region == r.cust_region)
+    # total lineitems conserved across the matrix
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    assert pdf.n_lineitems.sum() == li
+
+
+def test_late_order_priority_is_semi_join(spark):
+    from ecommerce_dbt_medallion_spark.models import analytics as ana
+
+    pdf = ana.late_order_priority(spark, SF_SMOKE).toPandas()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert pdf.n_orders.sum() == orders
+    assert ((0 <= pdf.late_share) & (pdf.late_share <= 1)).all()
+    plan = _formatted(ana.late_order_priority(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, "EXISTS must plan as a semi-join"

@@ -305,6 +305,99 @@ class SchemaMismatch(Exception):
     off, or the evolution is non-additive (drop / type change)."""
 
 
+class ConstraintViolation(Exception):
+    """Incoming rows violate a declared CHECK constraint."""
+
+
+def current_constraints(table: str, version: int | None = None) -> dict[str, str]:
+    """The table's CHECK constraints (name → boolean SQL expr) as of
+    ``version`` — carried in log entries like the schema; the latest
+    entry declaring ``constraints`` wins."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {table}")
+    if version is None:
+        version = vs[-1]
+    out: dict[str, str] = {}
+    for v in vs:
+        if v > version:
+            break
+        e = _read_entry(table, v)
+        if "constraints" in e:
+            out = dict(e["constraints"])
+    return out
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str], ctx: str) -> None:
+    """Reject the write if ANY incoming row fails a declared check —
+    Delta's write-time enforcement: the guarantee that makes downstream
+    readers trust the invariant WITHOUT re-validating 100 TB on every
+    scan. One conditional aggregate over the batch computes every
+    constraint's violation count in a single pass; the error carries
+    per-constraint counts (churn-scale job, no sample collection of
+    unbounded size)."""
+    if not constraints:
+        return
+    counts = df.agg(
+        *[
+            F.sum(F.when(~F.expr(expr), 1).otherwise(0)).alias(name)
+            for name, expr in constraints.items()
+        ]
+    ).collect()[0]
+    bad = {n: int(counts[n] or 0) for n in constraints if (counts[n] or 0) > 0}
+    if bad:
+        raise ConstraintViolation(
+            f"{ctx}: rows violate CHECK constraints "
+            + ", ".join(f"{n} ({constraints[n]!r}): {c} rows" for n, c in bad.items())
+        )
+
+
+def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int:
+    """ALTER TABLE ADD CONSTRAINT name CHECK (expr): existing data is
+    validated FIRST (Delta semantics — a constraint you can add to dirty
+    data is a lie), then a metadata-only commit records the new
+    constraint set."""
+    cons = current_constraints(table)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    _enforce_constraints(read(spark, table), {name: expr}, "existing data")
+    cons[name] = expr
+    v = versions(table)[-1] + 1
+    _commit(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": "ADD CONSTRAINT",
+            "constraints": cons,
+            "add": [],
+            "remove": [],
+        },
+    )
+    return v
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only commit."""
+    cons = current_constraints(table)
+    if name not in cons:
+        raise ValueError(f"no such constraint: {name!r}")
+    del cons[name]
+    v = versions(table)[-1] + 1
+    _commit(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": "DROP CONSTRAINT",
+            "constraints": cons,
+            "add": [],
+            "remove": [],
+        },
+    )
+    return v
+
+
 # Safe implicit widenings for appends (source type → acceptable wider
 # table types). The FILE is cast to the table type before staging, so
 # every data file carries the table's physical type and the log-schema
@@ -411,6 +504,9 @@ def create_or_replace(
             "operation": "CREATE OR REPLACE" if prior else "CREATE",
             "key": key,
             "partition_by": partition_by,
+            # REPLACE resets table metadata (Delta semantics): declared
+            # constraints do not survive a full re-creation
+            "constraints": {},
             "schema_json": df.schema.json(),
             "add": adds,
             "remove": removed,
@@ -435,6 +531,7 @@ def append(
     if not prior:
         return create_or_replace(spark, table, df, key, partition_by=partition_by)
     df, schema = _evolve_schema(table, df, merge_schema)
+    _enforce_constraints(df, current_constraints(table), "APPEND")
     adds = _stage_files(
         _apply_partitioning(df, partition_by),
         table,
@@ -526,6 +623,7 @@ def merge_into(
     """
     if not versions(table):
         return create_or_replace(spark, table, source, key)
+    _enforce_constraints(source, current_constraints(table), "MERGE")
 
     live = live_files(table)
 

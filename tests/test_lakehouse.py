@@ -636,3 +636,36 @@ def test_append_subset_columns_under_merge_schema(spark, table):
     assert set(got.columns) == {"id", "val"}
     rows = {r["id"]: r["val"] for r in got.collect()}
     assert rows[300] is None and rows[1] == 10
+
+
+def test_check_constraints_enforced_on_append_and_merge(spark, table):
+    lh.add_constraint(spark, table, "val_nonneg", "val >= 0")
+    good = spark.range(500, 505).select(F.col("id"), (F.col("id") * 2).alias("val"))
+    lh.append(spark, table, good, key="id")
+    bad = spark.range(600, 605).select(F.col("id"), F.lit(-5).alias("val"))
+    with pytest.raises(lh.ConstraintViolation, match="val_nonneg"):
+        lh.append(spark, table, bad, key="id")
+    with pytest.raises(lh.ConstraintViolation, match="5 rows"):
+        lh.merge_into(spark, table, bad, "id")
+    # nothing committed by the failed writes
+    assert lh.read(spark, table).where(F.col("val") < 0).count() == 0
+
+
+def test_add_constraint_validates_existing_data(spark, table):
+    with pytest.raises(lh.ConstraintViolation, match="existing data"):
+        lh.add_constraint(spark, table, "impossible", "val > 100000")
+    # failed ADD leaves the constraint set untouched
+    assert "impossible" not in lh.current_constraints(table)
+
+
+def test_drop_constraint_reopens_writes_and_replace_resets(spark, table):
+    lh.add_constraint(spark, table, "val_nonneg", "val >= 0")
+    lh.drop_constraint(table, "val_nonneg")
+    bad = spark.range(700, 702).select(F.col("id"), F.lit(-1).alias("val"))
+    lh.append(spark, table, bad, key="id")  # allowed again
+    # REPLACE resets metadata: constraints do not survive re-creation
+    lh.add_constraint(spark, table, "id_pos", "id >= 0")
+    lh.create_or_replace(
+        spark, table, spark.range(3).select(F.col("id"), F.lit(1).alias("val")), key="id"
+    )
+    assert lh.current_constraints(table) == {}

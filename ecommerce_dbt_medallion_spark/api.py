@@ -289,6 +289,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "discount_band_analysis": ana.discount_band_analysis,
         "trade_flows": ana.trade_flows,
         "late_order_priority": ana.late_order_priority,
+        "customer_decile_revenue": mstats.customer_decile_revenue,
+        "new_vs_returning_revenue": mstats.new_vs_returning_revenue,
     }
 
 
@@ -420,6 +422,9 @@ def oracle_sql() -> dict[str, str]:
     # round 6c: TPC-H Q7/Q4-shape classics (flow matrix, EXISTS semi-join)
     out["trade_flows"] = ana.ORACLE_TRADE_FLOWS
     out["late_order_priority"] = ana.ORACLE_LATE_ORDER_PRIORITY
+    # round 6c: revenue concentration deciles + growth accounting
+    out["customer_decile_revenue"] = mstats.oracle_customer_decile_revenue()
+    out["new_vs_returning_revenue"] = mstats.oracle_new_vs_returning_revenue()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

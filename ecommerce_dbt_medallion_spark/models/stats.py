@@ -585,3 +585,157 @@ select c.p_type,
 from cum c join tot t on c.p_type = t.p_type
 group by 1
 """
+
+
+def customer_decile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile: customers ranked by
+    lifetime spend, cut into 10 EXPLICIT integer-rank deciles
+    (decile = ((rank-1)*10) div n — no ntile(), whose remainder
+    distribution is engine-defined), each decile's share of total
+    revenue. The \"top decile drives X% of revenue\" chart.
+
+    One shuffle to customer grain, one rank window over customers
+    (catalog-scale; at true 100 TB the rank would ride the value-grain
+    trick like the quartile marts — spend ties are rare enough here
+    that the direct window documents the simpler shape), then a
+    10-group rollup. Shares are exact bigint cents, one double
+    division each.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_order_cents()).alias("cust_cents")
+    )
+    w = Window.orderBy(F.desc("cust_cents"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "cust_cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("n"),
+    )
+    deciles = ranked.groupBy(
+        F.expr("((rk - 1) * 10) div n").cast("bigint").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cust_cents").alias("dec_cents"),
+    )
+    total = per_cust.agg(F.sum("cust_cents").alias("tot_cents"))
+    return deciles.crossJoin(F.broadcast(total)).select(
+        "decile",
+        "n_customers",
+        (F.col("dec_cents").cast("double") / 100).alias("decile_revenue"),
+        (
+            F.col("dec_cents").cast("double") / F.col("tot_cents").cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+def oracle_customer_decile_revenue() -> str:
+    return """
+with per_cust as (
+    select o_custkey,
+        sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as cust_cents
+    from orders group by 1
+),
+ranked as (
+    select cust_cents,
+        row_number() over (order by cust_cents desc, o_custkey) as rk,
+        count(*) over () as n
+    from per_cust
+),
+deciles as (
+    select cast(((rk - 1) * 10) // n as bigint) as decile,
+        count(*) as n_customers,
+        sum(cust_cents) as dec_cents
+    from ranked group by 1
+),
+total as (select sum(cust_cents) as tot_cents from per_cust)
+select decile, n_customers,
+    cast(dec_cents as double) / 100 as decile_revenue,
+    cast(dec_cents as double) / cast(tot_cents as double) as revenue_share
+from deciles cross join total
+"""
+
+
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into NEW customers (first-ever order falls
+    in that month) vs RETURNING — the growth-accounting mart every
+    subscription/commerce dashboard leads with.
+
+    A customer's first month comes from one min() at customer grain
+    (no window over the fact table), joined back onto the month-grain
+    rollup of that same aggregate — two shrinking shuffles, exact cents
+    everywhere, shares as single double divisions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        _order_cents().alias("cents"),
+    )
+    cust_month = base.groupBy("o_custkey", "month").agg(
+        F.sum("cents").alias("cm_cents")
+    )
+    first_month = cust_month.groupBy("o_custkey").agg(
+        F.min("month").alias("first_month")
+    )
+    tagged = cust_month.join(first_month, "o_custkey").select(
+        "o_custkey",
+        "month",
+        "cm_cents",
+        (F.col("month") == F.col("first_month")).alias("is_new"),
+    )
+    agg = tagged.groupBy("month").agg(
+        F.sum(F.when(F.col("is_new"), F.col("cm_cents")).otherwise(0)).alias("new_c"),
+        F.sum(F.when(~F.col("is_new"), F.col("cm_cents")).otherwise(0)).alias("ret_c"),
+        F.countDistinct(F.when(F.col("is_new"), F.col("o_custkey"))).alias(
+            "n_new_customers"
+        ),
+        F.countDistinct(F.when(~F.col("is_new"), F.col("o_custkey"))).alias(
+            "n_returning_customers"
+        ),
+    )
+    return agg.select(
+        "month",
+        "n_new_customers",
+        "n_returning_customers",
+        (F.col("new_c").cast("double") / 100).alias("new_revenue"),
+        (F.col("ret_c").cast("double") / 100).alias("returning_revenue"),
+        (
+            F.col("new_c").cast("double")
+            / (F.col("new_c") + F.col("ret_c")).cast("double")
+        ).alias("new_share"),
+    )
+
+
+def oracle_new_vs_returning_revenue() -> str:
+    return """
+with base as (
+    select o_custkey, strftime(cast(o_orderdate as date), '%Y-%m') as month,
+        cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as cents
+    from orders
+),
+cust_month as (
+    select o_custkey, month, sum(cents) as cm_cents from base group by 1, 2
+),
+first_month as (
+    select o_custkey, min(month) as first_month from cust_month group by 1
+),
+tagged as (
+    select c.month, c.cm_cents, c.o_custkey,
+        c.month = f.first_month as is_new
+    from cust_month c join first_month f on c.o_custkey = f.o_custkey
+)
+select month,
+    count(distinct case when is_new then o_custkey end) as n_new_customers,
+    count(distinct case when not is_new then o_custkey end)
+        as n_returning_customers,
+    cast(sum(case when is_new then cm_cents else 0 end) as double) / 100
+        as new_revenue,
+    cast(sum(case when not is_new then cm_cents else 0 end) as double) / 100
+        as returning_revenue,
+    cast(sum(case when is_new then cm_cents else 0 end) as double)
+        / cast(sum(cm_cents) as double) as new_share
+from tagged
+group by 1
+"""

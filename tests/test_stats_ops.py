@@ -436,3 +436,26 @@ def test_late_order_priority_is_semi_join(spark):
     assert ((0 <= pdf.late_share) & (pdf.late_share <= 1)).all()
     plan = _formatted(ana.late_order_priority(spark, SF_SMOKE))
     assert "LeftSemi" in plan, "EXISTS must plan as a semi-join"
+
+
+def test_customer_deciles_partition_and_concentrate(spark):
+    pdf = mstats.customer_decile_revenue(spark, SF_SMOKE).toPandas().sort_values("decile")
+    assert set(pdf.decile) == set(range(10))
+    assert math.isclose(pdf.revenue_share.sum(), 1.0, rel_tol=1e-9)
+    # deciles are spend-ordered: decile 0 (top spenders) has max share
+    assert pdf.revenue_share.iloc[0] == pdf.revenue_share.max()
+    # shares are nonincreasing by construction of the ranking
+    assert (pdf.revenue_share.diff().dropna() <= 1e-12).all()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert pdf.n_customers.sum() == orders.select("o_custkey").distinct().count()
+
+
+def test_new_vs_returning_first_month_semantics(spark):
+    pdf = mstats.new_vs_returning_revenue(spark, SF_SMOKE).toPandas().sort_values("month")
+    # the corpus's first month has NO returning customers
+    first = pdf.iloc[0]
+    assert first.n_returning_customers == 0 and first.new_share == 1.0
+    assert ((pdf.new_share >= 0) & (pdf.new_share <= 1)).all()
+    # every customer is new exactly once across all months
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert pdf.n_new_customers.sum() == orders.select("o_custkey").distinct().count()

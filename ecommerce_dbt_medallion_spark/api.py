@@ -291,6 +291,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "late_order_priority": ana.late_order_priority,
         "customer_decile_revenue": mstats.customer_decile_revenue,
         "new_vs_returning_revenue": mstats.new_vs_returning_revenue,
+        "tokenizer_fertility": optext.tokenizer_fertility,
     }
 
 
@@ -425,6 +426,8 @@ def oracle_sql() -> dict[str, str]:
     # round 6c: revenue concentration deciles + growth accounting
     out["customer_decile_revenue"] = mstats.oracle_customer_decile_revenue()
     out["new_vs_returning_revenue"] = mstats.oracle_new_vs_returning_revenue()
+    # round 6c: tokenizer fertility per corpus slice
+    out["tokenizer_fertility"] = optext.oracle_tokenizer_fertility()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

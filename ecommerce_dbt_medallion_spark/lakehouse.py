@@ -352,6 +352,93 @@ def _enforce_constraints(df: DataFrame, constraints: dict[str, str], ctx: str) -
         )
 
 
+# Merge-on-read deletes: tombstones are a metadata-only commit; reads
+# anti-filter them until a materialization rewrites the touched files.
+TOMBSTONE_MAX = 100_000
+
+
+def pending_tombstones(table: str, version: int | None = None) -> list:
+    """Key tombstones not yet materialized as of ``version``: replay
+    accumulates DELETE DEFERRED commits and clears on any commit flagged
+    ``tombstones_cleared`` (the materialization)."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {table}")
+    if version is None:
+        version = vs[-1]
+    pend: list = []
+    for v in vs:
+        if v > version:
+            break
+        e = _read_entry(table, v)
+        if e.get("tombstones_cleared"):
+            pend = []
+        pend.extend(e.get("tombstones", []))
+    return pend
+
+
+def delete_keys_deferred(spark: SparkSession, table: str, keys: list) -> int:
+    """DELETE as MERGE-ON-READ: an O(1) metadata commit recording key
+    TOMBSTONES instead of rewriting data files — the Delta deletion-
+    vector idea at key granularity. Reads anti-filter tombstoned keys;
+    ``materialize_tombstones`` (or OPTIMIZE) pays the rewrite later,
+    off the latency path. This is the 100 TB erasure-request shape:
+    acknowledge the delete in milliseconds, batch the rewrites.
+
+    The table stays SINGLE-WRITER simple: appends and merges refuse
+    while tombstones are pending (a key-level tombstone cannot tell a
+    pre-delete row from a legitimately re-inserted one), so
+    materialize first. Tombstone volume is capped at TOMBSTONE_MAX —
+    beyond that the rewrite is cheaper than the read-side filter.
+    """
+    prior = versions(table)
+    if not prior:
+        raise ValueError(f"table {table} does not exist")
+    key = _read_entry(table, prior[-1]).get("key") or next(
+        (
+            _read_entry(table, v).get("key")
+            for v in reversed(prior)
+            if _read_entry(table, v).get("key")
+        ),
+        None,
+    )
+    if key is None:
+        raise ValueError("deferred deletes require a table key")
+    pend = pending_tombstones(table)
+    if len(pend) + len(keys) > TOMBSTONE_MAX:
+        raise ValueError(
+            f"tombstone count would exceed {TOMBSTONE_MAX}; materialize first"
+        )
+    v = prior[-1] + 1
+    _commit(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": "DELETE DEFERRED",
+            "key": key,
+            "tombstones": list(keys),
+            "add": [],
+            "remove": [],
+        },
+    )
+    return v
+
+
+def materialize_tombstones(spark: SparkSession, table: str) -> int:
+    """Apply pending tombstones to the data files (rewrite only files
+    containing tombstoned keys — delete_where's file discovery) and
+    clear the tombstone list in the same commit."""
+    pend = pending_tombstones(table)
+    if not pend:
+        return versions(table)[-1]
+    key = _read_entry(table, versions(table)[-1]).get("key") or "id"
+    vals = ", ".join(repr(k) if isinstance(k, str) else str(k) for k in pend)
+    return delete_where(
+        spark, table, f"{key} in ({vals})", _clear_tombstones=True
+    )
+
+
 def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int:
     """ALTER TABLE ADD CONSTRAINT name CHECK (expr): existing data is
     validated FIRST (Delta semantics — a constraint you can add to dirty
@@ -531,6 +618,12 @@ def append(
     if not prior:
         return create_or_replace(spark, table, df, key, partition_by=partition_by)
     df, schema = _evolve_schema(table, df, merge_schema)
+    if pending_tombstones(table):
+        raise ValueError(
+            "table has pending deferred deletes; run materialize_tombstones "
+            "first (a key tombstone cannot distinguish a pre-delete row from "
+            "a re-inserted one)"
+        )
     _enforce_constraints(df, current_constraints(table), "APPEND")
     adds = _stage_files(
         _apply_partitioning(df, partition_by),
@@ -568,7 +661,30 @@ def read(spark: SparkSession, table: str, version: int | None = None) -> DataFra
     schema = current_schema(table, version)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(*[_abs(table, a["file"]) for a in files])
+    df = reader.parquet(*[_abs(table, a["file"]) for a in files])
+    pend = pending_tombstones(table, version)
+    if pend:
+        # merge-on-read: un-materialized deletes filter at scan time
+        df = df.where(~F.col(_table_key(table, version)).isin(pend))
+    return df
+
+
+def _table_key(table: str, version: int | None = None) -> str:
+    """The table's declared key column as of ``version`` (latest commit
+    that recorded one)."""
+    vs = versions(table)
+    if version is None:
+        version = vs[-1]
+    key = None
+    for v in vs:
+        if v > version:
+            break
+        k = _read_entry(table, v).get("key")
+        if k is not None:
+            key = k
+    if key is None:
+        raise ValueError(f"table {table} has no declared key")
+    return key
 
 
 def read_pruned(
@@ -623,6 +739,11 @@ def merge_into(
     """
     if not versions(table):
         return create_or_replace(spark, table, source, key)
+    if pending_tombstones(table):
+        raise ValueError(
+            "table has pending deferred deletes; run materialize_tombstones "
+            "before MERGE"
+        )
     _enforce_constraints(source, current_constraints(table), "MERGE")
 
     live = live_files(table)
@@ -927,9 +1048,13 @@ def optimize(
     return v
 
 
-def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
+def delete_where(
+    spark: SparkSession, table: str, predicate: str, _clear_tombstones: bool = False
+) -> int:
     """DELETE FROM table WHERE predicate — the Delta DELETE shape (GDPR
-    erasure, retention enforcement).
+    erasure, retention enforcement). ``_clear_tombstones`` is set by
+    ``materialize_tombstones`` so the rewrite and the tombstone-list
+    clear land in ONE atomic commit.
 
     Touched-file discovery is exact and distributed: live files are read
     with input_file_name(), rows matching the predicate name the files
@@ -964,23 +1089,24 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
             adds = _stage_files(kept, table, key)
 
     v = vs[-1] + 1
-    _commit(
-        table,
-        {
-            "version": v,
-            "timestamp": time.time(),
-            "operation": "DELETE",
-            "key": key,
-            "predicate": predicate,
-            "add": adds,
-            "remove": [a["file"] for a in touched],
-            "stats": {
-                "files_touched": len(touched),
-                "files_untouched": len(live) - len(touched),
-                "rows_deleted": n_deleted,
-            },
+    entry = {
+        "version": v,
+        "timestamp": time.time(),
+        "operation": "DELETE",
+        "key": key,
+        "predicate": predicate,
+        "add": adds,
+        "remove": [a["file"] for a in touched],
+        "stats": {
+            "files_touched": len(touched),
+            "files_untouched": len(live) - len(touched),
+            "rows_deleted": n_deleted,
         },
-    )
+    }
+    if _clear_tombstones:
+        entry["operation"] = "MATERIALIZE TOMBSTONES"
+        entry["tombstones_cleared"] = True
+    _commit(table, entry)
     return v
 
 

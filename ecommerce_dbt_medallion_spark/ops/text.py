@@ -783,3 +783,54 @@ select g.doc_id,
 from grams g join dfs d on g.gram = d.gram
 group by 1
 """
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source): BPE-ish tokens emitted
+    per whitespace word — the standard metric for how badly a tokenizer
+    fragments a corpus slice (fertility ≫ 1 on a language means that
+    slice pays more sequence length per content; the input to
+    vocab-sizing and mixing decisions alongside corpus_mix_weights).
+
+    Pure rollup over the same scan-bound token counting as
+    text_token_stats (one partial-aggregated shuffle at the bounded
+    (lang, source) grain); fertility and punct-share are exact bigint
+    sums with one double division each.
+    """
+    return (
+        text_token_stats(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_ws").alias("ws_sum"),
+            F.sum("n_tokens_bpe").alias("bpe_sum"),
+            F.sum("n_punct").alias("punct_sum"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.col("ws_sum").cast("bigint").alias("n_tokens_ws"),
+            F.col("bpe_sum").cast("bigint").alias("n_tokens_bpe"),
+            (F.col("bpe_sum").cast("double") / F.col("ws_sum").cast("double")).alias(
+                "fertility"
+            ),
+            (F.col("punct_sum").cast("double") / F.col("bpe_sum").cast("double")).alias(
+                "punct_share"
+            ),
+        )
+    )
+
+
+def oracle_tokenizer_fertility() -> str:
+    return f"""
+with stats as ({oracle_text_token_stats()})
+select lang, source, count(*) as n_docs,
+    cast(sum(n_tokens_ws) as bigint) as n_tokens_ws,
+    cast(sum(n_tokens_bpe) as bigint) as n_tokens_bpe,
+    cast(sum(n_tokens_bpe) as double) / cast(sum(n_tokens_ws) as double)
+        as fertility,
+    cast(sum(n_punct) as double) / cast(sum(n_tokens_bpe) as double)
+        as punct_share
+from stats group by 1, 2
+"""

@@ -669,3 +669,44 @@ def test_drop_constraint_reopens_writes_and_replace_resets(spark, table):
         spark, table, spark.range(3).select(F.col("id"), F.lit(1).alias("val")), key="id"
     )
     assert lh.current_constraints(table) == {}
+
+
+def test_deferred_delete_is_metadata_only_then_materializes(spark, table):
+    import os
+
+    files_before = {a["file"] for a in lh.live_files(table)}
+    v = lh.delete_keys_deferred(spark, table, [3, 7, 50])
+    # O(1): no data file added or removed by the tombstone commit
+    assert {a["file"] for a in lh.live_files(table)} == files_before
+    got = lh.read(spark, table)
+    assert got.count() == 97
+    assert {r["id"] for r in got.where(F.col("id") < 10).collect()} == {
+        0, 1, 2, 4, 5, 6, 8, 9
+    }
+    # time travel BEFORE the tombstone sees all rows
+    assert lh.read(spark, table, version=v - 1).count() == 100
+    # materialization rewrites only touched files and clears tombstones
+    lh.materialize_tombstones(spark, table)
+    assert lh.pending_tombstones(table) == []
+    assert lh.read(spark, table).count() == 97
+
+
+def test_deferred_delete_blocks_writes_until_materialized(spark, table):
+    lh.delete_keys_deferred(spark, table, [1])
+    new = spark.range(900, 903).select(F.col("id"), F.lit(0).alias("val"))
+    with pytest.raises(ValueError, match="pending deferred deletes"):
+        lh.append(spark, table, new, key="id")
+    with pytest.raises(ValueError, match="pending deferred deletes"):
+        lh.merge_into(spark, table, new, "id")
+    lh.materialize_tombstones(spark, table)
+    lh.append(spark, table, new, key="id")  # allowed again
+    assert lh.read(spark, table).count() == 102  # 100 - 1 + 3
+
+
+def test_deferred_delete_accumulates_and_caps(spark, table):
+    lh.delete_keys_deferred(spark, table, [1, 2])
+    lh.delete_keys_deferred(spark, table, [3])
+    assert sorted(lh.pending_tombstones(table)) == [1, 2, 3]
+    assert lh.read(spark, table).count() == 97
+    with pytest.raises(ValueError, match="materialize first"):
+        lh.delete_keys_deferred(spark, table, list(range(200_000)))

@@ -669,6 +669,31 @@ def read(spark: SparkSession, table: str, version: int | None = None) -> DataFra
     return df
 
 
+def version_at_timestamp(table: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the latest version committed at or
+    before ``ts`` (unix seconds) — Delta's timestamp time travel. Raises
+    if the table's first commit is later than ``ts``."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {table}")
+    best = None
+    for v in vs:
+        if _read_entry(table, v)["timestamp"] <= ts:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no version of {table} exists at or before timestamp {ts}"
+        )
+    return best
+
+
+def read_as_of(spark: SparkSession, table: str, ts: float) -> DataFrame:
+    """Snapshot read at a wall-clock instant (TIMESTAMP AS OF)."""
+    return read(spark, table, version_at_timestamp(table, ts))
+
+
 def _table_key(table: str, version: int | None = None) -> str:
     """The table's declared key column as of ``version`` (latest commit
     that recorded one)."""

@@ -710,3 +710,18 @@ def test_deferred_delete_accumulates_and_caps(spark, table):
     assert lh.read(spark, table).count() == 97
     with pytest.raises(ValueError, match="materialize first"):
         lh.delete_keys_deferred(spark, table, list(range(200_000)))
+
+
+def test_timestamp_as_of_time_travel(spark, table):
+    import time as _t
+
+    t_before_merge = _t.time()
+    _t.sleep(0.05)
+    src = spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val"))
+    lh.merge_into(spark, table, src, "id")
+    assert lh.version_at_timestamp(table, t_before_merge) == 0
+    assert lh.version_at_timestamp(table, _t.time()) == 1
+    assert lh.read_as_of(spark, table, t_before_merge).count() == 100
+    assert lh.read_as_of(spark, table, _t.time()).count() == 110
+    with pytest.raises(ValueError, match="at or before"):
+        lh.version_at_timestamp(table, 0.0)

@@ -669,6 +669,17 @@ def read(spark: SparkSession, table: str, version: int | None = None) -> DataFra
     return df
 
 
+def table_row_count(table: str, version: int | None = None) -> int:
+    """COUNT(*) from METADATA: the log's per-file row counts summed over
+    the live set — O(files-in-log) with zero data IO, the Delta
+    numRecords trick. At 100 TB this is the difference between an
+    instant answer and a full scan. NOTE: pending merge-on-read
+    tombstones are not reflected (they hide rows at scan time);
+    callers needing exactness under pending tombstones should
+    materialize first — the returned count is the PHYSICAL row count."""
+    return sum(a["rows"] for a in live_files(table, version))
+
+
 def version_at_timestamp(table: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the latest version committed at or
     before ``ts`` (unix seconds) — Delta's timestamp time travel. Raises

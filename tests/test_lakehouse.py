@@ -725,3 +725,15 @@ def test_timestamp_as_of_time_travel(spark, table):
     assert lh.read_as_of(spark, table, _t.time()).count() == 110
     with pytest.raises(ValueError, match="at or before"):
         lh.version_at_timestamp(table, 0.0)
+
+
+def test_metadata_row_count_matches_scan(spark, table):
+    assert lh.table_row_count(table) == 100
+    lh.merge_into(
+        spark,
+        table,
+        spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val")),
+        "id",
+    )
+    assert lh.table_row_count(table) == lh.read(spark, table).count() == 110
+    assert lh.table_row_count(table, version=0) == 100

@@ -340,3 +340,33 @@ def test_triangle_wedges_from_oriented_edges(spark):
     plan = _formatted(basket.triangle_count_parts(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_silver(spark, tmp_path):
+    """Hive-partitioned fact + filtered dim join must trigger Spark's
+    dynamic partition pruning: the fact scan receives a runtime filter
+    on its PARTITION column derived from the dim's predicate — at
+    100 TB this is the difference between scanning one month's
+    directories and the whole table, and it only exists because the
+    runner writes facts hive-partitioned (runner._write partition_by).
+    """
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact_part")
+    dim_dir = str(tmp_path / "dim")
+    spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 24).alias("month_id"),
+        (F.col("id") * 2).alias("amount"),
+    ).write.partitionBy("month_id").mode("overwrite").parquet(fact_dir)
+    spark.range(24).select(
+        F.col("id").alias("month_id"), (F.col("id") % 4).alias("quarter")
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("quarter") == 1)
+    joined = fact.join(dim, "month_id").groupBy("quarter").count()
+    plan = _formatted(joined)
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, (
+        "partition-column join lost dynamic partition pruning"
+    )

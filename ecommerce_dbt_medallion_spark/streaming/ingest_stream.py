@@ -50,3 +50,42 @@ def stream_upsert_lakehouse(
     q.awaitTermination()
     vs = lakehouse.versions(table)
     return vs[-1] if vs else -1
+
+
+def stream_append_partitioned(
+    spark: SparkSession,
+    source_dir: str,
+    table: str,
+    key: str,
+    schema,
+    partition_by: str,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Append-only streaming ingestion into a PARTITION-CLUSTERED
+    lakehouse table: each micro-batch is one add-only commit whose files
+    are range-clustered on ``partition_by`` with per-file stats in the
+    log — the event-log shape (no keyed MERGE needed; dedup belongs to
+    the source), where the payoff is that every downstream
+    ``read_pruned`` on the partition column skips whole files across
+    ALL ingested batches. Returns the final version."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _append_batch(batch_df, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            lakehouse.append(
+                spark, table, batch_df, key=key, partition_by=partition_by
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", os.path.join(table, "_streaming_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = lakehouse.versions(table)
+    return vs[-1] if vs else -1

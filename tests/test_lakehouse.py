@@ -737,3 +737,55 @@ def test_metadata_row_count_matches_scan(spark, table):
     )
     assert lh.table_row_count(table) == lh.read(spark, table).count() == 110
     assert lh.table_row_count(table, version=0) == 100
+
+
+def test_stream_append_partitioned_prunes_across_batches(spark, tmp_path):
+    """Streaming append-only ingestion into a partition-clustered table:
+    one add-only version per micro-batch, and read_pruned on the
+    partition column skips files from EVERY batch."""
+    import os
+    import time as _t
+
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        stream_append_partitioned,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = None
+    base = _t.time()
+    for i in range(3):
+        df = (
+            spark.range(i * 100, (i + 1) * 100)
+            .select(
+                F.col("id"),
+                (F.col("id") % 4).cast("string").alias("bucket"),
+                (F.col("id") * 3).alias("v"),
+            )
+            .coalesce(1)
+        )
+        staging = tmp_path / f"stage_{i}"
+        df.write.parquet(str(staging))
+        schema = df.schema
+        (part,) = list(staging.glob("*.parquet"))
+        dest = feed / f"part_{i}.parquet"
+        part.rename(dest)
+        os.utime(dest, (base + i, base + i))
+
+    table = str(tmp_path / "tbl_part_stream")
+    final_v = stream_append_partitioned(
+        spark, str(feed), table, "id", schema, partition_by="bucket"
+    )
+    assert lh.versions(table) == [0, 1, 2] and final_v == 2
+    ops = [h["operation"] for h in lh.history(table)]
+    assert ops[0] == "CREATE" and ops[1:] == ["APPEND", "APPEND"]
+    got = lh.read_pruned(spark, table, "bucket", "2", "2")
+    assert got.count() == 75  # 25 per batch x 3
+    assert {r["bucket"] for r in got.select("bucket").distinct().collect()} == {"2"}
+    # pruning really skips files: candidates with bucket-2 stats < live
+    live = lh.live_files(table)
+    hit = [
+        a for a in live
+        if not (a["col_stats"]["bucket"][1] < "2" or a["col_stats"]["bucket"][0] > "2")
+    ]
+    assert len(hit) < len(live)

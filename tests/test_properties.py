@@ -315,3 +315,83 @@ def test_pareto_frontier_permutation_free_and_minimal(spark, vals):
         )
     }
     assert got == brute
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 4)),
+            st.tuples(st.just("merge"), st.integers(0, 4)),
+            st.tuples(st.just("delete"), st.integers(0, 4)),
+            st.tuples(st.just("defer_delete"), st.integers(0, 4)),
+            st.tuples(st.just("optimize"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_lakehouse_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
+    """Model-based fuzz of the transaction log: an arbitrary sequence of
+    append / merge / delete_where / deferred-delete / optimize must
+    leave the table equal to a plain dict model keyed by id — including
+    merge-on-read reads before materialization — and every historical
+    version must stay readable."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark import lakehouse as lh
+
+    path = str(tmp_path_factory.mktemp("fuzz") / "tbl")
+    model: dict[int, int] = {i: i * 10 for i in range(20)}
+    base = spark.createDataFrame(
+        [(k, v) for k, v in model.items()], "id long, val long"
+    ).repartitionByRange(3, "id")
+    lh.create_or_replace(spark, path, base, key="id")
+
+    def block(seed: int) -> list[tuple[int, int]]:
+        # deterministic 5-key block derived from the op seed
+        return [(seed * 7 + j, (seed * 7 + j) * 100 + seed) for j in range(5)]
+
+    for op, seed in ops:
+        rows = block(seed)
+        if op == "append":
+            if lh.pending_tombstones(path):
+                lh.materialize_tombstones(spark, path)
+            # append semantics in the model: blind add (duplicates by key
+            # would corrupt the model) — use merge semantics for overlap
+            fresh = [(k, v) for k, v in rows if k not in model]
+            if not fresh:
+                continue
+            lh.append(
+                spark, path,
+                spark.createDataFrame(fresh, "id long, val long"), key="id",
+            )
+            model.update(dict(fresh))
+        elif op == "merge":
+            if lh.pending_tombstones(path):
+                lh.materialize_tombstones(spark, path)
+            lh.merge_into(
+                spark, path,
+                spark.createDataFrame(rows, "id long, val long"), "id",
+            )
+            model.update(dict(rows))
+        elif op == "delete":
+            lo = seed * 7
+            lh.delete_where(spark, path, f"id >= {lo} and id < {lo + 3}")
+            for k in list(model):
+                if lo <= k < lo + 3:
+                    del model[k]
+        elif op == "defer_delete":
+            keys = [seed * 7, seed * 7 + 1]
+            lh.delete_keys_deferred(spark, path, keys)
+            for k in keys:
+                model.pop(k, None)
+        elif op == "optimize":
+            if lh.pending_tombstones(path):
+                lh.materialize_tombstones(spark, path)
+            lh.optimize(spark, path, key="id", target_rows=50)
+        got = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
+        assert got == model, f"diverged after {op}({seed})"
+    # every version in history stays readable (no dangling file refs)
+    for v in lh.versions(path):
+        lh.read(spark, path, version=v).count()

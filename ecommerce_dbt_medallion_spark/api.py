@@ -292,6 +292,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "customer_decile_revenue": mstats.customer_decile_revenue,
         "new_vs_returning_revenue": mstats.new_vs_returning_revenue,
         "tokenizer_fertility": optext.tokenizer_fertility,
+        "markov_dwell": ev.markov_dwell,
     }
 
 
@@ -428,6 +429,8 @@ def oracle_sql() -> dict[str, str]:
     out["new_vs_returning_revenue"] = mstats.oracle_new_vs_returning_revenue()
     # round 6c: tokenizer fertility per corpus slice
     out["tokenizer_fertility"] = optext.oracle_tokenizer_fertility()
+    # round 6c: transition dwell-time distribution (markov timing half)
+    out["markov_dwell"] = ev.ORACLE_MARKOV_DWELL
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -1541,3 +1541,111 @@ select event_date, n_views, n_clicks, n_purchases,
          then cast(n_purchases as double) / cast(n_clicks as double) end as cvr
 from agg
 """
+
+
+def markov_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition TIMING beside markov_transitions' probabilities: per
+    (src → dst) event-type pair, the median / min / max / mean dwell
+    seconds between the two events — the behavioral-model half a
+    next-action predictor needs (where a user goes AND how long they
+    linger first).
+
+    One lead() window on the user shuffle produces (src, dst, gap);
+    medians are exact order statistics at VALUE grain per pair
+    (distinct observed gaps, windows bounded by the time-resolution of
+    the data — never the event count); the mean is exact bigint
+    seconds, one double division.
+    """
+    ev = load_events(spark, sf_dir)
+    # ordering on (us, event_id) == (ts, event_id): unix_micros is
+    # monotone in ts at the data's microsecond resolution
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .select(
+            "src",
+            F.lead("src").over(w).alias("dst"),
+            "us",
+            F.lead("us").over(w).alias("next_us"),
+        )
+        .where(F.col("dst").isNotNull())
+        .select(
+            "src",
+            "dst",
+            F.expr("(next_us - us) div 1000000").cast("bigint").alias("gap_s"),
+        )
+    )
+    cnt = trans.groupBy("src", "dst", "gap_s").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("src", "dst")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.withColumn("cum", F.sum("c").over(wv))
+    tot = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").alias("sum_gap"),
+    )
+    med = (
+        cum.join(F.broadcast(tot.select("src", "dst", "n")), ["src", "dst"])
+        .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("src", "dst")
+        .agg(F.min("gap_s").alias("median_gap_s"))
+    )
+    return tot.join(med, ["src", "dst"]).select(
+        "src",
+        "dst",
+        F.col("n").alias("n_transitions"),
+        "min_gap_s",
+        "median_gap_s",
+        "max_gap_s",
+        (F.col("sum_gap").cast("double") / F.col("n").cast("double")).alias(
+            "mean_gap_s"
+        ),
+    )
+
+
+ORACLE_MARKOV_DWELL = """
+with trans as (
+    select src, dst, (next_us - us) // 1000000 as gap_s from (
+        select event_type as src,
+            lead(event_type) over (partition by user_id order by ts, event_id)
+                as dst,
+            epoch_us(ts) as us,
+            lead(epoch_us(ts)) over (partition by user_id order by ts, event_id)
+                as next_us
+        from events
+    ) where dst is not null
+),
+cnt as (select src, dst, gap_s, count(*) as c from trans group by 1, 2, 3),
+cum as (
+    select src, dst, gap_s,
+        sum(c) over (partition by src, dst order by gap_s
+                     rows between unbounded preceding and current row) as cum
+    from cnt
+),
+tot as (
+    select src, dst, count(*) as n, min(gap_s) as min_gap_s,
+        max(gap_s) as max_gap_s, sum(gap_s) as sum_gap
+    from trans group by 1, 2
+),
+med as (
+    select c.src, c.dst, min(c.gap_s) as median_gap_s
+    from cum c join tot t on c.src = t.src and c.dst = t.dst
+    where c.cum >= (t.n + 1) // 2
+    group by 1, 2
+)
+select t.src, t.dst, t.n as n_transitions,
+    cast(t.min_gap_s as bigint) as min_gap_s,
+    cast(m.median_gap_s as bigint) as median_gap_s,
+    cast(t.max_gap_s as bigint) as max_gap_s,
+    cast(t.sum_gap as double) / cast(t.n as double) as mean_gap_s
+from tot t join med m on t.src = m.src and t.dst = m.dst
+"""

@@ -459,3 +459,20 @@ def test_new_vs_returning_first_month_semantics(spark):
     # every customer is new exactly once across all months
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     assert pdf.n_new_customers.sum() == orders.select("o_custkey").distinct().count()
+
+
+def test_markov_dwell_consistency_with_transitions(spark):
+    dwell = ev.markov_dwell(spark, SF_SMOKE).toPandas()
+    trans = ev.markov_transitions(spark, SF_SMOKE).toPandas()
+    # non-END transition counts must match between the two views
+    t = {
+        (r.src, r.dst): r.n_trans
+        for r in trans.itertuples(index=False)
+        if r.dst != "END"
+    }
+    d = {(r.src, r.dst): r.n_transitions for r in dwell.itertuples(index=False)}
+    assert d == t
+    for r in dwell.itertuples(index=False):
+        assert r.min_gap_s <= r.median_gap_s <= r.max_gap_s
+        assert r.min_gap_s <= r.mean_gap_s <= r.max_gap_s
+        assert r.min_gap_s >= 0

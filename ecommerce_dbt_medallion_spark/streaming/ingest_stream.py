@@ -89,3 +89,69 @@ def stream_append_partitioned(
     q.awaitTermination()
     vs = lakehouse.versions(table)
     return vs[-1] if vs else -1
+
+
+def stream_upsert_with_ivm(
+    spark: SparkSession,
+    source_dir: str,
+    fact_table: str,
+    mart_table: str,
+    key: str,
+    group_key: str,
+    agg_fn,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> tuple[int, int]:
+    """Streaming MERGE + CONTINUOUS mart maintenance: every micro-batch
+    (1) MERGEs into the keyed fact table and (2) brings the aggregate
+    mart up to date via ``runner.incremental_mart_refresh`` — only the
+    batch's dirty groups recompute, discovered from the CDF of exactly
+    the versions that batch committed. The streaming materialized-view
+    shape: the mart lags the facts by at most one micro-batch, and per-
+    batch cost scales with batch churn, never table size.
+
+    Returns (final fact version, final mart version).
+    """
+    from ecommerce_dbt_medallion_spark.runner import incremental_mart_refresh
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    state = {"last_v": None}
+
+    def _batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lakehouse.merge_into(spark, fact_table, batch_df, key)
+        if state["last_v"] is None:
+            # first batch: full mart build, synced to the fact version
+            lakehouse.create_or_replace(
+                spark,
+                mart_table,
+                agg_fn(lakehouse.read(spark, fact_table)),
+                key=group_key,
+            )
+            state["last_v"] = lakehouse.versions(fact_table)[-1]
+        else:
+            state["last_v"] = incremental_mart_refresh(
+                spark,
+                fact_table,
+                mart_table,
+                group_key,
+                agg_fn,
+                from_version=state["last_v"],
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(fact_table, "_streaming_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        lakehouse.versions(fact_table)[-1],
+        lakehouse.versions(mart_table)[-1],
+    )

@@ -789,3 +789,59 @@ def test_stream_append_partitioned_prunes_across_batches(spark, tmp_path):
         if not (a["col_stats"]["bucket"][1] < "2" or a["col_stats"]["bucket"][0] > "2")
     ]
     assert len(hit) < len(live)
+
+
+def test_stream_upsert_with_ivm_mart_tracks_facts(spark, tmp_path):
+    """Streaming MERGE + per-batch incremental mart refresh: after the
+    drain, the mart equals a from-scratch aggregate over the final
+    facts; intermediate batches each advanced the mart."""
+    import os
+    import time as _t
+
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        stream_upsert_with_ivm,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = None
+    base = _t.time()
+    # batch i: keys [i*30, i*30+60) — overlapping; val changes per batch
+    for i in range(3):
+        df = (
+            spark.range(i * 30, i * 30 + 60)
+            .select(
+                F.col("id"),
+                (F.col("id") % 10).alias("grp"),
+                (F.col("id") * 100 + i).alias("amount"),
+            )
+            .coalesce(1)
+        )
+        staging = tmp_path / f"stage_{i}"
+        df.write.parquet(str(staging))
+        schema = df.schema
+        (part,) = list(staging.glob("*.parquet"))
+        dest = feed / f"part_{i}.parquet"
+        part.rename(dest)
+        os.utime(dest, (base + i, base + i))
+
+    fact = str(tmp_path / "fact")
+    mart = str(tmp_path / "mart")
+
+    def agg_fn(df):
+        return df.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")
+        )
+
+    fv, mv = stream_upsert_with_ivm(
+        spark, str(feed), fact, mart, "id", "grp", agg_fn, schema
+    )
+    assert fv == 2  # one fact version per micro-batch
+    got = {r["grp"]: (r["n"], r["total"]) for r in lh.read(spark, mart).collect()}
+    want = {
+        r["grp"]: (r["n"], r["total"])
+        for r in agg_fn(lh.read(spark, fact)).collect()
+    }
+    assert got == want
+    # the mart advanced after the initial build (merge + possible deletes)
+    assert mv >= 1

@@ -293,6 +293,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "new_vs_returning_revenue": mstats.new_vs_returning_revenue,
         "tokenizer_fertility": optext.tokenizer_fertility,
         "markov_dwell": ev.markov_dwell,
+        "kcore_parts": opbasket.kcore_parts,
     }
 
 
@@ -431,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
     out["tokenizer_fertility"] = optext.oracle_tokenizer_fertility()
     # round 6c: transition dwell-time distribution (markov timing half)
     out["markov_dwell"] = ev.ORACLE_MARKOV_DWELL
+    # round 6c: fixed-round k-core peel (unrolled-CTE oracle)
+    out["kcore_parts"] = opbasket.oracle_kcore_parts()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -476,3 +476,42 @@ def test_markov_dwell_consistency_with_transitions(spark):
         assert r.min_gap_s <= r.median_gap_s <= r.max_gap_s
         assert r.min_gap_s <= r.mean_gap_s <= r.max_gap_s
         assert r.min_gap_s >= 0
+
+
+def test_kcore_peels_star_keeps_clique(spark, tmp_path):
+    """Planted graph: a 6-clique (every node degree 5 >= 3) must survive
+    the 3-core peel; a star of spokes (degree 1) must vanish INCLUDING
+    its hub, whose degree only falls below k after the spokes peel —
+    i.e. the test requires genuinely ITERATIVE peeling, not one pass."""
+    from ecommerce_dbt_medallion_spark.ops import basket as opbasket
+
+    # encode the graph as baskets: one order per edge
+    edges = []
+    clique = [1, 2, 3, 4, 5, 6]
+    for i in range(len(clique)):
+        for j in range(i + 1, len(clique)):
+            edges.append((clique[i], clique[j]))
+    hub = 100
+    spokes = list(range(101, 106))
+    edges += [(hub, s) for s in spokes]
+    # chain hub into a 2-path so peeling takes two rounds: hub-a-b
+    edges += [(hub, 200), (200, 201)]
+    rows = [(i, a) for i, (a, b) in enumerate(edges)] + [
+        (i, b) for i, (a, b) in enumerate(edges)
+    ]
+    d = tmp_path / "planted_kcore"
+    spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00")
+         for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    got = {
+        r["part_id"]: r["core_degree"]
+        for r in opbasket.kcore_parts(spark, str(d)).collect()
+    }
+    assert set(got) == set(clique), got
+    assert all(v == 5 for v in got.values())

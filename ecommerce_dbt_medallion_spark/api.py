@@ -294,6 +294,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "tokenizer_fertility": optext.tokenizer_fertility,
         "markov_dwell": ev.markov_dwell,
         "kcore_parts": opbasket.kcore_parts,
+        "pq_quantize": opcluster.pq_quantize,
     }
 
 
@@ -434,6 +435,8 @@ def oracle_sql() -> dict[str, str]:
     out["markov_dwell"] = ev.ORACLE_MARKOV_DWELL
     # round 6c: fixed-round k-core peel (unrolled-CTE oracle)
     out["kcore_parts"] = opbasket.oracle_kcore_parts()
+    # round 6c: product quantization (integer Lloyd's per sub-space)
+    out["pq_quantize"] = opcluster.oracle_pq_quantize()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

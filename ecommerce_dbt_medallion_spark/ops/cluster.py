@@ -176,3 +176,157 @@ select vec_id, cluster, dist from (
   from q v cross join c{KM_ITERS} c
 ) where rn = 1 order by vec_id"""
     )
+
+
+# ------------------------------------------------ product quantization
+
+PQ_M = 4  # sub-spaces
+PQ_SUB = KM_DIM // PQ_M  # dims per sub-space
+PQ_K = 16  # codewords per sub-space (4 bits)
+PQ_ITERS = 2
+
+
+def _train(vectors: DataFrame, k: int, iters: int) -> DataFrame:
+    """Integer Lloyd's on (vec_id, q) — the kmeans_embeddings loop
+    factored for reuse (PQ trains it once per sub-space)."""
+    centroids = vectors.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assigned = _assign(vectors, centroids)
+        centroids = (
+            assigned.join(vectors, "vec_id")
+            .select("cluster", F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+            .select(
+                "cluster",
+                "dim",
+                F.floor(F.col("sv").cast("double") / F.col("n")).cast("long").alias(
+                    "comp"
+                ),
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("pairs"))
+            .select(
+                "cluster", F.transform(F.col("pairs"), lambda p: p["comp"]).alias("cq")
+            )
+        )
+    return centroids
+
+
+def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the 64-dim embedding split into PQ_M
+    sub-vectors, each assigned to one of PQ_K codewords trained by the
+    SAME deterministic integer Lloyd's as kmeans_embeddings — a vector
+    compresses to M·log2(K) = 16 bits (vs int8's 512), the codebook
+    layer of a billion-vector IVF-PQ index. Output: per-vector code
+    tuple + exact bigint total distortion (the quantization error that
+    decides K/M sizing).
+
+    Determinism: everything inherits kmeans' integer arithmetic —
+    sub-space argmin ties break on code id; distortion is an exact sum
+    of per-sub-space bigint squared distances. Scale shape: per
+    sub-space, train cost = kmeans at dim/M; the assign passes reuse
+    ONE vec_id-partitioned checkpointed corpus, and the M result
+    frames join on the co-partitioned vec_id key.
+    """
+    vectors = (
+        _quantized(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    dist_cols = []
+    for m in range(PQ_M):
+        sub = vectors.select(
+            "vec_id", F.slice("q", m * PQ_SUB + 1, PQ_SUB).alias("q")
+        ).localCheckpoint(eager=False)
+        centroids = _train(sub, PQ_K, PQ_ITERS)
+        part = _assign(sub, centroids).select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias(f"code{m}"),
+            F.col("dist").alias(f"dist{m}"),
+        )
+        out = part if out is None else out.join(part, "vec_id")
+        dist_cols.append(f"dist{m}")
+    return out.select(
+        "vec_id",
+        *[f"code{m}" for m in range(PQ_M)],
+        sum(F.col(c) for c in dist_cols).cast("bigint").alias("distortion"),
+    )
+
+
+def oracle_pq_quantize() -> str:
+    def sub_dist(m: int) -> str:
+        return (
+            "cast(list_aggregate(list_transform(range(1, %d), "
+            "i -> (v.q[i]-c.cq[i])*(v.q[i]-c.cq[i])), 'sum') as bigint)"
+            % (PQ_SUB + 1)
+        )
+
+    parts = [
+        f"""q as materialized (
+  select vec_id, list_transform(embedding,
+    v -> cast(floor(cast(v as double) * {KM_SCALE}.0 + 0.5) as bigint)) as q
+  from embeddings
+)"""
+    ]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        d = sub_dist(m)
+        parts.append(
+            f"qm{m} as materialized (select vec_id, q[{lo}:{hi}] as q from q)"
+        )
+        parts.append(
+            f"""qd{m} as materialized (
+  select vec_id, t.range as dim, q.q[t.range] as v
+  from qm{m} q cross join range(1, {PQ_SUB + 1}) t
+)"""
+        )
+        parts.append(
+            f"cm{m}_0 as materialized (select vec_id as cluster, q as cq "
+            f"from qm{m} where vec_id < {PQ_K})"
+        )
+        for i in range(PQ_ITERS):
+            parts.append(
+                f"""am{m}_{i} as materialized (
+  select vec_id, cluster from (
+    select v.vec_id, c.cluster,
+      row_number() over (partition by v.vec_id
+        order by {d} asc, c.cluster asc) as rn
+    from qm{m} v cross join cm{m}_{i} c
+  ) where rn = 1
+)"""
+            )
+            parts.append(
+                f"""cm{m}_{i + 1} as materialized (
+  select cluster, list(comp order by dim) as cq from (
+    select a.cluster, t.dim,
+      cast(floor(cast(sum(t.v) as double) / count(*)) as bigint) as comp
+    from am{m}_{i} a join qd{m} t using (vec_id)
+    group by a.cluster, t.dim
+  ) group by cluster
+)"""
+            )
+        parts.append(
+            f"""fm{m} as materialized (
+  select vec_id, cast(cluster as bigint) as code{m}, dist from (
+    select v.vec_id, c.cluster, {d} as dist,
+      row_number() over (partition by v.vec_id
+        order by {d} asc, c.cluster asc) as rn
+    from qm{m} v cross join cm{m}_{PQ_ITERS} c
+  ) where rn = 1
+)"""
+        )
+    joins = " ".join(f"join fm{m} using (vec_id)" for m in range(1, PQ_M))
+    codes = ", ".join(f"code{m}" for m in range(PQ_M))
+    dists = " + ".join(f"fm{m}.dist" for m in range(PQ_M))
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f"""
+select vec_id, {codes}, cast({dists} as bigint) as distortion
+from fm0 {joins}
+"""
+    )

@@ -515,3 +515,18 @@ def test_kcore_peels_star_keeps_clique(spark, tmp_path):
     }
     assert set(got) == set(clique), got
     assert all(v == 5 for v in got.values())
+
+
+def test_pq_distortion_beats_coarse_kmeans(spark):
+    """PQ with 16^4 effective cells must quantize tighter than the
+    full-space k=8 k-means (both measure exact bigint squared error in
+    the same quantized space), and codes must stay in [0, 16)."""
+    from ecommerce_dbt_medallion_spark.ops import cluster as opcluster
+
+    pq = opcluster.pq_quantize(spark, SF_SMOKE).toPandas()
+    km = opcluster.kmeans_embeddings(spark, SF_SMOKE).toPandas()
+    for m in range(4):
+        assert pq[f"code{m}"].between(0, 15).all()
+    assert pq.distortion.mean() < km.dist.mean()
+    assert (pq.distortion >= 0).all()
+    assert len(pq) == len(km)

@@ -65,6 +65,8 @@ def main() -> None:
         "doc_novelty_score",
         "attribution_position",
         "minhash_calibration",
+        "kcore_parts",
+        "pq_quantize",
     ):
         if extra in queries:
             headline.append(extra)
@@ -83,7 +85,8 @@ def main() -> None:
     # write-only methodology that BASELINE.md's round-1 numbers were
     # measured with (changing the timer for existing entries would
     # invalidate every cross-round comparison).
-    construction_timed = {"dedup_clusters", "dedup_keep_best"}
+    construction_timed = {"dedup_clusters", "dedup_keep_best", "kcore_parts",
+                          "pq_quantize"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

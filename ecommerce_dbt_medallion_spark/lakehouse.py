@@ -680,6 +680,37 @@ def table_row_count(table: str, version: int | None = None) -> int:
     return sum(a["rows"] for a in live_files(table, version))
 
 
+def read_pruned_multi(
+    spark: SparkSession,
+    table: str,
+    bounds: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Conjunctive multi-column range scan with file skipping: keep only
+    live files whose logged min/max intersects EVERY ``col: (lo, hi)``
+    bound, then apply all residual filters. This is the reader that
+    pays off OPTIMIZE ZORDER: a z-clustered layout keeps per-file
+    ranges tight on every z dimension AT ONCE, so a 2-D point/range
+    query intersects far fewer files than either 1-D clustering would
+    allow. Sound: a file missing stats for a bounded column is read."""
+    files = []
+    for a in live_files(table, version):
+        keep = True
+        for col, (lo, hi) in bounds.items():
+            cs = a.get("col_stats", {}).get(col)
+            if cs is not None and (cs[1] < lo or cs[0] > hi):
+                keep = False
+                break
+        if keep:
+            files.append(a)
+    if not files:
+        return read(spark, table, version).where(F.lit(False))
+    df = spark.read.parquet(*[_abs(table, a["file"]) for a in files])
+    for col, (lo, hi) in bounds.items():
+        df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return df
+
+
 def version_at_timestamp(table: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the latest version committed at or
     before ``ts`` (unix seconds) — Delta's timestamp time travel. Raises

@@ -845,3 +845,47 @@ def test_stream_upsert_with_ivm_mart_tracks_facts(spark, tmp_path):
     assert got == want
     # the mart advanced after the initial build (merge + possible deletes)
     assert mv >= 1
+
+
+def test_read_pruned_multi_2d_beats_1d(spark, tmp_path):
+    """Conjunctive 2-D pruning on a z-ordered table must read fewer
+    files than either 1-D prune alone AND return exactly the filtered
+    rows."""
+    table = str(tmp_path / "tbl_z2")
+    n = 4096
+    base = spark.range(n).select(
+        (F.xxhash64("id") % n).alias("x"),
+        ((F.xxhash64("id") + 7) % n).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    for i in range(4):
+        lh.append(spark, table, base.where(F.col("id") % 4 == i).coalesce(1), key="x")
+    lh.optimize(
+        spark, table, key="x", target_rows=256, small_file_rows=2000,
+        zorder_by=["x", "y"],
+    )
+    live = lh.live_files(table)
+    lo, hi = 0, n // 8
+
+    def n_files(bounds):
+        out = 0
+        for a in live:
+            keep = True
+            for col, (l, h) in bounds.items():
+                cs = a.get("col_stats", {}).get(col)
+                if cs is not None and (cs[1] < l or cs[0] > h):
+                    keep = False
+                    break
+            out += keep
+        return out
+
+    both = n_files({"x": (lo, hi), "y": (lo, hi)})
+    assert both < n_files({"x": (lo, hi)})
+    assert both < n_files({"y": (lo, hi)})
+    got = lh.read_pruned_multi(spark, table, {"x": (lo, hi), "y": (lo, hi)})
+    want = lh.read(spark, table).where(
+        (F.col("x") >= lo) & (F.col("x") <= hi)
+        & (F.col("y") >= lo) & (F.col("y") <= hi)
+    )
+    assert got.count() == want.count()
+    assert got.count() > 0

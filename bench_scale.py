@@ -82,6 +82,9 @@ PROBE_KEYS = [
     "doc_novelty_score",
     "winsorized_revenue_stats",
     "shipping_delay_stats",
+    "kcore_parts",
+    "pq_quantize",
+    "minhash_calibration",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -106,15 +106,42 @@ def live_files(table: str, version: int | None = None) -> list[dict]:
     if version not in vs:
         raise ValueError(f"version {version} not in {vs}")
     live: dict[str, dict] = {}
+    staged: dict[int, list] = {}
     for v in vs:
         if v > version:
             break
         e = _read_entry(table, v)
+        if e.get("staged"):
+            # write-audit-publish: adds deferred until a PUBLISH names
+            # this version; readers never see unpublished data
+            staged[v] = e.get("add", [])
+            continue
+        if e.get("publishes") is not None:
+            for a in staged.pop(e["publishes"], []):
+                live[a["file"]] = a
+            continue
+        if e.get("discards") is not None:
+            staged.pop(e["discards"], None)
+            continue
         for r in e.get("remove", []):
             live.pop(r, None)
         for a in e.get("add", []):
             live[a["file"]] = a
     return list(live.values())
+
+
+def _unresolved_staged(table: str) -> dict[int, list]:
+    """Staged commits not yet published or discarded (full-log replay)."""
+    staged: dict[int, list] = {}
+    for v in versions(table):
+        e = _read_entry(table, v)
+        if e.get("staged"):
+            staged[v] = e.get("add", [])
+        elif e.get("publishes") is not None:
+            staged.pop(e["publishes"], None)
+        elif e.get("discards") is not None:
+            staged.pop(e["discards"], None)
+    return staged
 
 
 def history(table: str) -> list[dict]:
@@ -680,6 +707,109 @@ def table_row_count(table: str, version: int | None = None) -> int:
     return sum(a["rows"] for a in live_files(table, version))
 
 
+# Write-audit-publish (WAP): stage → validate → publish/discard. The
+# Iceberg audit-branch workflow on the commit log — a staged commit's
+# files are on disk and log-recorded but INVISIBLE to every reader
+# until a PUBLISH entry names it, so validation runs on exactly the
+# bytes that will go live and the flip is atomic metadata.
+
+
+def append_staged(
+    spark: SparkSession, table: str, df: DataFrame, key: str | None = None
+) -> int:
+    """Stage an append: files written + committed with ``staged`` set;
+    readers skip it until publish(). Declared CHECK constraints still
+    enforce at stage time (they are table invariants, not audit
+    opinions); schema must match exactly (no evolution through the
+    staging path)."""
+    prior = versions(table)
+    if not prior:
+        raise ValueError(f"table {table} does not exist (create before staging)")
+    if pending_tombstones(table):
+        raise ValueError("materialize deferred deletes before staging")
+    df, _schema = _evolve_schema(table, df, merge_schema=False)
+    _enforce_constraints(df, current_constraints(table), "APPEND STAGED")
+    adds = _stage_files(df, table, key)
+    v = prior[-1] + 1
+    _commit(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": "APPEND STAGED",
+            "staged": True,
+            "key": key,
+            "add": adds,
+            "remove": [],
+        },
+    )
+    return v
+
+
+def read_staged(spark: SparkSession, table: str, staged_version: int) -> DataFrame:
+    """The staged commit's OWN rows (what an audit validates)."""
+    adds = _unresolved_staged(table).get(staged_version)
+    if adds is None:
+        raise ValueError(f"version {staged_version} is not an unresolved staged commit")
+    if not adds:
+        raise ValueError(f"staged commit {staged_version} has no files")
+    return spark.read.parquet(*[_abs(table, a["file"]) for a in adds])
+
+
+def _resolve_staged(table: str, staged_version: int, op: str, field: str) -> int:
+    if staged_version not in _unresolved_staged(table):
+        raise ValueError(
+            f"version {staged_version} is not an unresolved staged commit"
+        )
+    v = versions(table)[-1] + 1
+    _commit(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": op,
+            field: staged_version,
+            "add": [],
+            "remove": [],
+        },
+    )
+    return v
+
+
+def publish(table: str, staged_version: int) -> int:
+    """Atomically flip a staged commit live (metadata-only)."""
+    return _resolve_staged(table, staged_version, "PUBLISH", "publishes")
+
+
+def discard_staged(table: str, staged_version: int) -> int:
+    """Reject a staged commit: its rows never become visible; its files
+    become vacuumable orphans."""
+    return _resolve_staged(table, staged_version, "DISCARD", "discards")
+
+
+def audited_append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    key: str | None,
+    audit_fn,
+) -> tuple[int, bool]:
+    """The WAP loop in one call: stage, run ``audit_fn(staged_rows) ->
+    bool`` on exactly the bytes that would go live, then publish (True)
+    or discard (False). Readers see either the old table or the fully
+    validated new state — never a half-audited batch. This is the
+    write-side home of the DQ engine: quality/checks.py validates the
+    batch, and a failure costs a discarded commit, not a dirty table.
+    """
+    sv = append_staged(spark, table, df, key)
+    ok = bool(audit_fn(read_staged(spark, table, sv)))
+    if ok:
+        publish(table, sv)
+    else:
+        discard_staged(table, sv)
+    return versions(table)[-1], ok
+
+
 def read_pruned_multi(
     spark: SparkSession,
     table: str,
@@ -966,6 +1096,10 @@ def vacuum_retain(table: str, retain_last: int) -> int:
     for v in vs[-retain_last:]:
         for a in live_files(table, v):
             keep.add(a["file"])
+    # unresolved WAP-staged files are pre-publish data, not garbage
+    for adds in _unresolved_staged(table).values():
+        for a in adds:
+            keep.add(a["file"])
     data_dir = os.path.join(table, _DATA_DIR)
     n = 0
     for f in os.listdir(data_dir):
@@ -987,6 +1121,9 @@ def vacuum(table: str) -> int:
     for v in versions(table):
         for a in live_files(table, v):
             keep.add(a["file"])
+    for adds in _unresolved_staged(table).values():
+        for a in adds:
+            keep.add(a["file"])  # pre-publish WAP data, not garbage
     data_dir = os.path.join(table, _DATA_DIR)
     n = 0
     for f in os.listdir(data_dir):

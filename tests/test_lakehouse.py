@@ -889,3 +889,54 @@ def test_read_pruned_multi_2d_beats_1d(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.count() > 0
+
+
+def test_wap_staged_invisible_until_publish(spark, table):
+    sv = lh.append_staged(
+        spark, table,
+        spark.range(500, 510).select(F.col("id"), F.lit(1).alias("val")),
+        key="id",
+    )
+    assert lh.read(spark, table).count() == 100  # invisible
+    assert lh.read_staged(spark, table, sv).count() == 10  # auditable
+    pv = lh.publish(table, sv)
+    assert lh.read(spark, table).count() == 110
+    # time travel: before the publish version the rows stay invisible
+    assert lh.read(spark, table, version=pv - 1).count() == 100
+    with pytest.raises(ValueError, match="not an unresolved staged"):
+        lh.publish(table, sv)  # double-publish refused
+
+
+def test_wap_discard_never_goes_live_and_vacuums(spark, table):
+    sv = lh.append_staged(
+        spark, table,
+        spark.range(600, 605).select(F.col("id"), F.lit(2).alias("val")),
+        key="id",
+    )
+    # unresolved staged files survive conservative vacuum
+    assert lh.vacuum(table) == 0
+    lh.discard_staged(table, sv)
+    assert lh.read(spark, table).count() == 100
+    # discarded files are now orphans: vacuum reclaims them
+    assert lh.vacuum(table) >= 1
+    assert lh.read(spark, table).count() == 100  # still intact
+
+
+def test_audited_append_publishes_clean_discards_dirty(spark, table):
+    def audit(df):
+        return df.where(F.col("val") < 0).count() == 0
+
+    v1, ok1 = lh.audited_append(
+        spark, table,
+        spark.range(700, 705).select(F.col("id"), F.lit(5).alias("val")),
+        "id", audit,
+    )
+    assert ok1 and lh.read(spark, table).count() == 105
+    v2, ok2 = lh.audited_append(
+        spark, table,
+        spark.range(800, 805).select(F.col("id"), F.lit(-5).alias("val")),
+        "id", audit,
+    )
+    assert not ok2
+    assert lh.read(spark, table).count() == 105  # dirty batch never landed
+    assert lh.read(spark, table).where(F.col("val") < 0).count() == 0

@@ -295,6 +295,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "markov_dwell": ev.markov_dwell,
         "kcore_parts": opbasket.kcore_parts,
         "pq_quantize": opcluster.pq_quantize,
+        "wap_audited_ingest": mcdf.wap_audited_ingest,
     }
 
 
@@ -437,6 +438,9 @@ def oracle_sql() -> dict[str, str]:
     out["kcore_parts"] = opbasket.oracle_kcore_parts()
     # round 6c: product quantization (integer Lloyd's per sub-space)
     out["pq_quantize"] = opcluster.oracle_pq_quantize()
+    # round 6c: write-audit-publish under the gate (clean publishes,
+    # dirty discards — oracle is the clean final state)
+    out["wap_audited_ingest"] = mcdf.oracle_wap_audited_ingest()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -248,3 +248,59 @@ where order_id % 9 != 0
 group by 1
 """,
     )
+
+
+def wap_audited_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32f: WRITE-AUDIT-PUBLISH under the hash gate. A base
+    table of positive-amount silver orders takes two staged batches:
+    a CLEAN one (order_id % 5 == 4, amounts unchanged) and a DIRTY one
+    (order_id % 5 == 3 with amounts negated — violating the audit rule
+    "no negative amounts"). The audit publishes the first and discards
+    the second, so the final table must equal base + clean batch and
+    contain not a single dirty row — which is exactly what the pure-SQL
+    oracle states. A leak of unpublished/discarded data into reads, a
+    half-applied publish, or audit-on-wrong-bytes all hash-mismatch.
+    """
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    table = os.path.normpath(os.path.join(_GATE_ROOT, f"wap_gate_{tag}"))
+    shutil.rmtree(table, ignore_errors=True)
+
+    facts = silver_orders(spark, sf_dir).select(
+        "order_id",
+        "customer_id",
+        F.col("order_amount").cast("decimal(18,2)").alias("amount"),
+    )
+    base = facts.where(F.col("order_id") % 5 <= 2)
+    clean = facts.where(F.col("order_id") % 5 == 4)
+    dirty = facts.where(F.col("order_id") % 5 == 3).withColumn(
+        "amount", (-F.col("amount")).cast("decimal(18,2)")
+    )
+    lakehouse.create_or_replace(spark, table, base, key="order_id")
+
+    def audit(df: DataFrame) -> bool:
+        return df.where(F.col("amount") <= 0).limit(1).count() == 0
+
+    _, ok_clean = lakehouse.audited_append(spark, table, clean, "order_id", audit)
+    _, ok_dirty = lakehouse.audited_append(spark, table, dirty, "order_id", audit)
+    if not ok_clean or ok_dirty:
+        raise RuntimeError("WAP audit verdicts diverged from construction")
+    return lakehouse.read(spark, table).select(
+        F.col("order_id").cast("long").alias("order_id"),
+        F.col("customer_id").cast("long").alias("customer_id"),
+        F.col("amount").cast("double").alias("amount"),
+    )
+
+
+def oracle_wap_audited_ingest() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+select cast(order_id as bigint) as order_id,
+    cast(customer_id as bigint) as customer_id,
+    cast(cast(order_amount as decimal(18,2)) as double) as amount
+from silver_orders
+where order_id % 5 <= 2 or order_id % 5 = 4
+""",
+    )

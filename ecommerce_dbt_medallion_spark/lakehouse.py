@@ -1209,6 +1209,12 @@ def optimize(
     prior = versions(table)
     if not prior:
         raise ValueError(f"table {table} does not exist")
+    # compaction is the natural rewrite point for merge-on-read debt:
+    # pending deferred-delete tombstones materialize first, so the
+    # compacted files are clean and readers drop the scan-time filter
+    if pending_tombstones(table):
+        materialize_tombstones(spark, table)
+        prior = versions(table)
     threshold = small_file_rows if small_file_rows is not None else target_rows // 2
     live = live_files(table)
     small = [a for a in live if a["rows"] < threshold]

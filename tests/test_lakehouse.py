@@ -940,3 +940,14 @@ def test_audited_append_publishes_clean_discards_dirty(spark, table):
     assert not ok2
     assert lh.read(spark, table).count() == 105  # dirty batch never landed
     assert lh.read(spark, table).where(F.col("val") < 0).count() == 0
+
+
+def test_optimize_materializes_pending_tombstones(spark, table):
+    lh.delete_keys_deferred(spark, table, [10, 11])
+    v = lh.optimize(spark, table, key="id", target_rows=500, small_file_rows=500)
+    assert lh.pending_tombstones(table) == []
+    got = lh.read(spark, table)
+    assert got.count() == 98
+    assert got.where(F.col("id").isin([10, 11])).count() == 0
+    ops = [h["operation"] for h in lh.history(table)]
+    assert "MATERIALIZE TOMBSTONES" in ops

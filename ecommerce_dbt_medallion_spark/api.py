@@ -85,18 +85,14 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # Round-7 note: rotate IN: (a) the 38 r5-certified keys (streams,
 # events-sessionization family, sketches, graph/basket ops), (b) the
 # 8 bronze/silver/DQ keys displaced by round 6's new-key block, (c)
-# the 4 medallion marts displaced by the 6c amendment, and (d) the 20
-# round-6c keys (association_rules, markov_transitions,
-# attribution_position, revenue_trend, revenue_seasonality,
-# winsorized_revenue_stats, customer_interpurchase,
-# pareto_frontier_parts, doc_novelty_score, source_length_profile,
-# pricing_summary, shipping_delay_stats, vocab_coverage,
-# event_volume_anomaly, event_ctr_daily, minhash_calibration,
-# supplier_hhi, part_price_quartiles, ann_recall_report,
-# ivm_mart_refresh — local 3-SF hash parity only so far). That
-# over-fills 50, so prioritize (d) then (b) then (c) then (a)'s
-# events-loader consumers. No key's latest driver row should ever be
-# more than one round behind the code it runs on.
+# the 4 medallion marts displaced by the 6c amendment, and (d) the 32
+# round-6c keys (SURVEY §2 #36a–ab plus #32e ivm_mart_refresh and
+# #32f wap_audited_ingest — every key after funnel_windowed in
+# _all_queries(); local 3-SF hash parity only so far). That over-fills
+# 50 several times, so certify in order (d) → (b) → (c) → (a)'s
+# events-loader consumers, and spread the remainder over rounds 8–9.
+# No key's latest driver row should ever be more than one round behind
+# the code it runs on.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
     # --- latest driver row is r4 (pre-NTZ-normalizer): re-certify ---

@@ -67,6 +67,9 @@ def main() -> None:
         "minhash_calibration",
         "kcore_parts",
         "pq_quantize",
+        # round-6d: skew-stress gated key (salted shuffle-hash join on a
+        # 25%-hot bucket; guard value in BASELINE.md)
+        "skew_salted_revenue",
     ):
         if extra in queries:
             headline.append(extra)

@@ -9,7 +9,7 @@ correct at ANY fact scale, unlike the data-dependent AQE broadcasts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.sources.registry import load_table
@@ -1247,4 +1247,105 @@ select p.o_orderpriority, p.n_orders,
     cast(coalesce(l.n_late, 0) as double) / cast(p.n_orders as double)
         as late_share
 from per_prio p left join late_pp l on p.o_orderpriority = l.o_orderpriority
+"""
+
+
+HOT_BUCKET_MOD = 4  # every 4th partkey collapses into bucket 0 => ~25% hot
+
+
+def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup over a DELIBERATELY skewed join key, executed
+    through ``ops.skew.salted_join`` — the gated proof that the manual
+    salting path produces join-identical results (reference has no
+    skew tooling; this is engine hardening for the 100 TB posture,
+    where AQE cannot split a hot key that feeds a downstream agg).
+
+    Shape: every 4th partkey collapses into bucket 0, so ~25% of all
+    lineitems share ONE join key — the pathological hot-key case from
+    bench_skew.py, but on the real tables and under the value oracle.
+    The build side (per-bucket part stats) is unique per bucket and
+    scales with |part|, so at 100 TB it is NOT broadcastable: we pin a
+    shuffle-hash join via hint, and the salt scatters bucket 0 across
+    16 reducers (plan shape asserted in tests/test_plans.py). The
+    oracle is the PLAIN join — salting must be invisible in values.
+
+    Determinism: per-row salt from (l_orderkey, l_linenumber), not
+    rand(); money exact-decimal to the boundary; top-25 by revenue
+    with bucket_key tiebreak.
+    """
+    from ecommerce_dbt_medallion_spark.ops.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def bucket(col: Column) -> Column:
+        return F.when(col % HOT_BUCKET_MOD == 0, F.lit(0)).otherwise(col)
+
+    dim = (
+        part.groupBy(bucket(F.col("p_partkey")).alias("bucket_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("retail_dec"),
+        )
+        # large-dim posture: forbid broadcast so the salted path is the
+        # plan under test at every SF (at 100 TB |dim| ~ |part| anyway)
+        .hint("shuffle_hash")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    probe = li.select(
+        bucket(F.col("l_partkey")).alias("bucket_key"),
+        rev.alias("rev_dec"),
+        # deterministic per-row salt source (never rand() under the oracle)
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("row_id"),
+    )
+    joined = salted_join(
+        probe, dim, "bucket_key", probe_salt_col=F.col("row_id")
+    )
+    return (
+        joined.groupBy("bucket_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("rev_dec").alias("rev_sum"),
+            F.max("n_parts").alias("n_parts"),
+            F.max("retail_dec").alias("retail_sum"),
+        )
+        .select(
+            "bucket_key",
+            "n_lineitems",
+            "n_parts",
+            F.col("rev_sum").cast("double").alias("bucket_revenue"),
+            F.col("retail_sum").cast("double").alias("bucket_retail"),
+        )
+        .orderBy(F.desc("bucket_revenue"), "bucket_key")
+        .limit(25)
+    )
+
+
+ORACLE_SKEW_SALTED_REVENUE = f"""
+with dim as (
+    select case when p_partkey % {HOT_BUCKET_MOD} = 0 then 0
+                else p_partkey end as bucket_key,
+        count(*) as n_parts,
+        sum(cast(p_retailprice as decimal(18,2))) as retail_dec
+    from part group by 1
+),
+probe as (
+    select case when l_partkey % {HOT_BUCKET_MOD} = 0 then 0
+                else l_partkey end as bucket_key,
+        cast(cast(l_extendedprice as decimal(18,2))
+            * (1 - cast(l_discount as decimal(4,2))) as decimal(18,4))
+            as rev_dec
+    from lineitem
+)
+select p.bucket_key, count(*) as n_lineitems,
+    max(d.n_parts) as n_parts,
+    cast(sum(p.rev_dec) as double) as bucket_revenue,
+    cast(max(d.retail_dec) as double) as bucket_retail
+from probe p join dim d on p.bucket_key = d.bucket_key
+group by p.bucket_key
+order by bucket_revenue desc, p.bucket_key
+limit 25
 """

@@ -370,3 +370,17 @@ def test_dynamic_partition_pruning_on_partitioned_silver(spark, tmp_path):
     assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, (
         "partition-column join lost dynamic partition pruning"
     )
+
+
+def test_skew_salted_revenue_scattered_shuffle_join(spark):
+    """The skew-stress key must actually run the salted plan: a
+    shuffled hash join keyed on (bucket_key, __salt) — never broadcast
+    (a broadcast would make the salt a no-op and un-test the 100 TB
+    path) — with the build side replicated via explode."""
+    from ecommerce_dbt_medallion_spark.models import analytics as ana
+
+    plan = _formatted(ana.skew_salted_revenue(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan, "salted join lost its shuffle-hash pin"
+    assert "BroadcastHashJoin" not in plan, "dim broadcast defeats the salt"
+    assert "__salt" in plan and "Generate" in plan, "salt explode missing"
+    assert "CartesianProduct" not in plan

@@ -85,8 +85,8 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # Round-7 note: rotate IN: (a) the 38 r5-certified keys (streams,
 # events-sessionization family, sketches, graph/basket ops), (b) the
 # 8 bronze/silver/DQ keys displaced by round 6's new-key block, (c)
-# the 4 medallion marts displaced by the 6c amendment, and (d) the 33
-# round-6c/6d keys (SURVEY §2 #36a–ad plus #32e ivm_mart_refresh and
+# the 4 medallion marts displaced by the 6c amendment, and (d) the 34
+# round-6c/6d keys (SURVEY §2 #36a–ad, #14d plus #32e ivm_mart_refresh and
 # #32f wap_audited_ingest — every key after funnel_windowed in
 # _all_queries(); local 3-SF hash parity only so far). That over-fills
 # 50 several times, so certify in order (d) → (b) → (c) → (a)'s
@@ -293,6 +293,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "pq_quantize": opcluster.pq_quantize,
         "wap_audited_ingest": mcdf.wap_audited_ingest,
         "skew_salted_revenue": ana.skew_salted_revenue,
+        "stream_join_left_outer": strm_join.stream_join_left_outer,
     }
 
 
@@ -439,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
     # dirty discards — oracle is the clean final state)
     out["wap_audited_ingest"] = mcdf.oracle_wap_audited_ingest()
     out["skew_salted_revenue"] = ana.ORACLE_SKEW_SALTED_REVENUE
+    out["stream_join_left_outer"] = strm_join.ORACLE_STREAM_JOIN_LEFT_OUTER
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -294,6 +294,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "wap_audited_ingest": mcdf.wap_audited_ingest,
         "skew_salted_revenue": ana.skew_salted_revenue,
         "stream_join_left_outer": strm_join.stream_join_left_outer,
+        "stream_hopping_rollup": strm.stream_hopping_rollup,
     }
 
 
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
     out["wap_audited_ingest"] = mcdf.oracle_wap_audited_ingest()
     out["skew_salted_revenue"] = ana.ORACLE_SKEW_SALTED_REVENUE
     out["stream_join_left_outer"] = strm_join.ORACLE_STREAM_JOIN_LEFT_OUTER
+    out["stream_hopping_rollup"] = strm.ORACLE_STREAM_HOPPING_ROLLUP
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -167,3 +167,67 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#14h: HOPPING (sliding) windows — 1-hour windows every 15 min,
+    the overlapping-window mode tumbling (#14) never exercises. Each
+    event lands in exactly window/slide = 4 windows; Spark expands the
+    membership map-side (the `window` generator), so the shuffle keyed
+    on (window, event_type) carries 4× rows but stays a plain partial
+    agg — no state beyond the watermark horizon, same as tumbling.
+
+    Oracle: explicit 4-way window expansion via generate_series and
+    integer-µs window arithmetic (epoch-aligned starts, exactly like
+    Spark's window()); exact decimal sums to the double boundary.
+    """
+    stream = load_event_stream(spark, sf_dir)
+
+    rollup = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.col("total_dec").cast("double").alias("total_value"),
+        )
+    )
+
+    sink = f"stream_hop_{uuid.uuid4().hex[:8]}"
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+ORACLE_STREAM_HOPPING_ROLLUP = """
+with expanded as (
+    select
+        make_timestamp((epoch_us(e.ts) // 900000000) * 900000000
+                       - k.k * 900000000) as window_start,
+        e.event_type, e.event_id, e.value
+    from events e
+    cross join (select unnest(generate_series(0, 3)) as k) k
+)
+select
+    window_start,
+    window_start + interval 1 hour as window_end,
+    event_type,
+    count(event_id) as n_events,
+    cast(sum(cast(value as decimal(18,2))) as double) as total_value
+from expanded
+group by window_start, event_type
+"""

@@ -26,22 +26,27 @@ def main() -> None:
     from ecommerce_dbt_medallion_spark.session import get_spark
     from ecommerce_dbt_medallion_spark import api
 
-    spark = get_spark("medallion-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
     queries = api.queries()
-    headline = [
+    # The 8 BASELINE.md-comparable queries: timed in their OWN
+    # SparkSession, fixed order, before anything else runs — round-6
+    # showed a 28-entry warm session perturbing sub-second entries by
+    # >2× (GC/catalog/codegen-cache contamination), eroding the
+    # regression signal the cross-round comparison exists for. The
+    # breadth entries get a second session afterwards; each group is
+    # still min-of-3 per query.
+    comparable = [
         "silver_payments",
         "gold_customer_summary",
         "gold_order_metrics",
         "gold_revenue_analysis",
-    ]
-    # Include op queries as they land in the inventory.
-    for extra in (
         "dedup_exact",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "event_sessionization",
+    ]
+    headline = list(comparable)
+    # Include op queries as they land in the inventory.
+    for extra in (
         # round-2 breadth entries (reported per-query; the 8-query
         # comparable subtotal vs BASELINE.md excludes them)
         "tfidf_top_terms",
@@ -70,6 +75,10 @@ def main() -> None:
         # round-6d: skew-stress gated key (salted shuffle-hash join on a
         # 25%-hot bucket; guard value in BASELINE.md)
         "skew_salted_revenue",
+        # round-7: OPTIMIZE ZORDER + 2-D pruned-scan consumer (guard
+        # value in BASELINE.md; construction-timed — the key's work IS
+        # the create/optimize/prune sequence)
+        "lakehouse_zorder_prune",
     ):
         if extra in queries:
             headline.append(extra)
@@ -89,25 +98,33 @@ def main() -> None:
     # measured with (changing the timer for existing entries would
     # invalidate every cross-round comparison).
     construction_timed = {"dedup_clusters", "dedup_keep_best", "kcore_parts",
-                          "pq_quantize"}
+                          "pq_quantize", "lakehouse_zorder_prune"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in headline:
-        best = float("inf")
-        try:
-            for _ in range(3):  # min-of-3: first run absorbs codegen/GC noise
-                t0 = time.perf_counter()
-                df = queries[name](spark, sf_dir)
-                if name not in construction_timed:
+
+    def run_group(names: list[str]) -> None:
+        spark = get_spark("medallion-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        for name in names:
+            best = float("inf")
+            try:
+                for _ in range(3):  # min-of-3: run 1 absorbs codegen/GC noise
                     t0 = time.perf_counter()
-                df.write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — one broken query must not
-            # kill the whole bench (round 4: a load failure at query 9/14
-            # left the round with NO number at all)
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    df = queries[name](spark, sf_dir)
+                    if name not in construction_timed:
+                        t0 = time.perf_counter()
+                    df.write.mode("overwrite").format("noop").save()
+                    best = min(best, time.perf_counter() - t0)
+                timings[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 — one broken query must
+                # not kill the whole bench (round 4: a load failure at query
+                # 9/14 left the round with NO number at all)
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        spark.stop()
+
+    run_group(comparable)
+    run_group([n for n in headline if n not in comparable])
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -124,7 +141,6 @@ def main() -> None:
         out["incomplete"] = True
         out["value"] = None
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

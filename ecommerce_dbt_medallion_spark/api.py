@@ -82,79 +82,83 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # displaced marts (silver_payments, gold_customer_summary,
 # gold_order_metrics, gold_revenue_analysis) rotate back in round 7.
 #
-# Round-7 note: rotate IN: (a) the 38 r5-certified keys (streams,
-# events-sessionization family, sketches, graph/basket ops), (b) the
-# 8 bronze/silver/DQ keys displaced by round 6's new-key block, (c)
-# the 4 medallion marts displaced by the 6c amendment, and (d) the 34
-# round-6c/6d keys (SURVEY §2 #36a–ad, #14d plus #32e ivm_mart_refresh and
-# #32f wap_audited_ingest — every key after funnel_windowed in
-# _all_queries(); local 3-SF hash parity only so far). That over-fills
-# 50 several times, so certify in order (d) → (b) → (c) → (a)'s
-# events-loader consumers, and spread the remainder over rounds 8–9.
-# No key's latest driver row should ever be more than one round behind
-# the code it runs on.
+# Round-7 rotation (this window): every key certified in rounds 5/6
+# has a green latest driver row, so the 36 never-driver-certified keys
+# go first — the 35 round-6c/6d additions (local 3-SF hash parity only
+# until now) plus the round-7 Z-ORDER consumer — then the 8
+# bronze/silver/DQ keys displaced by round 6's new-key block, the 4
+# medallion marts displaced by the 6c amendment, and 2 high-value r5
+# keys (the events-loader sessionization and the bucketed-facts mart,
+# the two engine paths worth continuous certification).
+#
+# Round-8 note (write the next window from this): the remaining 48
+# r5-certified keys (CORRECTNESS_r05 minus event_sessionization and
+# gold_customer_summary_bucketed, certified here) take 48 slots —
+# after round 8 every key's latest driver row is r6 or newer. The
+# last 2 slots go to the two oldest r6-certified keys in api order
+# (event_daily_stats, event_funnel). Round 9 then starts rotating the
+# 50 r6-certified keys, oldest row first. No key's latest driver row
+# should ever be more than two rounds behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
-    # --- latest driver row is r4 (pre-NTZ-normalizer): re-certify ---
-    # events-loader consumers first
-    "event_daily_stats",
-    "event_funnel",
-    "event_path_topk",
-    "active_users_rolling",
-    "multimodal_frame_sample",
-    "sketch_distinct_users",  # round 6: md5-register HLL, now value-oracled
-    # marts + analytics
-    "gold_rfm_segmentation",
-    "churn_risk_score",
-    "sales_by_region",
-    "supplier_part_revenue",
-    "customer_order_percentiles",
-    "range_join_promo_revenue",
-    "sales_rollup",
-    "payment_method_pivot",
-    "revenue_anomaly_zscore",
-    "customer_ltv_running",
-    "revenue_date_spine",
-    "top_parts_per_region",
-    # LLM-pipeline ops
-    "corpus_weighted_sample",
-    "corpus_stratified_sample",
-    "corpus_sample_per_stratum",
-    "dataset_split",
-    "dataset_split_stats",
-    "dedup_keep_best",
-    "curation_funnel",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "doc_winnowing",
-    "corpus_curation",
-    "dedup_ngram_jaccard",
-    "text_pii_scrub",
-    "decontaminate",
-    "dedup_embedding_lsh",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    # --- round-6b keys added after the window filled: certify first
-    # time (displace the 4 medallion marts certified green in r5) ---
-    "corpus_mix_weights",
-    "semantic_dedup_clusters",
-    "sketch_user_overlap",
-    "funnel_windowed",
-    # --- keys NEW this round (no driver row yet): certify first time.
-    # The 8 bronze/silver/DQ keys they displaced were all green in r5
-    # (one round old — within the rotation policy) and rotate back in
-    # round 7.
-    "lakehouse_cdf",
-    "dq_source_freshness",
-    "scd2_snapshot_build",
-    "kmeans_embeddings",
-    "bm25_topk",
-    "exact_substring_dedup",
-    "doc_containment",
-    "triangle_count_parts",
+    # --- never driver-certified: round-6c analytics/stats marts ---
+    "pricing_summary",
+    "shipping_delay_stats",
+    "basket_size_distribution",
+    "returns_by_month",
+    "discount_band_analysis",
+    "trade_flows",
+    "late_order_priority",
+    "skew_salted_revenue",
+    "revenue_trend",
+    "revenue_seasonality",
+    "winsorized_revenue_stats",
+    "customer_interpurchase",
+    "pareto_frontier_parts",
+    "supplier_hhi",
+    "part_price_quartiles",
+    "customer_decile_revenue",
+    "new_vs_returning_revenue",
+    # --- never driver-certified: round-6c events/journey ops ---
+    "markov_transitions",
+    "markov_dwell",
+    "attribution_position",
+    "event_volume_anomaly",
+    "event_ctr_daily",
+    # --- never driver-certified: round-6c/6d LLM-pipeline ops ---
+    "association_rules",
+    "kcore_parts",
+    "doc_novelty_score",
+    "tokenizer_fertility",
+    "source_length_profile",
+    "vocab_coverage",
+    "minhash_calibration",
+    "ann_recall_report",
+    "pq_quantize",
+    # --- never driver-certified: round-6c/6d engine + streaming ---
+    "ivm_mart_refresh",
+    "wap_audited_ingest",
+    "stream_join_left_outer",
+    "stream_hopping_rollup",
+    # --- NEW round 7: OPTIMIZE ZORDER → 2-D pruned scan consumer ---
+    "lakehouse_zorder_prune",
+    # --- displaced by round 6's new-key block (green r5): re-certify ---
+    "bronze_customers",
+    "bronze_orders",
+    "bronze_payments",
+    "silver_customers",
+    "silver_orders",
+    "dq_generic_tests",
+    "dq_singular_tests",
+    "dq_failed_rows",
+    # --- displaced by the 6c amendment (green r5): re-certify ---
+    "silver_payments",
+    "gold_customer_summary",
+    "gold_order_metrics",
+    "gold_revenue_analysis",
+    # --- high-value r5 keys kept under continuous certification ---
+    "event_sessionization",
+    "gold_customer_summary_bucketed",
 ]
 
 
@@ -295,6 +299,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "skew_salted_revenue": ana.skew_salted_revenue,
         "stream_join_left_outer": strm_join.stream_join_left_outer,
         "stream_hopping_rollup": strm.stream_hopping_rollup,
+        "lakehouse_zorder_prune": mcdf.lakehouse_zorder_prune,
     }
 
 
@@ -443,6 +448,10 @@ def oracle_sql() -> dict[str, str]:
     out["skew_salted_revenue"] = ana.ORACLE_SKEW_SALTED_REVENUE
     out["stream_join_left_outer"] = strm_join.ORACLE_STREAM_JOIN_LEFT_OUTER
     out["stream_hopping_rollup"] = strm.ORACLE_STREAM_HOPPING_ROLLUP
+    # round 7: OPTIMIZE ZORDER consumer — 2-D pruned scan must equal
+    # the plain filter (skip proof is construction-time: the key raises
+    # if no file was skipped)
+    out["lakehouse_zorder_prune"] = mcdf.oracle_lakehouse_zorder_prune()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

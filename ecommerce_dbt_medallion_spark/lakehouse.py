@@ -421,14 +421,7 @@ def delete_keys_deferred(spark: SparkSession, table: str, keys: list) -> int:
     prior = versions(table)
     if not prior:
         raise ValueError(f"table {table} does not exist")
-    key = _read_entry(table, prior[-1]).get("key") or next(
-        (
-            _read_entry(table, v).get("key")
-            for v in reversed(prior)
-            if _read_entry(table, v).get("key")
-        ),
-        None,
-    )
+    key = _table_key_opt(table)
     if key is None:
         raise ValueError("deferred deletes require a table key")
     pend = pending_tombstones(table)
@@ -459,7 +452,12 @@ def materialize_tombstones(spark: SparkSession, table: str) -> int:
     pend = pending_tombstones(table)
     if not pend:
         return versions(table)[-1]
-    key = _read_entry(table, versions(table)[-1]).get("key") or "id"
+    # Full log scan-back, never a last-entry peek with an "id" guess: a
+    # metadata-only commit (constraint, PUBLISH) landing after the
+    # DELETE DEFERRED would otherwise make this destructive rewrite
+    # delete by the wrong column. Tombstones pending implies
+    # delete_keys_deferred found a key, so _table_key cannot miss.
+    key = _table_key(table)
     vals = ", ".join(repr(k) if isinstance(k, str) else str(k) for k in pend)
     return delete_where(
         spark, table, f"{key} in ({vals})", _clear_tombstones=True
@@ -822,7 +820,13 @@ def read_pruned_multi(
     pays off OPTIMIZE ZORDER: a z-clustered layout keeps per-file
     ranges tight on every z dimension AT ONCE, so a 2-D point/range
     query intersects far fewer files than either 1-D clustering would
-    allow. Sound: a file missing stats for a bounded column is read."""
+    allow. Sound: a file missing stats for a bounded column is read.
+
+    The pruned read honors the SAME read contract as ``read()`` —
+    log-derived schema (null-filling pre-evolution files, never an
+    arbitrary footer) and the pending-tombstone anti-filter (a skipped
+    rewrite must not resurrect logically deleted rows) — pruning only
+    ever cuts the FILE list, never changes the visible rows/columns."""
     files = []
     for a in live_files(table, version):
         keep = True
@@ -835,9 +839,28 @@ def read_pruned_multi(
             files.append(a)
     if not files:
         return read(spark, table, version).where(F.lit(False))
-    df = spark.read.parquet(*[_abs(table, a["file"]) for a in files])
+    df = _read_files(spark, table, files, version)
     for col, (lo, hi) in bounds.items():
         df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return df
+
+
+def _read_files(
+    spark: SparkSession, table: str, files: list[dict], version: int | None
+) -> DataFrame:
+    """Read a file SUBSET under the full read() contract: log schema as
+    of ``version`` (so schema-evolved columns null-fill instead of
+    silently vanishing when the subset happens to contain only
+    pre-evolution files) and the merge-on-read tombstone anti-filter
+    (so a pruned scan cannot resurrect deferred-deleted rows)."""
+    reader = spark.read
+    schema = current_schema(table, version)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*[_abs(table, a["file"]) for a in files])
+    pend = pending_tombstones(table, version)
+    if pend:
+        df = df.where(~F.col(_table_key(table, version)).isin(pend))
     return df
 
 
@@ -884,6 +907,19 @@ def _table_key(table: str, version: int | None = None) -> str:
     return key
 
 
+def _table_key_opt(table: str, version: int | None = None) -> str | None:
+    """``_table_key`` without the raise: None when no commit up to
+    ``version`` ever declared a key. Metadata-only commits (PUBLISH,
+    DISCARD, ADD/DROP CONSTRAINT, DELETE DEFERRED materializations)
+    legitimately omit "key", so any consumer that looked only at the
+    LAST entry would intermittently see None — every key lookup must
+    scan back through the log (round-7 advisory fix)."""
+    try:
+        return _table_key(table, version)
+    except ValueError:
+        return None
+
+
 def read_pruned(
     spark: SparkSession,
     table: str,
@@ -912,7 +948,7 @@ def read_pruned(
             files.append(a)
     if not files:
         return read(spark, table, version).where(F.lit(False))
-    return spark.read.parquet(*[_abs(table, a["file"]) for a in files]).where(
+    return _read_files(spark, table, files, version).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
 
@@ -1073,7 +1109,7 @@ def restore(table: str, to_version: int) -> int:
             "version": v,
             "timestamp": time.time(),
             "operation": f"RESTORE AS OF {to_version}",
-            "key": _read_entry(table, to_version).get("key"),
+            "key": _table_key_opt(table, to_version),
             "add": [a for f, a in target.items() if f not in head],
             "remove": [f for f in head if f not in target],
         },
@@ -1286,7 +1322,10 @@ def delete_where(
         for r in tagged.where(predicate).select("__f").distinct().collect()
     }
     touched = [a for a in live if a["file"] in hit_files]
-    key = _read_entry(table, vs[-1]).get("key")
+    # scan-back, not last-entry: a metadata-only commit before this
+    # delete must not strip min/max key stats + blooms from the
+    # rewritten files (they feed MERGE file pruning forever after)
+    key = _table_key_opt(table)
 
     adds: list[dict] = []
     n_deleted = 0
@@ -1357,7 +1396,7 @@ def export_snapshot(
         "table": os.path.basename(os.path.normpath(table)),
         "version": v,
         "exported_at": time.time(),
-        "key": _read_entry(table, vs[-1]).get("key"),
+        "key": _table_key_opt(table, v),
         "partition_by": partition_by or [],
         "files": [],
     }
@@ -1401,7 +1440,7 @@ def table_changes(
     100 TB the CDF cost scales with the churn, not the table.
     """
     if key is None:
-        key = _read_entry(table, versions(table)[-1]).get("key")
+        key = _table_key_opt(table)
     if key is None:
         raise ValueError("table_changes requires a key column")
     old_live = {a["file"] for a in live_files(table, from_version)}

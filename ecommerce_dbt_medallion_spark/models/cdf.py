@@ -291,6 +291,99 @@ def wap_audited_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32g (round 7): the Z-ORDER CONSUMER under the hash
+    gate. OPTIMIZE ZORDER (Morton interleave of customer_id × order_id,
+    lakehouse.py _zorder_column) re-clusters the fact table so per-file
+    min/max stats stay tight on BOTH dimensions at once; the 2-D range
+    scan (``read_pruned_multi``) then answers a ~10%×10% box by reading
+    a FILE SUBSET. Construction raises unless at least one file was
+    actually skipped, so the driver's green row certifies skipping
+    happened AND (via the plain-filter SQL oracle) that the pruned scan
+    is value-exact — data skipping with zero rows lost.
+
+    Bounds are derived from max(customer_id)/max(order_id) with pure
+    integer arithmetic (``(max*20)//100`` etc.) so the static oracle
+    recomputes them identically inside SQL at any SF.
+
+    Scale: this is the 100 TB point-lookup/BI shape — a z-clustered
+    layout turns O(table) scans into O(matching-files); the skip check
+    is metadata-only (log stats), no data IO before the residual scan.
+    """
+    import math
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    table = os.path.normpath(os.path.join(_GATE_ROOT, f"zorder_gate_{tag}"))
+    shutil.rmtree(table, ignore_errors=True)
+
+    facts = silver_orders(spark, sf_dir).select(
+        "order_id",
+        "customer_id",
+        F.col("order_amount").cast("decimal(18,2)").alias("amount"),
+    )
+    lakehouse.create_or_replace(
+        spark, table, facts.repartition(16, "order_id"), key="order_id"
+    )
+    total = sum(a["rows"] for a in lakehouse.live_files(table))
+    lakehouse.optimize(
+        spark,
+        table,
+        key="order_id",
+        target_rows=max(1, math.ceil(total / 16)),
+        small_file_rows=total + 1,  # compact everything into the z-layout
+        zorder_by=["customer_id", "order_id"],
+    )
+
+    mx = facts.agg(
+        F.max("customer_id").alias("mc"), F.max("order_id").alias("mo")
+    ).collect()[0]
+    bounds = {
+        "customer_id": ((mx["mc"] * 20) // 100, (mx["mc"] * 30) // 100),
+        "order_id": ((mx["mo"] * 40) // 100, (mx["mo"] * 50) // 100),
+    }
+
+    live = lakehouse.live_files(table)
+    kept = []
+    for a in live:
+        keep = True
+        for col, (lo, hi) in bounds.items():
+            cs = a.get("col_stats", {}).get(col)
+            if cs is not None and (cs[1] < lo or cs[0] > hi):
+                keep = False
+                break
+        if keep:
+            kept.append(a)
+    if len(kept) >= len(live):
+        raise RuntimeError(
+            f"ZORDER produced no file skipping: {len(kept)}/{len(live)} "
+            "files intersect the 2-D bounds"
+        )
+
+    return lakehouse.read_pruned_multi(spark, table, bounds).select(
+        F.col("order_id").cast("long").alias("order_id"),
+        F.col("customer_id").cast("long").alias("customer_id"),
+        F.col("amount").cast("double").alias("amount"),
+    )
+
+
+def oracle_lakehouse_zorder_prune() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+select cast(order_id as bigint) as order_id,
+    cast(customer_id as bigint) as customer_id,
+    cast(cast(order_amount as decimal(18,2)) as double) as amount
+from silver_orders
+where customer_id between (select (max(customer_id)*20)//100 from silver_orders)
+                      and (select (max(customer_id)*30)//100 from silver_orders)
+  and order_id between (select (max(order_id)*40)//100 from silver_orders)
+                   and (select (max(order_id)*50)//100 from silver_orders)
+""",
+    )
+
+
 def oracle_wap_audited_ingest() -> str:
     from ecommerce_dbt_medallion_spark.oracle import assemble
 

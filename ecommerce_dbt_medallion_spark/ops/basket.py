@@ -496,7 +496,6 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cur.select(F.col("b")))
         .groupBy("part_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .where(F.col("core_degree") >= 0)
     )
 
 

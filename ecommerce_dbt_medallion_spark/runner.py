@@ -274,6 +274,15 @@ def incremental_mart_refresh(
     """
     from ecommerce_dbt_medallion_spark import lakehouse
 
+    # CDF diffs live FILE sets, and a DELETE DEFERRED commit is
+    # metadata-only — tombstoned keys' groups would look clean and the
+    # refresh would silently leave them stale. Same guard append/merge
+    # already apply: materialize first, then refresh.
+    if lakehouse.pending_tombstones(fact_table):
+        raise ValueError(
+            "fact table has pending deferred deletes; run "
+            "materialize_tombstones before incremental_mart_refresh"
+        )
     to_version = lakehouse.versions(fact_table)[-1]
     if to_version == from_version:
         return to_version

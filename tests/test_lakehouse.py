@@ -524,7 +524,9 @@ def test_partition_by_never_splits_a_value(spark, tmp_path):
             if a is b:
                 continue
             blo, bhi = b["col_stats"]["month"]
-            assert bhi < lo or blo > hi or (lo, hi) != (blo, bhi) or False
+            assert bhi < lo or blo > hi, (
+                f"file ranges overlap: [{lo},{hi}] vs [{blo},{bhi}]"
+            )
     # stronger: read each file and assert value sets are disjoint
     import pyarrow.parquet as pq
     import os

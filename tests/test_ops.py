@@ -130,6 +130,56 @@ def test_stream_rollup_equals_batch(spark, duck):
     assert_frames_match(spdf, odf, "stream_event_rollup")
 
 
+def test_stream_hopping_rollup_invariants(spark):
+    """Round-7 pin for the key that landed in the round-6 snapshot
+    commit without its own test: 1-hour windows sliding every 15 min.
+
+    Invariant 1 — exact fan-out: every event lands in exactly
+    window/slide = 4 hopping windows, so hop event counts sum to 4×
+    the raw event count (and window geometry is 1 h wide, 15-min
+    aligned).
+
+    Invariant 2 — tumbling reconciliation: a hopping window starting
+    at s is the union of the four 15-min tumbling slices s..s+45, so
+    per (window, event_type) its count must equal the summed slice
+    counts — ties the hopping expansion to an independently computed
+    batch tumbling rollup.
+    """
+    from pyspark.sql import functions as F
+
+    hop = strm.stream_hopping_rollup(spark, SF_SMOKE).toPandas()
+    # load through the registry so ts semantics match the stream
+    from ecommerce_dbt_medallion_spark.sources.registry import load_events_table
+
+    batch = load_events_table(spark, SF_SMOKE)
+    n_total = batch.count()
+
+    assert int(hop["n_events"].sum()) == 4 * n_total
+    deltas = (hop["window_end"] - hop["window_start"]).unique()
+    assert len(deltas) == 1 and deltas[0] == __import__("pandas").Timedelta(hours=1)
+    assert (hop["window_start"].astype("int64") % (15 * 60 * 10**9) == 0).all()
+
+    slices = (
+        batch.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("slice_start"), "event_type", "n")
+        .toPandas()
+    )
+    slice_n = {
+        (r.slice_start, r.event_type): r.n for r in slices.itertuples()
+    }
+    import pandas as pd
+
+    for r in hop.itertuples():
+        want = sum(
+            slice_n.get((r.window_start + pd.Timedelta(minutes=15 * k), r.event_type), 0)
+            for k in range(4)
+        )
+        assert r.n_events == want, (r.window_start, r.event_type, r.n_events, want)
+
+
 def test_duplicate_event_ids_are_exact_copies(duck):
     """ORACLE_STREAM_DEDUP_EVENTS tie-breaks on min-ts while the streaming
     op keeps first arrival; parity needs duplicate event_ids (if any) to

@@ -172,71 +172,38 @@ def test_driver_window_is_exactly_the_checked_prefix():
     assert len(set(api.DRIVER_WINDOW)) == 50
 
 
-def test_driver_window_membership_round6():
-    """Round-6 rotation: every key whose latest driver row predates the
-    NTZ-normalizer rewrite (r4) must be re-certified this round — above
-    all the five that consume events through the rewritten load path."""
-    r4_latest = {
-        "event_daily_stats",
-        "event_funnel",
-        "event_path_topk",
-        "active_users_rolling",
-        "multimodal_frame_sample",
-        "sketch_distinct_users",
-        "gold_rfm_segmentation",
-        "churn_risk_score",
-        "sales_by_region",
-        "supplier_part_revenue",
-        "customer_order_percentiles",
-        "range_join_promo_revenue",
-        "sales_rollup",
-        "payment_method_pivot",
-        "revenue_anomaly_zscore",
-        "customer_ltv_running",
-        "revenue_date_spine",
-        "top_parts_per_region",
-        "corpus_weighted_sample",
-        "corpus_stratified_sample",
-        "corpus_sample_per_stratum",
-        "dataset_split",
-        "dataset_split_stats",
-        "dedup_keep_best",
-        "curation_funnel",
-        "text_token_stats",
-        "text_quality_score",
-        "text_language_id",
-        "doc_fingerprint",
-        "dedup_exact",
-        "doc_winnowing",
-        "corpus_curation",
-        "dedup_ngram_jaccard",
-        "text_pii_scrub",
-        "decontaminate",
-        "dedup_embedding_lsh",
-        "ann_topk_lsh",
-        "ann_topk_ivf",
+def test_driver_window_membership_round7():
+    """Round-7 rotation: every key with NO driver CORRECTNESS row in any
+    prior round must be in this round's window (computed from the
+    committed CORRECTNESS_r0*.json files, not a hand-copied set — the
+    drift that hand-copy invited is the round-4 lesson), plus the 12
+    keys displaced green-in-r5 by round 6's new-key blocks."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    certified: set = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        certified |= set(json.load(open(p)))
+    never_certified = set(api.queries()) - certified
+    missing = never_certified - set(api.DRIVER_WINDOW)
+    assert not missing, f"never-driver-certified keys outside window: {missing}"
+    displaced_green_r5 = {
+        "bronze_customers",
+        "bronze_orders",
+        "bronze_payments",
+        "silver_customers",
+        "silver_orders",
+        "dq_generic_tests",
+        "dq_singular_tests",
+        "dq_failed_rows",
+        "silver_payments",
+        "gold_customer_summary",
+        "gold_order_metrics",
+        "gold_revenue_analysis",
     }
-    assert r4_latest <= set(api.DRIVER_WINDOW)
-    # round 6b: every key that has NEVER had a driver row certifies this
-    # round (the window's first-time block)
-    never_certified = {
-        "lakehouse_cdf",
-        "dq_source_freshness",
-        "scd2_snapshot_build",
-        "kmeans_embeddings",
-        "bm25_topk",
-        "exact_substring_dedup",
-        "doc_containment",
-        "triangle_count_parts",
-        # round 6c: the 4 round-6b keys that landed after the window
-        # filled take the slots of the 4 medallion marts certified
-        # green in r5 (never-certified outranks one-round-old green)
-        "corpus_mix_weights",
-        "semantic_dedup_clusters",
-        "sketch_user_overlap",
-        "funnel_windowed",
-    }
-    assert never_certified <= set(api.DRIVER_WINDOW)
+    assert displaced_green_r5 <= set(api.DRIVER_WINDOW)
 
 
 def test_every_key_has_oracle_or_documented_rows_only():

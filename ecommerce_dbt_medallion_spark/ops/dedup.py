@@ -817,3 +817,160 @@ left join inter i on i.doc_a = m.doc_a and i.doc_b = m.doc_b
 join sizes sa on sa.doc_id = m.doc_a
 join sizes sb on sb.doc_id = m.doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Stored-signature primitives (streaming / incremental ingestion)
+# ---------------------------------------------------------------------------
+
+def doc_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc dedup state: normalized-md5 ``fingerprint`` + the 64-perm
+    md5 MinHash ``sig`` array (same family as ``dedup_minhash_md5``,
+    same shingling as ``dedup_ngram_jaccard`` — so signature agreement
+    estimates THAT Jaccard). This is the row a production corpus STORES
+    per document: later batches dedup against these signatures without
+    ever re-reading corpus text. Docs too short to shingle (<3 tokens)
+    carry a null ``sig`` — they can still exact-dup via fingerprint.
+    """
+    from ecommerce_dbt_medallion_spark.ops.text import _norm_text
+
+    sh = docs.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle")
+    )
+    fp = docs.select(
+        F.col(id_col), F.md5(_norm_text(F.col(text_col))).alias("fingerprint")
+    )
+    sigs = (
+        sh.groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f"#{p}")))
+                ).alias(f"h{p}")
+                for p in range(MINHASH_PERMS)
+            ]
+        )
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{p}") for p in range(MINHASH_PERMS)]).alias("sig"),
+        )
+    )
+    return fp.join(sigs, id_col, "left")
+
+
+def signature_verdicts(
+    batch_sigs: DataFrame, corpus_sigs: DataFrame | None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Verdict per batch doc against a STORED signature corpus:
+    ``exact_dup`` (fingerprint already present; match = min corpus id),
+    ``near_dup`` (best LSH-candidate with signature-agreement Jaccard
+    estimate >= MINHASH_JACCARD_THRESHOLD), else ``novel``.
+
+    The corpus side joins on fingerprints and 16x4 band keys derived
+    from the stored ``sig`` arrays — the corpus is never re-shingled
+    and never all-pairs-joined; shuffle is batch x band-bucket
+    occupancy, the incremental-dedup scale shape (see
+    ``dedup_incremental``, which gates the same verdict semantics with
+    exact-Jaccard verification under the driver's hash oracle).
+    """
+    from pyspark.sql import Window
+
+    id_type = dict(batch_sigs.dtypes)[id_col]
+    if corpus_sigs is None:
+        return batch_sigs.select(
+            F.col(id_col),
+            F.lit("novel").alias("verdict"),
+            F.lit(None).cast(id_type).alias("match_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+
+    exact = (
+        batch_sigs.alias("b")
+        .join(corpus_sigs.alias("c"), "fingerprint")
+        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"c.{id_col}")).alias("exact_match"))
+    )
+
+    def _bands(df: DataFrame) -> DataFrame:
+        keys = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * LSH_ROWS + r + 1)
+                        for r in range(LSH_ROWS)
+                    ],
+                )
+            )
+            for b in range(LSH_BANDS)
+        ]
+        return df.where(F.col("sig").isNotNull()).select(
+            F.col(id_col), F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+        )
+
+    cand = (
+        _bands(batch_sigs)
+        .alias("bb")
+        .join(
+            _bands(corpus_sigs).alias("cb"),
+            (F.col("bb.band_id") == F.col("cb.band_id"))
+            & (F.col("bb.band_key") == F.col("cb.band_key")),
+        )
+        .select(
+            F.col(f"bb.{id_col}").alias(id_col),
+            F.col(f"cb.{id_col}").alias("match_id"),
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(
+            batch_sigs.select(F.col(id_col), F.col("sig").alias("bsig")), id_col
+        )
+        .join(
+            corpus_sigs.select(
+                F.col(id_col).alias("match_id"), F.col("sig").alias("csig")
+            ),
+            "match_id",
+        )
+        .select(
+            id_col,
+            "match_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "bsig", "csig", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / F.lit(MINHASH_PERMS)
+            ).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= MINHASH_JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("est_jaccard"), F.asc("match_id")
+    )
+    near = (
+        est.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("match_id").alias("near_match"), "est_jaccard")
+    )
+    return (
+        batch_sigs.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+            F.when(F.col("exact_match").isNull(), F.col("est_jaccard")).alias(
+                "est_jaccard"
+            ),
+        )
+    )

@@ -953,3 +953,116 @@ def test_optimize_materializes_pending_tombstones(spark, table):
     assert got.where(F.col("id").isin([10, 11])).count() == 0
     ops = [h["operation"] for h in lh.history(table)]
     assert "MATERIALIZE TOMBSTONES" in ops
+
+
+def test_stream_ingest_dedup_multi_batch(spark, tmp_path):
+    """Round-7 glue: foreachBatch ingestion → verdict vs STORED corpus
+    signatures → verdict MERGE + novel-only corpus append. Three
+    micro-batches with planted exact/near/novel docs; per-batch
+    verdicts must equal a batch-mode replay against the corpus state
+    that SHOULD have existed before that batch (the state-maintenance
+    property — the verdict math itself is oracle-gated via
+    dedup_incremental)."""
+    import os
+    import random
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.dedup import (
+        doc_signatures,
+        signature_verdicts,
+    )
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        stream_ingest_dedup,
+    )
+
+    vocab = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    rng = random.Random(11)
+
+    def long_doc(seed: int) -> str:
+        r = random.Random(seed)
+        return " ".join(r.choice(vocab) for _ in range(600))
+
+    d1, d2, d3 = long_doc(1), long_doc(2), long_doc(3)
+    d13, d23 = long_doc(13), long_doc(23)
+    near = lambda t: " ".join(
+        ["zulu" if i == 300 else w for i, w in enumerate(t.split())]
+    )
+    batches = [
+        [(1, d1), (2, d2), (3, d3), (4, "hi")],
+        [(11, "  " + d1.upper() + "  "), (12, near(d2)), (13, d13)],
+        [(21, d13), (22, near(d13)), (23, d23)],
+    ]
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (time.time() + i * 10, time.time() + i * 10))
+
+    sig_table = str(tmp_path / "corpus_sigs")
+    verdict_table = str(tmp_path / "verdicts")
+    stream_ingest_dedup(
+        spark, str(src), sig_table, verdict_table,
+        schema="doc_id long, text string",
+    )
+
+    verd = {
+        r["doc_id"]: r
+        for r in lh.read(spark, verdict_table).collect()
+    }
+    assert len(verd) == 10
+    # planted semantics
+    assert verd[11]["verdict"] == "exact_dup" and verd[11]["match_id"] == 1
+    assert verd[12]["verdict"] == "near_dup" and verd[12]["match_id"] == 2
+    assert verd[13]["verdict"] == "novel"
+    assert verd[21]["verdict"] == "exact_dup" and verd[21]["match_id"] == 13
+    assert verd[22]["verdict"] == "near_dup" and verd[22]["match_id"] == 13
+    assert verd[23]["verdict"] == "novel"
+    for k in (1, 2, 3, 4):
+        assert verd[k]["verdict"] == "novel", k
+
+    # corpus holds exactly the novel docs' signatures
+    corpus_ids = {
+        r["doc_id"] for r in lh.read(spark, sig_table).select("doc_id").collect()
+    }
+    assert corpus_ids == {1, 2, 3, 4, 13, 23}
+
+    # per-batch replay: verdicts must equal batch-mode recomputation
+    # against the prior batches' novel docs (state-maintenance check)
+    novel_so_far: list[tuple] = []
+    for bi, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        corpus = (
+            doc_signatures(
+                spark.createDataFrame(novel_so_far, "doc_id long, text string")
+            )
+            if novel_so_far
+            else None
+        )
+        expect = {
+            r["doc_id"]: r for r in signature_verdicts(bdf.transform(doc_signatures), corpus).collect()
+        }
+        for did, _ in rows:
+            got = verd[did]
+            assert got["verdict"] == expect[did]["verdict"], (bi, did)
+            assert got["match_id"] == expect[did]["match_id"], (bi, did)
+            assert got["batch_id"] == bi, (bi, did, got["batch_id"])
+        novel_so_far.extend(
+            (did, t) for did, t in rows if expect[did]["verdict"] == "novel"
+        )

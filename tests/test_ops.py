@@ -648,3 +648,56 @@ def test_hll_merge_union_accuracy(spark):
             assert rel < 0.08, (r["t1"], r["t2"], rel)
             abs_err = abs(r["est_inter_r4"] - r["exact_inter"])
             assert abs_err < 0.24 * r["exact_union"], (r["t1"], r["t2"], abs_err)
+
+
+def test_knn_planes_dial_bounds_occupancy(spark):
+    """Round-7 scale dial (SURVEY §6): knn_planes_for(n) must keep the
+    LSH family's expected bucket occupancy bounded as the corpus grows
+    a decade, where the FIXED default family's occupancy grows ~10×.
+    Synthetic centered random vectors (the near-uniform-bucket case the
+    occupancy math assumes); one table of the real md5 hyperplane
+    family."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.similarity import (
+        DIM,
+        KNN_LSH_PLANES,
+        KNN_TARGET_OCCUPANCY,
+        _hp_bucket_col,
+        knn_planes_for,
+    )
+
+    assert knn_planes_for(0) == KNN_LSH_PLANES
+    assert knn_planes_for(1_000) == KNN_LSH_PLANES  # floor: oracle family
+    assert knn_planes_for(16_000) > KNN_LSH_PLANES
+    # ~3-4 planes per decade
+    assert 3 <= knn_planes_for(160_000) - knn_planes_for(16_000) <= 4
+
+    def mean_occupancy(n: int, planes: int) -> float:
+        rng = np.random.default_rng(5)
+        rows = [
+            (i, [float(x) for x in rng.uniform(-1, 1, DIM)]) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+        occ = (
+            df.select(_hp_bucket_col("knn", 0, planes).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.avg("c").alias("m"))
+            .collect()[0]["m"]
+        )
+        return float(occ)
+
+    occ_small = mean_occupancy(1_000, knn_planes_for(1_000))
+    occ_large_dialed = mean_occupancy(16_000, knn_planes_for(16_000))
+    occ_large_fixed = mean_occupancy(16_000, KNN_LSH_PLANES)
+
+    # dialed occupancy stays within a small factor of the target at both
+    # sizes; the fixed family blows up ~n/2^8
+    assert occ_small <= 4 * KNN_TARGET_OCCUPANCY, occ_small
+    assert occ_large_dialed <= 4 * KNN_TARGET_OCCUPANCY, occ_large_dialed
+    assert occ_large_fixed >= 3 * occ_large_dialed, (
+        occ_large_fixed,
+        occ_large_dialed,
+    )

@@ -91,14 +91,20 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # keys (the events-loader sessionization and the bucketed-facts mart,
 # the two engine paths worth continuous certification).
 #
-# Round-8 note (write the next window from this): the remaining 48
-# r5-certified keys (CORRECTNESS_r05 minus event_sessionization and
-# gold_customer_summary_bucketed, certified here) take 48 slots —
-# after round 8 every key's latest driver row is r6 or newer. The
-# last 2 slots go to the two oldest r6-certified keys in api order
-# (event_daily_stats, event_funnel). Round 9 then starts rotating the
-# 50 r6-certified keys, oldest row first. No key's latest driver row
-# should ever be more than two rounds behind the code it runs on.
+# Round-8 note (write the next window from this): after round 7, the
+# keys whose latest driver row is still r5 are the 36 =
+# CORRECTNESS_r05 minus the 14 of them re-certified in this window
+# (bronze×3, silver×3, the 3 dq keys, the 3 gold marts,
+# event_sessionization, gold_customer_summary_bucketed). Those 36
+# take the first 36 round-8 slots; the remaining 14 go to the oldest
+# r6-certified keys in api order (event_daily_stats, event_funnel,
+# event_path_topk, active_users_rolling, multimodal_frame_sample,
+# sketch_distinct_users, gold_rfm_segmentation, churn_risk_score,
+# sales_by_region, supplier_part_revenue, customer_order_percentiles,
+# range_join_promo_revenue, sales_rollup, payment_method_pivot).
+# Round 9 rotates the rest of the r6 block + the r7 block, oldest
+# row first. No key's latest driver row should ever be more than two
+# rounds behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
     # --- never driver-certified: round-6c analytics/stats marts ---

@@ -79,6 +79,10 @@ def main() -> None:
         # value in BASELINE.md; construction-timed — the key's work IS
         # the create/optimize/prune sequence)
         "lakehouse_zorder_prune",
+        # round-7: 3-batch streaming corpus-dedup pipeline (guard in
+        # BASELINE.md; construction-timed — foreachBatch drains during
+        # construction, the returned DF is the final verdict table)
+        "stream_dedup_ingest",
     ):
         if extra in queries:
             headline.append(extra)
@@ -98,7 +102,8 @@ def main() -> None:
     # measured with (changing the timer for existing entries would
     # invalidate every cross-round comparison).
     construction_timed = {"dedup_clusters", "dedup_keep_best", "kcore_parts",
-                          "pq_quantize", "lakehouse_zorder_prune"}
+                          "pq_quantize", "lakehouse_zorder_prune",
+                          "stream_dedup_ingest"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

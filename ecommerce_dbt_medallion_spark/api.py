@@ -41,6 +41,7 @@ from ecommerce_dbt_medallion_spark.ops import vocab as opvocab
 from ecommerce_dbt_medallion_spark.quality import checks as dq
 from ecommerce_dbt_medallion_spark.quality import freshness as dqfresh
 from ecommerce_dbt_medallion_spark.streaming import enrich_stream as strm_enrich
+from ecommerce_dbt_medallion_spark.streaming import ingest_stream as strm_ingest
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
 from ecommerce_dbt_medallion_spark.streaming import join_stream as strm_join
 from ecommerce_dbt_medallion_spark.streaming import sessionize_stream as strm_sessions
@@ -92,16 +93,16 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # the two engine paths worth continuous certification).
 #
 # Round-8 note (write the next window from this): after round 7, the
-# keys whose latest driver row is still r5 are the 36 =
-# CORRECTNESS_r05 minus the 14 of them re-certified in this window
+# keys whose latest driver row is still r5 are the 37 =
+# CORRECTNESS_r05 minus the 13 of them re-certified in this window
 # (bronze×3, silver×3, the 3 dq keys, the 3 gold marts,
-# event_sessionization, gold_customer_summary_bucketed). Those 36
-# take the first 36 round-8 slots; the remaining 14 go to the oldest
-# r6-certified keys in api order (event_daily_stats, event_funnel,
-# event_path_topk, active_users_rolling, multimodal_frame_sample,
+# event_sessionization). Those 37 take the first 37 round-8 slots;
+# the remaining 13 go to the oldest r6-certified keys in api order
+# (event_daily_stats, event_funnel, event_path_topk,
+# active_users_rolling, multimodal_frame_sample,
 # sketch_distinct_users, gold_rfm_segmentation, churn_risk_score,
 # sales_by_region, supplier_part_revenue, customer_order_percentiles,
-# range_join_promo_revenue, sales_rollup, payment_method_pivot).
+# range_join_promo_revenue, sales_rollup).
 # Round 9 rotates the rest of the r6 block + the r7 block, oldest
 # row first. No key's latest driver row should ever be more than two
 # rounds behind the code it runs on.
@@ -146,8 +147,10 @@ DRIVER_WINDOW = [
     "wap_audited_ingest",
     "stream_join_left_outer",
     "stream_hopping_rollup",
-    # --- NEW round 7: OPTIMIZE ZORDER → 2-D pruned scan consumer ---
+    # --- NEW round 7: OPTIMIZE ZORDER → 2-D pruned scan consumer,
+    # and the streaming corpus-dedup pipeline under the gate ---
     "lakehouse_zorder_prune",
+    "stream_dedup_ingest",
     # --- displaced by round 6's new-key block (green r5): re-certify ---
     "bronze_customers",
     "bronze_orders",
@@ -162,9 +165,11 @@ DRIVER_WINDOW = [
     "gold_customer_summary",
     "gold_order_metrics",
     "gold_revenue_analysis",
-    # --- high-value r5 keys kept under continuous certification ---
+    # --- high-value r5 key kept under continuous certification
+    # (gold_customer_summary_bucketed ceded its slot to the new
+    # stream_dedup_ingest — never-certified outranks one-round-old
+    # green; it rejoins in round 8 with the other r5-latest keys) ---
     "event_sessionization",
-    "gold_customer_summary_bucketed",
 ]
 
 
@@ -306,6 +311,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "stream_join_left_outer": strm_join.stream_join_left_outer,
         "stream_hopping_rollup": strm.stream_hopping_rollup,
         "lakehouse_zorder_prune": mcdf.lakehouse_zorder_prune,
+        "stream_dedup_ingest": strm_ingest.stream_dedup_ingest,
     }
 
 
@@ -458,6 +464,9 @@ def oracle_sql() -> dict[str, str]:
     # the plain filter (skip proof is construction-time: the key raises
     # if no file was skipped)
     out["lakehouse_zorder_prune"] = mcdf.oracle_lakehouse_zorder_prune()
+    # round 7: the 3-batch streaming corpus-dedup pipeline replayed in
+    # pure SQL (md5 minhash + banding + signature-agreement Jaccard)
+    out["stream_dedup_ingest"] = strm_ingest.oracle_stream_dedup_ingest()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -228,7 +228,19 @@ def _stage_files(
 ) -> list[dict]:
     """Write df's partitions as immutable parquet files under data/ and
     return their add-actions (with per-file min/max stats on ``key`` and
-    each of ``stats_cols`` from the parquet footers, plus a key bloom)."""
+    each of ``stats_cols`` from the parquet footers, plus a key bloom).
+
+    The table's DECLARED partition column (most recent CREATE) is
+    always added to ``stats_cols``: every rewrite path — MERGE touched
+    files, DELETE, OPTIMIZE — must keep partition-column stats on the
+    files it writes, or each rewrite would silently turn skippable
+    files into always-read ones and partition pruning would decay with
+    table churn (round-7 fix)."""
+    part_col = _table_partition_by(table)
+    if part_col is not None and part_col in df.columns:
+        stats_cols = list(stats_cols or [])
+        if part_col not in stats_cols:
+            stats_cols.append(part_col)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     blooms = _stage_blooms(df, staging, key) if key is not None else {}
@@ -642,6 +654,11 @@ def append(
     prior = versions(table)
     if not prior:
         return create_or_replace(spark, table, df, key, partition_by=partition_by)
+    if partition_by is None:
+        # inherit the table's declared clustering: an append that forgot
+        # the partition column would otherwise write files spanning every
+        # partition value, quietly breaking pruning for all new data
+        partition_by = _table_partition_by(table)
     df, schema = _evolve_schema(table, df, merge_schema)
     if pending_tombstones(table):
         raise ValueError(
@@ -905,6 +922,28 @@ def _table_key(table: str, version: int | None = None) -> str:
     if key is None:
         raise ValueError(f"table {table} has no declared key")
     return key
+
+
+def _table_partition_by(table: str, version: int | None = None) -> str | None:
+    """The table's DECLARED partition column as of ``version``: the
+    ``partition_by`` recorded by the most recent CREATE / CREATE OR
+    REPLACE commit (appends record their per-write clustering, which
+    may legitimately be None — the declaration lives on the create).
+    None when the table was created unpartitioned or predates the
+    tracking."""
+    vs = versions(table)
+    if not vs:
+        return None
+    if version is None:
+        version = vs[-1]
+    out = None
+    for v in vs:
+        if v > version:
+            break
+        e = _read_entry(table, v)
+        if e.get("operation") in ("CREATE", "CREATE OR REPLACE"):
+            out = e.get("partition_by")
+    return out
 
 
 def _table_key_opt(table: str, version: int | None = None) -> str | None:
@@ -1260,6 +1299,7 @@ def optimize(
     df = spark.read.parquet(*[_abs(table, a["file"]) for a in small])
     total = sum(a["rows"] for a in small)
     nfiles = max(1, math.ceil(total / target_rows))
+    part_col = _table_partition_by(table)
     if zorder_by:
         df = (
             _zorder_column(df, zorder_by)
@@ -1267,6 +1307,14 @@ def optimize(
             .sortWithinPartitions("__z")
             .drop("__z")
         )
+    elif part_col is not None and part_col in df.columns:
+        # a PARTITIONED table compacts along its declared clustering
+        # (Delta's OPTIMIZE works within partitions): bin-packing small
+        # files across partition values would widen every file's
+        # partition range and erase the layout the CREATE asked for.
+        # Compacted file count = partition-value count (one clustered
+        # file per range), not total/target_rows.
+        df = _apply_partitioning(df, part_col)
     elif key is not None:
         df = df.repartitionByRange(nfiles, F.col(key))
     else:
@@ -1282,6 +1330,7 @@ def optimize(
             "operation": "OPTIMIZE",
             "key": key,
             "zorder_by": zorder_by,
+            "partition_by": part_col,
             "add": adds,
             "remove": [a["file"] for a in small],
             "stats": {

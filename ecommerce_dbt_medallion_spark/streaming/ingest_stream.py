@@ -255,3 +255,203 @@ def stream_ingest_dedup(
         if lakehouse.versions(verdict_table)
         else -1,
     )
+
+
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str):
+    """Gated key (SURVEY §2 #14f, round 7): the STREAMING corpus-dedup
+    pipeline end-to-end under the driver's hash oracle. The documents
+    table splits into three deterministic micro-batches (doc_id % 3,
+    processed in order via mtime+name-ordered files,
+    maxFilesPerTrigger=1); ``stream_ingest_dedup`` runs the full
+    foreachBatch loop — batch signatures → verdicts vs the STORED
+    corpus signature table → verdict MERGE → novel-only signature
+    APPEND — and the returned verdict table is value-checked against a
+    pure-SQL replay of all three rounds (md5 minhash + 16×4 banding +
+    signature-agreement Jaccard are engine-portable, the same family
+    dedup_minhash_md5 gates). batch_id is part of the output, so the
+    oracle also pins that batches processed in order.
+
+    Scale shape: identical to production ingestion — per-batch shuffle
+    ∝ batch × band-bucket occupancy; the corpus is read from stored
+    state, never re-shingled; both state tables are versioned lakehouse
+    tables (one MERGE + at most one APPEND commit per batch).
+    """
+    import re as _re
+    import shutil as _sh
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark import lakehouse
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.normpath(os.path.join(_GATE_ROOT, f"dedupstream_src_{tag}"))
+    sig_table = os.path.normpath(os.path.join(_GATE_ROOT, f"dedupstream_sigs_{tag}"))
+    verdict_table = os.path.normpath(
+        os.path.join(_GATE_ROOT, f"dedupstream_verdicts_{tag}")
+    )
+    for p in (src, sig_table, verdict_table):
+        _sh.rmtree(p, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _time.time()
+    for k in range(3):
+        staging = os.path.join(src, f"_stage{k}")
+        docs.where(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        (part,) = [
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        ]
+        dest = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(staging, part), dest)
+        _sh.rmtree(staging, ignore_errors=True)
+        # FileStreamSource orders by (mtime, path): make both increase
+        os.utime(dest, (base + k * 10, base + k * 10))
+
+    stream_ingest_dedup(
+        spark, src, sig_table, verdict_table,
+        schema="doc_id long, text string",
+    )
+    return lakehouse.read(spark, verdict_table).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "verdict",
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("est_jaccard").cast("double").alias("est_jaccard"),
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )
+
+
+def oracle_stream_dedup_ingest() -> str:
+    """Pure-SQL replay of the 3-batch streaming dedup: shared
+    tok/grams/sigs/fp CTEs (MATERIALIZED — multi-referenced), then per
+    round k: exact = fingerprint hit in the corpus-so-far, near = best
+    banded candidate with signature-agreement >= threshold, novel docs
+    (min id per fingerprint) extend the corpus."""
+    from ecommerce_dbt_medallion_spark.config import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_JACCARD_THRESHOLD,
+        MINHASH_PERMS,
+    )
+    from ecommerce_dbt_medallion_spark.ops.text import NGRAM_N, WS_RE
+
+    sig_cols = ",\n        ".join(
+        f"min(md5(gram || '#{p}')) as h{p}" for p in range(MINHASH_PERMS)
+    )
+    band_union = "\n    union all\n    ".join(
+        f"select doc_id, {b} as band_id, "
+        + "md5("
+        + " || ',' || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ") as band_key from sigs"
+        for b in range(LSH_BANDS)
+    )
+    nmatch = " + ".join(
+        f"(case when sa.h{p} = sb.h{p} then 1 else 0 end)"
+        for p in range(MINHASH_PERMS)
+    )
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+    rounds = []
+    # corpus after round 0: batch-0 docs are all novel (empty corpus),
+    # one representative (min id) per fingerprint
+    rounds.append(
+        """c0 as materialized (
+    select min(doc_id) as doc_id, fingerprint
+    from fp where doc_id % 3 = 0 group by fingerprint
+)"""
+    )
+    for k in (1, 2):
+        prev = f"c{k - 1}"
+        rounds.append(
+            f"""x{k} as materialized (
+    select b.doc_id, min(c.doc_id) as exact_match
+    from fp b join {prev} c on c.fingerprint = b.fingerprint
+    where b.doc_id % 3 = {k}
+    group by b.doc_id
+),
+cand{k} as materialized (
+    select distinct bb.doc_id, cb.doc_id as match_id
+    from bands bb
+    join {prev} c on c.doc_id is not null
+    join bands cb on cb.doc_id = c.doc_id
+     and cb.band_id = bb.band_id and cb.band_key = bb.band_key
+    where bb.doc_id % 3 = {k}
+),
+est{k} as materialized (
+    select cn.doc_id, cn.match_id,
+        cast({nmatch} as double) / {MINHASH_PERMS} as est_jaccard
+    from cand{k} cn
+    join sigs sa on sa.doc_id = cn.doc_id
+    join sigs sb on sb.doc_id = cn.match_id
+),
+near{k} as materialized (
+    select doc_id, match_id as near_match, est_jaccard from (
+        select doc_id, match_id, est_jaccard,
+            row_number() over (
+                partition by doc_id order by est_jaccard desc, match_id
+            ) as rn
+        from est{k} where est_jaccard >= {MINHASH_JACCARD_THRESHOLD}
+    ) where rn = 1
+),
+v{k} as materialized (
+    select b.doc_id,
+        case when x.exact_match is not null then 'exact_dup'
+             when n.near_match is not null then 'near_dup'
+             else 'novel' end as verdict,
+        coalesce(x.exact_match, n.near_match) as match_id,
+        case when x.exact_match is null then n.est_jaccard end as est_jaccard
+    from (select doc_id from documents where doc_id % 3 = {k}) b
+    left join x{k} x on x.doc_id = b.doc_id
+    left join near{k} n on n.doc_id = b.doc_id
+),
+c{k} as materialized (
+    select doc_id, fingerprint from {prev}
+    union all
+    select min(f.doc_id), f.fingerprint
+    from v{k} v join fp f on f.doc_id = v.doc_id
+    where v.verdict = 'novel'
+    group by f.fingerprint
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+
+    return f"""
+with tok as materialized (
+    select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from documents
+),
+grams as materialized (
+    select doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as gram
+    from tok
+),
+sigs as materialized (
+    select doc_id,
+        {sig_cols}
+    from grams group by doc_id
+),
+fp as materialized (
+    select doc_id, md5({norm}) as fingerprint from documents
+),
+bands as materialized (
+    {band_union}
+),
+{rounds_sql}
+select cast(doc_id as bigint) as doc_id,
+       'novel' as verdict,
+       cast(null as bigint) as match_id,
+       cast(null as double) as est_jaccard,
+       cast(0 as bigint) as batch_id
+from documents where doc_id % 3 = 0
+union all
+select cast(doc_id as bigint), verdict, cast(match_id as bigint),
+       cast(est_jaccard as double), cast(1 as bigint) from v1
+union all
+select cast(doc_id as bigint), verdict, cast(match_id as bigint),
+       cast(est_jaccard as double), cast(2 as bigint) from v2
+"""

@@ -1066,3 +1066,71 @@ def test_stream_ingest_dedup_multi_batch(spark, tmp_path):
         novel_so_far.extend(
             (did, t) for did, t in rows if expect[did]["verdict"] == "novel"
         )
+
+
+def test_optimize_preserves_declared_partitioning(spark, tmp_path):
+    """Round-7 fix: OPTIMIZE on a PARTITION-CLUSTERED table must compact
+    along the declared partition column (Delta compacts within
+    partitions) — bin-packing across partition values would widen every
+    file's range and erase the layout CREATE asked for. Also: appends
+    inherit the declared clustering, and every rewrite keeps
+    partition-column stats on the files it writes."""
+    path = str(tmp_path / "parted_opt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 6).cast("string").alias("bucket")
+    )
+    lh.create_or_replace(spark, path, mk(0, 300), key="id", partition_by="bucket")
+    # two appends WITHOUT partition_by: must inherit the declaration
+    lh.append(spark, path, mk(300, 500), key="id")
+    lh.append(spark, path, mk(500, 700), key="id")
+    for a in lh.live_files(path):
+        assert "bucket" in a.get("col_stats", {}), a
+
+    v = lh.optimize(spark, path, key="id", target_rows=10_000)
+    assert lh._read_entry(path, v)["partition_by"] == "bucket"
+    live = lh.live_files(path)
+    # partition stats survived the rewrite…
+    for a in live:
+        assert "bucket" in a.get("col_stats", {}), a
+    # …and no partition value spans two files (clustered compaction)
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    sets = []
+    for a in live:
+        t = _pq.read_table(
+            _os.path.join(path, "data", a["file"]), columns=["bucket"]
+        )
+        sets.append(set(t.column("bucket").to_pylist()))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            assert not (sets[i] & sets[j]), "partition value spans two files"
+    # pruning still works end-to-end after compaction
+    got = {r["id"] for r in lh.read_pruned(spark, path, "bucket", "2", "2").collect()}
+    assert got == {i for i in range(700) if i % 6 == 2}
+    kept = [
+        a
+        for a in live
+        if not (a["col_stats"]["bucket"][1] < "2" or a["col_stats"]["bucket"][0] > "2")
+    ]
+    assert len(kept) < len(live), "no files skipped after OPTIMIZE"
+
+
+def test_merge_rewrite_keeps_partition_stats(spark, tmp_path):
+    """A MERGE that rewrites files of a partitioned table must keep the
+    partition column's stats on the rewritten files (pruning would
+    otherwise decay with churn)."""
+    path = str(tmp_path / "parted_merge")
+    df = spark.range(120).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket"),
+        (F.col("id") * 10).alias("val"),
+    )
+    lh.create_or_replace(spark, path, df, key="id", partition_by="bucket")
+    src = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket"),
+        F.lit(-1).alias("val"),
+    )
+    lh.merge_into(spark, path, src, "id")
+    for a in lh.live_files(path):
+        assert "bucket" in a.get("col_stats", {}), a

@@ -93,16 +93,16 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # the two engine paths worth continuous certification).
 #
 # Round-8 note (write the next window from this): after round 7, the
-# keys whose latest driver row is still r5 are the 37 =
-# CORRECTNESS_r05 minus the 13 of them re-certified in this window
-# (bronze×3, silver×3, the 3 dq keys, the 3 gold marts,
-# event_sessionization). Those 37 take the first 37 round-8 slots;
-# the remaining 13 go to the oldest r6-certified keys in api order
-# (event_daily_stats, event_funnel, event_path_topk,
-# active_users_rolling, multimodal_frame_sample,
-# sketch_distinct_users, gold_rfm_segmentation, churn_risk_score,
-# sales_by_region, supplier_part_revenue, customer_order_percentiles,
-# range_join_promo_revenue, sales_rollup).
+# keys whose latest driver row is still r5 are the 39 =
+# CORRECTNESS_r05 minus the 11 of them re-certified in this window
+# (bronze×3, silver_customers, silver_orders, silver_payments,
+# dq_generic_tests, dq_singular_tests, and the 3 gold marts). Those
+# 39 take the first 39 round-8 slots; the remaining 11 go to the
+# oldest r6-certified keys in api order (event_daily_stats,
+# event_funnel, event_path_topk, active_users_rolling,
+# multimodal_frame_sample, sketch_distinct_users,
+# gold_rfm_segmentation, churn_risk_score, sales_by_region,
+# supplier_part_revenue, customer_order_percentiles).
 # Round 9 rotates the rest of the r6 block + the r7 block, oldest
 # row first. No key's latest driver row should ever be more than two
 # rounds behind the code it runs on.
@@ -148,10 +148,17 @@ DRIVER_WINDOW = [
     "stream_join_left_outer",
     "stream_hopping_rollup",
     # --- NEW round 7: OPTIMIZE ZORDER → 2-D pruned scan consumer,
-    # and the streaming corpus-dedup pipeline under the gate ---
+    # the streaming corpus-dedup pipeline, additive schema evolution,
+    # and RESTORE-read — all never-certified, all under the gate ---
     "lakehouse_zorder_prune",
     "stream_dedup_ingest",
-    # --- displaced by round 6's new-key block (green r5): re-certify ---
+    "lakehouse_schema_evolution",
+    "lakehouse_restore_read",
+    # --- displaced by round 6's new-key block (green r5): re-certify.
+    # dq_failed_rows, event_sessionization and
+    # gold_customer_summary_bucketed ceded their slots to the four new
+    # round-7 keys (never-certified outranks one-round-old green);
+    # they rejoin in round 8 with the other r5-latest keys. ---
     "bronze_customers",
     "bronze_orders",
     "bronze_payments",
@@ -159,17 +166,11 @@ DRIVER_WINDOW = [
     "silver_orders",
     "dq_generic_tests",
     "dq_singular_tests",
-    "dq_failed_rows",
     # --- displaced by the 6c amendment (green r5): re-certify ---
     "silver_payments",
     "gold_customer_summary",
     "gold_order_metrics",
     "gold_revenue_analysis",
-    # --- high-value r5 key kept under continuous certification
-    # (gold_customer_summary_bucketed ceded its slot to the new
-    # stream_dedup_ingest — never-certified outranks one-round-old
-    # green; it rejoins in round 8 with the other r5-latest keys) ---
-    "event_sessionization",
 ]
 
 
@@ -312,6 +313,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "stream_hopping_rollup": strm.stream_hopping_rollup,
         "lakehouse_zorder_prune": mcdf.lakehouse_zorder_prune,
         "stream_dedup_ingest": strm_ingest.stream_dedup_ingest,
+        "lakehouse_schema_evolution": mcdf.lakehouse_schema_evolution,
+        "lakehouse_restore_read": mcdf.lakehouse_restore_read,
     }
 
 
@@ -467,6 +470,10 @@ def oracle_sql() -> dict[str, str]:
     # round 7: the 3-batch streaming corpus-dedup pipeline replayed in
     # pure SQL (md5 minhash + banding + signature-agreement Jaccard)
     out["stream_dedup_ingest"] = strm_ingest.oracle_stream_dedup_ingest()
+    # round 7: additive schema evolution (log-schema null-fill) and
+    # RESTORE-read (metadata rollback) under the gate
+    out["lakehouse_schema_evolution"] = mcdf.oracle_lakehouse_schema_evolution()
+    out["lakehouse_restore_read"] = mcdf.oracle_lakehouse_restore_read()
     out["sales_by_region"] = ana.ORACLE_SALES_BY_REGION
     out["supplier_part_revenue"] = ana.ORACLE_SUPPLIER_PART_REVENUE
     out["range_join_promo_revenue"] = ana.ORACLE_RANGE_JOIN_PROMO_REVENUE

@@ -366,6 +366,107 @@ def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32h (round 7): ADDITIVE SCHEMA EVOLUTION under the
+    hash gate. v0 = even-order facts with (order_id, customer_id,
+    amount); v1 = an APPEND of the odd-order facts carrying a NEW
+    ``channel`` column with ``merge_schema=True``. The final read must
+    serve the LOG schema — pre-evolution files null-fill ``channel``,
+    post-evolution rows carry their values — which is exactly what the
+    pure-SQL oracle states (evens → null channel, odds → derived
+    channel). A reader that takes its schema from an arbitrary parquet
+    footer (the bug class the round-7 read_pruned fix closed) would
+    drop or mistype the column and hash-mismatch.
+    """
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    table = os.path.normpath(os.path.join(_GATE_ROOT, f"evo_gate_{tag}"))
+    shutil.rmtree(table, ignore_errors=True)
+
+    facts = silver_orders(spark, sf_dir).select(
+        "order_id",
+        "customer_id",
+        F.col("order_amount").cast("decimal(18,2)").alias("amount"),
+    )
+    base = facts.where(F.col("order_id") % 2 == 0)
+    evolved = facts.where(F.col("order_id") % 2 == 1).withColumn(
+        "channel", F.concat(F.lit("ch_"), (F.col("order_id") % 3).cast("string"))
+    )
+    lakehouse.create_or_replace(spark, table, base, key="order_id")
+    lakehouse.append(spark, table, evolved, key="order_id", merge_schema=True)
+    return lakehouse.read(spark, table).select(
+        F.col("order_id").cast("long").alias("order_id"),
+        F.col("customer_id").cast("long").alias("customer_id"),
+        F.col("amount").cast("double").alias("amount"),
+        "channel",
+    )
+
+
+def oracle_lakehouse_schema_evolution() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+select cast(order_id as bigint) as order_id,
+    cast(customer_id as bigint) as customer_id,
+    cast(cast(order_amount as decimal(18,2)) as double) as amount,
+    case when order_id % 2 = 1
+         then 'ch_' || cast(order_id % 3 as varchar) end as channel
+from silver_orders
+""",
+    )
+
+
+def lakehouse_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32i (round 7): RESTORE AS OF under the hash gate.
+    v0 CREATE (orders with order_id % 4 != 0) → v1 MERGE (order_id %
+    2 == 0, amounts +1) → v2 DELETE (order_id % 3 == 0) → v3 RESTORE
+    to v1. The final read must equal the state AS OF v1 — the merge
+    applied, the delete rolled back — by re-declaring v1's live set BY
+    REFERENCE (metadata-only; no file read or written). The oracle
+    states v1 directly: base ∪ merge with post-merge amounts. A
+    restore that leaks v2's deletions (or misses v1's merge) hash-
+    mismatches.
+    """
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    table = os.path.normpath(os.path.join(_GATE_ROOT, f"restore_gate_{tag}"))
+    shutil.rmtree(table, ignore_errors=True)
+
+    facts = _facts(spark, sf_dir)
+    base = facts.where(F.col("order_id") % 4 != 0)
+    batch = facts.where(F.col("order_id") % 2 == 0).withColumn(
+        "amount", F.col("amount") + F.lit(1.0)
+    )
+    lakehouse.create_or_replace(spark, table, base, key="order_id")
+    lakehouse.merge_into(spark, table, batch, "order_id")
+    lakehouse.delete_where(spark, table, "order_id % 3 = 0")
+    lakehouse.restore(table, 1)
+    return lakehouse.read(spark, table).select(
+        F.col("order_id").cast("long").alias("order_id"),
+        "order_status",
+        F.col("amount").cast("double").alias("amount"),
+    )
+
+
+def oracle_lakehouse_restore_read() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+, o as (
+    select order_id, order_status,
+           cast(cast(order_amount as decimal(18,2)) as double) as amount
+    from silver_orders
+)
+select cast(order_id as bigint) as order_id, order_status,
+    case when order_id % 2 = 0 then amount + 1.0 else amount end as amount
+from o
+where order_id % 4 <> 0 or order_id % 2 = 0
+""",
+    )
+
+
 def oracle_lakehouse_zorder_prune() -> str:
     from ecommerce_dbt_medallion_spark.oracle import assemble
 

@@ -85,6 +85,9 @@ PROBE_KEYS = [
     "kcore_parts",
     "pq_quantize",
     "minhash_calibration",
+    # round-7 operators (construction-timed engine pipelines)
+    "lakehouse_zorder_prune",
+    "stream_dedup_ingest",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

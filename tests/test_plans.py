@@ -384,3 +384,23 @@ def test_skew_salted_revenue_scattered_shuffle_join(spark):
     assert "BroadcastHashJoin" not in plan, "dim broadcast defeats the salt"
     assert "__salt" in plan and "Generate" in plan, "salt explode missing"
     assert "CartesianProduct" not in plan
+
+
+def test_signature_verdicts_is_blocked_not_all_pairs(spark):
+    """Round-7 streaming-dedup core: near-dup candidates must come from
+    the fingerprint + band-key equi-joins — a batch×corpus cartesian
+    would scale with corpus size and defeat the incremental shape."""
+    from ecommerce_dbt_medallion_spark.ops.dedup import (
+        doc_signatures,
+        signature_verdicts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha bravo charlie delta {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    batch = doc_signatures(docs.where("doc_id < 4"))
+    corpus = doc_signatures(docs.where("doc_id >= 4"))
+    plan = _formatted(signature_verdicts(batch, corpus))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -84,13 +84,14 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # gold_order_metrics, gold_revenue_analysis) rotate back in round 7.
 #
 # Round-7 rotation (this window): every key certified in rounds 5/6
-# has a green latest driver row, so the 36 never-driver-certified keys
+# has a green latest driver row, so the 39 never-driver-certified keys
 # go first — the 35 round-6c/6d additions (local 3-SF hash parity only
-# until now) plus the round-7 Z-ORDER consumer — then the 8
-# bronze/silver/DQ keys displaced by round 6's new-key block, the 4
-# medallion marts displaced by the 6c amendment, and 2 high-value r5
-# keys (the events-loader sessionization and the bucketed-facts mart,
-# the two engine paths worth continuous certification).
+# until now) plus the 4 new round-7 keys (zorder prune, streaming
+# dedup ingest, schema evolution, restore read) — then the 11
+# displaced-green-r5 bronze/silver/DQ/mart keys fill the 50.
+# dq_failed_rows, event_sessionization and the bucketed mart (all
+# r5-green) ceded their slots to the new keys and stay r5-latest;
+# they rejoin in round 8.
 #
 # Round-8 note (write the next window from this): after round 7, the
 # keys whose latest driver row is still r5 are the 39 =

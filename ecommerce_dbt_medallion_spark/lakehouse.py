@@ -230,17 +230,18 @@ def _stage_files(
     return their add-actions (with per-file min/max stats on ``key`` and
     each of ``stats_cols`` from the parquet footers, plus a key bloom).
 
-    The table's DECLARED partition column (most recent CREATE) is
-    always added to ``stats_cols``: every rewrite path — MERGE touched
-    files, DELETE, OPTIMIZE — must keep partition-column stats on the
-    files it writes, or each rewrite would silently turn skippable
-    files into always-read ones and partition pruning would decay with
-    table churn (round-7 fix)."""
+    The table's DECLARED partition column (most recent CREATE) and the
+    most recent OPTIMIZE's zorder columns are always added to
+    ``stats_cols``: every rewrite path — MERGE touched files, DELETE,
+    OPTIMIZE — must keep those columns' stats on the files it writes,
+    or each rewrite would silently turn skippable files into
+    always-read ones and pruning would decay with table churn
+    (round-7 fix; min/max stats stay sound on any layout)."""
+    stats_cols = list(stats_cols or [])
     part_col = _table_partition_by(table)
-    if part_col is not None and part_col in df.columns:
-        stats_cols = list(stats_cols or [])
-        if part_col not in stats_cols:
-            stats_cols.append(part_col)
+    for c in ([part_col] if part_col is not None else []) + _table_zorder_by(table):
+        if c in df.columns and c not in stats_cols:
+            stats_cols.append(c)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     blooms = _stage_blooms(df, staging, key) if key is not None else {}
@@ -844,6 +845,22 @@ def read_pruned_multi(
     arbitrary footer) and the pending-tombstone anti-filter (a skipped
     rewrite must not resurrect logically deleted rows) — pruning only
     ever cuts the FILE list, never changes the visible rows/columns."""
+    files = pruned_files(table, bounds, version)
+    if not files:
+        return read(spark, table, version).where(F.lit(False))
+    df = _read_files(spark, table, files, version)
+    for col, (lo, hi) in bounds.items():
+        df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return df
+
+
+def pruned_files(table: str, bounds: dict, version: int | None = None) -> list[dict]:
+    """The live files a conjunctive multi-column range scan must read:
+    keep a file iff its logged min/max intersects EVERY ``col: (lo,
+    hi)`` bound (a file missing stats for a bounded column is kept —
+    skipping stays sound). The n-D sibling of ``files_overlapping``,
+    shared by ``read_pruned_multi`` and skip-proof consumers so the
+    guard and the actual read can never drift."""
     files = []
     for a in live_files(table, version):
         keep = True
@@ -854,30 +871,36 @@ def read_pruned_multi(
                 break
         if keep:
             files.append(a)
-    if not files:
-        return read(spark, table, version).where(F.lit(False))
-    df = _read_files(spark, table, files, version)
-    for col, (lo, hi) in bounds.items():
-        df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
-    return df
+    return files
 
 
 def _read_files(
-    spark: SparkSession, table: str, files: list[dict], version: int | None
+    spark: SparkSession,
+    table: str,
+    files: list[dict],
+    version: int | None,
+    with_tombstones: bool = True,
 ) -> DataFrame:
     """Read a file SUBSET under the full read() contract: log schema as
     of ``version`` (so schema-evolved columns null-fill instead of
     silently vanishing when the subset happens to contain only
-    pre-evolution files) and the merge-on-read tombstone anti-filter
-    (so a pruned scan cannot resurrect deferred-deleted rows)."""
+    pre-evolution files — or, worse, when a REWRITE path takes one
+    file's footer as the schema and permanently drops the evolved
+    column from the files it writes) and, by default, the merge-on-read
+    tombstone anti-filter (so a pruned scan cannot resurrect
+    deferred-deleted rows). Rewrite paths pass
+    ``with_tombstones=False``: a physical rewrite must see the raw file
+    contents — ``materialize_tombstones`` in particular relies on the
+    tagged scan FINDING the tombstoned rows it is about to drop."""
     reader = spark.read
     schema = current_schema(table, version)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(*[_abs(table, a["file"]) for a in files])
-    pend = pending_tombstones(table, version)
-    if pend:
-        df = df.where(~F.col(_table_key(table, version)).isin(pend))
+    if with_tombstones:
+        pend = pending_tombstones(table, version)
+        if pend:
+            df = df.where(~F.col(_table_key(table, version)).isin(pend))
     return df
 
 
@@ -943,6 +966,28 @@ def _table_partition_by(table: str, version: int | None = None) -> str | None:
         e = _read_entry(table, v)
         if e.get("operation") in ("CREATE", "CREATE OR REPLACE"):
             out = e.get("partition_by")
+    return out
+
+
+def _table_zorder_by(table: str, version: int | None = None) -> list:
+    """The zorder columns of the most recent OPTIMIZE ZORDER commit (as
+    of ``version``), or []. Rewrite paths carry these columns' stats
+    forward on the files they write: min/max stats stay SOUND on any
+    layout (ranges merely widen as clustering decays), and without the
+    carry-forward every MERGE/DELETE rewrite would turn a z-skippable
+    file into an always-read one."""
+    vs = versions(table)
+    if not vs:
+        return []
+    if version is None:
+        version = vs[-1]
+    out: list = []
+    for v in vs:
+        if v > version:
+            break
+        z = _read_entry(table, v).get("zorder_by")
+        if z:
+            out = list(z)
     return out
 
 
@@ -1068,12 +1113,15 @@ def merge_into(
 
     touched: list[dict] = []
     if candidates:
-        cand_paths = [_abs(table, a["file"]) for a in candidates]
         # (2) exact touched-file discovery, fully distributed
+        # (log-schema read: a mixed pre-/post-evolution candidate set
+        # must not take an arbitrary footer as its schema)
         src_keys = source.select(F.col(key).alias("__mk")).distinct()
         hit_files = {
             os.path.basename(r["__f"])
-            for r in spark.read.parquet(*cand_paths)
+            for r in _read_files(
+                spark, table, candidates, None, with_tombstones=False
+            )
             .select(F.col(key), F.input_file_name().alias("__f"))
             .join(F.broadcast(src_keys), F.col(key) == F.col("__mk"), "left_semi")
             .select("__f")
@@ -1084,10 +1132,12 @@ def merge_into(
 
     untouched = untouched_by_stats + [a for a in candidates if a not in touched]
 
-    # (3) rewrite touched rows + insert source
+    # (3) rewrite touched rows + insert source (log-schema read — a
+    # footer read of a pre-evolution touched file would rewrite it
+    # without the evolved columns, permanently losing that data)
     if touched:
         kept = (
-            spark.read.parquet(*[_abs(table, a["file"]) for a in touched])
+            _read_files(spark, table, touched, None, with_tombstones=False)
             .join(source.select(key).distinct(), key, "left_anti")
         )
         merged = kept.unionByName(source)
@@ -1296,11 +1346,26 @@ def optimize(
     if len(small) <= 1:
         return prior[-1]
 
-    df = spark.read.parquet(*[_abs(table, a["file"]) for a in small])
+    # log-schema read, NOT a footer read: compacting a schema-evolved
+    # table from one file's footer would write the compacted files
+    # without the evolved columns — silent, permanent data loss (the
+    # round-7 review catch; regression-pinned in tests/test_lakehouse)
+    df = _read_files(spark, table, small, None, with_tombstones=False)
     total = sum(a["rows"] for a in small)
     nfiles = max(1, math.ceil(total / target_rows))
     part_col = _table_partition_by(table)
-    if zorder_by:
+    if zorder_by and part_col is not None and part_col in df.columns:
+        # Delta semantics: ZORDER clusters WITHIN partitions — a global
+        # z-sort across partition values would widen every file's
+        # partition range and erase the declared layout
+        n_part = max(df.select(part_col).distinct().count(), 1)
+        df = (
+            _zorder_column(df, zorder_by)
+            .repartitionByRange(n_part, F.col(part_col))
+            .sortWithinPartitions(part_col, "__z")
+            .drop("__z")
+        )
+    elif zorder_by:
         df = (
             _zorder_column(df, zorder_by)
             .repartitionByRange(nfiles, F.col("__z"))
@@ -1362,10 +1427,12 @@ def delete_where(
     if not vs:
         raise ValueError(f"table {table} does not exist")
     live = live_files(table)
-    paths = [_abs(table, a["file"]) for a in live]
-    tagged = spark.read.parquet(*paths).withColumn(
-        "__f", F.input_file_name()
-    )
+    # log-schema reads (footer schema would drop evolved columns from
+    # the rewritten files); raw tombstone view — materialization must
+    # SEE the rows it deletes
+    tagged = _read_files(
+        spark, table, live, None, with_tombstones=False
+    ).withColumn("__f", F.input_file_name())
     hit_files = {
         os.path.basename(r["__f"])
         for r in tagged.where(predicate).select("__f").distinct().collect()
@@ -1379,7 +1446,7 @@ def delete_where(
     adds: list[dict] = []
     n_deleted = 0
     if touched:
-        tdf = spark.read.parquet(*[_abs(table, a["file"]) for a in touched])
+        tdf = _read_files(spark, table, touched, None, with_tombstones=False)
         kept = tdf.where(f"not ({predicate})")
         n_kept = kept.count()
         n_deleted = sum(a["rows"] for a in touched) - n_kept

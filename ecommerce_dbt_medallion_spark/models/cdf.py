@@ -343,16 +343,9 @@ def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     live = lakehouse.live_files(table)
-    kept = []
-    for a in live:
-        keep = True
-        for col, (lo, hi) in bounds.items():
-            cs = a.get("col_stats", {}).get(col)
-            if cs is not None and (cs[1] < lo or cs[0] > hi):
-                keep = False
-                break
-        if keep:
-            kept.append(a)
+    # same selection the pruned read uses (shared helper — the skip
+    # guard and the actual scan cannot drift)
+    kept = lakehouse.pruned_files(table, bounds)
     if len(kept) >= len(live):
         raise RuntimeError(
             f"ZORDER produced no file skipping: {len(kept)}/{len(live)} "

@@ -233,6 +233,9 @@ def stream_ingest_dedup(
             novel.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn")
+            # one materialization: isEmpty() + the append below would
+            # otherwise run the semi-join + window twice per batch
+            .localCheckpoint(eager=True)
         )
         if not novel.isEmpty():
             if have_corpus:

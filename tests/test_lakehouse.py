@@ -983,7 +983,6 @@ def test_stream_ingest_dedup_multi_batch(spark, tmp_path):
         "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
         "kilo lima mike november oscar papa quebec romeo sierra tango"
     ).split()
-    rng = random.Random(11)
 
     def long_doc(seed: int) -> str:
         r = random.Random(seed)
@@ -1134,3 +1133,79 @@ def test_merge_rewrite_keeps_partition_stats(spark, tmp_path):
     lh.merge_into(spark, path, src, "id")
     for a in lh.live_files(path):
         assert "bucket" in a.get("col_stats", {}), a
+
+
+def test_rewrites_preserve_evolved_columns(spark, tmp_path):
+    """Round-7 review catch (confirmed data loss): rewrite paths that
+    read live files with a FOOTER-inferred schema permanently dropped
+    schema-evolved columns from the files they wrote. Every rewrite —
+    OPTIMIZE, DELETE, MERGE touched-file rewrite — must read under the
+    log schema so evolved values survive."""
+    path = str(tmp_path / "evo_rewrites")
+    base = spark.range(100).select(F.col("id"), (F.col("id") * 10).alias("val"))
+    lh.create_or_replace(spark, path, base, key="id")
+    evolved = spark.range(100, 200).select(
+        F.col("id"), (F.col("id") * 10).alias("val"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("channel"),
+    )
+    lh.append(spark, path, evolved, key="id", merge_schema=True)
+
+    def channel_rows():
+        return (
+            lh.read(spark, path).where(F.col("channel").isNotNull()).count()
+        )
+
+    assert channel_rows() == 100
+
+    # OPTIMIZE compacts everything: evolved values must survive
+    lh.optimize(spark, path, key="id", target_rows=1000, small_file_rows=10**9)
+    assert channel_rows() == 100, "optimize dropped evolved column values"
+
+    # DELETE rewrites touched files: untargeted evolved values survive
+    lh.delete_where(spark, path, "id % 10 = 0")
+    assert channel_rows() == 90, "delete_where dropped evolved column values"
+
+    # MERGE rewrites touched files: evolved values outside the source
+    # key set survive (source carries the full evolved schema)
+    src = spark.range(150, 160).select(
+        F.col("id"), F.lit(-1).alias("val"), F.lit("cx").alias("channel")
+    )
+    lh.merge_into(spark, path, src, "id")
+    got = {r["id"]: r["channel"] for r in lh.read(spark, path).collect()}
+    assert got[151] == "cx"
+    assert got[149] == "c2" and got[199] == "c1", "merge dropped evolved values"
+
+
+def test_optimize_zorder_within_partitions(spark, tmp_path):
+    """ZORDER on a partition-declared table must cluster WITHIN the
+    declared partitioning: compacted files stay partition-value-
+    disjoint and keep stats on the partition column AND the zorder
+    columns."""
+    path = str(tmp_path / "parted_z")
+    df = spark.range(600).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("bucket"),
+        (F.col("id") * 7 % 100).alias("x"),
+    )
+    lh.create_or_replace(spark, path, df, key="id", partition_by="bucket")
+    lh.append(spark, path, df.select(F.col("id") + 600, F.col("bucket"), F.col("x")).withColumnRenamed("(id + 600)", "id"), key="id")
+    v = lh.optimize(spark, path, key="id", target_rows=10_000, small_file_rows=10**9, zorder_by=["x", "id"])
+    live = lh.live_files(path)
+    for a in live:
+        assert "bucket" in a.get("col_stats", {}), a
+        assert "x" in a.get("col_stats", {}), a
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    sets = []
+    for a in live:
+        t = _pq.read_table(_os.path.join(path, "data", a["file"]), columns=["bucket"])
+        sets.append(set(t.column("bucket").to_pylist()))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            assert not (sets[i] & sets[j]), "zorder compaction split a partition value"
+    # a later DELETE rewrite keeps the zorder columns' stats too
+    lh.delete_where(spark, path, "id % 17 = 0")
+    for a in lh.live_files(path):
+        assert "x" in a.get("col_stats", {}), "rewrite dropped zorder stats"

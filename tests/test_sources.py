@@ -176,7 +176,7 @@ def test_driver_window_membership_round7():
     """Round-7 rotation: every key with NO driver CORRECTNESS row in any
     prior round must be in this round's window (computed from the
     committed CORRECTNESS_r0*.json files, not a hand-copied set — the
-    drift that hand-copy invited is the round-4 lesson), plus the 12
+    drift that hand-copy invited is the round-4 lesson), plus the 11
     keys displaced green-in-r5 by round 6's new-key blocks."""
     import glob
     import json

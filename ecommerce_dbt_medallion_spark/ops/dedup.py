@@ -826,13 +826,16 @@ join sizes sb on sb.doc_id = m.doc_b
 def doc_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-doc dedup state: normalized-md5 ``fingerprint`` + the 64-perm
+    """Per-doc dedup state: normalized-md5 ``fingerprint``, the 64-perm
     md5 MinHash ``sig`` array (same family as ``dedup_minhash_md5``,
     same shingling as ``dedup_ngram_jaccard`` — so signature agreement
-    estimates THAT Jaccard). This is the row a production corpus STORES
-    per document: later batches dedup against these signatures without
-    ever re-reading corpus text. Docs too short to shingle (<3 tokens)
-    carry a null ``sig`` — they can still exact-dup via fingerprint.
+    estimates THAT Jaccard), and the 16 LSH ``bands`` keys derived from
+    it. This is the row a production corpus STORES per document: later
+    batches dedup against these signatures without ever re-reading
+    corpus text, and the corpus side of the band join is a STORED
+    column equi-join — no per-batch recompute of 16·N md5 band keys
+    over the whole corpus. Docs too short to shingle (<3 tokens) carry
+    null ``sig``/``bands`` — they can still exact-dup via fingerprint.
     """
     from ecommerce_dbt_medallion_spark.ops.text import _norm_text
 
@@ -842,6 +845,15 @@ def doc_signatures(
     fp = docs.select(
         F.col(id_col), F.md5(_norm_text(F.col(text_col))).alias("fingerprint")
     )
+    hs = [F.col(f"h{p}") for p in range(MINHASH_PERMS)]
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            )
+        )
+        for b in range(LSH_BANDS)
+    ]
     sigs = (
         sh.groupBy(id_col)
         .agg(
@@ -854,7 +866,8 @@ def doc_signatures(
         )
         .select(
             F.col(id_col),
-            F.array(*[F.col(f"h{p}") for p in range(MINHASH_PERMS)]).alias("sig"),
+            F.array(*hs).alias("sig"),
+            F.array(*band_keys).alias("bands"),
         )
     )
     return fp.join(sigs, id_col, "left")
@@ -894,20 +907,28 @@ def signature_verdicts(
     )
 
     def _bands(df: DataFrame) -> DataFrame:
-        keys = [
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("sig", b * LSH_ROWS + r + 1)
-                        for r in range(LSH_ROWS)
-                    ],
-                )
+        # stored band keys when present (doc_signatures writes them —
+        # the corpus side must not recompute 16·N md5s per batch);
+        # derived from the sig array otherwise
+        if "bands" in df.columns:
+            keys = F.col("bands")
+        else:
+            keys = F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * LSH_ROWS + r + 1)
+                                for r in range(LSH_ROWS)
+                            ],
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
             )
-            for b in range(LSH_BANDS)
-        ]
         return df.where(F.col("sig").isNotNull()).select(
-            F.col(id_col), F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+            F.col(id_col), F.posexplode(keys).alias("band_id", "band_key")
         )
 
     cand = (

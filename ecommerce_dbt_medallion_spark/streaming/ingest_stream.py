@@ -151,10 +151,9 @@ def stream_upsert_with_ivm(
         .start()
     )
     q.awaitTermination()
-    return (
-        lakehouse.versions(fact_table)[-1],
-        lakehouse.versions(mart_table)[-1],
-    )
+    fv = lakehouse.versions(fact_table)
+    mv = lakehouse.versions(mart_table)
+    return (fv[-1] if fv else -1, mv[-1] if mv else -1)
 
 
 def stream_ingest_dedup(
@@ -176,19 +175,38 @@ def stream_ingest_dedup(
 
     Per micro-batch:
       1. ``doc_signatures`` computes fingerprint + 64-perm md5 MinHash
-         for the BATCH only (the corpus is never re-shingled).
+         + stored band keys for the BATCH only (the corpus is never
+         re-shingled, and its band keys are read back as a stored
+         column, not recomputed per batch).
       2. ``signature_verdicts`` joins against the signature table on
          fingerprint + 16x4 LSH band keys → exact_dup / near_dup /
          novel per doc; shuffle ∝ batch x band occupancy, never
          corpus x batch.
-      3. Verdicts (+ batch_id) MERGE into ``verdict_table`` (keyed on
-         ``id_col`` — a replayed batch after a checkpoint restart
-         re-merges idempotently).
+      3. Verdicts (+ batch_id) MERGE into ``verdict_table`` keyed on
+         ``id_col``.
       4. Novel docs' signatures (one representative per fingerprint —
          within-batch exact dupes collapse to the min id) APPEND to
          ``sig_table``: an add-only commit, no rewrite, so corpus
          maintenance cost is O(novel) per batch and both state tables
          stay transactionally versioned and time-travelable.
+
+    REPLAY IDEMPOTENCY (checkpoint-restart safety): doc ids are the
+    document identity, assumed unique across the feed. The corpus side
+    of every verdict ANTI-JOINS the current batch's ids, and the novel
+    append anti-joins ids already in the corpus — so a batch replayed
+    after a crash (even one that landed between the verdict MERGE and
+    the signature APPEND) recomputes the SAME verdicts against the
+    effective pre-batch corpus and appends nothing twice. Without the
+    self-exclusion, a replayed batch would exact-dup every doc against
+    its own stored signature. Pinned by
+    tests/test_lakehouse.py::test_stream_ingest_dedup_replay_idempotent.
+
+    LIMITATION (by design, mirrored by the gate oracle): near-dup
+    pairs CO-ARRIVING in one batch both verdict 'novel' and both enter
+    the corpus — only exact within-batch dupes collapse (fingerprint
+    grouping). A production pipeline that expects bursty near-dup
+    arrivals chains a within-batch pass (``dedup_minhash_md5`` shape)
+    before this ingest; cross-batch near-dups are always caught.
 
     Returns (final sig_table version, final verdict_table version).
     """
@@ -212,36 +230,44 @@ def stream_ingest_dedup(
         bsig = doc_signatures(batch_df, id_col, text_col).localCheckpoint(
             eager=True
         )
-        have_corpus = bool(lakehouse.versions(sig_table))
-        corpus = lakehouse.read(spark, sig_table) if have_corpus else None
+        corpus_all = (
+            lakehouse.read(spark, sig_table)
+            if lakehouse.versions(sig_table)
+            else None
+        )
+        # replay safety: never compare a batch against its own ids
+        corpus = (
+            corpus_all.join(bsig.select(id_col), id_col, "left_anti")
+            if corpus_all is not None
+            else None
+        )
         verd = (
             signature_verdicts(bsig, corpus, id_col)
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
             .localCheckpoint(eager=True)
         )
-        if lakehouse.versions(verdict_table):
-            lakehouse.merge_into(spark, verdict_table, verd, id_col)
-        else:
-            lakehouse.create_or_replace(spark, verdict_table, verd, key=id_col)
+        # merge_into/append fall back to CREATE themselves on a
+        # version-less table — no exists-branching here
+        lakehouse.merge_into(spark, verdict_table, verd, id_col)
         novel = bsig.join(
             verd.where(F.col("verdict") == "novel").select(id_col),
             id_col,
             "semi",
         )
         w = Window.partitionBy("fingerprint").orderBy(id_col)
-        novel = (
-            novel.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            # one materialization: isEmpty() + the append below would
-            # otherwise run the semi-join + window twice per batch
-            .localCheckpoint(eager=True)
-        )
+        novel = novel.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
+        ).drop("rn")
+        if corpus_all is not None:
+            # replay safety: an id already in the corpus never re-appends
+            novel = novel.join(
+                corpus_all.select(id_col), id_col, "left_anti"
+            )
+        # one materialization: isEmpty() + the append below would
+        # otherwise run the joins + window twice per batch
+        novel = novel.localCheckpoint(eager=True)
         if not novel.isEmpty():
-            if have_corpus:
-                lakehouse.append(spark, sig_table, novel, key=id_col)
-            else:
-                lakehouse.create_or_replace(spark, sig_table, novel, key=id_col)
+            lakehouse.append(spark, sig_table, novel, key=id_col)
 
     q = (
         stream.writeStream.foreachBatch(_batch)
@@ -285,7 +311,6 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str):
 
     from pyspark.sql import functions as F
 
-    from ecommerce_dbt_medallion_spark import lakehouse
     from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
     from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
@@ -340,7 +365,7 @@ def oracle_stream_dedup_ingest() -> str:
         MINHASH_JACCARD_THRESHOLD,
         MINHASH_PERMS,
     )
-    from ecommerce_dbt_medallion_spark.ops.text import NGRAM_N, WS_RE
+    from ecommerce_dbt_medallion_spark.ops.text import _NORM_SQL, NGRAM_N, WS_RE
 
     sig_cols = ",\n        ".join(
         f"min(md5(gram || '#{p}')) as h{p}" for p in range(MINHASH_PERMS)
@@ -356,7 +381,9 @@ def oracle_stream_dedup_ingest() -> str:
         f"(case when sa.h{p} = sb.h{p} then 1 else 0 end)"
         for p in range(MINHASH_PERMS)
     )
-    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    # same normalization literal the Spark fingerprint uses — imported,
+    # not copied, so the recipes cannot drift
+    norm = _NORM_SQL
 
     rounds = []
     # corpus after round 0: batch-0 docs are all novel (empty corpus),

@@ -1209,3 +1209,81 @@ def test_optimize_zorder_within_partitions(spark, tmp_path):
     lh.delete_where(spark, path, "id % 17 = 0")
     for a in lh.live_files(path):
         assert "x" in a.get("col_stats", {}), "rewrite dropped zorder stats"
+
+
+def test_stream_ingest_dedup_replay_idempotent(spark, tmp_path):
+    """Round-7 review catch: a batch replayed after a checkpoint loss
+    used to exact-dup every doc against its OWN stored signature
+    (corpus read included the batch's prior append) and re-append its
+    novel signatures. The self-exclusion anti-joins make a full replay
+    byte-identical: same verdicts, same corpus, no duplicate ids."""
+    import os
+    import random
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        stream_ingest_dedup,
+    )
+
+    vocab = "red orange yellow green blue indigo violet cyan magenta".split()
+
+    def doc(seed: int) -> str:
+        r = random.Random(seed)
+        return " ".join(r.choice(vocab) for _ in range(200))
+
+    batches = [
+        [(1, doc(1)), (2, doc(2))],
+        [(11, doc(1)), (12, doc(12))],  # 11 exact-dups 1; 12 novel
+    ]
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    base = time.time()
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    sig_table = str(tmp_path / "replay_sigs")
+    verdict_table = str(tmp_path / "replay_verdicts")
+    stream_ingest_dedup(
+        spark, str(src), sig_table, verdict_table,
+        schema="doc_id long, text string",
+    )
+
+    def snapshot():
+        verd = sorted(
+            (r["doc_id"], r["verdict"], r["match_id"], r["batch_id"])
+            for r in lh.read(spark, verdict_table).collect()
+        )
+        corpus = sorted(
+            r["doc_id"] for r in lh.read(spark, sig_table).select("doc_id").collect()
+        )
+        return verd, corpus
+
+    first = snapshot()
+    # sorted by doc_id: 1 novel, 2 novel, 11 exact-dups 1, 12 novel
+    assert [v[1] for v in first[0]] == ["novel", "novel", "exact_dup", "novel"]
+    assert first[1] == [1, 2, 12]
+
+    # lose the checkpoint → full replay of both batches
+    shutil.rmtree(os.path.join(verdict_table, "_streaming_ckpt"))
+    stream_ingest_dedup(
+        spark, str(src), sig_table, verdict_table,
+        schema="doc_id long, text string",
+    )
+    assert snapshot() == first, "replay changed verdicts or corpus"
+    # corpus must hold each id exactly once (no duplicate appends)
+    n = lh.read(spark, sig_table).count()
+    assert n == 3

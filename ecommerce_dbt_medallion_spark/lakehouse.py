@@ -173,9 +173,14 @@ def _footer_min_max(md, col: str):
     mins, maxs = [], []
     for rg in range(md.num_row_groups):
         s = md.row_group(rg).column(idx[col]).statistics
-        if s is not None and s.has_min_max:
-            mins.append(s.min)
-            maxs.append(s.max)
+        if s is None or not s.has_min_max:
+            # ANY stats-less row group makes the file's range unknowable:
+            # bounds from the remaining groups would be too narrow and
+            # stats-pruning would silently skip rows (round-7 review) —
+            # record nothing, readers then keep the file conservatively
+            return None
+        mins.append(s.min)
+        maxs.append(s.max)
     return (min(mins), max(maxs)) if mins else None
 
 
@@ -187,6 +192,14 @@ def _footer_min_max(md, col: str):
 # (256 hex chars per file, metadata-scale).
 BLOOM_BITS = 1024
 BLOOM_K = 4
+
+
+def _json_stat(v):
+    """A footer stat value as it is stored in the JSON log: primitives
+    pass through; date/timestamp/decimal become their ISO/str form
+    (lexicographic order == logical order, so range pruning compares
+    correctly when the probe bound is converted the same way)."""
+    return v if isinstance(v, (int, float, str)) else str(v)
 
 
 def _bloom_positions(col):
@@ -258,7 +271,13 @@ def _stage_files(
         if key is not None:
             mm = _footer_min_max(md, key)
             if mm is not None:
-                stats["min_key"], stats["max_key"] = mm
+                # same ISO-stringify rule as col_stats below: a
+                # date/timestamp/decimal KEY must not crash the JSON
+                # commit (round-7 review); consumers convert their
+                # probe bounds with _json_stat so comparisons stay
+                # lexicographic == chronological
+                stats["min_key"] = _json_stat(mm[0])
+                stats["max_key"] = _json_stat(mm[1])
             if f in blooms:
                 stats["bloom"] = format(blooms[f], f"0{BLOOM_BITS // 4}x")
         col_stats = {}
@@ -269,7 +288,7 @@ def _stage_files(
                 # stored as ISO strings (lexicographic == chronological,
                 # so range pruning compares correctly against ISO bounds)
                 col_stats[c] = [
-                    v if isinstance(v, (int, float, str)) else str(v) for v in mm
+                    _json_stat(v) for v in mm
                 ]
         if col_stats:
             stats["col_stats"] = col_stats
@@ -473,7 +492,13 @@ def materialize_tombstones(spark: SparkSession, table: str) -> int:
     key = _table_key(table)
     vals = ", ".join(repr(k) if isinstance(k, str) else str(k) for k in pend)
     return delete_where(
-        spark, table, f"{key} in ({vals})", _clear_tombstones=True
+        spark,
+        table,
+        f"{key} in ({vals})",
+        _clear_tombstones=True,
+        # bounds the discovery scan via blooms + key stats: O(candidate
+        # files), not O(table) — the erasure-request batch shape
+        _candidate_keys=list(pend),
     )
 
 
@@ -660,6 +685,11 @@ def append(
         # the partition column would otherwise write files spanning every
         # partition value, quietly breaking pruning for all new data
         partition_by = _table_partition_by(table)
+    if key is None:
+        # inherit the declared key the same way: a key-less append would
+        # write files with no min/max key stats and no bloom, turning
+        # them into permanent MERGE candidates (round-7 review)
+        key = _table_key_opt(table)
     df, schema = _evolve_schema(table, df, merge_schema)
     if pending_tombstones(table):
         raise ValueError(
@@ -707,8 +737,11 @@ def read(spark: SparkSession, table: str, version: int | None = None) -> DataFra
     df = reader.parquet(*[_abs(table, a["file"]) for a in files])
     pend = pending_tombstones(table, version)
     if pend:
-        # merge-on-read: un-materialized deletes filter at scan time
-        df = df.where(~F.col(_table_key(table, version)).isin(pend))
+        # merge-on-read: un-materialized deletes filter at scan time.
+        # NULL-key rows pass: NOT(NULL IN (...)) is NULL under
+        # three-valued logic and where() would silently drop them
+        k = F.col(_table_key(table, version))
+        df = df.where(k.isNull() | ~k.isin(pend))
     return df
 
 
@@ -900,7 +933,9 @@ def _read_files(
     if with_tombstones:
         pend = pending_tombstones(table, version)
         if pend:
-            df = df.where(~F.col(_table_key(table, version)).isin(pend))
+            # same NULL-key pass-through as read() (three-valued logic)
+            k = F.col(_table_key(table, version))
+            df = df.where(k.isNull() | ~k.isin(pend))
     return df
 
 
@@ -1070,12 +1105,23 @@ def merge_into(
     rng = source.agg(
         F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
     ).collect()[0]
-    lo, hi = rng["lo"], rng["hi"]
-    candidates = [
-        a
-        for a in live
-        if "min_key" not in a or not (a["max_key"] < lo or a["min_key"] > hi)
-    ]
+    # stats in the log are JSON-sanitized; convert the probe bounds the
+    # same way so date/timestamp keys compare as ISO strings
+    lo = _json_stat(rng["lo"]) if rng["lo"] is not None else None
+    hi = _json_stat(rng["hi"]) if rng["hi"] is not None else None
+    if lo is None or hi is None:
+        # empty source (or all-NULL keys): no file can match — the
+        # comparisons below would raise TypeError against None
+        # (round-7 review; empty micro-batches reach here via
+        # streaming foreachBatch)
+        candidates = []
+    else:
+        candidates = [
+            a
+            for a in live
+            if "min_key" not in a
+            or not (a["max_key"] < lo or a["min_key"] > hi)
+        ]
     untouched_by_stats = [a for a in live if a not in candidates]
 
     # (1b) bloom pruning: drop candidate files whose bloom rejects every
@@ -1192,17 +1238,27 @@ def restore(table: str, to_version: int) -> int:
             f"file(s) were vacuumed past the retention horizon (e.g. {gone[0]})"
         )
     v = vs[-1] + 1
-    _commit(
-        table,
-        {
-            "version": v,
-            "timestamp": time.time(),
-            "operation": f"RESTORE AS OF {to_version}",
-            "key": _table_key_opt(table, to_version),
-            "add": [a for f, a in target.items() if f not in head],
-            "remove": [f for f in head if f not in target],
-        },
-    )
+    # Re-declare the ENTIRE table state of to_version, not just its
+    # file set (round-7 review): schema (a post-target REPLACE would
+    # otherwise make read() null-fill every restored column), CHECK
+    # constraints, and tombstone state (pending deletes from the bad
+    # era must not keep anti-filtering restored rows — the restored
+    # era's own pending tombstones are re-declared).
+    target_schema = current_schema(table, to_version)
+    entry = {
+        "version": v,
+        "timestamp": time.time(),
+        "operation": f"RESTORE AS OF {to_version}",
+        "key": _table_key_opt(table, to_version),
+        "constraints": current_constraints(table, to_version),
+        "tombstones_cleared": True,
+        "tombstones": pending_tombstones(table, to_version),
+        "add": [a for f, a in target.items() if f not in head],
+        "remove": [f for f in head if f not in target],
+    }
+    if target_schema is not None:
+        entry["schema_json"] = target_schema.json()
+    _commit(table, entry)
     return v
 
 
@@ -1294,15 +1350,14 @@ def files_overlapping(table: str, col: str, lo, hi, version: int | None = None) 
     """Live files whose ``col`` min/max range intersects [lo, hi] — the
     data-skipping primitive a scan planner uses against the log's
     per-file stats. Files without stats for ``col`` are conservatively
-    kept."""
+    kept — NEVER substituted with another column's range (the round-7
+    review killed a key-stats fallback here: comparing the KEY range
+    against an arbitrary column's bounds silently pruned files that
+    held matching rows)."""
     out = []
     for a in live_files(table, version):
         cs = a.get("col_stats", {}).get(col)
-        if cs is None:
-            mm = (a["min_key"], a["max_key"]) if "min_key" in a else None
-        else:
-            mm = (cs[0], cs[1])
-        if mm is None or not (mm[1] < lo or mm[0] > hi):
+        if cs is None or not (cs[1] < lo or cs[0] > hi):
             out.append(a)
     return out
 
@@ -1334,6 +1389,11 @@ def optimize(
     prior = versions(table)
     if not prior:
         raise ValueError(f"table {table} does not exist")
+    if key is None:
+        # scan-back default: an optimize that omits the key must not
+        # strip min/max key stats + blooms from every compacted file
+        # (pruning-decay, round-7 review)
+        key = _table_key_opt(table)
     # compaction is the natural rewrite point for merge-on-read debt:
     # pending deferred-delete tombstones materialize first, so the
     # compacted files are clean and readers drop the scan-time filter
@@ -1409,7 +1469,11 @@ def optimize(
 
 
 def delete_where(
-    spark: SparkSession, table: str, predicate: str, _clear_tombstones: bool = False
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    _clear_tombstones: bool = False,
+    _candidate_keys: list | None = None,
 ) -> int:
     """DELETE FROM table WHERE predicate — the Delta DELETE shape (GDPR
     erasure, retention enforcement). ``_clear_tombstones`` is set by
@@ -1427,16 +1491,28 @@ def delete_where(
     if not vs:
         raise ValueError(f"table {table} does not exist")
     live = live_files(table)
+    # key-list deletes (materialize_tombstones) bound the discovery
+    # scan with the log's blooms + key stats — O(candidate files), not
+    # O(table); sound because a bloom never rejects a present key.
+    # Arbitrary predicates still scan all live files.
+    scan = (
+        files_maybe_containing(spark, table, _candidate_keys)
+        if _candidate_keys
+        else live
+    )
     # log-schema reads (footer schema would drop evolved columns from
     # the rewritten files); raw tombstone view — materialization must
     # SEE the rows it deletes
-    tagged = _read_files(
-        spark, table, live, None, with_tombstones=False
-    ).withColumn("__f", F.input_file_name())
-    hit_files = {
-        os.path.basename(r["__f"])
-        for r in tagged.where(predicate).select("__f").distinct().collect()
-    }
+    if scan:
+        tagged = _read_files(
+            spark, table, scan, None, with_tombstones=False
+        ).withColumn("__f", F.input_file_name())
+        hit_files = {
+            os.path.basename(r["__f"])
+            for r in tagged.where(predicate).select("__f").distinct().collect()
+        }
+    else:
+        hit_files = set()
     touched = [a for a in live if a["file"] in hit_files]
     # scan-back, not last-entry: a metadata-only commit before this
     # delete must not strip min/max key stats + blooms from the
@@ -1526,6 +1602,17 @@ def export_snapshot(
                     md = pq.ParquetFile(os.path.join(root, f)).metadata
                     manifest["files"].append({"file": rel, "rows": md.num_rows})
     else:
+        # the byte-copy fast path ships RAW files: it must refuse while
+        # merge-on-read tombstones are pending, or the export would
+        # resurrect logically deleted rows (e.g. an acknowledged GDPR
+        # erasure) that the partition_by path — which goes through
+        # read() — correctly filters (round-7 review)
+        if pending_tombstones(table, version):
+            raise ValueError(
+                "snapshot has pending deferred deletes; run "
+                "materialize_tombstones before a byte-copy export (or "
+                "export with partition_by, which rewrites through read())"
+            )
         for a in files:
             shutil.copy2(_abs(table, a["file"]), os.path.join(dest, a["file"]))
             manifest["files"].append(dict(a))
@@ -1567,18 +1654,25 @@ def table_changes(
     schema = read(spark, table, from_version).schema
     cols = [f.name for f in schema.fields]
 
-    def _side(files: list[str]) -> DataFrame:
+    def _side(files: list[str], at_version: int | None) -> DataFrame:
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[_abs(table, f) for f in files])
+        # each side reads under ITS version's log schema (footer
+        # inference breaks on schema-evolved tables: a pre-evolution
+        # file lacks the evolved column and the select below would
+        # raise; the log schema null-fills it — round-7 review)
+        s = current_schema(table, at_version)
+        return spark.read.schema(s if s is not None else schema).parquet(
+            *[_abs(table, f) for f in files]
+        )
 
     rowhash = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
-    old = _side(old_only).select(
+    old = _side(old_only, from_version).select(
         F.col(key).alias("__k"),
         rowhash.alias("__oh"),
         *[F.col(c).alias(f"__o_{c}") for c in cols],
     )
-    new = _side(new_only).select(
+    new = _side(new_only, to_version).select(
         F.col(key).alias("__k"),
         rowhash.alias("__nh"),
         *[F.col(c).alias(f"__n_{c}") for c in cols],

@@ -1287,3 +1287,125 @@ def test_stream_ingest_dedup_replay_idempotent(spark, tmp_path):
     # corpus must hold each id exactly once (no duplicate appends)
     n = lh.read(spark, sig_table).count()
     assert n == 3
+
+
+def test_restore_redeclares_schema_and_tombstones(spark, tmp_path):
+    """Round-7 review: restore() must re-declare the target version's
+    ENTIRE state — schema (a post-target REPLACE would otherwise
+    null-fill every restored column) and tombstone state (pending
+    deletes from the rolled-back era must not keep filtering)."""
+    path = str(tmp_path / "restore_state")
+    lh.create_or_replace(
+        spark, path,
+        spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("a")),
+        key="id",
+    )
+    # v1: full replace with a DIFFERENT schema
+    lh.create_or_replace(
+        spark, path,
+        spark.range(5).select(F.col("id"), F.lit("x").alias("b")),
+        key="id",
+    )
+    # v2: a deferred delete in the bad era
+    lh.delete_keys_deferred(spark, path, [1, 2])
+    lh.restore(path, 0)
+    got = lh.read(spark, path)
+    assert set(got.columns) == {"id", "a"}, got.columns
+    rows = {r["id"]: r["a"] for r in got.collect()}
+    assert rows == {i: i * 2 for i in range(10)}, (
+        "restored rows must carry original values (no null-fill, no "
+        "leaked tombstones)"
+    )
+    assert lh.pending_tombstones(path) == []
+
+
+def test_export_byte_copy_refuses_pending_tombstones(spark, tmp_path):
+    path = str(tmp_path / "export_pending")
+    lh.create_or_replace(
+        spark, path, spark.range(10).select(F.col("id")), key="id"
+    )
+    lh.delete_keys_deferred(spark, path, [3])
+    with pytest.raises(ValueError, match="pending deferred deletes"):
+        lh.export_snapshot(spark, path, str(tmp_path / "out"))
+
+
+def test_merge_empty_source_is_noop_not_crash(spark, table):
+    src = spark.range(0).select(F.col("id"), F.lit(0).alias("val"))
+    v = lh.merge_into(spark, table, src, "id")
+    assert v == 1
+    assert lh.read(spark, table).count() == 100
+
+
+def test_null_key_rows_survive_pending_tombstones(spark, tmp_path):
+    """NOT(NULL IN (...)) is NULL under three-valued logic — the
+    tombstone anti-filter must not silently drop NULL-key rows."""
+    path = str(tmp_path / "nullkeys")
+    df = spark.range(10).select(
+        F.when(F.col("id") < 8, F.col("id")).alias("id"),
+        (F.col("id") * 10).alias("val"),
+    )
+    lh.create_or_replace(spark, path, df, key="id")
+    assert lh.read(spark, path).count() == 10
+    lh.delete_keys_deferred(spark, path, [0])
+    got = lh.read(spark, path)
+    assert got.count() == 9, "exactly the tombstoned key hidden"
+    assert got.where(F.col("id").isNull()).count() == 2
+
+
+def test_date_key_commits_and_prunes(spark, tmp_path):
+    """A DATE key column must JSON-commit (ISO-stringified stats) and
+    still range-prune MERGE candidates correctly."""
+    path = str(tmp_path / "datekey")
+    df = spark.sql(
+        "select date_add(date'2024-01-01', cast(id as int)) as d, id as val "
+        "from range(100)"
+    ).repartitionByRange(4, "d")
+    lh.create_or_replace(spark, path, df, key="d")
+    assert len(lh.live_files(path)) == 4
+    src = spark.sql(
+        "select date_add(date'2024-01-01', cast(id as int)) as d, -1 as val "
+        "from range(95, 100)"
+    )
+    lh.merge_into(spark, path, src, "d")
+    entry = lh._read_entry(path, 1)
+    assert entry["stats"]["files_pruned_by_stats"] >= 3, entry["stats"]
+    got = {str(r["d"]): r["val"] for r in lh.read(spark, path).collect()}
+    assert got["2024-04-05"] == -1 and got["2024-01-01"] == 0
+
+
+def test_files_overlapping_keeps_stats_less_files(spark, tmp_path):
+    path = str(tmp_path / "nostats")
+    lh.create_or_replace(
+        spark, path,
+        spark.range(10).select(F.col("id"), (F.col("id") * 3).alias("amount")),
+        key="id",
+    )
+    # no col_stats recorded for 'amount' → every file must be kept,
+    # never compared against the KEY range
+    hits = lh.files_overlapping(path, "amount", 1000, 2000)
+    assert len(hits) == len(lh.live_files(path))
+
+
+def test_table_changes_on_evolved_table(spark, tmp_path):
+    """CDF across an evolution boundary: the old side's files lack the
+    evolved column and must null-fill via the log schema instead of
+    raising on the select."""
+    path = str(tmp_path / "cdf_evo")
+    lh.create_or_replace(
+        spark, path, spark.range(20).select(F.col("id"), F.lit(1).alias("v")),
+        key="id",
+    )
+    lh.append(
+        spark, path,
+        spark.range(20, 30).select(
+            F.col("id"), F.lit(1).alias("v"), F.lit("n").alias("extra")
+        ),
+        key="id", merge_schema=True,
+    )
+    src = spark.range(5, 8).select(
+        F.col("id"), F.lit(9).alias("v"), F.lit("u").alias("extra")
+    )
+    lh.merge_into(spark, path, src, "id")
+    ch = lh.table_changes(spark, path, 1, 2)
+    kinds = {r["id"]: r["_change_type"] for r in ch.collect()}
+    assert kinds == {5: "update_postimage", 6: "update_postimage", 7: "update_postimage"}

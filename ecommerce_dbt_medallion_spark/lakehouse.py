@@ -194,6 +194,25 @@ BLOOM_BITS = 1024
 BLOOM_K = 4
 
 
+def _sql_literal(v) -> str:
+    """A Python key value as a Spark SQL literal. repr()/str() alone
+    mis-render non-int keys: str(date(2024,1,1)) parses as the
+    arithmetic expression 2024-01-01 = 2022 inside an IN list
+    (round-7 review)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
 def _json_stat(v):
     """A footer stat value as it is stored in the JSON log: primitives
     pass through; date/timestamp/decimal become their ISO/str form
@@ -490,7 +509,7 @@ def materialize_tombstones(spark: SparkSession, table: str) -> int:
     # delete by the wrong column. Tombstones pending implies
     # delete_keys_deferred found a key, so _table_key cannot miss.
     key = _table_key(table)
-    vals = ", ".join(repr(k) if isinstance(k, str) else str(k) for k in pend)
+    vals = ", ".join(_sql_literal(k) for k in pend)
     return delete_where(
         spark,
         table,
@@ -1630,6 +1649,7 @@ def table_changes(
     from_version: int,
     to_version: int | None = None,
     key: str | None = None,
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Change data feed between two versions: one row per logically
     changed key with ``_change_type`` ∈ insert / delete /
@@ -1692,8 +1712,28 @@ def table_changes(
         .alias(c)
         for c in cols
     ]
-    return (
+    out = (
         j.withColumn("_change_type", change)
         .where(F.col("_change_type").isNotNull())
         .select(*picked, "_change_type")
     )
+    if include_preimage:
+        # Delta emits update_preimage alongside update_postimage; the
+        # pre-image carries the OLD column values — consumers that
+        # track a derived grouping (incremental view maintenance) need
+        # it to see the group a row LEFT, not only the one it joined
+        # (round-7 review: a group_key reassignment left the old
+        # group's mart row permanently stale without this)
+        pre = (
+            j.where(
+                F.col("__oh").isNotNull()
+                & F.col("__nh").isNotNull()
+                & (F.col("__oh") != F.col("__nh"))
+            )
+            .select(
+                *[F.col(f"__o_{c}").alias(c) for c in cols],
+                F.lit("update_preimage").alias("_change_type"),
+            )
+        )
+        out = out.unionByName(pre)
+    return out

@@ -36,6 +36,16 @@ _GATE_ROOT = os.path.join(
 )
 
 
+def _gate_path(sf_dir: str, prefix: str) -> str:
+    """Fresh per-SF scratch table path under the gitignored warehouse
+    root — one definition for every gate builder (the seven inline
+    copies were a silent-drift risk, round-7 review)."""
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    path = os.path.normpath(os.path.join(_GATE_ROOT, f"{prefix}_{tag}"))
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def _facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silver_orders(spark, sf_dir).select(
         "order_id",
@@ -55,9 +65,7 @@ def lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle encodes exactly this, making the classification itself the
     thing under test.
     """
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    table = os.path.normpath(os.path.join(_GATE_ROOT, f"cdf_gate_{tag}"))
-    shutil.rmtree(table, ignore_errors=True)
+    table = _gate_path(sf_dir, "cdf_gate")
 
     facts = _facts(spark, sf_dir)
     base = facts.where(F.col("order_id") % 3 != 0)
@@ -90,25 +98,21 @@ def scd2_snapshot_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing keys closed, new keys opened — so the snapshot engine's
     change detection and version bookkeeping are value-checked.
     """
-    import pyspark.sql.functions as SF
-
     from ecommerce_dbt_medallion_spark.config import BATCH_TS
     from ecommerce_dbt_medallion_spark.runner import snapshot
     from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    path = os.path.normpath(os.path.join(_GATE_ROOT, f"scd2_gate_{tag}"))
-    shutil.rmtree(path, ignore_errors=True)
+    path = _gate_path(sf_dir, "scd2_gate")
 
     c = load_table(spark, sf_dir, "customer").select(
-        SF.col("c_custkey").cast("long").alias("customer_id"),
-        (SF.col("c_custkey") % 4).cast("long").alias("tier"),
+        F.col("c_custkey").cast("long").alias("customer_id"),
+        (F.col("c_custkey") % 4).cast("long").alias("tier"),
     )
-    b1 = c.where(SF.col("customer_id") % 11 != 0)
-    b2 = c.where(SF.col("customer_id") % 7 != 0).withColumn(
+    b1 = c.where(F.col("customer_id") % 11 != 0)
+    b2 = c.where(F.col("customer_id") % 7 != 0).withColumn(
         "tier",
-        SF.col("tier")
-        + SF.when(SF.col("customer_id") % 5 == 0, 1).otherwise(0).cast("long"),
+        F.col("tier")
+        + F.when(F.col("customer_id") % 5 == 0, 1).otherwise(0).cast("long"),
     )
     snapshot(spark, b1, path, "customer_id", ["tier"], batch_ts=SCD2_T1)
     final = snapshot(spark, b2, path, "customer_id", ["tier"], batch_ts=BATCH_TS)
@@ -194,11 +198,8 @@ def ivm_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ecommerce_dbt_medallion_spark.runner import incremental_mart_refresh
 
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    fact = os.path.normpath(os.path.join(_GATE_ROOT, f"ivm_fact_{tag}"))
-    mart = os.path.normpath(os.path.join(_GATE_ROOT, f"ivm_mart_{tag}"))
-    shutil.rmtree(fact, ignore_errors=True)
-    shutil.rmtree(mart, ignore_errors=True)
+    fact = _gate_path(sf_dir, "ivm_fact")
+    mart = _gate_path(sf_dir, "ivm_mart")
 
     facts = silver_orders(spark, sf_dir).select(
         "order_id",
@@ -261,9 +262,7 @@ def wap_audited_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states. A leak of unpublished/discarded data into reads, a
     half-applied publish, or audit-on-wrong-bytes all hash-mismatch.
     """
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    table = os.path.normpath(os.path.join(_GATE_ROOT, f"wap_gate_{tag}"))
-    shutil.rmtree(table, ignore_errors=True)
+    table = _gate_path(sf_dir, "wap_gate")
 
     facts = silver_orders(spark, sf_dir).select(
         "order_id",
@@ -312,9 +311,7 @@ def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    table = os.path.normpath(os.path.join(_GATE_ROOT, f"zorder_gate_{tag}"))
-    shutil.rmtree(table, ignore_errors=True)
+    table = _gate_path(sf_dir, "zorder_gate")
 
     facts = silver_orders(spark, sf_dir).select(
         "order_id",
@@ -334,7 +331,9 @@ def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_by=["customer_id", "order_id"],
     )
 
-    mx = facts.agg(
+    # maxima from the COMMITTED table (one parquet scan), not a third
+    # execution of the full bronze→silver lineage (round-7 review)
+    mx = lakehouse.read(spark, table).agg(
         F.max("customer_id").alias("mc"), F.max("order_id").alias("mo")
     ).collect()[0]
     bounds = {
@@ -371,9 +370,7 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer (the bug class the round-7 read_pruned fix closed) would
     drop or mistype the column and hash-mismatch.
     """
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    table = os.path.normpath(os.path.join(_GATE_ROOT, f"evo_gate_{tag}"))
-    shutil.rmtree(table, ignore_errors=True)
+    table = _gate_path(sf_dir, "evo_gate")
 
     facts = silver_orders(spark, sf_dir).select(
         "order_id",
@@ -421,9 +418,7 @@ def lakehouse_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     restore that leaks v2's deletions (or misses v1's merge) hash-
     mismatches.
     """
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    table = os.path.normpath(os.path.join(_GATE_ROOT, f"restore_gate_{tag}"))
-    shutil.rmtree(table, ignore_errors=True)
+    table = _gate_path(sf_dir, "restore_gate")
 
     facts = _facts(spark, sf_dir)
     base = facts.where(F.col("order_id") % 4 != 0)

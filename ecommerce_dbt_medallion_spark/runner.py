@@ -126,11 +126,16 @@ def incremental_merge(
     table per batch — use ``incremental_merge_delta`` (file-skipping
     MERGE INTO, time travel) unless a bare parquet dir is required.
     """
-    try:
-        existing = spark.read.parquet(table_path)
-    except Exception:
+    # first-run detection by PATH EXISTENCE, never by swallowing read
+    # errors: a transient/corrupt-file read failure must surface, not
+    # silently overwrite the table with only the new batch (round-7
+    # review — the bare except here was a data-loss path)
+    import os
+
+    if not os.path.exists(table_path):
         new_rows.write.mode("overwrite").parquet(table_path)
         return spark.read.parquet(table_path)
+    existing = spark.read.parquet(table_path)
 
     kept = existing.join(
         new_rows.select(unique_key).distinct(), unique_key, "left_anti"
@@ -158,17 +163,38 @@ def snapshot(
     inserted; new keys are inserted; unchanged rows untouched.
     """
     ts = F.lit(batch_ts).cast("timestamp")
+    # to_json(struct(...)) — not concat_ws — for the check hash:
+    # concat_ws SKIPS nulls, so ('v', NULL) and (NULL, 'v') collided
+    # and a real change was classified unchanged; JSON encoding keeps
+    # nulls and quotes separators (round-7 review; dbt coalesces NULLs
+    # to a sentinel for the same reason)
     hashed = current.withColumn(
-        "scd_hash", F.md5(F.concat_ws("||", *[F.col(c).cast("string") for c in check_cols]))
+        "scd_hash",
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in check_cols]))),
     ).withColumn(
         "scd_id", F.md5(F.concat_ws("||", F.col(unique_key).cast("string"), F.lit(batch_ts)))
     )
+    # dbt aborts on duplicate snapshot keys; a duplicate here would fan
+    # out the open-row join and write a self-inconsistent history
+    dup = (
+        hashed.groupBy(unique_key)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"snapshot batch has duplicate {unique_key!r} (e.g. "
+            f"{dup[0][unique_key]!r}); SCD2 requires one row per key"
+        )
 
-    try:
-        history = spark.read.parquet(snapshot_path)
-        exists = True
-    except Exception:
-        exists = False
+    import os
+
+    # path existence, not exception-swallowing: a transient read error
+    # must not trigger the first-run overwrite that erases the history
+    exists = os.path.exists(snapshot_path)
+    history = spark.read.parquet(snapshot_path) if exists else None
 
     if not exists:
         out = hashed.withColumn("valid_from", ts).withColumn(
@@ -286,10 +312,21 @@ def incremental_mart_refresh(
     to_version = lakehouse.versions(fact_table)[-1]
     if to_version == from_version:
         return to_version
-    changes = lakehouse.table_changes(spark, fact_table, from_version, to_version)
+    # include_preimage: an update that REASSIGNS a row's group must
+    # dirty the group it left, not only the one it joined — post-image
+    # alone left the old group's mart row permanently stale (round-7
+    # review)
+    changes = lakehouse.table_changes(
+        spark, fact_table, from_version, to_version, include_preimage=True
+    )
     dirty = changes.select(group_key).distinct().localCheckpoint(eager=True)
     facts = lakehouse.read(spark, fact_table, to_version)
-    refreshed = agg_fn(facts.join(dirty, group_key, "semi"))
+    # checkpoint: merge_into evaluates its source several times (key
+    # range, bloom probe, discovery join, rewrite) and the gone
+    # anti-join + emptiness check each re-evaluate it too
+    refreshed = agg_fn(facts.join(dirty, group_key, "semi")).localCheckpoint(
+        eager=True
+    )
     # groups with no surviving fact rows: present in dirty, absent from
     # the recompute → remove from the mart
     gone = [
@@ -306,6 +343,12 @@ def incremental_mart_refresh(
     if refreshed.limit(1).count() > 0:
         lakehouse.merge_into(spark, mart_table, refreshed, group_key)
     if gone:
-        vals = ", ".join(repr(v) if isinstance(v, str) else str(v) for v in gone)
-        lakehouse.delete_where(spark, mart_table, f"{group_key} in ({vals})")
+        non_null = [v for v in gone if v is not None]
+        preds = []
+        if non_null:
+            vals = ", ".join(lakehouse._sql_literal(v) for v in non_null)
+            preds.append(f"{group_key} in ({vals})")
+        if len(non_null) < len(gone):
+            preds.append(f"{group_key} is null")
+        lakehouse.delete_where(spark, mart_table, " or ".join(preds))
     return to_version

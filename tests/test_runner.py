@@ -221,3 +221,111 @@ def test_incremental_mart_refresh_matches_full_rebuild(spark, tmp_path):
     )
     assert v_again == v_caught
     assert len(lh.versions(mart)) == mart_versions_before
+
+
+def test_incremental_refresh_catches_group_reassignment(spark, tmp_path):
+    """Round-7 review: a MERGE that moves a fact row to a DIFFERENT
+    group must dirty the group it LEFT (update_preimage), or the old
+    group's mart row stays stale forever."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark import lakehouse
+    from ecommerce_dbt_medallion_spark.runner import incremental_mart_refresh
+
+    fact = str(tmp_path / "fact")
+    mart = str(tmp_path / "mart")
+    facts = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 200, 30)],
+        "order_id long, customer_id long, amount long",
+    )
+
+    def agg_fn(df):
+        return df.groupBy("customer_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")
+        )
+
+    v0 = lakehouse.create_or_replace(spark, fact, facts, key="order_id")
+    lakehouse.create_or_replace(
+        spark, mart, agg_fn(lakehouse.read(spark, fact)), key="customer_id"
+    )
+    # order 1 MOVES from customer 100 to customer 200
+    lakehouse.merge_into(
+        spark,
+        fact,
+        spark.createDataFrame(
+            [(1, 200, 10)], "order_id long, customer_id long, amount long"
+        ),
+        "order_id",
+    )
+    incremental_mart_refresh(
+        spark, fact, mart, "customer_id", agg_fn, from_version=v0
+    )
+    got = {
+        r["customer_id"]: (r["n"], r["total"])
+        for r in lakehouse.read(spark, mart).collect()
+    }
+    assert got[200] == (2, 40), got
+    assert got[100] == (1, 20), "the LEFT group must be recomputed"
+
+
+def test_incremental_refresh_deletes_gone_string_and_date_groups(spark, tmp_path):
+    """Gone-group deletion must render non-int keys as typed SQL
+    literals (a date used to parse as integer arithmetic)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark import lakehouse
+    from ecommerce_dbt_medallion_spark.runner import incremental_mart_refresh
+
+    fact = str(tmp_path / "factd")
+    mart = str(tmp_path / "martd")
+    facts = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 1), 10),
+            (2, datetime.date(2024, 1, 1), 20),
+            (3, datetime.date(2024, 2, 2), 30),
+        ],
+        "order_id long, d date, amount long",
+    )
+
+    def agg_fn(df):
+        return df.groupBy("d").agg(F.sum("amount").alias("total"))
+
+    v0 = lakehouse.create_or_replace(spark, fact, facts, key="order_id")
+    lakehouse.create_or_replace(
+        spark, mart, agg_fn(lakehouse.read(spark, fact)), key="d"
+    )
+    # delete the ONLY fact of the 2024-02-02 group → mart row must go
+    lakehouse.delete_where(spark, fact, "order_id = 3")
+    incremental_mart_refresh(spark, fact, mart, "d", agg_fn, from_version=v0)
+    got = {str(r["d"]): r["total"] for r in lakehouse.read(spark, mart).collect()}
+    assert got == {"2024-01-01": 30}, got
+
+
+def test_snapshot_rejects_duplicate_keys_and_null_vs_value_change(spark, tmp_path):
+    """dbt parity: duplicate snapshot keys abort; a ('v', NULL) →
+    (NULL, 'v') change across two check columns must version (the old
+    concat_ws hash collided the two states)."""
+    import pytest as _pytest
+
+    from ecommerce_dbt_medallion_spark.runner import snapshot
+
+    p = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, "v", None)], "k long, a string, b string"
+    )
+    snapshot(spark, b1, p, "k", ["a", "b"], batch_ts="2025-12-01 00:00:00")
+    b2 = spark.createDataFrame(
+        [(1, None, "v")], "k long, a string, b string"
+    )
+    out = snapshot(spark, b2, p, "k", ["a", "b"], batch_ts="2025-12-02 00:00:00")
+    rows = out.orderBy("valid_from").collect()
+    assert len(rows) == 2, "NULL-position swap must create a new version"
+    assert rows[0]["valid_to"] is not None and rows[1]["valid_to"] is None
+
+    dup = spark.createDataFrame(
+        [(7, "x", "y"), (7, "z", "w")], "k long, a string, b string"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        snapshot(spark, dup, str(tmp_path / "snap2"), "k", ["a", "b"])

@@ -1402,6 +1402,14 @@ def optimize(
     adds O(batch) files, and scan latency degrades with file count, not
     data size. Returns the new version (or the current one if there was
     nothing to compact).
+
+    Granularity note: on a PARTITION-declared table compaction
+    clusters along the declared column and emits one file per
+    partition-value range (``target_rows`` is not consulted) — right
+    for the low-cardinality date/category partitions the declaration
+    is meant for; a table whose partitions individually exceed a
+    comfortable file size should be z-ordered instead (zorder keeps
+    within-partition clustering AND splits by size).
     """
     import math
 

@@ -33,7 +33,7 @@ from ecommerce_dbt_medallion_spark.models import bronze, silver, gold
 from ecommerce_dbt_medallion_spark.sources import mapping
 from ecommerce_dbt_medallion_spark.oracle import medallion as omed
 
-# model name → (spark builder, oracle CTE availability)
+# model name → Spark DataFrame builder (spark, sf_dir) -> DataFrame
 MODEL_REGISTRY = {
     "raw_customers": mapping.raw_customers,
     "raw_orders": mapping.raw_orders,
@@ -79,8 +79,11 @@ FULL_ACCEPTED_METHODS = REF_ACCEPTED_METHODS + ("digital_wallet",)
 # decimal(38,6) → string, identical digits; "timestamp": explicit
 # µs-precision format string). Round 6 removed the old int/string-only
 # constraint; the non_negative check on bronze_payments.payment_amount
-# (decimal(18,2), seeded negatives) exercises the decimal path under
-# the hash gate.
+# (decimal(18,4), seeded negatives) exercises the decimal path under
+# the hash gate. Declared value_type is VALIDATED against the column's
+# actual dtype at run time (_assert_value_type) — a double under the
+# default 'str' rendering would silently reintroduce the cross-engine
+# formatting divergence this mechanism exists to prevent.
 CHECKS: list[Check] = [
     # sources — models/bronze/bronze.yml:13-42 (dirt is seeded → nonzero)
     Check("raw_customers", "id", "unique"),
@@ -254,7 +257,15 @@ def _render_value(col, value_type: str):
     if value_type == "timestamp":
         # Explicit µs-precision pattern; the default casts diverge
         # (DuckDB omits trailing zero fractions, Spark keeps seconds).
-        return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        # to_utc_timestamp(col, current_timezone()) pins the rendering
+        # to the instant's UTC wall clock REGARDLESS of the session TZ
+        # (plain date_format renders in session TZ, and the driver's
+        # session TZ is not ours to control — round-7 review; the
+        # DuckDB twin prints naive-as-UTC, so parity needs UTC here).
+        return F.date_format(
+            F.to_utc_timestamp(col, F.current_timezone()),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        )
     return col.cast("string")
 
 
@@ -267,6 +278,34 @@ def _render_value_sql(expr: str, value_type: str) -> str:
     return f"cast({expr} as varchar)"
 
 
+def _assert_value_type(df: DataFrame, chk: Check) -> None:
+    """Fail FAST (with the column named) when a check's declared
+    value_type cannot render its column's actual dtype portably —
+    the alternative is an opaque hash mismatch at the driver gate
+    (round-7 review)."""
+    dt = dict(df.dtypes).get(chk.column)
+    if dt is None:
+        raise ValueError(f"{chk.model}.{chk.column}: no such column")
+    if chk.value_type == "decimal":
+        ok = dt.startswith("decimal")
+    elif chk.value_type == "timestamp":
+        ok = dt.startswith("timestamp")
+    else:
+        # 'str' is safe for int/string/bool/date AND fixed-point
+        # decimals (both engines print every scale digit, no scientific
+        # notation — raw_orders.amount is certified green this way; use
+        # value_type='decimal' when the two engines' scales differ).
+        # NOT safe for float/double (shortest-repr vs %g divergence)
+        # or timestamps (separator/fraction/TZ divergence).
+        ok = not (dt in ("double", "float") or dt.startswith("timestamp"))
+    if not ok:
+        raise ValueError(
+            f"{chk.model}.{chk.column} is {dt} but the check declares "
+            f"value_type={chk.value_type!r}; declare the matching "
+            "value_type so both engines render identically"
+        )
+
+
 def _failed_rows_df(spark: SparkSession, sf_dir: str, chk: Check,
                     cache: dict[str, DataFrame]) -> DataFrame:
     """Failing VALUES for one check: (offending_value, n_rows)."""
@@ -277,14 +316,32 @@ def _failed_rows_df(spark: SparkSession, sf_dir: str, chk: Check,
         return cache[name]
 
     df = model(chk.model)
+    _assert_value_type(df, chk)
     col = F.col(chk.column)
-    rendered = _render_value(col, chk.value_type).alias("offending_value")
+    # group by the RAW column and render AFTER aggregation: grouping by
+    # the rendered string could merge distinct raw values under a
+    # non-injective rendering (decimal scale > 6, sub-µs timestamps),
+    # making this audit disagree with dq_generic_tests' raw-column
+    # counts (round-7 review). Renders stay injective for current
+    # checks, so values are unchanged — the shape is now future-proof.
+    rendered = _render_value(F.col("__raw"), chk.value_type).alias(
+        "offending_value"
+    )
+
+    def _grouped(filtered: DataFrame) -> DataFrame:
+        return (
+            filtered.groupBy(col.alias("__raw"))
+            .agg(F.count("*").alias("n_rows"))
+            .select(rendered, "n_rows")
+        )
+
     if chk.test == "unique":
         vals = (
             df.where(col.isNotNull())
-            .groupBy(rendered)
+            .groupBy(col.alias("__raw"))
             .agg(F.count("*").alias("n_rows"))
             .where(F.col("n_rows") > 1)
+            .select(rendered, "n_rows")
         )
     elif chk.test == "not_null":
         vals = (
@@ -295,24 +352,13 @@ def _failed_rows_df(spark: SparkSession, sf_dir: str, chk: Check,
         )
     elif chk.test == "relationships":
         parent = model(chk.to_model).select(F.col(chk.to_column).alias("__pk")).distinct()
-        vals = (
-            df.where(col.isNotNull())
-            .join(parent, col == F.col("__pk"), "left_anti")
-            .groupBy(rendered)
-            .agg(F.count("*").alias("n_rows"))
+        vals = _grouped(
+            df.where(col.isNotNull()).join(parent, col == F.col("__pk"), "left_anti")
         )
     elif chk.test.startswith("accepted_values"):
-        vals = (
-            df.where(~col.isin(list(chk.values)))
-            .groupBy(rendered)
-            .agg(F.count("*").alias("n_rows"))
-        )
+        vals = _grouped(df.where(~col.isin(list(chk.values))))
     elif chk.test == "non_negative":
-        vals = (
-            df.where(col < 0)
-            .groupBy(rendered)
-            .agg(F.count("*").alias("n_rows"))
-        )
+        vals = _grouped(df.where(col < 0))
     else:  # pragma: no cover
         raise ValueError(chk.test)
     return vals.select(
@@ -354,12 +400,14 @@ def dq_failed_rows(spark: SparkSession, sf_dir: str,
 
 
 def _failed_rows_sql(chk: Check) -> str:
-    rendered = _render_value_sql(chk.column, chk.value_type)
+    # mirror of _failed_rows_df: group by the RAW column, render after
+    rendered = _render_value_sql("__raw", chk.value_type)
     if chk.test == "unique":
         sub = (
-            f"select {rendered} as offending_value, "
-            f"count(*) as n_rows from {chk.model} where {chk.column} is not null "
-            f"group by 1 having count(*) > 1"
+            f"select {rendered} as offending_value, n_rows from ("
+            f"select {chk.column} as __raw, count(*) as n_rows "
+            f"from {chk.model} where {chk.column} is not null "
+            f"group by 1 having count(*) > 1)"
         )
     elif chk.test == "not_null":
         sub = (
@@ -368,24 +416,26 @@ def _failed_rows_sql(chk: Check) -> str:
         )
     elif chk.test == "relationships":
         sub = (
-            f"select {_render_value_sql('c.' + chk.column, chk.value_type)} "
-            f"as offending_value, "
-            f"count(*) as n_rows from {chk.model} c where c.{chk.column} is not null "
+            f"select {rendered} as offending_value, n_rows from ("
+            f"select c.{chk.column} as __raw, count(*) as n_rows "
+            f"from {chk.model} c where c.{chk.column} is not null "
             f"and not exists (select 1 from {chk.to_model} p "
-            f"where p.{chk.to_column} = c.{chk.column}) group by 1"
+            f"where p.{chk.to_column} = c.{chk.column}) group by 1)"
         )
     elif chk.test.startswith("accepted_values"):
         vals = ", ".join(f"'{v}'" for v in chk.values)
         sub = (
-            f"select {rendered} as offending_value, "
-            f"count(*) as n_rows from {chk.model} "
-            f"where {chk.column} not in ({vals}) group by 1"
+            f"select {rendered} as offending_value, n_rows from ("
+            f"select {chk.column} as __raw, count(*) as n_rows "
+            f"from {chk.model} "
+            f"where {chk.column} not in ({vals}) group by 1)"
         )
     elif chk.test == "non_negative":
         sub = (
-            f"select {rendered} as offending_value, "
-            f"count(*) as n_rows from {chk.model} "
-            f"where {chk.column} < 0 group by 1"
+            f"select {rendered} as offending_value, n_rows from ("
+            f"select {chk.column} as __raw, count(*) as n_rows "
+            f"from {chk.model} "
+            f"where {chk.column} < 0 group by 1)"
         )
     else:  # pragma: no cover
         raise ValueError(chk.test)

@@ -102,7 +102,13 @@ def load_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, "events.parquet")
     schema = _read_events_static(spark, path).schema
-    stream = spark.readStream.schema(schema).parquet(path + "*")
+    # the file source requires a GLOB (an exact file path fails with
+    # "basePath must be a directory"), but the old path + "*" also
+    # matched sibling entries like events.parquet.bak, silently
+    # double-feeding every streaming consumer (round-7 review) — the
+    # {}-alternation glob matches ONLY the exact name while keeping
+    # sf_dir as the basePath
+    stream = spark.readStream.schema(schema).parquet(path[:-len("parquet")] + "{parquet}")
     return normalize_event_ts(stream)
 
 
@@ -131,7 +137,12 @@ def load_table_fmt(
         raise ValueError(f"{fmt} sources require an explicit schema")
     reader = reader.schema(schema)
     if fmt == "csv":
-        return reader.csv(path, header=True, timestampFormat="yyyy-MM-dd HH:mm:ss")
+        # no hardcoded timestampFormat: the previous second-granularity
+        # pattern mismatched Spark's own CSV writer default (ISO with
+        # fractional seconds), silently NULLing every timestamp under
+        # PERMISSIVE parsing (round-7 review); the reader default
+        # handles ISO-8601 with optional fractions
+        return reader.csv(path, header=True)
     if fmt == "json":
         return reader.json(path)
     raise ValueError(f"unsupported source format: {fmt}")

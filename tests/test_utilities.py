@@ -172,3 +172,31 @@ def test_dq_timestamp_rendering_parity(spark, duck):
         ).fetchall()
     )
     assert got_spark == got_duck, (got_spark, got_duck)
+
+
+def test_dq_timestamp_rendering_is_session_tz_independent(spark):
+    """Round-7 review: the timestamp rendering must print the instant's
+    UTC wall clock no matter what session TZ the DRIVER happens to run
+    under (date_format alone renders in session TZ; the DuckDB twin
+    prints naive-as-UTC)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.quality.checks import _render_value
+
+    df = spark.sql(
+        "select timestamp'2024-06-01 12:34:56.789012' as ts"
+    )
+    utc = df.select(_render_value(F.col("ts"), "timestamp").alias("r")).collect()[0]["r"]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # re-read the literal under the NEW tz? No — build the instant
+        # from epoch micros so both sessions see the same instant
+        us = df.select(F.unix_micros("ts").alias("u")).collect()[0]["u"]
+        df2 = spark.sql(f"select timestamp_micros({us}) as ts")
+        ny = df2.select(
+            _render_value(F.col("ts"), "timestamp").alias("r")
+        ).collect()[0]["r"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert ny == utc == "2024-06-01 12:34:56.789012", (ny, utc)

@@ -175,7 +175,12 @@ def asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o_rows = orders_d.select(
         "user_id",
-        F.unix_micros(F.col("order_date").cast("timestamp")).alias("t_us"),
+        # unix_date * 86_400e6, NOT unix_micros(cast to timestamp): the
+        # cast renders midnight in the SESSION timezone, shifting t_us
+        # under a non-UTC driver session while the DuckDB oracle stays
+        # naive-UTC (round-7 review; same class as the DQ timestamp
+        # rendering fix). unix_date is timezone-independent.
+        (F.unix_date(F.col("order_date")).cast("long") * F.lit(86_400_000_000)).alias("t_us"),
         F.lit(0).alias("is_event"),
         F.lit(None).cast("long").alias("event_id"),
         F.lit(None).cast("timestamp").alias("ts"),
@@ -747,7 +752,7 @@ def oracle_sketch_user_overlap() -> str:
         f"cast('{_HLL_TWO65}' as decimal(38,0))) as double)) end"
     )
     return f"""
-with ev as (
+with ev as materialized (
     select distinct event_type, user_id from events where user_id is not null
 ),
 rr as (
@@ -758,7 +763,7 @@ rr as (
                    {bchars + 1}, 16), '^0*', '') as rem
     from ev
 ),
-regs as (
+regs as materialized (
     select event_type, bucket, max(
         (16 - length(rem)) * 4 +
         case when substr(rem, 1, 1) = '1' then 3
@@ -951,7 +956,7 @@ select user_id,
     cast(sum(cast(value as decimal(18,2))) as double) as total_value
 from numbered
 group by user_id, session_seq
-""".format(gap="{gap}")
+"""
 
 
 def oracle_session_window_stats() -> str:
@@ -1268,7 +1273,7 @@ counts as (
     select src, dst, count(*) as n_trans from trans group by 1, 2
 )
 select src, dst, n_trans,
-    sum(n_trans) over (partition by src) as n_src,
+    cast(sum(n_trans) over (partition by src) as bigint) as n_src,
     cast(n_trans as double)
         / cast(sum(n_trans) over (partition by src) as double) as p_trans
 from counts
@@ -1613,7 +1618,7 @@ def markov_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MARKOV_DWELL = """
-with trans as (
+with trans as materialized (
     select src, dst, (next_us - us) // 1000000 as gap_s from (
         select event_type as src,
             lead(event_type) over (partition by user_id order by ts, event_id)

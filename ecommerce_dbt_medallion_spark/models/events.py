@@ -357,6 +357,28 @@ def _hll_est_params(p: int) -> tuple[int, float, float]:
     return m, _hll_alpha(m) * m * m * float(2**65), 2.5 * m
 
 
+
+def _hll_bucket_rho(p: int):
+    """(bucket, rho) Columns of the engine-portable md5 HLL family at
+    precision ``p`` over ``user_id`` — ONE definition shared by
+    sketch_distinct_users and sketch_user_overlap (and restated
+    verbatim in both oracles): the mergeability/portability argument
+    only holds while every sketch uses identical salted hashes and rho
+    extraction (round-7 review)."""
+    bchars = p // 4
+    h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f"{_HLL_SALT}{p}")))
+    rem = F.regexp_replace(F.substring(h, bchars + 1, 16), "^0*", "")
+    first = F.substring(rem, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = ((F.lit(16) - F.length(rem)) * 4 + extra + 1).cast("int")  # empty rem -> 65
+    return F.substring(h, 1, bchars), rho
+
+
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based cardinality: HyperLogLog approximate distinct users
     per event_type at three precisions (m=16/256/4096 registers,
@@ -378,22 +400,12 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     structs = []
     for p in _HLL_PRECISIONS:
-        bchars = p // 4
-        h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f"{_HLL_SALT}{p}")))
-        rem = F.regexp_replace(F.substring(h, bchars + 1, 16), "^0*", "")
-        first = F.substring(rem, 1, 1)
-        extra = (
-            F.when(first == "1", 3)
-            .when(first.isin("2", "3"), 2)
-            .when(first.isin("4", "5", "6", "7"), 1)
-            .otherwise(0)
-        )
-        rho = (F.lit(16) - F.length(rem)) * 4 + extra + 1  # empty rem → 65
+        bucket, rho = _hll_bucket_rho(p)
         structs.append(
             F.struct(
                 F.lit(p).alias("p"),
-                F.substring(h, 1, bchars).alias("bucket"),
-                rho.cast("int").alias("rho"),
+                bucket.alias("bucket"),
+                rho.alias("rho"),
             )
         )
     regs = (
@@ -640,18 +652,9 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
     )
-    h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f"{_HLL_SALT}{p}")))
-    rem = F.regexp_replace(F.substring(h, bchars + 1, 16), "^0*", "")
-    first = F.substring(rem, 1, 1)
-    extra = (
-        F.when(first == "1", 3)
-        .when(first.isin("2", "3"), 2)
-        .when(first.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    rho = ((F.lit(16) - F.length(rem)) * 4 + extra + 1).cast("int")
+    bucket, rho = _hll_bucket_rho(p)
     regs = (
-        ev.select("event_type", F.substring(h, 1, bchars).alias("bucket"), rho.alias("rho"))
+        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("reg"))
         .localCheckpoint(eager=False)
@@ -969,20 +972,14 @@ ATTR_WINDOW_DAYS = 7
 ATTR_TOUCH_TYPES = ("view", "click")
 
 
-def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear multi-touch attribution: each purchase's value is split
-    equally across the user's view/click touches in the preceding 7
-    days; purchases with no touches report as 'direct'.
 
-    Scale shape: ONE equi-join on user_id (the time window is a residual
-    predicate — per-user touch counts are bounded, never a range
-    explosion), per-purchase touch counts from a window over the join
-    output, then a (touch_type, date) rollup. Money is exact bigint
-    micro-units (value_cents x 10000, floor-divided per touch) so every
-    group sum is order-independent integer math — the same fixed-point
-    trick as pagerank_parts; floats appear only in the single final
-    division.
-    """
+def _attr_purchase_touch_pairs(spark: SparkSession, sf_dir: str):
+    """Shared prelude for the two attribution keys: purchase rows with
+    exact-cent money, touch rows, and their windowed LEFT pairing (one
+    equi-join on user_id; the time window is a residual predicate, so
+    per-user touch counts bound the fan-out). Both keys and BOTH
+    oracles must keep identical pairing semantics — one definition ends
+    the four-way copy (round-7 review)."""
     ev = load_events(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
@@ -1001,13 +998,30 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("t_date"),
     )
     win_us = ATTR_WINDOW_DAYS * 86400 * 1_000_000
-    pairs = purchases.join(
+    return purchases.join(
         touches,
         (F.col("p_user") == F.col("t_user"))
         & (F.col("t_us") < F.col("p_us"))
         & (F.col("t_us") >= F.col("p_us") - F.lit(win_us)),
         "left",
     )
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's view/click touches in the preceding 7
+    days; purchases with no touches report as 'direct'.
+
+    Scale shape: ONE equi-join on user_id (the time window is a residual
+    predicate — per-user touch counts are bounded, never a range
+    explosion), per-purchase touch counts from a window over the join
+    output, then a (touch_type, date) rollup. Money is exact bigint
+    micro-units (value_cents x 10000, floor-divided per touch) so every
+    group sum is order-independent integer math — the same fixed-point
+    trick as pagerank_parts; floats appear only in the single final
+    division.
+    """
+    pairs = _attr_purchase_touch_pairs(spark, sf_dir)
     n_touches = F.count("t_id").over(Window.partitionBy("p_id"))
     attributed = pairs.select(
         "p_id",
@@ -1295,29 +1309,7 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     50/100, 20/100/(n-2)) — order-independent integer sums, one final
     double division, like every money path in the repo.
     """
-    ev = load_events(spark, sf_dir)
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"),
-        F.col("user_id").alias("p_user"),
-        F.unix_micros("ts").alias("p_us"),
-        F.to_date("ts").alias("p_date"),
-        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("value_cents"),
-    )
-    touches = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
-        F.col("event_id").alias("t_id"),
-        F.col("user_id").alias("t_user"),
-        F.col("event_type").alias("t_type"),
-        F.unix_micros("ts").alias("t_us"),
-        F.to_date("ts").alias("t_date"),
-    )
-    win_us = ATTR_WINDOW_DAYS * 86400 * 1_000_000
-    pairs = purchases.join(
-        touches,
-        (F.col("p_user") == F.col("t_user"))
-        & (F.col("t_us") < F.col("p_us"))
-        & (F.col("t_us") >= F.col("p_us") - F.lit(win_us)),
-        "left",
-    )
+    pairs = _attr_purchase_touch_pairs(spark, sf_dir)
     wp = Window.partitionBy("p_id")
     w_asc = wp.orderBy("t_us", "t_id")
     w_desc = wp.orderBy(F.desc("t_us"), F.desc("t_id"))

@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
 
+
+def _discounted_rev():
+    """The exact-decimal discounted revenue expression —
+    extendedprice(18,2) x (1 - discount(4,2)) widened to (18,4). These
+    PRECISIONS are the cross-engine contract (the oracles restate them
+    digit for digit); one definition, not eight copies (round-7
+    review)."""
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+
+
 def sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by customer region/nation: lineitem ⋈ orders ⋈ customer ⋈
     broadcast(nation ⋈ region). One fact shuffle per join key; the dim
@@ -32,8 +45,7 @@ def sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"),
         )
     )
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    rev = _discounted_rev()
     return (
         li.select("l_orderkey", rev.alias("rev_dec"))
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -88,11 +100,10 @@ def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", F.col("n_name").alias("supplier_nation")
         )
     )
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    rev = _discounted_rev()
     return (
         li.select("l_partkey", "l_suppkey", rev.alias("rev_dec"), F.col("l_quantity"))
-        .join(part.select("p_partkey", "p_type", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("p_type", "supplier_nation")
@@ -135,6 +146,14 @@ def customer_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-grain aggregate — approx_percentile is the knob if exact
     order statistics aren't required). Verified bit-identical to DuckDB's
     median/quantile_cont.
+
+    KNOWN deviation from the repo's rank-based-order-statistics
+    convention (SURVEY §3): this key deliberately exercises the
+    BUILTIN percentile aggregates and has been hash-identical to
+    quantile_cont at three SFs across two driver rounds — both engines
+    interpolate lower + frac·(higher−lower) on exact doubles. If an
+    engine upgrade ever flips a ulp here, the fix is the
+    shipping_delay_stats cumulative-count recipe.
     """
     from ecommerce_dbt_medallion_spark.models.silver import silver_orders
 
@@ -275,8 +294,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"),
         )
     )
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    rev = _discounted_rev()
     return (
         li.select("l_orderkey", rev.alias("rev_dec"))
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -343,8 +361,7 @@ def top_parts_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", F.col("r_name").alias("region_name")
         )
     )
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    rev = _discounted_rev()
     by_part = (
         li.select("l_suppkey", "l_partkey", rev.alias("rev_dec"))
         .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -489,8 +506,16 @@ ANOMALY_Z = 2.0
 
 
 def revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-revenue anomaly detection: rolling 28-day z-score over the
-    completed-order revenue series.
+    """Daily-revenue anomaly detection: z-score over the trailing 28
+    OBSERVED days of the completed-order revenue series.
+
+    Window semantics (deliberate, round-7 review): the frame is
+    ROW-based over the daily aggregate, so calendar days with zero
+    completed orders do not enter the statistic and a gap stretches the
+    wall-clock span beyond 28 days — "trailing 28 trading days", the
+    convention financial rolling stats use. The zero-filled calendar
+    variant is what `revenue_date_spine` exists to feed; both oracles
+    mirror their Spark side exactly.
 
     Cross-engine float discipline: stddev()/var_samp() are NOT portable
     (Welford vs naive accumulation order), so the rolling moments are
@@ -709,7 +734,12 @@ from spine s left join daily d on s.day = d.order_date
 # its event date. Reference analogue: dbt snapshots (snapshots/ dir,
 # check strategy) + every Kimball SCD2 mart.
 
-SCD2_EPOCH = "1994-01-01"
+# At or below the corpus's min o_orderdate (TPC-H: 1992-01-01) so
+# version 0 covers EVERY fact row — the old 1994 epoch silently dropped
+# two years of orders from the point-in-time join (round-7 review; the
+# oracle shared the constant so parity hid it). One shared constant,
+# interpolated into both engines.
+SCD2_EPOCH = "1992-01-01"
 
 
 def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,7 +965,7 @@ def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SHIPPING_DELAY_STATS = """
-with gaps as (
+with gaps as materialized (
     select o.o_orderpriority,
         cast(datediff('day', cast(o.o_orderdate as date),
                       cast(l.l_shipdate as date)) as bigint) as delay
@@ -950,7 +980,7 @@ cum as (
                      rows between unbounded preceding and current row) as cum
     from cnt
 ),
-tot as (
+tot as materialized (
     select o_orderpriority, count(*) as n, min(delay) as min_delay,
         max(delay) as max_delay, sum(delay) as sum_delay
     from gaps group by 1
@@ -997,7 +1027,7 @@ def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_BASKET_SIZE_DISTRIBUTION = """
-with sizes as (
+with sizes as materialized (
     select l_orderkey, count(distinct l_partkey) as basket_size
     from lineitem group by 1
 ),
@@ -1016,8 +1046,7 @@ def returns_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partial conditional aggregation (no join, no pivot).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    rev = _discounted_rev()
     agg = li.groupBy(
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
     ).agg(
@@ -1126,18 +1155,20 @@ def trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
         "n_nationkey", F.col("r_name").alias("rname")
     )
-    cust_geo = F.broadcast(
-        customer.join(geo, customer.c_nationkey == geo.n_nationkey).select(
-            "c_custkey", F.col("rname").alias("cust_region")
-        )
+    # NO forced broadcast on the customer/supplier sides: those dims
+    # scale with the data (customer is the LARGEST dimension) and a
+    # pinned broadcast overrides AQE's size threshold — at 100 TB that
+    # is a driver/executor OOM, not a join strategy (round-7 review;
+    # the module's broadcast discipline reserves F.broadcast for the
+    # provably-constant nation/region dims inside `geo`). AQE still
+    # broadcasts them at small SFs where the estimates allow.
+    cust_geo = customer.join(geo, customer.c_nationkey == geo.n_nationkey).select(
+        "c_custkey", F.col("rname").alias("cust_region")
     )
-    supp_geo = F.broadcast(
-        supplier.join(geo, supplier.s_nationkey == geo.n_nationkey).select(
-            "s_suppkey", F.col("rname").alias("supp_region")
-        )
+    supp_geo = supplier.join(geo, supplier.s_nationkey == geo.n_nationkey).select(
+        "s_suppkey", F.col("rname").alias("supp_region")
     )
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(18,4)")
+    rev = _discounted_rev()
     return (
         li.select("l_orderkey", "l_suppkey", rev.alias("rev_dec"))
         .join(orders.select("o_orderkey", "o_custkey"),
@@ -1160,7 +1191,7 @@ def trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TRADE_FLOWS = """
-with geo as (
+with geo as materialized (
     select n.n_nationkey, r.r_name as rname
     from nation n join region r on n.n_regionkey = r.r_regionkey
 )

@@ -93,85 +93,95 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # r5-green) ceded their slots to the new keys and stay r5-latest;
 # they rejoin in round 8.
 #
-# Round-8 note (write the next window from this): after round 7, the
-# keys whose latest driver row is still r5 are the 39 =
-# CORRECTNESS_r05 minus the 11 of them re-certified in this window
-# (bronze×3, silver_customers, silver_orders, silver_payments,
-# dq_generic_tests, dq_singular_tests, and the 3 gold marts). Those
-# 39 take the first 39 round-8 slots; the remaining 11 go to the
-# oldest r6-certified keys in api order (event_daily_stats,
-# event_funnel, event_path_topk, active_users_rolling,
-# multimodal_frame_sample, sketch_distinct_users,
-# gold_rfm_segmentation, churn_risk_score, sales_by_region,
-# supplier_part_revenue, customer_order_percentiles).
-# Round 9 rotates the rest of the r6 block + the r7 block, oldest
-# row first. No key's latest driver row should ever be more than two
-# rounds behind the code it runs on.
+# Round-8 rotation (this window): the 39 keys whose latest driver row
+# is r5 (CORRECTNESS_r05 minus the 11 re-certified in r7: bronze×3,
+# silver×3, dq_generic/singular, 3 gold marts) take the first 39
+# slots, then the 11 oldest r6-certified keys fill the 50.
+#
+# Round-9 note (write the next window from this): after round 8, the
+# oldest-certified keys are the remaining r6 block (range_join_promo_
+# revenue, sales_rollup, top_parts_per_region, payment_method_pivot,
+# revenue_anomaly_zscore, customer_ltv_running, revenue_date_spine,
+# funnel_windowed, sketch_user_overlap, corpus_mix_weights,
+# semantic_dedup_clusters, corpus_stratified_sample,
+# corpus_sample_per_stratum, corpus_weighted_sample, dataset_split,
+# dataset_split_stats, dedup_keep_best, curation_funnel,
+# text_token_stats, text_quality_score, text_language_id,
+# doc_fingerprint, dedup_exact, doc_winnowing, corpus_curation,
+# dedup_ngram_jaccard, text_pii_scrub, decontaminate, doc_containment,
+# triangle_count_parts, dedup_embedding_lsh, ann_topk_lsh,
+# ann_topk_ivf, kmeans_embeddings, bm25_topk, exact_substring_dedup,
+# lakehouse_cdf, dq_source_freshness, scd2_snapshot_build,
+# association_rules(r7)…) — fill the 50 oldest-row-first in api
+# order; any round-8 keys displaced by round-8 additions rejoin.
+# No key's latest driver row should ever be more than two rounds
+# behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
-    # --- never driver-certified: round-6c analytics/stats marts ---
-    "pricing_summary",
-    "shipping_delay_stats",
-    "basket_size_distribution",
-    "returns_by_month",
-    "discount_band_analysis",
-    "trade_flows",
-    "late_order_priority",
-    "skew_salted_revenue",
-    "revenue_trend",
-    "revenue_seasonality",
-    "winsorized_revenue_stats",
-    "customer_interpurchase",
-    "pareto_frontier_parts",
-    "supplier_hhi",
-    "part_price_quartiles",
-    "customer_decile_revenue",
-    "new_vs_returning_revenue",
-    # --- never driver-certified: round-6c events/journey ops ---
-    "markov_transitions",
-    "markov_dwell",
-    "attribution_position",
-    "event_volume_anomaly",
-    "event_ctr_daily",
-    # --- never driver-certified: round-6c/6d LLM-pipeline ops ---
-    "association_rules",
-    "kcore_parts",
-    "doc_novelty_score",
-    "tokenizer_fertility",
-    "source_length_profile",
-    "vocab_coverage",
-    "minhash_calibration",
-    "ann_recall_report",
-    "pq_quantize",
-    # --- never driver-certified: round-6c/6d engine + streaming ---
-    "ivm_mart_refresh",
-    "wap_audited_ingest",
-    "stream_join_left_outer",
-    "stream_hopping_rollup",
-    # --- NEW round 7: OPTIMIZE ZORDER → 2-D pruned scan consumer,
-    # the streaming corpus-dedup pipeline, additive schema evolution,
-    # and RESTORE-read — all never-certified, all under the gate ---
-    "lakehouse_zorder_prune",
-    "stream_dedup_ingest",
-    "lakehouse_schema_evolution",
-    "lakehouse_restore_read",
-    # --- displaced by round 6's new-key block (green r5): re-certify.
-    # dq_failed_rows, event_sessionization and
-    # gold_customer_summary_bucketed ceded their slots to the four new
-    # round-7 keys (never-certified outranks one-round-old green);
-    # they rejoin in round 8 with the other r5-latest keys. ---
-    "bronze_customers",
-    "bronze_orders",
-    "bronze_payments",
-    "silver_customers",
-    "silver_orders",
-    "dq_generic_tests",
-    "dq_singular_tests",
-    # --- displaced by the 6c amendment (green r5): re-certify ---
-    "silver_payments",
-    "gold_customer_summary",
-    "gold_order_metrics",
-    "gold_revenue_analysis",
+    # ================= ROUND-8 WINDOW =================
+    # First 39 slots: every key whose latest driver row is r5 (=
+    # CORRECTNESS_r05 minus the 11 re-certified in r7) — they would be
+    # 3 rounds stale by round 8's end otherwise, violating the ≤2-round
+    # staleness invariant. Grouped by family for readability.
+    # --- events / sessions (r5-latest) ---
+    "event_sessionization",
+    "asof_event_order",
+    "attribution_linear",
+    "hypertable_rollup",
+    "cohort_retention",
+    "session_window_stats",
+    # --- streaming (r5-latest) ---
+    "stream_sessionize",
+    "stream_event_rollup",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_join_view_purchase",
+    "stream_enrich_purchases",
+    # --- medallion / DQ (r5-latest) ---
+    "gold_customer_summary_bucketed",
+    "dq_failed_rows",
+    "scd2_customer_orders",
+    # --- dedup / similarity (r5-latest) ---
+    "dedup_minhash_lsh",
+    "dedup_minhash_md5",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "dedup_clusters",
+    "knn_graph",
+    # --- text / ranking / LM (r5-latest) ---
+    "tfidf_top_terms",
+    "inverted_index",
+    "bigram_lm",
+    "doc_lm_score",
+    "repetition_stats",
+    "doc_chunking",
+    "pack_sequences",
+    "embedding_quantize",
+    "vocab_top_words",
+    "doc_oov_rate",
+    "multimodal_extract",
+    # --- sketches / graph / misc (r5-latest) ---
+    "cms_user_counts",
+    "histogram_quantiles",
+    "copurchase_topk",
+    "pagerank_parts",
+    "fuzzy_name_match",
+    # Remaining 11 slots: oldest r6-certified keys in api order. NEW
+    # round-8 keys displace from the TAIL of this block (never-certified
+    # outranks two-round-old green); displaced keys rejoin in round 9.
+    "event_daily_stats",
+    "event_funnel",
+    "event_path_topk",
+    "active_users_rolling",
+    "multimodal_frame_sample",
+    "sketch_distinct_users",
+    "gold_rfm_segmentation",
+    "churn_risk_score",
+    "sales_by_region",
+    "supplier_part_revenue",
+    "customer_order_percentiles",
 ]
 
 

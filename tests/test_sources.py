@@ -172,40 +172,48 @@ def test_driver_window_is_exactly_the_checked_prefix():
     assert len(set(api.DRIVER_WINDOW)) == 50
 
 
-def test_driver_window_membership_round7():
-    """Round-7 rotation: every key with NO driver CORRECTNESS row in any
-    prior round must be in this round's window (computed from the
-    committed CORRECTNESS_r0*.json files, not a hand-copied set — the
-    drift that hand-copy invited is the round-4 lesson), plus the 11
-    keys displaced green-in-r5 by round 6's new-key blocks."""
+def test_driver_window_membership_round8():
+    """Round-8 rotation, computed from the committed CORRECTNESS_r0*.json
+    artifacts (never a hand-copied set — the round-4 lesson):
+
+    1. every key with NO driver row in any prior round (new this round)
+       must be in the window;
+    2. every key whose LATEST driver row is r5 must be in the window —
+       otherwise it ends round 8 three rounds stale, violating the
+       builder's ≤2-round staleness invariant.
+    """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    certified: set = set()
+    latest_round: dict = {}
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
-        certified |= set(json.load(open(p)))
-    never_certified = set(api.queries()) - certified
+        rnd = int(re.search(r"_r0*(\d+)\.json$", p).group(1))
+        for key in json.load(open(p)):
+            latest_round[key] = max(latest_round.get(key, 0), rnd)
+    never_certified = set(api.queries()) - set(latest_round)
     missing = never_certified - set(api.DRIVER_WINDOW)
     assert not missing, f"never-driver-certified keys outside window: {missing}"
-    # dq_failed_rows / event_sessionization / the bucketed mart ceded
-    # their slots to the four new round-7 keys (never-certified
-    # outranks one-round-old green); they rejoin in round 8.
-    displaced_green_r5 = {
-        "bronze_customers",
-        "bronze_orders",
-        "bronze_payments",
-        "silver_customers",
-        "silver_orders",
-        "dq_generic_tests",
-        "dq_singular_tests",
-        "silver_payments",
-        "gold_customer_summary",
-        "gold_order_metrics",
-        "gold_revenue_analysis",
-    }
-    assert displaced_green_r5 <= set(api.DRIVER_WINDOW)
+    stale_r5 = {k for k, r in latest_round.items() if r <= 5 and k in api.queries()}
+    missing = stale_r5 - set(api.DRIVER_WINDOW)
+    assert not missing, f"r5-latest keys outside round-8 window: {missing}"
+
+
+def test_survey_section2_lists_every_query_key():
+    """Structural guard (round-8 VERDICT mandate): SURVEY.md §2 is the
+    judge's coverage checklist, and two consecutive rounds shipped an
+    inventory short one key (stream_hopping_rollup in r6,
+    active_users_rolling in r7). Every queries() key must appear as a
+    backticked name inside §2, so the drift class is impossible."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "SURVEY.md")).read()
+    sec2 = text.split("## §2", 1)[1].split("## §3", 1)[0]
+    missing = [k for k in api.queries() if f"`{k}`" not in sec2]
+    assert not missing, f"queries() keys absent from SURVEY.md §2: {missing}"
 
 
 def test_every_key_has_oracle_or_documented_rows_only():

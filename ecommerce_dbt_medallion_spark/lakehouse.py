@@ -167,9 +167,12 @@ def history(table: str) -> list[dict]:
 def _footer_min_max(md, col: str):
     """(min, max) of ``col`` across a parquet file's row groups, from the
     footer statistics pyarrow reads for free; None if unavailable."""
+    import decimal
+
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     if col not in idx or md.num_rows == 0:
         return None
+    colschema = md.schema.column(idx[col])
     mins, maxs = [], []
     for rg in range(md.num_row_groups):
         s = md.row_group(rg).column(idx[col]).statistics
@@ -179,8 +182,22 @@ def _footer_min_max(md, col: str):
             # stats-pruning would silently skip rows (round-7 review) —
             # record nothing, readers then keep the file conservatively
             return None
-        mins.append(s.min)
-        maxs.append(s.max)
+        try:
+            mins.append(s.min)
+            maxs.append(s.max)
+        except Exception:
+            # pyarrow can't logical-cast every stat (INT32/INT64-backed
+            # decimals raise ArrowNotImplementedError). For decimals the
+            # raw physical stat is the UNSCALED integer — rescale it
+            # ourselves; anything else stays conservatively stats-less.
+            if str(colschema.logical_type).startswith("Decimal") and (
+                colschema.physical_type in ("INT32", "INT64")
+            ):
+                q = decimal.Decimal(1).scaleb(-colschema.scale)
+                mins.append(decimal.Decimal(s.min_raw).scaleb(-colschema.scale).quantize(q))
+                maxs.append(decimal.Decimal(s.max_raw).scaleb(-colschema.scale).quantize(q))
+            else:
+                return None
     return (min(mins), max(maxs)) if mins else None
 
 
@@ -213,11 +230,28 @@ def _sql_literal(v) -> str:
     return f"'{s}'"
 
 
-def _json_stat(v):
+def _json_stat(v, side: str | None = None):
     """A footer stat value as it is stored in the JSON log: primitives
-    pass through; date/timestamp/decimal become their ISO/str form
-    (lexicographic order == logical order, so range pruning compares
-    correctly when the probe bound is converted the same way)."""
+    pass through; date/timestamp become their ISO form (lexicographic
+    order == logical order for ISO strings, so range pruning compares
+    correctly when the probe bound is converted the same way).
+
+    Decimal must NOT be stringified: '15.00' < '9.00' lexicographically,
+    so a decimal-keyed MERGE would silently skip files whose range
+    contains the source keys (round-8 ADVICE). Decimals are stored as
+    floats, widened one ulp toward the stat's unsafe direction
+    (``side='lo'`` → down, ``side='hi'`` → up) so the float range always
+    CONTAINS the exact decimal range and pruning stays sound."""
+    import decimal
+    import math
+
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if side == "lo":
+            return math.nextafter(f, -math.inf)
+        if side == "hi":
+            return math.nextafter(f, math.inf)
+        return f
     return v if isinstance(v, (int, float, str)) else str(v)
 
 
@@ -294,9 +328,10 @@ def _stage_files(
                 # date/timestamp/decimal KEY must not crash the JSON
                 # commit (round-7 review); consumers convert their
                 # probe bounds with _json_stat so comparisons stay
-                # lexicographic == chronological
-                stats["min_key"] = _json_stat(mm[0])
-                stats["max_key"] = _json_stat(mm[1])
+                # order-preserving (ISO strings for dates, ulp-widened
+                # floats for decimals)
+                stats["min_key"] = _json_stat(mm[0], side="lo")
+                stats["max_key"] = _json_stat(mm[1], side="hi")
             if f in blooms:
                 stats["bloom"] = format(blooms[f], f"0{BLOOM_BITS // 4}x")
         col_stats = {}
@@ -307,7 +342,8 @@ def _stage_files(
                 # stored as ISO strings (lexicographic == chronological,
                 # so range pruning compares correctly against ISO bounds)
                 col_stats[c] = [
-                    _json_stat(v) for v in mm
+                    _json_stat(mm[0], side="lo"),
+                    _json_stat(mm[1], side="hi"),
                 ]
         if col_stats:
             stats["col_stats"] = col_stats
@@ -324,12 +360,30 @@ def files_maybe_containing(
     bloom admit at least one of ``values``. Sound (never drops a file
     that holds a probed key — test-pinned); a file without a bloom entry
     is always a candidate. The probe positions are computed by the SAME
-    seeded-xxhash64 expression the writer used, via one tiny Spark job."""
-    probe = (
-        spark.createDataFrame([(str(v),) for v in values], "k string")
-        .select(F.col("k"), _bloom_positions(F.col("k")).alias("ps"))
-        .collect()
-    )
+    seeded-xxhash64 expression the writer used, via one tiny Spark job —
+    and the probe STRINGS are rendered by Spark's own cast from the
+    key's native type, never Python ``str()``: the renderings diverge
+    for bool (``True`` vs ``true``) and large floats (``1e+20`` vs
+    ``1.0E20``), which would produce bloom false negatives and silently
+    skip files that do contain the probed keys (round-8 ADVICE)."""
+    from pyspark.sql.types import StructField, StructType
+
+    key = _table_key_opt(table, version)
+    ktype = None
+    if key is not None:
+        sch = current_schema(table, version)
+        ktype = next((f.dataType for f in sch.fields if f.name == key), None)
+    if ktype is not None:
+        probe_src = spark.createDataFrame(
+            [(v,) for v in values], StructType([StructField("k", ktype)])
+        ).select(F.col("k").cast("string").alias("k"))
+    else:
+        # keyless tables write no blooms — every file is a candidate
+        # below, so the rendering cannot matter; keep the plain path
+        probe_src = spark.createDataFrame([(str(v),) for v in values], "k string")
+    probe = probe_src.select(
+        F.col("k"), _bloom_positions(F.col("k")).alias("ps")
+    ).collect()
     masks = []
     for r in probe:
         m = 0
@@ -1125,9 +1179,11 @@ def merge_into(
         F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
     ).collect()[0]
     # stats in the log are JSON-sanitized; convert the probe bounds the
-    # same way so date/timestamp keys compare as ISO strings
-    lo = _json_stat(rng["lo"]) if rng["lo"] is not None else None
-    hi = _json_stat(rng["hi"]) if rng["hi"] is not None else None
+    # same way so date/timestamp keys compare as ISO strings and decimal
+    # keys as floats — widening the probe range outward keeps pruning
+    # sound against the (also-widened) stored bounds
+    lo = _json_stat(rng["lo"], side="lo") if rng["lo"] is not None else None
+    hi = _json_stat(rng["hi"], side="hi") if rng["hi"] is not None else None
     if lo is None or hi is None:
         # empty source (or all-NULL keys): no file can match — the
         # comparisons below would raise TypeError against None

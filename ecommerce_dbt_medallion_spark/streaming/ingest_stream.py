@@ -19,6 +19,16 @@ from pyspark.sql import SparkSession
 from ecommerce_dbt_medallion_spark import lakehouse
 
 
+def _ckpt_dir(table: str) -> str:
+    """Streaming-checkpoint directory for a lakehouse table: a SIBLING
+    of the table root, never inside it. A checkpoint inside the table
+    directory entangles engine-internal replay state with versioned
+    storage — a byte-copy snapshot export or directory-walk consumer
+    picks it up, and resetting the table destroys replay state (or vice
+    versa) (round-8 ADVICE)."""
+    return table.rstrip("/\\") + "_ckpt"
+
+
 def stream_upsert_lakehouse(
     spark: SparkSession,
     source_dir: str,
@@ -43,7 +53,7 @@ def stream_upsert_lakehouse(
 
     q = (
         stream.writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", os.path.join(table, "_streaming_ckpt"))
+        .option("checkpointLocation", _ckpt_dir(table))
         .trigger(availableNow=True)
         .start()
     )
@@ -82,7 +92,7 @@ def stream_append_partitioned(
 
     q = (
         stream.writeStream.foreachBatch(_append_batch)
-        .option("checkpointLocation", os.path.join(table, "_streaming_ckpt"))
+        .option("checkpointLocation", _ckpt_dir(table))
         .trigger(availableNow=True)
         .start()
     )
@@ -146,7 +156,7 @@ def stream_upsert_with_ivm(
 
     q = (
         stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", os.path.join(fact_table, "_streaming_ckpt"))
+        .option("checkpointLocation", _ckpt_dir(fact_table))
         .trigger(availableNow=True)
         .start()
     )
@@ -272,7 +282,7 @@ def stream_ingest_dedup(
     q = (
         stream.writeStream.foreachBatch(_batch)
         .option(
-            "checkpointLocation", os.path.join(verdict_table, "_streaming_ckpt")
+            "checkpointLocation", _ckpt_dir(verdict_table)
         )
         .trigger(availableNow=True)
         .start()

@@ -1277,8 +1277,12 @@ def test_stream_ingest_dedup_replay_idempotent(spark, tmp_path):
     assert [v[1] for v in first[0]] == ["novel", "novel", "exact_dup", "novel"]
     assert first[1] == [1, 2, 12]
 
-    # lose the checkpoint → full replay of both batches
-    shutil.rmtree(os.path.join(verdict_table, "_streaming_ckpt"))
+    # lose the checkpoint → full replay of both batches. The checkpoint
+    # is a SIBLING of the table dir (round-8 ADVICE), never inside it.
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
+
+    assert not os.path.exists(os.path.join(verdict_table, "_streaming_ckpt"))
+    shutil.rmtree(_ckpt_dir(verdict_table))
     stream_ingest_dedup(
         spark, str(src), sig_table, verdict_table,
         schema="doc_id long, text string",
@@ -1371,6 +1375,77 @@ def test_date_key_commits_and_prunes(spark, tmp_path):
     assert entry["stats"]["files_pruned_by_stats"] >= 3, entry["stats"]
     got = {str(r["d"]): r["val"] for r in lh.read(spark, path).collect()}
     assert got["2024-04-05"] == -1 and got["2024-01-01"] == 0
+
+
+def test_decimal_key_merge_updates_not_duplicates(spark, tmp_path):
+    """Round-8 ADVICE: decimal key stats stored as strings compared
+    lexicographically ('15.00' < '9.00'), so a file with key range
+    [5.00, 15.00] was pruned away for a source range [9.00, 12.00] and
+    the MERGE silently INSERTED duplicates instead of updating. Stats
+    are now ulp-widened floats; the merge must update in place."""
+    path = str(tmp_path / "deckey")
+    df = spark.sql(
+        "select cast(id as decimal(18,2)) + 5.00 as k, id as val from range(11)"
+    )  # keys 5.00 .. 15.00, one file
+    lh.create_or_replace(spark, path, df, key="k")
+    entry = lh._read_entry(path, 0)
+    for a in entry["add"]:
+        assert isinstance(a["min_key"], float), a  # numeric, not str
+    assert min(a["min_key"] for a in entry["add"]) <= 5.00
+    assert max(a["max_key"] for a in entry["add"]) >= 15.00
+    src = spark.sql(
+        "select cast(id as decimal(18,2)) as k, -1 as val from range(9, 13)"
+    )  # [9.00, 12.00] — inside the file's range
+    lh.merge_into(spark, path, src, "k")
+    got = lh.read(spark, path)
+    assert got.count() == 11, "decimal-keyed MERGE inserted duplicates"
+    vals = {float(r["k"]): r["val"] for r in got.collect()}
+    assert vals[9.0] == -1 and vals[12.0] == -1 and vals[5.0] == 0
+
+
+def test_decimal_key_range_pruning_still_skips(spark, tmp_path):
+    """The numeric decimal stats must still PRUNE disjoint files (the
+    fix must not keep every file as a candidate)."""
+    path = str(tmp_path / "deckey2")
+    df = spark.sql(
+        "select cast(id as decimal(18,2)) as k, id as val from range(100)"
+    ).repartitionByRange(4, "k")
+    lh.create_or_replace(spark, path, df, key="k")
+    assert len(lh.live_files(path)) == 4
+    src = spark.sql(
+        "select cast(id as decimal(18,2)) as k, -1 as val from range(95, 100)"
+    )
+    lh.merge_into(spark, path, src, "k")
+    entry = lh._read_entry(path, 1)
+    assert entry["stats"]["files_pruned_by_stats"] >= 3, entry["stats"]
+    got = {float(r["k"]): r["val"] for r in lh.read(spark, path).collect()}
+    assert got[99.0] == -1 and got[0.0] == 0
+
+
+def test_bloom_probe_rendering_matches_writer(spark, tmp_path):
+    """Round-8 ADVICE: probe bloom strings were Python str(v) while the
+    writer hashed Spark's cast-to-string — renderings diverge for bool
+    (True vs true) and large floats (1e+20 vs 1.0E20), producing bloom
+    FALSE NEGATIVES. Probes are now rendered by Spark from the key's
+    native log schema type, so a present key must always be admitted."""
+    # double key with a value whose str() differs from Spark's rendering
+    path = str(tmp_path / "dblkey")
+    df = spark.sql("select cast(pow(10, 20) as double) as k, 1 as val")
+    lh.create_or_replace(spark, path, df, key="k")
+    assert all("bloom" in a for a in lh.live_files(path))
+    hits = lh.files_maybe_containing(spark, path, [1e20])
+    assert hits, "bloom false-negative for a present double key"
+    # bool key: str(True)='True' but Spark renders 'true'
+    path2 = str(tmp_path / "boolkey")
+    df2 = spark.sql("select true as k, 1 as val")
+    lh.create_or_replace(spark, path2, df2, key="k")
+    hits2 = lh.files_maybe_containing(spark, path2, [True])
+    assert hits2, "bloom false-negative for a present bool key"
+    # and the destructive consumer: a deferred delete must actually
+    # remove the row, not silently retain it past tombstones_cleared
+    lh.delete_keys_deferred(spark, path, [1e20])
+    lh.materialize_tombstones(spark, path)
+    assert not lh.live_files(path), "tombstoned row silently retained"
 
 
 def test_files_overlapping_keeps_stats_less_files(spark, tmp_path):

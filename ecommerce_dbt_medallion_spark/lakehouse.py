@@ -73,6 +73,113 @@ class CommitConflict(Exception):
     re-reads the log and retries its operation against the new HEAD."""
 
 
+class ConcurrentWriteConflict(CommitConflict):
+    """Typed ABORT after conflict classification: the concurrent commit
+    invalidated this transaction's snapshot (an overlapping rewrite, a
+    schema/constraint/tombstone change), so rebasing onto the new HEAD
+    would be unsound — Delta's ConcurrentDeleteRead / MetadataChanged
+    class. The caller must re-run the whole operation against current
+    table state. Contrast with plain :class:`CommitConflict`, which
+    add-only transactions recover from automatically via
+    :func:`_commit_rebase` (Delta's ConcurrentAppend rebase)."""
+
+
+# Log operations an ADD-ONLY transaction can safely rebase across: they
+# add or rewrite files this transaction never read, and leave table-level
+# state (schema, key, partitioning, constraints, tombstones) unchanged.
+# Anything else — CREATE OR REPLACE, RESTORE, DELETE DEFERRED,
+# ADD/DROP CONSTRAINT — redefines state the append's validation depended
+# on, so the append must abort and re-validate.
+_APPEND_REBASE_SAFE_OPS = {
+    "APPEND",
+    "APPEND STAGED",
+    "MERGE",
+    "OPTIMIZE",
+    "DELETE",
+    "MATERIALIZE TOMBSTONES",
+    "PUBLISH",
+    "DISCARD",
+}
+
+
+def _append_rebase_conflict(e: dict, expected_schema: str | None) -> str | None:
+    """Why log entry ``e`` forbids rebasing an add-only commit across
+    it; None when it is benign."""
+    op = str(e.get("operation", "?"))
+    if op not in _APPEND_REBASE_SAFE_OPS:
+        return f"concurrent {op} (v{e.get('version')}) redefines table state"
+    if e.get("tombstones"):
+        return f"concurrent {op} (v{e.get('version')}) introduced key tombstones"
+    if "constraints" in e:
+        return (
+            f"concurrent {op} (v{e.get('version')}) changed CHECK constraints; "
+            "this append's rows were not validated against them"
+        )
+    if (
+        expected_schema is not None
+        and e.get("schema_json") is not None
+        and e["schema_json"] != expected_schema
+    ):
+        # a rebased append entry would re-commit OUR (stale) schema_json
+        # as the log schema, silently regressing the evolution
+        return f"concurrent {op} (v{e.get('version')}) evolved the schema"
+    return None
+
+
+def _commit_rebase(table: str, entry: dict, max_retries: int = 10) -> int:
+    """Optimistic commit for ADD-ONLY entries (``remove == []``): on a
+    version collision, classify every intervening commit; if all are
+    rebase-safe, bump the version and re-commit (Delta's
+    ConcurrentAppend resolution — disjoint writers serialize instead of
+    failing), else raise :class:`ConcurrentWriteConflict`."""
+    if entry.get("remove"):
+        raise ValueError("_commit_rebase is only sound for add-only entries")
+    expected_schema = entry.get("schema_json")
+    attempts = 0
+    while True:
+        try:
+            _commit(table, entry)
+            return entry["version"]
+        except ConcurrentWriteConflict:
+            raise
+        except CommitConflict:
+            vs = versions(table)
+            for v in vs:
+                if v < entry["version"]:
+                    continue
+                reason = _append_rebase_conflict(_read_entry(table, v), expected_schema)
+                if reason is not None:
+                    raise ConcurrentWriteConflict(
+                        f"{entry.get('operation')} on {table} aborted: {reason}; "
+                        "re-run against current table state"
+                    ) from None
+            attempts += 1
+            if attempts > max_retries:
+                raise ConcurrentWriteConflict(
+                    f"{entry.get('operation')} on {table} lost the commit race "
+                    f"{attempts} times; giving up"
+                ) from None
+            entry["version"] = vs[-1] + 1
+
+
+def _commit_exclusive(table: str, entry: dict) -> None:
+    """Commit for transactions that READ table state they then rewrite
+    or redefine (MERGE, OPTIMIZE, DELETE, RESTORE, REPLACE, constraint
+    and tombstone changes): ANY concurrent commit may have changed what
+    this transaction read — files it rewrites, rows a predicate
+    matched, state it validated — so a version collision is always a
+    typed abort, never a blind retry (Delta's ConcurrentDeleteRead
+    conservatism)."""
+    try:
+        _commit(table, entry)
+    except CommitConflict as ex:
+        raise ConcurrentWriteConflict(
+            f"{entry.get('operation')} on {table} aborted: {ex}; the snapshot "
+            "this transaction read was invalidated by a concurrent commit — "
+            "re-run the operation against current table state"
+        ) from None
+
+
 def _commit(table: str, entry: dict) -> None:
     """Write the log entry with PUT-IF-ABSENT semantics: the payload
     lands in a tmp file, then os.link() publishes it — link(2) is
@@ -535,7 +642,7 @@ def delete_keys_deferred(spark: SparkSession, table: str, keys: list) -> int:
             f"tombstone count would exceed {TOMBSTONE_MAX}; materialize first"
         )
     v = prior[-1] + 1
-    _commit(
+    _commit_exclusive(
         table,
         {
             "version": v,
@@ -586,7 +693,7 @@ def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int
     _enforce_constraints(read(spark, table), {name: expr}, "existing data")
     cons[name] = expr
     v = versions(table)[-1] + 1
-    _commit(
+    _commit_exclusive(
         table,
         {
             "version": v,
@@ -607,7 +714,7 @@ def drop_constraint(table: str, name: str) -> int:
         raise ValueError(f"no such constraint: {name!r}")
     del cons[name]
     v = versions(table)[-1] + 1
-    _commit(
+    _commit_exclusive(
         table,
         {
             "version": v,
@@ -719,7 +826,7 @@ def create_or_replace(
         stats_cols=[partition_by] if partition_by else None,
     )
     v = (prior[-1] + 1) if prior else 0
-    _commit(
+    _commit_exclusive(
         table,
         {
             "version": v,
@@ -778,7 +885,9 @@ def append(
         stats_cols=[partition_by] if partition_by else None,
     )
     v = prior[-1] + 1
-    _commit(
+    # add-only: a lost commit race against another add-only writer
+    # rebases onto the new HEAD instead of failing (classified retry)
+    return _commit_rebase(
         table,
         {
             "version": v,
@@ -791,7 +900,6 @@ def append(
             "remove": [],
         },
     )
-    return v
 
 
 def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
@@ -853,7 +961,9 @@ def append_staged(
     _enforce_constraints(df, current_constraints(table), "APPEND STAGED")
     adds = _stage_files(df, table, key)
     v = prior[-1] + 1
-    _commit(
+    # staged adds are invisible until PUBLISH, so the same add-only
+    # rebase applies
+    return _commit_rebase(
         table,
         {
             "version": v,
@@ -865,7 +975,6 @@ def append_staged(
             "remove": [],
         },
     )
-    return v
 
 
 def read_staged(spark: SparkSession, table: str, staged_version: int) -> DataFrame:
@@ -884,7 +993,7 @@ def _resolve_staged(table: str, staged_version: int, op: str, field: str) -> int
             f"version {staged_version} is not an unresolved staged commit"
         )
     v = versions(table)[-1] + 1
-    _commit(
+    _commit_exclusive(
         table,
         {
             "version": v,
@@ -1267,7 +1376,7 @@ def merge_into(
     adds = _stage_files(merged, table, key)
 
     v = versions(table)[-1] + 1
-    _commit(
+    _commit_exclusive(
         table,
         {
             "version": v,
@@ -1333,7 +1442,7 @@ def restore(table: str, to_version: int) -> int:
     }
     if target_schema is not None:
         entry["schema_json"] = target_schema.json()
-    _commit(table, entry)
+    _commit_exclusive(table, entry)
     return v
 
 
@@ -1530,7 +1639,7 @@ def optimize(
     adds = _stage_files(df, table, key, stats_cols=zorder_by)
 
     v = prior[-1] + 1
-    _commit(
+    _commit_exclusive(
         table,
         {
             "version": v,
@@ -1630,7 +1739,7 @@ def delete_where(
     if _clear_tombstones:
         entry["operation"] = "MATERIALIZE TOMBSTONES"
         entry["tombstones_cleared"] = True
-    _commit(table, entry)
+    _commit_exclusive(table, entry)
     return v
 
 

@@ -1484,3 +1484,85 @@ def test_table_changes_on_evolved_table(spark, tmp_path):
     ch = lh.table_changes(spark, path, 1, 2)
     kinds = {r["id"]: r["_change_type"] for r in ch.collect()}
     assert kinds == {5: "update_postimage", 6: "update_postimage", 7: "update_postimage"}
+
+
+# ---------------------------------------------------------------------------
+# concurrent writers (round-8: optimistic retry + conflict classification)
+# ---------------------------------------------------------------------------
+
+
+def _interleave(monkeypatch, other_writer):
+    """Arrange for ``other_writer()`` to commit BETWEEN a transaction's
+    staging step and its commit — the window where two real writers
+    race. Hooks _stage_files once; the outer transaction has already
+    read its snapshot version by then, so its commit collides."""
+    real = lh._stage_files
+    state = {"fired": False}
+
+    def hooked(df, table, key, stats_cols=None):
+        out = real(df, table, key, stats_cols)
+        if not state["fired"]:
+            state["fired"] = True
+            other_writer()
+        return out
+
+    monkeypatch.setattr(lh, "_stage_files", hooked)
+
+
+def test_concurrent_disjoint_appends_both_land(spark, table, monkeypatch):
+    """Two add-only writers racing: the loser must classify the winner's
+    commit as rebase-safe, bump its version, and land — both appends
+    serialize instead of one failing (Delta ConcurrentAppend)."""
+    other = spark.createDataFrame([(200, 1)], "id long, val long")
+    mine = spark.createDataFrame([(300, 2)], "id long, val long")
+    _interleave(monkeypatch, lambda: lh.append(spark, table, other, key="id"))
+    v = lh.append(spark, table, mine, key="id")
+    assert v == 2, "loser must rebase to the next version, not fail"
+    assert [e["operation"] for e in map(lambda x: lh._read_entry(table, x), lh.versions(table))] == [
+        "CREATE", "APPEND", "APPEND"
+    ]
+    got = {r["id"]: r["val"] for r in lh.read(spark, table).collect()}
+    assert got[200] == 1 and got[300] == 2 and len(got) == 102
+
+
+def test_concurrent_merge_vs_optimize_aborts_typed(spark, table, monkeypatch):
+    """An OPTIMIZE that loses the race to a MERGE rewrote files from a
+    stale snapshot — it must abort with the typed error, never blind-
+    retry (the MERGE may have rewritten the very files OPTIMIZE read),
+    and the winner's committed state must remain intact."""
+    src = spark.range(5).select(F.col("id"), F.lit(-1).alias("val"))
+    _interleave(monkeypatch, lambda: lh.merge_into(spark, table, src, "id"))
+    with pytest.raises(lh.ConcurrentWriteConflict):
+        lh.optimize(spark, table, key="id", target_rows=1000)
+    # winner's MERGE is the table HEAD and fully readable
+    got = {r["id"]: r["val"] for r in lh.read(spark, table).collect()}
+    assert len(got) == 100 and all(got[k] == -1 for k in range(5))
+    # the loser can re-run against current state and succeed
+    lh.optimize(spark, table, key="id", target_rows=1000)
+    assert len(lh.live_files(table)) == 1
+
+
+def test_concurrent_append_aborts_on_state_change(spark, table, monkeypatch):
+    """An append racing a DELETE DEFERRED must NOT rebase: appends are
+    forbidden under pending tombstones (a tombstone can't distinguish a
+    pre-delete row from a re-inserted one), and this one validated
+    against a snapshot without them."""
+    mine = spark.createDataFrame([(300, 2)], "id long, val long")
+    _interleave(monkeypatch, lambda: lh.delete_keys_deferred(spark, table, [3]))
+    with pytest.raises(lh.ConcurrentWriteConflict, match="DELETE DEFERRED"):
+        lh.append(spark, table, mine, key="id")
+
+
+def test_concurrent_append_aborts_on_schema_evolution(spark, table, monkeypatch):
+    """An append racing a schema-evolving append must abort: a rebased
+    entry would re-commit its STALE schema_json as the log schema,
+    silently regressing the evolution."""
+    evolved = spark.createDataFrame([(201, 1, 9)], "id long, val long, extra long")
+    mine = spark.createDataFrame([(300, 2)], "id long, val long")
+    _interleave(
+        monkeypatch,
+        lambda: lh.append(spark, table, evolved, key="id", merge_schema=True),
+    )
+    with pytest.raises(lh.ConcurrentWriteConflict, match="schema"):
+        lh.append(spark, table, mine, key="id")
+    assert "extra" in [f.name for f in lh.current_schema(table).fields]

@@ -325,6 +325,7 @@ def test_pareto_frontier_permutation_free_and_minimal(spark, vals):
             st.tuples(st.just("delete"), st.integers(0, 4)),
             st.tuples(st.just("defer_delete"), st.integers(0, 4)),
             st.tuples(st.just("optimize"), st.just(0)),
+            st.tuples(st.just("race_append"), st.integers(0, 4)),
         ),
         min_size=1,
         max_size=8,
@@ -336,7 +337,9 @@ def test_lakehouse_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
     append / merge / delete_where / deferred-delete / optimize must
     leave the table equal to a plain dict model keyed by id — including
     merge-on-read reads before materialization — and every historical
-    version must stay readable."""
+    version must stay readable. ``race_append`` is a SECOND WRITER
+    (round 8): two disjoint add-only appends race in the same commit
+    window; both must land via the classified rebase."""
     from pyspark.sql import functions as F
 
     from ecommerce_dbt_medallion_spark import lakehouse as lh
@@ -390,6 +393,43 @@ def test_lakehouse_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             if lh.pending_tombstones(path):
                 lh.materialize_tombstones(spark, path)
             lh.optimize(spark, path, key="id", target_rows=50)
+        elif op == "race_append":
+            if lh.pending_tombstones(path):
+                lh.materialize_tombstones(spark, path)
+            # writer B's keys are offset so the two appends are disjoint
+            # from each other; both must be fresh vs the model
+            fresh_a = [(k, v) for k, v in rows if k not in model]
+            fresh_b = [
+                (k + 1000, v) for k, v in rows if (k + 1000) not in model
+            ]
+            if not fresh_a or not fresh_b:
+                continue
+            real_stage = lh._stage_files
+            fired = {"done": False}
+
+            def hooked(df, table, key, stats_cols=None, _real=real_stage,
+                       _fired=fired, _fresh_b=fresh_b):
+                out = _real(df, table, key, stats_cols)
+                if not _fired["done"]:
+                    _fired["done"] = True
+                    lh.append(
+                        spark, path,
+                        spark.createDataFrame(_fresh_b, "id long, val long"),
+                        key="id",
+                    )
+                return out
+
+            lh._stage_files = hooked
+            try:
+                lh.append(
+                    spark, path,
+                    spark.createDataFrame(fresh_a, "id long, val long"),
+                    key="id",
+                )
+            finally:
+                lh._stage_files = real_stage
+            model.update(dict(fresh_a))
+            model.update(dict(fresh_b))
         got = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
         assert got == model, f"diverged after {op}({seed})"
     # every version in history stays readable (no dangling file refs)

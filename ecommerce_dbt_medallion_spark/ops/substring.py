@@ -27,10 +27,20 @@ Plan shape (all linear in corpus characters):
   only; AQE skew-splits boilerplate-grade hot hashes;
 - per-doc rollup + a broadcast-friendly left join against doc lengths.
 
-100 TB dials (documented, not silently applied): window stride S>1
-detects spans >= 2·(SUB_L+S)-ish with 1/S the explode volume, and
-hash-mod sampling (keep h where h % p = 0) estimates the ratio with
-1/p volume — both standard for corpus-scale runs.
+100 TB dial (round 8 — COMPUTED, the ``knn_planes_for`` treatment):
+positional stride sampling is UNSOUND here — two copies of a span at
+different alignments sample disjoint window phases and share no hash —
+so the scale dial is CONTENT-DEFINED selection: winnowing (Schleimer
+et al.) over the window-hash stream. ``substring_winnow_for(total_
+windows)`` computes the winnow width ``w`` that keeps the expected
+selected-fingerprint volume (≈ 2/(w+1) density) inside a budget, and
+``substring_guaranteed_span(w)`` gives the DETERMINISTIC catch bound:
+any span duplicated across two documents with length >= SUB_L + w - 1
+contains a full w-run of identical window hashes in both copies, whose
+minimum is selected in both — alignment-independent, unlike stride.
+``exact_substring_dedup_sampled`` is the production path;
+the exact stride-1 op below stays as the oracle-gated ground truth
+(and equals the sampled path at w = 1, test-pinned).
 """
 
 from __future__ import annotations
@@ -110,3 +120,115 @@ select d.doc_id,
 from d left join dup using (doc_id)
 order by doc_id
 """
+
+
+# --------------------------------------------------------------- scale dial
+
+# Target corpus-wide selected-fingerprint volume for the sampled path.
+# At 100 TB (~1e14 windows) the default gives w ≈ 400: ~5e11 selected
+# rows of (doc_id, 16-byte hash) ≈ 12 TB exchange — shuffle-feasible on
+# a 1000-executor cluster — while still guaranteeing every duplicated
+# span >= SUB_L + w - 1 ≈ 440 chars is caught deterministically.
+SUBSTRING_SELECT_BUDGET = 500_000_000_000
+
+# Hard ceiling: past this the guaranteed span (SUB_L + w - 1) exceeds
+# typical boilerplate scale and the estimator stops being useful.
+SUBSTRING_WINNOW_MAX = 2_000
+
+
+def substring_winnow_for(
+    total_windows: int, budget_selected: int = SUBSTRING_SELECT_BUDGET
+) -> int:
+    """The winnow-width SCALE DIAL: smallest w keeping the EXPECTED
+    selected volume 2·total_windows/(w+1) at or under the budget
+    (winnowing's expected density is 2/(w+1)), floored at 1 (= select
+    every window: exactly the gated stride-1 op). Guaranteed-catch span
+    length follows from w via :func:`substring_guaranteed_span` —
+    the dial trades minimum detectable span length against volume,
+    NEVER recall of spans above the bound."""
+    import math
+
+    if total_windows <= 0 or 2 * total_windows <= budget_selected:
+        return 1
+    w = math.ceil(2 * total_windows / budget_selected) - 1
+    return max(1, min(SUBSTRING_WINNOW_MAX, w))
+
+
+def substring_guaranteed_span(winnow_w: int) -> int:
+    """Minimum duplicated-span length (chars) the sampled path catches
+    DETERMINISTICALLY at winnow width w: a span of length
+    SUB_L + w - 1 contains >= w consecutive window hashes, identical in
+    both copies; winnowing selects that run's minimum in each copy
+    regardless of alignment (content-defined, so phase-independent)."""
+    return SUB_L + winnow_w - 1
+
+
+def exact_substring_dedup_sampled(
+    spark: SparkSession, sf_dir: str, winnow_w: int | None = None
+) -> DataFrame:
+    """The 100 TB path of #35c: duplicated-span stats over WINNOWED
+    window fingerprints instead of every stride-1 window.
+
+    Per document: of its winnow-selected distinct window fingerprints,
+    how many also occur in at least one other document. At
+    ``winnow_w=1`` every window is selected and ``dup_sel_fps`` equals
+    the exact op's ``dup_hashes`` (test-pinned equivalence); larger w
+    divides the exchanged volume by ~(w+1)/2 and raises the guaranteed
+    minimum catchable span to :func:`substring_guaranteed_span`.
+
+    Same plan skeleton as the exact op — narrow per-row array build,
+    explode WITHOUT the text column, one (doc_id, h) shuffle, tiny
+    h-grain reduce, df>=2 prefilter before the join back."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= SUB_L)
+        .select("doc_id", "text", (F.length("text") - SUB_L + 1).alias("n_windows"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    if winnow_w is None:
+        total = docs.agg(F.sum("n_windows").alias("t")).collect()[0]["t"] or 0
+        winnow_w = substring_winnow_for(int(total))
+    # materialize the hash array as a real column: HOF lambdas are not
+    # CSE'd, so inlining it into the winnow transform would rebuild the
+    # whole md5 array per window (the doc_winnowing lesson)
+    d = docs.withColumn(
+        "__hs",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_windows")),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(SUB_L))),
+        ),
+    )
+    sel = F.array_distinct(
+        F.when(
+            F.size("__hs") >= winnow_w,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__hs") - winnow_w),
+                lambda j: F.array_min(F.slice(F.col("__hs"), j + 1, winnow_w)),
+            ),
+        ).otherwise(F.array_distinct(F.col("__hs")))
+    )
+    per = d.select("doc_id", F.explode(sel).alias("h"))  # distinct by build
+    hd = per.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dup = (
+        per.join(hd.where(F.col("df") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_sel_fps"))
+    )
+    sel_counts = per.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sel_fps"))
+    return (
+        docs.select("doc_id", "n_windows")
+        .join(sel_counts, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("sel_fps", F.lit(0)).cast("long").alias("sel_fps"),
+            F.coalesce("dup_sel_fps", F.lit(0)).cast("long").alias("dup_sel_fps"),
+            F.round(
+                F.coalesce("dup_sel_fps", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("sel_fps", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_sel_ratio_r6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -736,3 +736,96 @@ def test_ann_recall_high_on_clustered_corpus(spark, tmp_path):
         rep["n_hit"] / rep["n_exact"]
     ).mean()
     assert mean_recall >= 0.6, f"clustered-corpus recall {mean_recall:.2f}"
+
+
+def test_substring_winnow_dial_math():
+    """Round-8 scale dial (SURVEY §6 / VERDICT #5): substring_winnow_for
+    must keep expected selected volume inside the budget, grow monotonically
+    with corpus size, and floor at the gated stride-1 behavior."""
+    from ecommerce_dbt_medallion_spark.ops.substring import (
+        SUB_L,
+        SUBSTRING_WINNOW_MAX,
+        substring_guaranteed_span,
+        substring_winnow_for,
+    )
+
+    assert substring_winnow_for(0) == 1
+    assert substring_winnow_for(1_000, budget_selected=10_000) == 1
+    for total in (10**9, 10**11, 10**14):
+        w = substring_winnow_for(total)
+        # expected density 2/(w+1) keeps the volume at/under budget
+        # (unless the hard ceiling binds)
+        assert (
+            2 * total / (w + 1) <= 500_000_000_000 or w == SUBSTRING_WINNOW_MAX
+        ), (total, w)
+    assert substring_winnow_for(10**14) >= 10 * substring_winnow_for(10**12)
+    assert substring_guaranteed_span(1) == SUB_L  # w=1: every window kept
+
+
+def test_substring_sampled_equals_exact_at_w1(spark):
+    """At winnow width 1 the sampled path selects every window, so its
+    per-doc duplicated-fingerprint count must equal the exact gated op's
+    dup_hashes on the real table."""
+    from ecommerce_dbt_medallion_spark.ops.substring import (
+        exact_substring_dedup,
+        exact_substring_dedup_sampled,
+    )
+
+    exact = {
+        r["doc_id"]: r["dup_hashes"]
+        for r in exact_substring_dedup(spark, SF_SMOKE).collect()
+    }
+    sampled = {
+        r["doc_id"]: r["dup_sel_fps"]
+        for r in exact_substring_dedup_sampled(spark, SF_SMOKE, winnow_w=1).collect()
+    }
+    assert sampled == exact
+
+
+def test_substring_sampled_guaranteed_span_and_occupancy(spark, tmp_path_factory):
+    """The winnowing guarantee, planted: a span of exactly
+    substring_guaranteed_span(w) chars duplicated across two documents
+    at DIFFERENT alignments must be caught at winnow width w (positional
+    stride sampling would miss it — that's why the dial is content-
+    defined), and the selected-fingerprint volume must shrink ~(w+1)/2
+    vs stride-1 on random text."""
+    import random
+
+    from ecommerce_dbt_medallion_spark.ops.substring import (
+        exact_substring_dedup_sampled,
+        substring_guaranteed_span,
+    )
+
+    w = 8
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    span = rand_text(substring_guaranteed_span(w))
+    docs = [
+        # different prefix lengths → different span alignments
+        (0, rand_text(201) + span + rand_text(180)),
+        (1, rand_text(157) + span + rand_text(230)),
+    ]
+    # filler corpus with no duplicated spans
+    docs += [(i, rand_text(400)) for i in range(2, 10)]
+    d = tmp_path_factory.mktemp("planted_span")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup_sampled(spark, str(d), winnow_w=w).collect()
+    }
+    assert rows[0]["dup_sel_fps"] >= 1, "guaranteed span missed in doc 0"
+    assert rows[1]["dup_sel_fps"] >= 1, "guaranteed span missed in doc 1"
+    for i in range(2, 10):
+        assert rows[i]["dup_sel_fps"] == 0, f"false positive in filler doc {i}"
+    # volume: selected fingerprints ≈ 2/(w+1) of windows on random text
+    dense = sum(r["n_windows"] for r in rows.values())
+    sel = sum(r["sel_fps"] for r in rows.values())
+    assert sel <= 2.0 * 2 * dense / (w + 1), (sel, dense)
+    assert sel >= 0.5 * 2 * dense / (w + 1), (sel, dense)

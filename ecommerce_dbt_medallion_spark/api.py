@@ -181,7 +181,9 @@ DRIVER_WINDOW = [
     "churn_risk_score",
     "sales_by_region",
     "supplier_part_revenue",
-    "customer_order_percentiles",
+    # NEW round 8 (never-certified outranks two-round-old green):
+    # displaced customer_order_percentiles, which rejoins in round 9
+    "quantile_sketch_mergeable",
 ]
 
 
@@ -326,6 +328,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "stream_dedup_ingest": strm_ingest.stream_dedup_ingest,
         "lakehouse_schema_evolution": mcdf.lakehouse_schema_evolution,
         "lakehouse_restore_read": mcdf.lakehouse_restore_read,
+        "quantile_sketch_mergeable": opsketch.quantile_sketch_mergeable,
     }
 
 
@@ -524,6 +527,8 @@ def oracle_sql() -> dict[str, str]:
         "gold_customer_summary", final_select=gold.oracle_churn_final()
     )
     out["histogram_quantiles"] = opsketch.oracle_histogram_quantiles()
+    # round 8: mergeable fixed-boundary quantile sketch (integer state)
+    out["quantile_sketch_mergeable"] = opsketch.oracle_quantile_sketch_mergeable()
     out["cohort_retention"] = ev.ORACLE_COHORT_RETENTION
     out["copurchase_topk"] = opbasket.oracle_copurchase_topk()
     out["pagerank_parts"] = opbasket.oracle_pagerank_parts()

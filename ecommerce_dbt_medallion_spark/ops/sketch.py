@@ -212,3 +212,168 @@ select p as quantile, n as n_rows,
 from hits where rn = 1
 """
     return assemble("silver_payments", final_select=final)
+
+
+# ------------------------------------------------- mergeable quantile sketch
+
+# Round 8 (SURVEY §2 #37c): the MERGEABLE sibling of histogram_quantiles.
+# histogram_quantiles' equi-width buckets depend on the dataset's
+# [min, max] — two states built over different data cannot merge. This
+# sketch's buckets are FIXED (data-independent): exact for 0..9, then
+# 90 per decimal decade keyed by (digit count, two leading digits) of
+# the integer cents — HdrHistogram's decimal idea. Properties:
+#  - state is a bounded count vector (≤ ~1300 cells for bigint cents):
+#    per-partition states merge by ELEMENTWISE SUM, the same combine
+#    HLL registers use in sketch_user_overlap — streaming/cross-shard
+#    compatible, associative and commutative by construction;
+#  - relative value error ≤ ~1/20 (one bucket spans [d, d+1) of the
+#    two leading digits), independent of data size;
+#  - everything is integer/string math both engines share — no libm,
+#    no float accumulation — so the key is fully hash-gated.
+QSK_QUANTILES = ((50, 100), (90, 100), (95, 100), (99, 100))
+
+
+def _qsk_bucket(cents):
+    """Fixed bucket id of non-negative integer ``cents``: 0..9 exact,
+    then (digits-2)*90 + (lead2-10) + 11."""
+    s = cents.cast("string")
+    d = F.length(s)
+    lead2 = F.substring(s, 1, 2).cast("int")
+    return F.when(cents <= 9, cents.cast("int")).otherwise(
+        (d - 2) * 90 + (lead2 - 10) + 11
+    )
+
+
+def _qsk_lower(bucket):
+    """Deterministic representative (bucket LOWER bound) — two leading
+    digits re-padded with zeros via string math (no float pow)."""
+    nzeros = F.floor((bucket - 11) / 90).cast("int")
+    lead2 = ((bucket - 11) % 90 + 10).cast("int")
+    return F.when(bucket <= 9, bucket.cast("bigint")).otherwise(
+        F.concat(lead2.cast("string"), F.repeat(F.lit("0"), nzeros)).cast("bigint")
+    )
+
+
+def quantile_sketch_state(df: DataFrame, cents_col: str, group_cols: list[str]) -> DataFrame:
+    """Build the sketch STATE: one (group, bucket, cnt) row per occupied
+    cell. States over disjoint data (partitions, micro-batches, shards)
+    merge with :func:`merge_sketch_states` — a groupBy-sum, i.e.
+    elementwise vector addition."""
+    return (
+        df.select(*group_cols, _qsk_bucket(F.col(cents_col)).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_sketch_states(*states: DataFrame) -> DataFrame:
+    """Elementwise combine of sketch states sharing a group schema."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    gcols = [c for c in out.columns if c not in ("bucket", "cnt")]
+    return out.groupBy(*gcols, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def _qsk_quantiles_from_state(state: DataFrame, group_col: str) -> DataFrame:
+    """Extract the fixed quantile set from a state: integer target rank
+    r = ceil(q·n) against the bucket-ordered cumulative count; the
+    estimate is the first admitting bucket's lower bound. Window runs
+    over ≤1300 state rows per group, never the fact."""
+    w = Window.partitionBy(group_col).orderBy("bucket")
+    cum = state.select(
+        group_col,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    qs = None
+    for num, den in QSK_QUANTILES:
+        # ceil(num*n/den) in pure integers: (num*n + den - 1) div den
+        r = F.expr(f"({num} * n + {den - 1}) div {den}")
+        part = (
+            cum.where(F.col("cum") >= r)
+            .groupBy(group_col, "n")
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                group_col,
+                F.lit(num / 100.0).alias("q"),
+                F.col("n").cast("long").alias("n"),
+                _qsk_lower(F.col("bucket")).alias("est_cents"),
+            )
+        )
+        qs = part if qs is None else qs.unionByName(part)
+    return qs
+
+
+def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#37c: per-priority order-value quantiles from MERGEABLE sketch
+    states, plus an ALL row computed by MERGING the per-priority states
+    (never rescanning the fact) — proving the state algebra end-to-end
+    under the hash gate."""
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        # the repo's exact-money recipe: double → decimal(18,2) (HALF_UP
+        # in both engines) → integer cents
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    state = quantile_sketch_state(orders, "cents", ["grp"])
+    merged_all = merge_sketch_states(
+        state.select(F.lit("ALL").alias("grp"), "bucket", "cnt")
+    )
+    # one extraction over the union: 'grp' stays non-constant, so the
+    # per-group windows keep a real partition key (no global window)
+    both = state.unionByName(merged_all)
+    return _qsk_quantiles_from_state(both, "grp").orderBy("grp", "q")
+
+
+def oracle_quantile_sketch_mergeable() -> str:
+    qvals = ", ".join(f"({num}, {den}, {num / 100.0})" for num, den in QSK_QUANTILES)
+    return f"""
+with base as (
+    select o_orderpriority as grp,
+        cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as cents
+    from orders
+),
+bucketed as (
+    select grp,
+        case when cents <= 9 then cast(cents as int)
+             else (length(cast(cents as varchar)) - 2) * 90
+                  + (cast(substr(cast(cents as varchar), 1, 2) as int) - 10) + 11
+        end as bucket
+    from base
+),
+state as (
+    select grp, bucket, count(*) as cnt from bucketed group by grp, bucket
+),
+merged as (
+    select grp, bucket, cnt from state
+    union all
+    select 'ALL' as grp, bucket, sum(cnt) as cnt from state group by bucket
+),
+cum as (
+    select grp, bucket,
+        sum(cnt) over (partition by grp order by bucket) as cum,
+        sum(cnt) over (partition by grp) as n
+    from merged
+),
+q(qnum, qden, q) as (values {qvals}),
+hit as (
+    select grp, q, n, min(bucket) as bucket
+    from cum cross join q
+    where cum >= (qnum * n + qden - 1) // qden
+    group by grp, q, n
+)
+select grp, q, cast(n as bigint) as n,
+    case when bucket <= 9 then cast(bucket as bigint)
+         else cast(
+            cast((bucket - 11) % 90 + 10 as varchar)
+            || repeat('0', (bucket - 11) // 90) as bigint)
+    end as est_cents
+from hit
+order by grp, q
+"""

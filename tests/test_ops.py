@@ -829,3 +829,46 @@ def test_substring_sampled_guaranteed_span_and_occupancy(spark, tmp_path_factory
     sel = sum(r["sel_fps"] for r in rows.values())
     assert sel <= 2.0 * 2 * dense / (w + 1), (sel, dense)
     assert sel >= 0.5 * 2 * dense / (w + 1), (sel, dense)
+
+
+def test_quantile_sketch_known_answer(spark, tmp_path_factory):
+    """Round-8 #31o2: planted values with known quantiles — the sketch's
+    estimate must be the lower bound of the (digits, two-leading-digit)
+    bucket holding the true ceil-rank element, and the ALL row (merged
+    from per-group states) must equal a from-scratch global build."""
+    from ecommerce_dbt_medallion_spark.ops.sketch import (
+        quantile_sketch_mergeable,
+    )
+
+    rows = []
+    # group A: cents 1..100 (uniform); group B: 10_000 + 100*i
+    for i in range(1, 101):
+        rows.append((i, "A", float(i) / 100.0))
+        rows.append((1000 + i, "B", (10_000 + 100 * i) / 100.0))
+    d = tmp_path_factory.mktemp("qsk")
+    spark.createDataFrame(
+        [(k, 1, grp, amt, "2024-01-01T00:00:00", "5-LOW" if grp == "B" else "1-URGENT")
+         for k, grp, amt in [(r[0], r[1], r[2]) for r in rows]],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "cast(o_orderdate as timestamp) as o_orderdate", "o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+
+    got = {
+        (r["grp"], r["q"]): r
+        for r in quantile_sketch_mergeable(spark, str(d)).collect()
+    }
+    # group A ('1-URGENT'): cents 1..100. p50 → rank 50 → value 50 →
+    # bucket lower bound 50 (two leading digits exact for 2-digit ints)
+    assert got[("1-URGENT", 0.5)]["est_cents"] == 50
+    assert got[("1-URGENT", 0.99)]["est_cents"] == 99
+    # group B ('5-LOW'): cents 10100..20000 step 100. p50 → rank 50 →
+    # 15000 → bucket [15000,16000) lower bound 15000
+    assert got[("5-LOW", 0.5)]["est_cents"] == 15000
+    # ALL: 200 values, p50 rank 100 → the 100th smallest = 100 (all of
+    # group A) → bucket lower 10 for 100? 100 has 3 digits, lead2=10 →
+    # lower bound 100 exactly
+    assert got[("ALL", 0.5)]["est_cents"] == 100
+    assert got[("ALL", 0.99)]["n"] == 200

@@ -435,3 +435,74 @@ def test_lakehouse_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
     # every version in history stays readable (no dangling file refs)
     for v in lh.versions(path):
         lh.read(spark, path, version=v).count()
+
+
+@given(
+    vals=st.lists(st.integers(0, 10**9), min_size=1, max_size=60),
+    split=st.data(),
+)
+@settings(max_examples=10, deadline=None)
+def test_quantile_sketch_merge_associative(spark, vals, split):
+    """Round-8 #31o2: the sketch state algebra. Any partitioning of the
+    same rows into shards, built independently and merged in any
+    grouping, must yield the IDENTICAL state (elementwise-sum algebra),
+    and extraction from the merged state must bound the true quantile
+    within one bucket (relative error ≤ 10% above, exact at/below the
+    bucket lower bound)."""
+    from ecommerce_dbt_medallion_spark.ops.sketch import (
+        QSK_QUANTILES,
+        _qsk_quantiles_from_state,
+        merge_sketch_states,
+        quantile_sketch_state,
+    )
+    from pyspark.sql import functions as F
+
+    cuts = sorted(
+        split.draw(
+            st.lists(st.integers(0, len(vals)), min_size=0, max_size=3)
+        )
+    )
+    bounds = [0] + cuts + [len(vals)]
+    shards = [
+        vals[bounds[i]:bounds[i + 1]]
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+
+    def state_of(shard_vals):
+        df = spark.createDataFrame(
+            [(v,) for v in shard_vals], "cents long"
+        ).select(F.lit("g").alias("grp"), "cents")
+        return quantile_sketch_state(df, "cents", ["grp"])
+
+    whole = {
+        (r["grp"], r["bucket"]): r["cnt"] for r in state_of(vals).collect()
+    }
+    merged_left = merge_sketch_states(*[state_of(s) for s in shards])
+    got_left = {(r["grp"], r["bucket"]): r["cnt"] for r in merged_left.collect()}
+    assert got_left == whole, "shard-merge diverged from whole-build"
+    if len(shards) >= 3:
+        # different merge grouping: ((s0+s1) + rest) — associativity
+        nested = merge_sketch_states(
+            merge_sketch_states(state_of(shards[0]), state_of(shards[1])),
+            *[state_of(s) for s in shards[2:]],
+        )
+        got_nested = {
+            (r["grp"], r["bucket"]): r["cnt"] for r in nested.collect()
+        }
+        assert got_nested == whole, "merge grouping changed the state"
+
+    # accuracy: estimate is the bucket lower bound of the true ceil-rank
+    # element → est <= true < est * 1.1 (two-leading-digit bucket width),
+    # with exact equality below 10
+    est = {
+        r["q"]: r["est_cents"]
+        for r in _qsk_quantiles_from_state(merged_left, "grp").collect()
+    }
+    sv = sorted(vals)
+    for num, den in QSK_QUANTILES:
+        rank = -(-num * len(sv) // den)  # ceil
+        true = sv[rank - 1]
+        e = est[num / 100.0]
+        assert e <= true, (num, e, true)
+        assert true < max(10, e + (e // 10) + 1) or true <= 9, (num, e, true)

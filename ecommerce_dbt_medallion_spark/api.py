@@ -180,9 +180,10 @@ DRIVER_WINDOW = [
     "gold_rfm_segmentation",
     "churn_risk_score",
     "sales_by_region",
-    "supplier_part_revenue",
     # NEW round 8 (never-certified outranks two-round-old green):
-    # displaced customer_order_percentiles, which rejoins in round 9
+    # displaced supplier_part_revenue + customer_order_percentiles,
+    # which rejoin in round 9
+    "stream_cluster_maintain",
     "quantile_sketch_mergeable",
 ]
 
@@ -329,6 +330,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "lakehouse_schema_evolution": mcdf.lakehouse_schema_evolution,
         "lakehouse_restore_read": mcdf.lakehouse_restore_read,
         "quantile_sketch_mergeable": opsketch.quantile_sketch_mergeable,
+        "stream_cluster_maintain": strm_ingest.stream_cluster_maintain,
     }
 
 
@@ -484,6 +486,9 @@ def oracle_sql() -> dict[str, str]:
     # round 7: the 3-batch streaming corpus-dedup pipeline replayed in
     # pure SQL (md5 minhash + banding + signature-agreement Jaccard)
     out["stream_dedup_ingest"] = strm_ingest.oracle_stream_dedup_ingest()
+    # round 8: incremental cluster maintenance == from-scratch CC (the
+    # maintenance invariant makes the recursive-CTE oracle valid)
+    out["stream_cluster_maintain"] = strm_ingest.oracle_stream_cluster_maintain()
     # round 7: additive schema evolution (log-schema null-fill) and
     # RESTORE-read (metadata rollback) under the gate
     out["lakehouse_schema_evolution"] = mcdf.oracle_lakehouse_schema_evolution()

@@ -168,3 +168,109 @@ select c.vec_id, c.cluster_id, s.cluster_size,
     c.vec_id = c.cluster_id as is_representative
 from clusters c join sizes s using (cluster_id)
 """
+
+
+# ----------------------------------------- incremental label maintenance
+
+
+def maintain_cluster_labels(
+    spark: SparkSession, labels_table: str, new_edges: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Round 8: INCREMENTAL connected-component maintenance — the
+    streaming turn `incremental_mart_refresh` took for aggregates,
+    applied to near-dup cluster labels. ``labels_table`` is a lakehouse
+    table (doc_id, cluster_id) holding the CC labels of every edge-
+    participant seen so far (cluster_id = min doc id in the component,
+    exactly :func:`connected_components`' convention).
+
+    A new batch of edges only ever MERGES components (edges are never
+    retracted), so the update is churn-scale, never corpus-scale:
+
+    1. contract each endpoint to its SUPER-NODE — its stored cluster id
+       if labeled, else itself (an unseen doc);
+    2. run plain min-label CC on the contracted mini-graph (∝ batch
+       size: one super-node per affected component, O(diameter of the
+       MERGE graph) rounds — not the full corpus graph);
+    3. the mini-labels map affected old cluster ids → new min label;
+       rewrite exactly the stored rows of affected components (a keyed
+       MERGE prunes to the files holding them) and insert the new
+       endpoints.
+
+    INVARIANT (test-pinned): after every batch the stored labels equal
+    a from-scratch ``connected_components`` over the union of all edges
+    so far. min-labels make the merge order-free: the new component's
+    label is min over merged parts' labels = min doc id overall.
+    Replay-idempotent: re-applying a batch contracts every endpoint to
+    the already-merged label, so the MERGE rewrites identical rows.
+
+    Returns the labels table version."""
+    from ecommerce_dbt_medallion_spark import lakehouse
+
+    edges = (
+        new_edges.select(F.col("doc_a"), F.col("doc_b"))
+        .where(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if edges.isEmpty():
+        vs = lakehouse.versions(labels_table)
+        return vs[-1] if vs else -1
+
+    stored = (
+        lakehouse.read(spark, labels_table)
+        if lakehouse.versions(labels_table)
+        else None
+    )
+    nodes = (
+        edges.select(F.col("doc_a").alias(id_col))
+        .union(edges.select(F.col("doc_b")))
+        .distinct()
+    )
+    if stored is not None:
+        node_sup = nodes.join(stored, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("sup"),
+        )
+    else:
+        node_sup = nodes.select(F.col(id_col), F.col(id_col).alias("sup"))
+    node_sup = node_sup.localCheckpoint(eager=True)
+
+    sup_edges = (
+        edges.join(
+            node_sup.select(F.col(id_col).alias("doc_a"), F.col("sup").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            node_sup.select(F.col(id_col).alias("doc_b"), F.col("sup").alias("sb")),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .select(F.col("sa").alias("doc_a"), F.col("sb").alias("doc_b"))
+    )
+    # mini-CC over super-nodes: label = new min doc id per merged group
+    mini = connected_components(sup_edges).select(
+        F.col("doc_id").alias("sup"), F.col("cluster_id").alias("new_label")
+    )
+    # also map super-nodes untouched by contraction-surviving edges
+    # (e.g. an edge internal to one existing cluster): label unchanged
+    mini = (
+        node_sup.select("sup").distinct()
+        .join(mini, "sup", "left")
+        .select("sup", F.coalesce("new_label", F.col("sup")).alias("new_label"))
+        .localCheckpoint(eager=True)
+    )
+
+    new_endpoint_labels = node_sup.join(mini, "sup").select(
+        F.col(id_col), F.col("new_label").alias("cluster_id")
+    )
+    if stored is not None:
+        affected = mini.where(F.col("sup") != F.col("new_label"))
+        relabeled = stored.join(
+            affected.withColumnRenamed("sup", "cluster_id"), "cluster_id"
+        ).select(F.col(id_col), F.col("new_label").alias("cluster_id"))
+        src = new_endpoint_labels.union(relabeled)
+    else:
+        src = new_endpoint_labels
+    src = src.groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
+    return lakehouse.merge_into(spark, labels_table, src, id_col)

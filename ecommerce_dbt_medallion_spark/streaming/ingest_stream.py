@@ -175,6 +175,7 @@ def stream_ingest_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    labels_table: str | None = None,
 ) -> tuple[int, int]:
     """Streaming corpus curation end-to-end: each micro-batch of raw
     documents is deduped against the STORED corpus signatures, its
@@ -259,6 +260,20 @@ def stream_ingest_dedup(
         # merge_into/append fall back to CREATE themselves on a
         # version-less table — no exists-branching here
         lakehouse.merge_into(spark, verdict_table, verd, id_col)
+        if labels_table is not None:
+            # round 8: incremental CLUSTER maintenance — this batch's
+            # dup edges union-merge into the stored labels at churn
+            # scale (ops/graph.maintain_cluster_labels); after every
+            # batch the table equals a from-scratch CC over all edges
+            from ecommerce_dbt_medallion_spark.ops.graph import (
+                maintain_cluster_labels,
+            )
+
+            edges = verd.where(F.col("match_id").isNotNull()).select(
+                F.col(id_col).alias("doc_a"),
+                F.col("match_id").alias("doc_b"),
+            )
+            maintain_cluster_labels(spark, labels_table, edges, id_col)
         novel = bsig.join(
             verd.where(F.col("verdict") == "novel").select(id_col),
             id_col,
@@ -296,6 +311,53 @@ def stream_ingest_dedup(
     )
 
 
+def _gate_three_batch_tables(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared gate setup: split documents into three deterministic
+    micro-batch files (doc_id % 3, mtime+name ordered so
+    FileStreamSource processes them in order) and return fresh
+    (src, sig_table, verdict_table, labels_table) paths under the gate
+    root, pre-cleaned."""
+    import re as _re
+    import shutil as _sh
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.normpath(os.path.join(_GATE_ROOT, f"{prefix}_src_{tag}"))
+    sig_table = os.path.normpath(os.path.join(_GATE_ROOT, f"{prefix}_sigs_{tag}"))
+    verdict_table = os.path.normpath(
+        os.path.join(_GATE_ROOT, f"{prefix}_verdicts_{tag}")
+    )
+    labels_table = os.path.normpath(
+        os.path.join(_GATE_ROOT, f"{prefix}_labels_{tag}")
+    )
+    for p in (src, sig_table, verdict_table, labels_table,
+              _ckpt_dir(verdict_table)):
+        _sh.rmtree(p, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _time.time()
+    for k in range(3):
+        staging = os.path.join(src, f"_stage{k}")
+        docs.where(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        (part,) = [
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        ]
+        dest = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(staging, part), dest)
+        _sh.rmtree(staging, ignore_errors=True)
+        # FileStreamSource orders by (mtime, path): make both increase
+        os.utime(dest, (base + k * 10, base + k * 10))
+    return src, sig_table, verdict_table, labels_table
+
+
 def stream_dedup_ingest(spark: SparkSession, sf_dir: str):
     """Gated key (SURVEY §2 #14f, round 7): the STREAMING corpus-dedup
     pipeline end-to-end under the driver's hash oracle. The documents
@@ -315,41 +377,11 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str):
     state, never re-shingled; both state tables are versioned lakehouse
     tables (one MERGE + at most one APPEND commit per batch).
     """
-    import re as _re
-    import shutil as _sh
-    import time as _time
-
     from pyspark.sql import functions as F
 
-    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
-    from ecommerce_dbt_medallion_spark.sources.registry import load_table
-
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    src = os.path.normpath(os.path.join(_GATE_ROOT, f"dedupstream_src_{tag}"))
-    sig_table = os.path.normpath(os.path.join(_GATE_ROOT, f"dedupstream_sigs_{tag}"))
-    verdict_table = os.path.normpath(
-        os.path.join(_GATE_ROOT, f"dedupstream_verdicts_{tag}")
+    src, sig_table, verdict_table, _ = _gate_three_batch_tables(
+        spark, sf_dir, "dedupstream"
     )
-    for p in (src, sig_table, verdict_table):
-        _sh.rmtree(p, ignore_errors=True)
-    os.makedirs(src, exist_ok=True)
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = _time.time()
-    for k in range(3):
-        staging = os.path.join(src, f"_stage{k}")
-        docs.where(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        (part,) = [
-            f for f in os.listdir(staging) if f.endswith(".parquet")
-        ]
-        dest = os.path.join(src, f"b{k}.parquet")
-        os.rename(os.path.join(staging, part), dest)
-        _sh.rmtree(staging, ignore_errors=True)
-        # FileStreamSource orders by (mtime, path): make both increase
-        os.utime(dest, (base + k * 10, base + k * 10))
-
     stream_ingest_dedup(
         spark, src, sig_table, verdict_table,
         schema="doc_id long, text string",
@@ -363,12 +395,54 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str):
     )
 
 
-def oracle_stream_dedup_ingest() -> str:
-    """Pure-SQL replay of the 3-batch streaming dedup: shared
+def stream_cluster_maintain(spark: SparkSession, sf_dir: str):
+    """Gated key (SURVEY §2 #14g, round 8): streaming INCREMENTAL
+    cluster maintenance. The same 3-batch corpus-dedup pipeline as
+    ``stream_dedup_ingest``, but each micro-batch's dup edges
+    (doc → match) union-merge into a stored lakehouse labels table via
+    ``ops.graph.maintain_cluster_labels`` — min-label propagation over
+    the CONTRACTED super-node graph only (churn scale), never a
+    full-corpus CC recompute. Output: the final labels table with
+    cluster sizes and representatives; the oracle is a from-scratch
+    recursive-CTE CC over the replayed edges, which the maintenance
+    invariant (after every batch, stored labels == from-scratch CC over
+    all edges so far — pinned by
+    tests/test_lakehouse.py::test_stream_cluster_maintain_matches_scratch)
+    makes equal to the incremental construction."""
+    from pyspark.sql import functions as F
+
+    src, sig_table, verdict_table, labels_table = _gate_three_batch_tables(
+        spark, sf_dir, "clusterstream"
+    )
+    stream_ingest_dedup(
+        spark, src, sig_table, verdict_table,
+        schema="doc_id long, text string",
+        labels_table=labels_table,
+    )
+    labels = lakehouse.read(spark, labels_table)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_stream_replay_ctes() -> str:
+    """The shared pure-SQL replay of the 3-batch streaming dedup:
     tok/grams/sigs/fp CTEs (MATERIALIZED — multi-referenced), then per
     round k: exact = fingerprint hit in the corpus-so-far, near = best
     banded candidate with signature-agreement >= threshold, novel docs
-    (min id per fingerprint) extend the corpus."""
+    (min id per fingerprint) extend the corpus. Both the verdict oracle
+    and the round-8 cluster-maintenance oracle append their own final
+    select ('recursive' is declared up front for the latter's CC)."""
     from ecommerce_dbt_medallion_spark.config import (
         LSH_BANDS,
         LSH_ROWS,
@@ -460,7 +534,7 @@ c{k} as materialized (
     rounds_sql = ",\n".join(rounds)
 
     return f"""
-with tok as materialized (
+with recursive tok as materialized (
     select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
     from documents
 ),
@@ -481,7 +555,11 @@ fp as materialized (
 bands as materialized (
     {band_union}
 ),
-{rounds_sql}
+{rounds_sql}"""
+
+
+def oracle_stream_dedup_ingest() -> str:
+    return _oracle_stream_replay_ctes() + """
 select cast(doc_id as bigint) as doc_id,
        'novel' as verdict,
        cast(null as bigint) as match_id,
@@ -494,4 +572,38 @@ select cast(doc_id as bigint), verdict, cast(match_id as bigint),
 union all
 select cast(doc_id as bigint), verdict, cast(match_id as bigint),
        cast(est_jaccard as double), cast(2 as bigint) from v2
+"""
+
+
+def oracle_stream_cluster_maintain() -> str:
+    """Round 8: from-scratch CC over the replayed dup edges — valid as
+    the oracle for the INCREMENTALLY maintained labels because the
+    maintenance invariant (labels after every batch == from-scratch CC
+    over all edges so far; test-pinned) makes the two constructions
+    equal at the final batch."""
+    return _oracle_stream_replay_ctes() + """,
+edge_pairs as materialized (
+    select doc_id as doc_a, match_id as doc_b from v1 where match_id is not null
+    union
+    select doc_id, match_id from v2 where match_id is not null
+),
+edges as materialized (
+    select doc_a as src, doc_b as dst from edge_pairs
+    union
+    select doc_b, doc_a from edge_pairs
+),
+nodes as (select distinct src as doc_id from edges),
+reach(doc_id, label) as (
+    select doc_id, doc_id from nodes
+    union
+    select e.dst, r.label from reach r join edges e on e.src = r.doc_id
+),
+clusters as (select doc_id, min(label) as cluster_id from reach group by doc_id),
+sizes as (select cluster_id, count(*) as cluster_size from clusters group by cluster_id)
+select cast(c.doc_id as bigint) as doc_id,
+    cast(c.cluster_id as bigint) as cluster_id,
+    cast(s.cluster_size as bigint) as cluster_size,
+    c.doc_id = c.cluster_id as is_representative
+from clusters c join sizes s using (cluster_id)
+order by doc_id
 """

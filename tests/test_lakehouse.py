@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark import lakehouse as lh
 from ecommerce_dbt_medallion_spark.runner import incremental_merge_delta
+from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture()
@@ -1566,3 +1567,82 @@ def test_concurrent_append_aborts_on_schema_evolution(spark, table, monkeypatch)
     with pytest.raises(lh.ConcurrentWriteConflict, match="schema"):
         lh.append(spark, table, mine, key="id")
     assert "extra" in [f.name for f in lh.current_schema(table).fields]
+
+
+# ---------------------------------------------------------------------------
+# incremental cluster maintenance (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_maintain_cluster_labels_matches_scratch_every_batch(spark, tmp_path):
+    """The round-8 maintenance invariant: after EVERY batch of edges,
+    the incrementally maintained labels table equals a from-scratch
+    connected_components over the union of all edges so far — including
+    chain merges across existing components, singleton promotion, and a
+    replayed (duplicate) batch."""
+    from ecommerce_dbt_medallion_spark.ops.graph import (
+        connected_components,
+        maintain_cluster_labels,
+    )
+
+    tbl = str(tmp_path / "labels")
+    batches = [
+        [(1, 2), (3, 4), (7, 8)],
+        [(2, 3)],                  # merge {1,2} + {3,4}
+        [(9, 10), (4, 9)],         # new pair immediately chained in
+        [(20, 21)],                # disjoint new component
+        [(2, 3), (20, 21)],        # exact replay: must be a no-op
+        [(8, 20)],                 # merge two existing components
+    ]
+    seen: list = []
+    for i, b in enumerate(batches):
+        seen += b
+        maintain_cluster_labels(
+            spark, tbl, spark.createDataFrame(b, "doc_a long, doc_b long")
+        )
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in lh.read(spark, tbl).collect()
+        }
+        want = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(
+                spark.createDataFrame(seen, "doc_a long, doc_b long")
+            ).collect()
+        }
+        assert got == want, f"diverged after batch {i}: {got ^ want}"
+
+
+def test_stream_cluster_maintain_matches_scratch(spark):
+    """End-to-end: the streaming pipeline's maintained labels equal a
+    from-scratch CC over the final verdict tables' dup edges."""
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+    from ecommerce_dbt_medallion_spark.ops.graph import connected_components
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        stream_cluster_maintain,
+    )
+
+    got = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_representative"])
+        for r in stream_cluster_maintain(spark, SF_SMOKE).collect()
+    }
+    assert got, "no clusters found at sf0.001 (seeded dups exist)"
+    import os
+    tag = os.path.basename(os.path.normpath(SF_SMOKE)).replace(".", "_")
+    verd = lh.read(spark, os.path.join(_GATE_ROOT, f"clusterstream_verdicts_{tag}"))
+    edges = verd.where(F.col("match_id").isNotNull()).select(
+        F.col("doc_id").alias("doc_a"), F.col("match_id").alias("doc_b")
+    )
+    labels = connected_components(edges)
+    sizes = {
+        r["cluster_id"]: r["cnt"]
+        for r in labels.groupBy("cluster_id").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"], sizes[r["cluster_id"]],
+         r["doc_id"] == r["cluster_id"])
+        for r in labels.collect()
+    }
+    assert got == want

@@ -88,6 +88,14 @@ PROBE_KEYS = [
     # round-7 operators (construction-timed engine pipelines)
     "lakehouse_zorder_prune",
     "stream_dedup_ingest",
+    # round-8 probes: the r7-certified heavy engine keys the §6 table
+    # lacked (VERDICT r7 #7), plus the two new round-8 keys
+    "ivm_mart_refresh",
+    "wap_audited_ingest",
+    "lakehouse_schema_evolution",
+    "lakehouse_restore_read",
+    "stream_cluster_maintain",
+    "quantile_sketch_mergeable",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -1041,6 +1041,25 @@ def audited_append(
     return versions(table)[-1], ok
 
 
+def read_keys(
+    spark: SparkSession, table: str, keys: list, version: int | None = None
+) -> DataFrame:
+    """POINT-LOOKUP read: only the live files whose key stats AND bloom
+    admit at least one of ``keys`` (files_maybe_containing — sound,
+    never drops a holder), read under the full read() contract and
+    filtered to exactly those keys. ``keys`` must be metadata-scale
+    (the probe mask check is O(files × keys) driver-side); callers with
+    data-scale key sets should join against read() instead."""
+    files = files_maybe_containing(spark, table, list(keys), version)
+    if not files:
+        schema = current_schema(table, version)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        return read(spark, table, version).where(F.lit(False))
+    k = F.col(_table_key(table, version))
+    return _read_files(spark, table, files, version).where(k.isin(list(keys)))
+
+
 def read_pruned_multi(
     spark: SparkSession,
     table: str,

@@ -34,6 +34,11 @@ from ecommerce_dbt_medallion_spark.ops.text import (
 
 MAX_CC_ROUNDS = 25
 
+# maintain_cluster_labels: above this many batch endpoints, skip the
+# driver-side point-lookup probe (O(files × keys) mask checks) and fall
+# back to a distributed scan-join against the stored labels
+MAINT_LOOKUP_MAX_KEYS = 100_000
+
 
 def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
@@ -217,18 +222,26 @@ def maintain_cluster_labels(
         vs = lakehouse.versions(labels_table)
         return vs[-1] if vs else -1
 
-    stored = (
-        lakehouse.read(spark, labels_table)
-        if lakehouse.versions(labels_table)
-        else None
-    )
+    exists = bool(lakehouse.versions(labels_table))
     nodes = (
         edges.select(F.col("doc_a").alias(id_col))
         .union(edges.select(F.col("doc_b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    if stored is not None:
-        node_sup = nodes.join(stored, id_col, "left").select(
+    if exists:
+        # endpoint-label lookup: bloom+stats-pruned POINT READ of the
+        # labels table when the batch's node set is metadata-scale —
+        # O(affected files), never a full label scan per batch; fall
+        # back to the scan-join above that size (the probe-mask check
+        # is driver-side O(files × keys))
+        n_nodes = nodes.count()
+        if n_nodes <= MAINT_LOOKUP_MAX_KEYS:
+            node_ids = [r[id_col] for r in nodes.collect()]
+            stored_nodes = lakehouse.read_keys(spark, labels_table, node_ids)
+        else:
+            stored_nodes = lakehouse.read(spark, labels_table)
+        node_sup = nodes.join(stored_nodes, id_col, "left").select(
             F.col(id_col),
             F.coalesce("cluster_id", F.col(id_col)).alias("sup"),
         )
@@ -264,13 +277,43 @@ def maintain_cluster_labels(
     new_endpoint_labels = node_sup.join(mini, "sup").select(
         F.col(id_col), F.col("new_label").alias("cluster_id")
     )
-    if stored is not None:
+    if exists:
+        # stored rows of MERGED components need relabeling: the affected
+        # old cluster ids are churn-scale (≤ batch edges), so collect
+        # them and read only the files whose cluster_id range admits one
+        # (the table is range-clustered on cluster_id at creation and
+        # every rewrite carries the column's stats forward) — a
+        # conservative keep when stats are absent, never unsound
         affected = mini.where(F.col("sup") != F.col("new_label"))
-        relabeled = stored.join(
-            affected.withColumnRenamed("sup", "cluster_id"), "cluster_id"
-        ).select(F.col(id_col), F.col("new_label").alias("cluster_id"))
-        src = new_endpoint_labels.union(relabeled)
+        aff_rows = affected.collect()  # churn-scale: merged components
+        if aff_rows:
+            seen: dict = {}
+            for r in aff_rows:
+                for a in lakehouse.files_overlapping(
+                    labels_table, "cluster_id", r["sup"], r["sup"]
+                ):
+                    seen[a["file"]] = a
+            stored_affected = lakehouse._read_files(
+                spark, labels_table, list(seen.values()), None
+            )
+            amap = spark.createDataFrame(
+                [(r["sup"], r["new_label"]) for r in aff_rows],
+                f"cluster_id {dict(node_sup.dtypes)[id_col]}, "
+                f"new_label {dict(node_sup.dtypes)[id_col]}",
+            )
+            relabeled = stored_affected.join(F.broadcast(amap), "cluster_id").select(
+                F.col(id_col), F.col("new_label").alias("cluster_id")
+            )
+            src = new_endpoint_labels.union(relabeled)
+        else:
+            src = new_endpoint_labels
     else:
         src = new_endpoint_labels
     src = src.groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
+    if not exists:
+        # first creation declares cluster_id range-clustering, so later
+        # relabel reads can file-skip on cluster_id stats
+        return lakehouse.create_or_replace(
+            spark, labels_table, src, key=id_col, partition_by="cluster_id"
+        )
     return lakehouse.merge_into(spark, labels_table, src, id_col)

@@ -1646,3 +1646,16 @@ def test_stream_cluster_maintain_matches_scratch(spark):
         for r in labels.collect()
     }
     assert got == want
+
+
+def test_read_keys_point_lookup_prunes_and_is_exact(spark, table):
+    """read_keys must return exactly the requested keys' rows while
+    reading only bloom/stats-admitted files (round 8: the point-lookup
+    reader behind churn-scale label maintenance)."""
+    got = {r["id"]: r["val"] for r in lh.read_keys(spark, table, [3, 97]).collect()}
+    assert got == {3: 30, 97: 970}
+    # a missing key returns nothing, not an error
+    assert lh.read_keys(spark, table, [10_000_000]).count() == 0
+    # respects merge-on-read tombstones (full read() contract)
+    lh.delete_keys_deferred(spark, table, [3])
+    assert {r["id"] for r in lh.read_keys(spark, table, [3, 97]).collect()} == {97}

@@ -214,6 +214,15 @@ def test_survey_section2_lists_every_query_key():
     sec2 = text.split("## §2", 1)[1].split("## §3", 1)[0]
     missing = [k for k in api.queries() if f"`{k}`" not in sec2]
     assert not missing, f"queries() keys absent from SURVEY.md §2: {missing}"
+    # the header's count claim must match reality too (round 7 shipped
+    # "139" over a 138-entry list)
+    import re
+
+    m = re.search(r"All (\d+) `queries\(\)` keys below", sec2)
+    assert m and int(m.group(1)) == len(api.queries()), (
+        f"SURVEY §2 claims {m and m.group(1)} keys; "
+        f"queries() has {len(api.queries())}"
+    )
 
 
 def test_every_key_has_oracle_or_documented_rows_only():

@@ -460,6 +460,46 @@ def _stage_files(
     return adds
 
 
+def _stats_disjoint(stat_lo, stat_hi, lo, hi) -> bool:
+    """True iff the logged stat range [stat_lo, stat_hi] PROVABLY misses
+    the probe range [lo, hi]. The log is immutable and generations mix:
+    pre-round-8 entries rendered decimal stats as strings, current
+    entries store ulp-widened floats — so mixed str/number pairs coerce
+    to float before comparing, and any pair that still cannot compare
+    keeps the file (returns False). Pruning must stay SOUND across log
+    generations, never crash or mis-skip on an old entry."""
+
+    def _coerce(a, b):
+        if (
+            isinstance(a, str)
+            and isinstance(b, (int, float))
+            and not isinstance(b, bool)
+        ):
+            try:
+                a = float(a)
+            except ValueError:
+                return None
+        if (
+            isinstance(b, str)
+            and isinstance(a, (int, float))
+            and not isinstance(a, bool)
+        ):
+            try:
+                b = float(b)
+            except ValueError:
+                return None
+        return a, b
+
+    try:
+        p = _coerce(stat_hi, lo)
+        if p is not None and p[0] < p[1]:
+            return True
+        p = _coerce(stat_lo, hi)
+        return p is not None and p[0] > p[1]
+    except TypeError:
+        return False
+
+
 def files_maybe_containing(
     spark: SparkSession, table: str, values: list, version: int | None = None
 ) -> list[dict]:
@@ -472,25 +512,33 @@ def files_maybe_containing(
     key's native type, never Python ``str()``: the renderings diverge
     for bool (``True`` vs ``true``) and large floats (``1e+20`` vs
     ``1.0E20``), which would produce bloom false negatives and silently
-    skip files that do contain the probed keys (round-8 ADVICE)."""
-    from pyspark.sql.types import StructField, StructType
+    skip files that do contain the probed keys (round-8 ADVICE).
 
+    Probes travel as ``str(v)`` and round-trip str → key type → string
+    IN SPARK, so a type-coercible value (an int tombstone against a
+    double key — JSON has no float/int distinction) coerces instead of
+    failing strict createDataFrame verification; a value that does not
+    cast at all disables pruning for this call (every live file kept —
+    conservative; Spark hash functions do NOT null out on NULL input,
+    so a hashed NULL would otherwise masquerade as a real key)."""
     key = _table_key_opt(table, version)
     ktype = None
     if key is not None:
-        sch = current_schema(table, version)
-        ktype = next((f.dataType for f in sch.fields if f.name == key), None)
+        sch = current_schema(table, version)  # None on pre-tracking logs
+        if sch is not None:
+            ktype = next((f.dataType for f in sch.fields if f.name == key), None)
+    probe_src = spark.createDataFrame([(str(v),) for v in values], "k string")
     if ktype is not None:
-        probe_src = spark.createDataFrame(
-            [(v,) for v in values], StructType([StructField("k", ktype)])
-        ).select(F.col("k").cast("string").alias("k"))
-    else:
-        # keyless tables write no blooms — every file is a candidate
-        # below, so the rendering cannot matter; keep the plain path
-        probe_src = spark.createDataFrame([(str(v),) for v in values], "k string")
+        probe_src = probe_src.select(
+            F.col("k").cast(ktype).cast("string").alias("k")
+        )
+    # else: keyless or pre-schema-tracking tables wrote no typed blooms
+    # worth matching — the raw str(v) rendering matches the legacy writer
     probe = probe_src.select(
         F.col("k"), _bloom_positions(F.col("k")).alias("ps")
     ).collect()
+    if any(r["k"] is None for r in probe):
+        return list(live_files(table, version))
     masks = []
     for r in probe:
         m = 0
@@ -1100,7 +1148,7 @@ def pruned_files(table: str, bounds: dict, version: int | None = None) -> list[d
         keep = True
         for col, (lo, hi) in bounds.items():
             cs = a.get("col_stats", {}).get(col)
-            if cs is not None and (cs[1] < lo or cs[0] > hi):
+            if cs is not None and _stats_disjoint(cs[0], cs[1], lo, hi):
                 keep = False
                 break
         if keep:
@@ -1264,7 +1312,7 @@ def read_pruned(
     files = []
     for a in live_files(table, version):
         cs = a.get("col_stats", {}).get(col)
-        if cs is None or not (cs[1] < lo or cs[0] > hi):
+        if cs is None or not _stats_disjoint(cs[0], cs[1], lo, hi):
             files.append(a)
     if not files:
         return read(spark, table, version).where(F.lit(False))
@@ -1323,7 +1371,7 @@ def merge_into(
             a
             for a in live
             if "min_key" not in a
-            or not (a["max_key"] < lo or a["min_key"] > hi)
+            or not _stats_disjoint(a["min_key"], a["max_key"], lo, hi)
         ]
     untouched_by_stats = [a for a in live if a not in candidates]
 
@@ -1560,7 +1608,7 @@ def files_overlapping(table: str, col: str, lo, hi, version: int | None = None) 
     out = []
     for a in live_files(table, version):
         cs = a.get("col_stats", {}).get(col)
-        if cs is None or not (cs[1] < lo or cs[0] > hi):
+        if cs is None or not _stats_disjoint(cs[0], cs[1], lo, hi):
             out.append(a)
     return out
 

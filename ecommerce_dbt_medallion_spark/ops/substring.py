@@ -232,3 +232,98 @@ def exact_substring_dedup_sampled(
         )
         .orderBy("doc_id")
     )
+
+
+# Above this winnow width the per-window O(w) min-scan dominates the md5
+# cost itself (array_min over a w-slice per window = n·w comparisons
+# map-side); the dial switches to mod-p selection: O(1) per window,
+# content-defined like winnowing (so still alignment-independent), with
+# a PROBABILISTIC catch bound instead of a deterministic one.
+SUBSTRING_WINNOW_COMPUTE_MAX = 64
+
+
+def substring_dial_for(
+    total_windows: int, budget_selected: int = SUBSTRING_SELECT_BUDGET
+) -> tuple[str, int]:
+    """The two-regime COMPUTE-AWARE dial: ('winnow', w) while the
+    deterministic path's map-side cost n·w stays reasonable
+    (w <= SUBSTRING_WINNOW_COMPUTE_MAX), else ('modp', p) — expected
+    density 1/p, O(n) compute, catch probability
+    :func:`substring_catch_probability` (≥ 1 - e^{-(span-L+1)/p})."""
+    w = substring_winnow_for(total_windows, budget_selected)
+    if w <= SUBSTRING_WINNOW_COMPUTE_MAX:
+        return ("winnow", w)
+    import math
+
+    p = max(2, math.ceil(total_windows / budget_selected))
+    return ("modp", p)
+
+
+def substring_catch_probability(p: int, span_chars: int) -> float:
+    """P(a span duplicated across two docs shares >= 1 selected window
+    hash) under mod-p selection: the span holds W = span-L+1 windows,
+    selection is content-defined (identical in both copies), each
+    selected with rate 1/p → 1 - (1-1/p)^W."""
+    w_in_span = max(0, span_chars - SUB_L + 1)
+    return 1.0 - (1.0 - 1.0 / p) ** w_in_span
+
+
+def exact_substring_dedup_modp(
+    spark: SparkSession, sf_dir: str, p: int | None = None
+) -> DataFrame:
+    """The large-w regime of #35c's scale path: mod-p content-defined
+    window selection — keep a window iff the integer value of its md5's
+    first 15 hex chars ≡ 0 (mod p). O(1) per window (no w-slice scan),
+    expected 1/p density, phase-independent because selection depends
+    only on the window's own content. Same downstream machinery and
+    output shape as the winnowed variant."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= SUB_L)
+        .select("doc_id", "text", (F.length("text") - SUB_L + 1).alias("n_windows"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    if p is None:
+        total = docs.agg(F.sum("n_windows").alias("t")).collect()[0]["t"] or 0
+        method, dial = substring_dial_for(int(total))
+        p = dial if method == "modp" else 1
+    d = docs.withColumn(
+        "__hs",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_windows")),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(SUB_L))),
+        ),
+    )
+    sel = F.array_distinct(
+        F.filter(
+            F.col("__hs"),
+            lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+            % F.lit(int(p))
+            == 0,
+        )
+    )
+    per = d.select("doc_id", F.explode(sel).alias("h"))
+    hd = per.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dup = (
+        per.join(hd.where(F.col("df") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_sel_fps"))
+    )
+    sel_counts = per.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sel_fps"))
+    return (
+        docs.select("doc_id", "n_windows")
+        .join(sel_counts, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("sel_fps", F.lit(0)).cast("long").alias("sel_fps"),
+            F.coalesce("dup_sel_fps", F.lit(0)).cast("long").alias("dup_sel_fps"),
+            F.round(
+                F.coalesce("dup_sel_fps", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("sel_fps", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_sel_ratio_r6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1659,3 +1659,77 @@ def test_read_keys_point_lookup_prunes_and_is_exact(spark, table):
     # respects merge-on-read tombstones (full read() contract)
     lh.delete_keys_deferred(spark, table, [3])
     assert {r["id"] for r in lh.read_keys(spark, table, [3, 97]).collect()} == {97}
+
+
+def test_legacy_string_decimal_stats_still_prune_and_merge(spark, tmp_path):
+    """Round-8 review: the log is immutable, so pre-round-8 entries with
+    STRING-rendered decimal stats must keep working against the new
+    float probe bounds — coerced numeric comparison, not a TypeError,
+    and no lexicographic mis-prune."""
+    import json
+    import os
+
+    path = str(tmp_path / "legacy_dec")
+    df = spark.sql(
+        "select cast(id as decimal(18,2)) + 5.00 as k, id as val from range(11)"
+    ).coalesce(1)
+    lh.create_or_replace(spark, path, df, key="k")
+    # simulate a legacy log generation: stringify the committed stats
+    entry_path = os.path.join(path, "_log", "v0.json")
+    if not os.path.exists(entry_path):
+        (entry_path,) = [
+            os.path.join(path, d, "v0.json")
+            for d in os.listdir(path)
+            if os.path.isdir(os.path.join(path, d))
+            and os.path.exists(os.path.join(path, d, "v0.json"))
+        ]
+    e = json.load(open(entry_path))
+    for a in e["add"]:
+        a["min_key"] = "5.00"
+        a["max_key"] = "15.00"
+    json.dump(e, open(entry_path, "w"))
+    src = spark.sql(
+        "select cast(id as decimal(18,2)) as k, -1 as val from range(9, 13)"
+    )
+    lh.merge_into(spark, path, src, "k")  # must not TypeError or mis-prune
+    got = lh.read(spark, path)
+    assert got.count() == 11, "legacy-stat MERGE inserted duplicates"
+    vals = {float(r["k"]): r["val"] for r in got.collect()}
+    assert vals[9.0] == -1 and vals[5.0] == 0
+    assert lh._stats_disjoint("5.00", "15.00", 20.0, 25.0)  # still prunes
+
+
+def test_coercible_tombstone_key_does_not_wedge(spark, tmp_path):
+    """Round-8 review: an int tombstone against a double key (JSON has
+    no int/float distinction) must coerce in the bloom probe, not crash
+    materialize_tombstones and wedge the table under pending deletes."""
+    path = str(tmp_path / "coerce")
+    lh.create_or_replace(
+        spark, path,
+        spark.sql("select cast(id as double) as k, id as val from range(5)"),
+        key="k",
+    )
+    lh.delete_keys_deferred(spark, path, [3])  # int, not 3.0
+    lh.materialize_tombstones(spark, path)
+    remaining = {r["k"] for r in lh.read(spark, path).collect()}
+    assert remaining == {0.0, 1.0, 2.0, 4.0}
+
+
+def test_ckpt_dir_migrates_legacy_checkpoint(tmp_path):
+    """A pre-round-8 checkpoint inside the table dir migrates to the
+    sibling location once (orphaning it would replay the whole source
+    and duplicate appended rows)."""
+    import os
+
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
+
+    table = str(tmp_path / "t")
+    legacy = os.path.join(table, "_streaming_ckpt")
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "metadata"), "w").write("x")
+    new = _ckpt_dir(table)
+    assert new == table + "_ckpt"
+    assert os.path.exists(os.path.join(new, "metadata"))
+    assert not os.path.exists(legacy)
+    # idempotent: second call leaves the migrated dir alone
+    assert _ckpt_dir(table) == new

@@ -872,3 +872,69 @@ def test_quantile_sketch_known_answer(spark, tmp_path_factory):
     # lower bound 100 exactly
     assert got[("ALL", 0.5)]["est_cents"] == 100
     assert got[("ALL", 0.99)]["n"] == 200
+
+
+def test_substring_modp_regime(spark, tmp_path_factory):
+    """Round-8 review follow-up: above SUBSTRING_WINNOW_COMPUTE_MAX the
+    dial switches to mod-p selection (O(1)/window vs winnowing's
+    O(w)/window map-side scan). p=1 must equal the exact op's distinct
+    dup-hash counts; at p>1 a planted long span (catch probability
+    ~1-e^-W/p ≈ 1) is found at different alignments and density lands
+    near 1/p."""
+    import random
+
+    from ecommerce_dbt_medallion_spark.ops.substring import (
+        SUBSTRING_WINNOW_COMPUTE_MAX,
+        exact_substring_dedup,
+        exact_substring_dedup_modp,
+        substring_catch_probability,
+        substring_dial_for,
+    )
+
+    # dial regimes
+    assert substring_dial_for(10**9)[0] == "winnow"
+    method, p_big = substring_dial_for(10**14)
+    assert method == "modp" and p_big >= 2
+    # the winnow regime never exceeds the compute ceiling
+    assert substring_dial_for(
+        SUBSTRING_WINNOW_COMPUTE_MAX * 500_000_000_000
+    )[0] == "modp"
+    assert 0.99 < substring_catch_probability(4, 40 + 4 * 20) <= 1.0
+
+    # p=1 equivalence with the exact op (distinct-hash grain)
+    exact = {
+        r["doc_id"]: r["dup_hashes"]
+        for r in exact_substring_dedup(spark, SF_SMOKE).collect()
+    }
+    at1 = {
+        r["doc_id"]: r["dup_sel_fps"]
+        for r in exact_substring_dedup_modp(spark, SF_SMOKE, p=1).collect()
+    }
+    assert at1 == exact
+
+    # planted long span at different alignments, p=4
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    span = rand_text(40 + 4 * 30)  # W=121 windows, P(miss) = 0.75^121 ~ 1e-15
+    docs = [
+        (0, rand_text(173) + span + rand_text(160)),
+        (1, rand_text(218) + span + rand_text(140)),
+    ] + [(i, rand_text(500)) for i in range(2, 8)]
+    d = tmp_path_factory.mktemp("modp_span")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup_modp(spark, str(d), p=4).collect()
+    }
+    assert rows[0]["dup_sel_fps"] >= 1 and rows[1]["dup_sel_fps"] >= 1
+    for i in range(2, 8):
+        assert rows[i]["dup_sel_fps"] == 0
+    dense = sum(r["n_windows"] for r in rows.values())
+    sel = sum(r["sel_fps"] for r in rows.values())
+    assert 0.4 * dense / 4 <= sel <= 2.0 * dense / 4, (sel, dense)

@@ -179,10 +179,10 @@ DRIVER_WINDOW = [
     "sketch_distinct_users",
     "gold_rfm_segmentation",
     "churn_risk_score",
-    "sales_by_region",
     # NEW round 8 (never-certified outranks two-round-old green):
-    # displaced supplier_part_revenue + customer_order_percentiles,
-    # which rejoin in round 9
+    # displaced sales_by_region, supplier_part_revenue and
+    # customer_order_percentiles, which rejoin in round 9
+    "exact_substring_sampled",
     "stream_cluster_maintain",
     "quantile_sketch_mergeable",
 ]
@@ -331,6 +331,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "lakehouse_restore_read": mcdf.lakehouse_restore_read,
         "quantile_sketch_mergeable": opsketch.quantile_sketch_mergeable,
         "stream_cluster_maintain": strm_ingest.stream_cluster_maintain,
+        "exact_substring_sampled": opsub.exact_substring_sampled,
     }
 
 
@@ -409,6 +410,8 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk"] = oprank.oracle_bm25_topk()
     # round 6b: span-level exact dedup (windowed suffix-array substitute)
     out["exact_substring_dedup"] = opsub.oracle_exact_substring_dedup()
+    # round 8: the winnowed sampled path at the fixed gate width
+    out["exact_substring_sampled"] = opsub.oracle_exact_substring_sampled()
     # round 6b: Broder containment — the asymmetric screen Jaccard misses
     out["doc_containment"] = optext.oracle_doc_containment()
     # round 6b: degree-oriented triangles; naive-enumeration oracle proves

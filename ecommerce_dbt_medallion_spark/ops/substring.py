@@ -327,3 +327,61 @@ def exact_substring_dedup_modp(
         )
         .orderBy("doc_id")
     )
+
+
+# Fixed winnow width for the GATED sampled key: the computed dial at
+# gate scale returns w=1 (tiny corpora fit the budget), which would
+# degenerate to the already-gated exact op — w=8 exercises the real
+# winnow selection path deterministically, and the oracle embeds the
+# same literal.
+SUBSTRING_GATE_W = 8
+
+
+def exact_substring_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated key (#35c2, round 8): the winnowed PRODUCTION path of
+    span-level dedup under the hash gate at the fixed width
+    ``SUBSTRING_GATE_W`` (production callers pass
+    ``substring_winnow_for(total)`` instead; the selection machinery is
+    identical)."""
+    return exact_substring_dedup_sampled(spark, sf_dir, winnow_w=SUBSTRING_GATE_W)
+
+
+def oracle_exact_substring_sampled() -> str:
+    w = SUBSTRING_GATE_W
+    return f"""
+with d as (
+    select doc_id, text, len(text) - {SUB_L} + 1 as n_windows
+    from documents where len(text) >= {SUB_L}
+),
+hs as (
+    select doc_id, n_windows,
+        list_transform(range(1, n_windows + 1),
+                       i -> md5(substr(text, i, {SUB_L}))) as h
+    from d
+),
+sel as (
+    select doc_id, n_windows, unnest(list_distinct(
+        case when len(h) >= {w}
+             then list_transform(range(0, len(h) - {w} + 1),
+                                 j -> list_aggregate(h[j + 1 : j + {w}], 'min'))
+             else list_distinct(h) end)) as fp
+    from hs
+),
+hd as (select fp, count(*) as df from sel group by fp),
+per as (
+    select doc_id, count(*) as sel_fps from sel group by doc_id
+),
+dup as (
+    select doc_id, count(*) as dup_sel_fps
+    from sel join (select fp from hd where df >= 2) using (fp)
+    group by doc_id
+)
+select d.doc_id,
+    cast(d.n_windows as bigint) as n_windows,
+    cast(coalesce(per.sel_fps, 0) as bigint) as sel_fps,
+    cast(coalesce(dup.dup_sel_fps, 0) as bigint) as dup_sel_fps,
+    round(cast(coalesce(dup.dup_sel_fps, 0) as double)
+          / greatest(coalesce(per.sel_fps, 0), 1), 6) as dup_sel_ratio_r6
+from d left join per using (doc_id) left join dup using (doc_id)
+order by d.doc_id
+"""

@@ -278,8 +278,12 @@ def merge_sketch_states(*states: DataFrame) -> DataFrame:
 def _qsk_quantiles_from_state(state: DataFrame, group_col: str) -> DataFrame:
     """Extract the fixed quantile set from a state: integer target rank
     r = ceil(q·n) against the bucket-ordered cumulative count; the
-    estimate is the first admitting bucket's lower bound. Window runs
-    over ≤1300 state rows per group, never the fact."""
+    estimate is the first admitting bucket's lower bound. ONE pass over
+    the state (≤1300 rows per group, never the fact): the quantile set
+    is a broadcast 4-row table cross-joined in, not a 4-way plan union —
+    the union shape re-scanned the SOURCE once per quantile
+    (plan-audited, round 8)."""
+    spark = state.sparkSession
     w = Window.partitionBy(group_col).orderBy("bucket")
     cum = state.select(
         group_col,
@@ -287,30 +291,37 @@ def _qsk_quantiles_from_state(state: DataFrame, group_col: str) -> DataFrame:
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(Window.partitionBy(group_col)).alias("n"),
     )
-    qs = None
-    for num, den in QSK_QUANTILES:
-        # ceil(num*n/den) in pure integers: (num*n + den - 1) div den
-        r = F.expr(f"({num} * n + {den - 1}) div {den}")
-        part = (
-            cum.where(F.col("cum") >= r)
-            .groupBy(group_col, "n")
-            .agg(F.min("bucket").alias("bucket"))
-            .select(
-                group_col,
-                F.lit(num / 100.0).alias("q"),
-                F.col("n").cast("long").alias("n"),
-                _qsk_lower(F.col("bucket")).alias("est_cents"),
-            )
+    qdf = spark.createDataFrame(
+        [(num, den, num / 100.0) for num, den in QSK_QUANTILES],
+        "qnum int, qden int, q double",
+    )
+    # ceil(qnum*n/qden) in pure integers: (qnum*n + qden - 1) div qden
+    return (
+        cum.join(F.broadcast(qdf))
+        .where(F.col("cum") >= F.expr("(qnum * n + qden - 1) div qden"))
+        .groupBy(group_col, "q", "n")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            group_col,
+            "q",
+            F.col("n").cast("long").alias("n"),
+            _qsk_lower(F.col("bucket")).alias("est_cents"),
         )
-        qs = part if qs is None else qs.unionByName(part)
-    return qs
+    )
 
 
 def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#37c: per-priority order-value quantiles from MERGEABLE sketch
-    states, plus an ALL row computed by MERGING the per-priority states
-    (never rescanning the fact) — proving the state algebra end-to-end
-    under the hash gate."""
+    states, plus an ALL row over the merged global state.
+
+    Plan shape (audited round 8): ONE fact scan — each row contributes
+    its cell to both its own group and the ALL group via a constant
+    2-element explode, and map-side partial aggregation reduces the
+    exchange to ≤ 2× the state's cell count before the shuffle. The
+    resulting ALL cells are BY CONSTRUCTION the elementwise sum of the
+    per-group states (the same algebra :func:`merge_sketch_states`
+    applies to independently-built shards — exercised directly by the
+    merge-associativity property test)."""
     from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -321,13 +332,14 @@ def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    state = quantile_sketch_state(orders, "cents", ["grp"])
-    merged_all = merge_sketch_states(
-        state.select(F.lit("ALL").alias("grp"), "bucket", "cnt")
+    both = quantile_sketch_state(
+        orders.select(
+            F.explode(F.array(F.col("grp"), F.lit("ALL"))).alias("grp"),
+            "cents",
+        ),
+        "cents",
+        ["grp"],
     )
-    # one extraction over the union: 'grp' stays non-constant, so the
-    # per-group windows keep a real partition key (no global window)
-    both = state.unionByName(merged_all)
     return _qsk_quantiles_from_state(both, "grp").orderBy("grp", "q")
 
 

@@ -67,6 +67,162 @@ def _read_entry(table: str, v: int) -> dict:
         return json.load(fh)
 
 
+# ----------------------------------------------------- log checkpoints
+#
+# Replaying the log is a left fold over entries; at streaming commit
+# rates (one MERGE + one APPEND per micro-batch) the log grows by
+# thousands of versions and every read's replay cost grows with it —
+# O(commits) per micro-batch means quadratic total work over a stream.
+# The Delta answer: periodically snapshot the FOLDED state next to the
+# log; replay = newest checkpoint at-or-below the target version + the
+# entry tail. Checkpoints are an ACCELERATION, never the source of
+# truth — unreadable/corrupt ones are skipped (older checkpoint or full
+# replay), and time travel to any version, including pre-checkpoint
+# ones, still works because entries are never deleted.
+
+CHECKPOINT_INTERVAL = 20  # commits between state snapshots
+
+
+def _empty_state() -> dict:
+    return {
+        "live": {},          # file name -> add action (insertion-ordered)
+        "staged": {},        # staged version -> add actions (unresolved WAP)
+        "tombstones": [],    # pending merge-on-read key tombstones
+        "constraints": {},   # name -> boolean SQL expr
+        "schema_json": None,
+        "key": None,
+        "partition_by": None,
+        "zorder_by": [],
+    }
+
+
+def _fold_entry(state: dict, e: dict) -> dict:
+    """Apply ONE log entry to a folded state — the single definition of
+    replay semantics (live_files / pending_tombstones / current_schema /
+    current_constraints / _table_key / _table_partition_by /
+    _table_zorder_by / _unresolved_staged are all views of this fold)."""
+    # table-level metadata folds on EVERY entry, including staged ones
+    if e.get("key") is not None:
+        state["key"] = e["key"]
+    if e.get("schema_json"):
+        state["schema_json"] = e["schema_json"]
+    if "constraints" in e:
+        state["constraints"] = dict(e["constraints"])
+    if e.get("operation") in ("CREATE", "CREATE OR REPLACE"):
+        state["partition_by"] = e.get("partition_by")
+    if e.get("zorder_by"):
+        state["zorder_by"] = list(e["zorder_by"])
+    if e.get("tombstones_cleared"):
+        state["tombstones"] = []
+    state["tombstones"].extend(e.get("tombstones", []))
+    # file actions: write-audit-publish defers staged adds until a
+    # PUBLISH names them; readers never see unpublished data
+    if e.get("staged"):
+        state["staged"][int(e["version"])] = e.get("add", [])
+        return state
+    if e.get("publishes") is not None:
+        for a in state["staged"].pop(int(e["publishes"]), []):
+            state["live"][a["file"]] = a
+        return state
+    if e.get("discards") is not None:
+        state["staged"].pop(int(e["discards"]), None)
+        return state
+    for r in e.get("remove", []):
+        state["live"].pop(r, None)
+    for a in e.get("add", []):
+        state["live"][a["file"]] = a
+    return state
+
+
+def _ckpt_path(table: str, v: int) -> str:
+    return os.path.join(_log_path(table), f"ckpt-v{v}.json")
+
+
+def _latest_checkpoint(table: str, version: int):
+    """(ckpt_version, state) of the newest readable checkpoint at or
+    below ``version``, or None."""
+    import re as _re
+
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return None
+    cands = sorted(
+        (
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := _re.fullmatch(r"ckpt-v(\d+)\.json", f))
+        ),
+        reverse=True,
+    )
+    for cv in cands:
+        if cv > version:
+            continue
+        try:
+            with open(_ckpt_path(table, cv)) as fh:
+                raw = json.load(fh)
+            if raw.get("version") != cv:
+                continue
+            st = _empty_state()
+            st["live"] = {a["file"]: a for a in raw["live"]}
+            st["staged"] = {int(k): v for k, v in raw["staged"].items()}
+            st["tombstones"] = list(raw["tombstones"])
+            st["constraints"] = dict(raw["constraints"])
+            st["schema_json"] = raw["schema_json"]
+            st["key"] = raw["key"]
+            st["partition_by"] = raw["partition_by"]
+            st["zorder_by"] = list(raw["zorder_by"])
+            return cv, st
+        except Exception:
+            continue  # corrupt/partial checkpoint: try an older one
+    return None
+
+
+def _state_at(table: str, version: int) -> dict:
+    """The folded table state as of ``version`` (inclusive), seeded
+    from the newest usable checkpoint. Caller validates the version."""
+    ck = _latest_checkpoint(table, version)
+    if ck is not None:
+        start_v, state = ck
+    else:
+        start_v, state = -1, _empty_state()
+    for v in versions(table):
+        if v <= start_v:
+            continue
+        if v > version:
+            break
+        state = _fold_entry(state, _read_entry(table, v))
+    return state
+
+
+def _maybe_write_checkpoint(table: str, version: int) -> None:
+    """Snapshot the folded state every CHECKPOINT_INTERVAL commits.
+    Failures are swallowed: a missing checkpoint only costs replay
+    time, while a failed commit would lose a real write."""
+    if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
+        return
+    try:
+        st = _state_at(table, version)
+        payload = {
+            "version": version,
+            "live": list(st["live"].values()),
+            "staged": {str(k): v for k, v in st["staged"].items()},
+            "tombstones": st["tombstones"],
+            "constraints": st["constraints"],
+            "schema_json": st["schema_json"],
+            "key": st["key"],
+            "partition_by": st["partition_by"],
+            "zorder_by": st["zorder_by"],
+        }
+        tmp = os.path.join(
+            _log_path(table), f".ckpt-tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, _ckpt_path(table, version))  # atomic publish
+    except Exception:
+        pass
+
+
 class CommitConflict(Exception):
     """Another writer committed this version first (optimistic
     concurrency, Delta's ConcurrentModificationException). The loser
@@ -200,11 +356,12 @@ def _commit(table: str, entry: dict) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    _maybe_write_checkpoint(table, entry["version"])
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
-    """Replay the log up to ``version`` (inclusive; default latest) and
-    return the live add-actions (file name + stats)."""
+    """The live add-actions (file name + stats) as of ``version``
+    (inclusive; default latest) — checkpoint-seeded replay."""
     vs = versions(table)
     if not vs:
         raise FileNotFoundError(f"not a deltalite table: {table}")
@@ -212,43 +369,15 @@ def live_files(table: str, version: int | None = None) -> list[dict]:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"version {version} not in {vs}")
-    live: dict[str, dict] = {}
-    staged: dict[int, list] = {}
-    for v in vs:
-        if v > version:
-            break
-        e = _read_entry(table, v)
-        if e.get("staged"):
-            # write-audit-publish: adds deferred until a PUBLISH names
-            # this version; readers never see unpublished data
-            staged[v] = e.get("add", [])
-            continue
-        if e.get("publishes") is not None:
-            for a in staged.pop(e["publishes"], []):
-                live[a["file"]] = a
-            continue
-        if e.get("discards") is not None:
-            staged.pop(e["discards"], None)
-            continue
-        for r in e.get("remove", []):
-            live.pop(r, None)
-        for a in e.get("add", []):
-            live[a["file"]] = a
-    return list(live.values())
+    return list(_state_at(table, version)["live"].values())
 
 
 def _unresolved_staged(table: str) -> dict[int, list]:
-    """Staged commits not yet published or discarded (full-log replay)."""
-    staged: dict[int, list] = {}
-    for v in versions(table):
-        e = _read_entry(table, v)
-        if e.get("staged"):
-            staged[v] = e.get("add", [])
-        elif e.get("publishes") is not None:
-            staged.pop(e["publishes"], None)
-        elif e.get("discards") is not None:
-            staged.pop(e["discards"], None)
-    return staged
+    """Staged commits not yet published or discarded."""
+    vs = versions(table)
+    if not vs:
+        return {}
+    return _state_at(table, vs[-1])["staged"]
 
 
 def history(table: str) -> list[dict]:
@@ -577,13 +706,7 @@ def current_schema(table: str, version: int | None = None):
         raise FileNotFoundError(f"not a deltalite table: {table}")
     if version is None:
         version = vs[-1]
-    schema = None
-    for v in vs:
-        if v > version:
-            break
-        e = _read_entry(table, v)
-        if e.get("schema_json"):
-            schema = e["schema_json"]
+    schema = _state_at(table, version)["schema_json"]
     return StructType.fromJson(json.loads(schema)) if schema else None
 
 
@@ -605,14 +728,7 @@ def current_constraints(table: str, version: int | None = None) -> dict[str, str
         raise FileNotFoundError(f"not a deltalite table: {table}")
     if version is None:
         version = vs[-1]
-    out: dict[str, str] = {}
-    for v in vs:
-        if v > version:
-            break
-        e = _read_entry(table, v)
-        if "constraints" in e:
-            out = dict(e["constraints"])
-    return out
+    return _state_at(table, version)["constraints"]
 
 
 def _enforce_constraints(df: DataFrame, constraints: dict[str, str], ctx: str) -> None:
@@ -653,15 +769,7 @@ def pending_tombstones(table: str, version: int | None = None) -> list:
         raise FileNotFoundError(f"not a deltalite table: {table}")
     if version is None:
         version = vs[-1]
-    pend: list = []
-    for v in vs:
-        if v > version:
-            break
-        e = _read_entry(table, v)
-        if e.get("tombstones_cleared"):
-            pend = []
-        pend.extend(e.get("tombstones", []))
-    return pend
+    return _state_at(table, version)["tombstones"]
 
 
 def delete_keys_deferred(spark: SparkSession, table: str, keys: list) -> int:
@@ -1219,13 +1327,7 @@ def _table_key(table: str, version: int | None = None) -> str:
     vs = versions(table)
     if version is None:
         version = vs[-1]
-    key = None
-    for v in vs:
-        if v > version:
-            break
-        k = _read_entry(table, v).get("key")
-        if k is not None:
-            key = k
+    key = _state_at(table, version)["key"]
     if key is None:
         raise ValueError(f"table {table} has no declared key")
     return key
@@ -1243,14 +1345,7 @@ def _table_partition_by(table: str, version: int | None = None) -> str | None:
         return None
     if version is None:
         version = vs[-1]
-    out = None
-    for v in vs:
-        if v > version:
-            break
-        e = _read_entry(table, v)
-        if e.get("operation") in ("CREATE", "CREATE OR REPLACE"):
-            out = e.get("partition_by")
-    return out
+    return _state_at(table, version)["partition_by"]
 
 
 def _table_zorder_by(table: str, version: int | None = None) -> list:
@@ -1265,14 +1360,7 @@ def _table_zorder_by(table: str, version: int | None = None) -> list:
         return []
     if version is None:
         version = vs[-1]
-    out: list = []
-    for v in vs:
-        if v > version:
-            break
-        z = _read_entry(table, v).get("zorder_by")
-        if z:
-            out = list(z)
-    return out
+    return _state_at(table, version)["zorder_by"]
 
 
 def _table_key_opt(table: str, version: int | None = None) -> str | None:

@@ -1733,3 +1733,74 @@ def test_ckpt_dir_migrates_legacy_checkpoint(tmp_path):
     assert not os.path.exists(legacy)
     # idempotent: second call leaves the migrated dir alone
     assert _ckpt_dir(table) == new
+
+
+# ---------------------------------------------------------------------------
+# log checkpoints (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_all_state(table):
+    """Every replay-derived view at every version (the checkpoint
+    equivalence oracle)."""
+    out = {}
+    for v in lh.versions(table):
+        out[v] = (
+            sorted(a["file"] for a in lh.live_files(table, v)),
+            sorted(lh.pending_tombstones(table, v)),
+            lh.current_constraints(table, v),
+            (lambda s: s.json() if s is not None else None)(
+                lh.current_schema(table, v)
+            ),
+            lh._table_key_opt(table, v),
+            lh._table_partition_by(table, v),
+            lh._table_zorder_by(table, v),
+        )
+    out["staged"] = {
+        k: sorted(a["file"] for a in vs)
+        for k, vs in lh._unresolved_staged(table).items()
+    }
+    return out
+
+
+def test_log_checkpoint_equals_full_replay(spark, tmp_path, monkeypatch):
+    """Checkpoint-seeded replay must equal full replay for EVERY view at
+    EVERY version, across a history mixing appends, merges, deferred
+    deletes + materialization, constraints, WAP, optimize and restore;
+    corrupt checkpoints fall back cleanly."""
+    import glob
+    import os
+
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 4)
+    path = str(tmp_path / "ckpt_tbl")
+    lh.create_or_replace(
+        spark, path,
+        spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("val")),
+        key="id",
+    )
+    lh.append(spark, path, spark.createDataFrame([(100, 1)], "id long, val long"), key="id")
+    lh.merge_into(spark, path, spark.createDataFrame([(5, -1), (200, 2)], "id long, val long"), "id")
+    lh.delete_keys_deferred(spark, path, [3, 100])
+    lh.materialize_tombstones(spark, path)                    # v4 → ckpt
+    lh.add_constraint(spark, path, "val_ok", "val >= -1")
+    sv = lh.append_staged(spark, path, spark.createDataFrame([(300, 3)], "id long, val long"), key="id")
+    lh.publish(path, sv)
+    lh.optimize(spark, path, key="id", target_rows=1000)      # v8 → ckpt
+    lh.restore(path, 2)
+    lh.append(spark, path, spark.createDataFrame([(400, 4)], "id long, val long"), key="id")
+
+    ckpts = glob.glob(os.path.join(path, "_txn_log", "ckpt-v*.json"))
+    assert len(ckpts) >= 2, "expected checkpoints at interval commits"
+
+    with_ckpt = _snapshot_all_state(path)
+    # corrupt the newest checkpoint: replay must fall back (older ckpt)
+    newest = max(ckpts, key=lambda p: int(p.split("ckpt-v")[1].split(".")[0]))
+    open(newest, "w").write("{not json")
+    assert _snapshot_all_state(path) == with_ckpt
+    # remove ALL checkpoints: full replay must agree everywhere
+    for c in ckpts:
+        os.remove(c)
+    assert _snapshot_all_state(path) == with_ckpt
+    # reads still correct end-to-end
+    got = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
+    assert got[400] == 4 and got[5] == -1 and 3 in got  # restore undid the delete

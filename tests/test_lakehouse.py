@@ -1804,3 +1804,30 @@ def test_log_checkpoint_equals_full_replay(spark, tmp_path, monkeypatch):
     # reads still correct end-to-end
     got = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
     assert got[400] == 4 and got[5] == -1 and 3 in got  # restore undid the delete
+
+
+def test_log_checkpoint_bounds_replay_cost(spark, tmp_path, monkeypatch):
+    """The POINT of checkpoints: a HEAD read must fold only the entry
+    tail past the newest checkpoint (< CHECKPOINT_INTERVAL entries),
+    no matter how long the history is — O(commits)-per-read is what
+    turns quadratic under streaming commit rates."""
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 5)
+    path = str(tmp_path / "bounded_tbl")
+    lh.create_or_replace(
+        spark, path, spark.createDataFrame([(0, 0)], "id long, val long"), key="id"
+    )
+    for i in range(1, 23):  # 23 commits total; ckpts at v5, v10, v15, v20
+        lh.append(
+            spark, path, spark.createDataFrame([(i, i)], "id long, val long"), key="id"
+        )
+
+    reads = []
+    real = lh._read_entry
+    monkeypatch.setattr(
+        lh, "_read_entry", lambda t, v: (reads.append(v), real(t, v))[1]
+    )
+    assert lh.read(spark, path).select("id").distinct().count() == 23
+    # seeded from ckpt v20: only the v21/v22 tail is ever folded (the
+    # read's views may each re-fold it) — never the 20 entries before
+    assert reads and min(reads) > 20, reads
+    assert len(set(reads)) < lh.CHECKPOINT_INTERVAL

@@ -113,7 +113,9 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # ann_topk_ivf, kmeans_embeddings, bm25_topk, exact_substring_dedup,
 # lakehouse_cdf, dq_source_freshness, scd2_snapshot_build,
 # association_rules(r7)…) — fill the 50 oldest-row-first in api
-# order; any round-8 keys displaced by round-8 additions rejoin.
+# order; any round-8 keys displaced by round-8 additions rejoin
+# (displaced this round: sales_by_region, supplier_part_revenue,
+# customer_order_percentiles, churn_risk_score — all r6-green).
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -178,13 +180,14 @@ DRIVER_WINDOW = [
     "multimodal_frame_sample",
     "sketch_distinct_users",
     "gold_rfm_segmentation",
-    "churn_risk_score",
     # NEW round 8 (never-certified outranks two-round-old green):
-    # displaced sales_by_region, supplier_part_revenue and
-    # customer_order_percentiles, which rejoin in round 9
+    # displaced sales_by_region, supplier_part_revenue,
+    # customer_order_percentiles and churn_risk_score, which rejoin
+    # in round 9
     "exact_substring_sampled",
     "stream_cluster_maintain",
     "quantile_sketch_mergeable",
+    "corpus_weighted_reservoir",
 ]
 
 
@@ -199,6 +202,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "event_path_topk": ev.event_path_topk,
         "active_users_rolling": ev.active_users_rolling,
         "corpus_weighted_sample": opsample.corpus_weighted_sample,
+        "corpus_weighted_reservoir": opsample.corpus_weighted_reservoir,
         "asof_event_order": ev.asof_event_order,
         "hypertable_rollup": ev.hypertable_rollup,
         "sketch_distinct_users": ev.sketch_distinct_users,
@@ -393,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
     out["event_path_topk"] = ev.ORACLE_EVENT_PATH_TOPK
     out["active_users_rolling"] = ev.ORACLE_ACTIVE_USERS_ROLLING
     out["corpus_weighted_sample"] = opsample.oracle_corpus_weighted_sample()
+    out["corpus_weighted_reservoir"] = opsample.oracle_corpus_weighted_reservoir()
     out["asof_event_order"] = ev.ORACLE_ASOF_EVENT_ORDER
     out["hypertable_rollup"] = ev.ORACLE_HYPERTABLE_ROLLUP
     # round 6: md5-register HLL — registers and estimator are engine-

@@ -260,3 +260,121 @@ select source,
         as alloc_tokens
 from shared cross join norm
 """
+
+
+# ------------------------------- fixed-size weighted reservoir (A-ES)
+
+RSV_SALT = "#rsv1"
+RESERVOIR_K = 200
+RSV_MAX_WEIGHT = 8  # integer weights 1..8 (quality-score octile + 1)
+
+
+def weighted_reservoir(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = RSV_SALT
+) -> DataFrame:
+    """The engine-exact A-ES core: keep the ``k`` rows with the largest
+    priority, where priority = max over i in 1..weight of
+    md5(id, salt, i) — distributed as u^(1/w) for integer weights (the
+    max-of-w-uniforms identity), with no engine-divergent float pow.
+    ``weight_col`` must be a positive integer column. Appends
+    ``priority`` (16-hex string) and ``sample_rank``; selection is a
+    deterministic function of (id, weight, salt) alone, so shards,
+    re-runs, and engines agree row-for-row."""
+    from ecommerce_dbt_medallion_spark.ops.topk import top_k_per_group
+
+    priority = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.col(weight_col)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(salt), i.cast("string")
+                    )
+                ),
+                1,
+                16,
+            ),
+        )
+    )
+    return top_k_per_group(
+        df.withColumn("priority", priority),
+        [],
+        [F.desc("priority"), F.asc(id_col)],
+        F.col(id_col),
+        k,
+        rank_alias="sample_rank",
+    )
+
+
+def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#35h: fixed-SIZE weight-proportional sample — the
+    Efraimidis–Spirakis A-ES reservoir, made engine-exact.
+
+    ``corpus_weighted_sample`` is Bernoulli (random SIZE, per-doc keep
+    probability); a training-data pipeline just as often needs "exactly
+    k documents, preferring high quality" — eval sets, human-review
+    batches, distillation subsets. A-ES: draw u~U(0,1) per doc, keep
+    the k largest u^(1/w). The float pow is engine-divergent (libm vs
+    java.lang.Math), so we use the DISTRIBUTIONAL identity instead:
+    u^(1/w) for integer w is distributed as the MAX of w iid uniforms.
+    Priority = max over i in 1..w of md5(doc_id, salt, i) — fixed-width
+    hex compares preserve uniform order, every draw is exact-integer
+    md5 math both engines reproduce bit-for-bit, and the tie-break is
+    doc_id. Integer weight = quality-score octile (1..8; null-score
+    docs weigh 1).
+
+    Mergeable by the top-k algebra: the global top-k is a subset of the
+    union of per-shard top-ks (anything discarded lost to >= k rows in
+    its own shard), so shards keep k rows each and the combiner re-ranks
+    — exactly the two-stage salted shape of :func:`ops.topk.
+    top_k_per_group` with an empty group list (stage 2 sorts
+    ``salt_mod * k`` bounded rows, never the corpus). O(w)<=8 md5 calls
+    per row, zero pre-aggregation shuffle: scan-bound at 100 TB.
+    """
+    from ecommerce_dbt_medallion_spark.ops.text import text_quality_score
+
+    q = text_quality_score(spark, sf_dir)
+    weight = F.coalesce(
+        (
+            F.lit(1)
+            + F.least(
+                F.floor(F.col("quality_score") * RSV_MAX_WEIGHT),
+                F.lit(RSV_MAX_WEIGHT - 1),
+            )
+        ).cast("int"),
+        F.lit(1),
+    )
+    scored = q.select("doc_id", "lang", "quality_score", weight.alias("weight"))
+    return weighted_reservoir(scored, "doc_id", "weight", RESERVOIR_K).select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.col("weight").cast("long").alias("weight"),
+        "priority",
+        "sample_rank",
+    )
+
+
+def oracle_corpus_weighted_reservoir() -> str:
+    from ecommerce_dbt_medallion_spark.ops.text import oracle_text_quality_score
+
+    return f"""
+with q as ({oracle_text_quality_score()}),
+scored as (
+    select doc_id, lang, quality_score,
+        coalesce(cast(1 + least(cast(floor(quality_score * {RSV_MAX_WEIGHT}) as bigint),
+                                {RSV_MAX_WEIGHT - 1}) as int), 1) as weight
+    from q
+),
+prio as (
+    select doc_id, lang, quality_score, weight,
+        list_max(list_transform(generate_series(1, weight),
+            i -> substr(md5(cast(doc_id as varchar) || '{RSV_SALT}' || cast(i as varchar)), 1, 16)
+        )) as priority
+    from scored
+)
+select doc_id, lang, quality_score, cast(weight as bigint) as weight, priority,
+    cast(row_number() over (order by priority desc, doc_id) as bigint) as sample_rank
+from prio
+qualify sample_rank <= {RESERVOIR_K}
+"""

@@ -938,3 +938,50 @@ def test_substring_modp_regime(spark, tmp_path_factory):
     dense = sum(r["n_windows"] for r in rows.values())
     sel = sum(r["sel_fps"] for r in rows.values())
     assert 0.4 * dense / 4 <= sel <= 2.0 * dense / 4, (sel, dense)
+
+
+def test_weighted_reservoir_merge_equals_global(spark):
+    """The mergeable-reservoir algebra: top-k over the union of two
+    disjoint shards' top-ks must equal the global top-k (every
+    discarded row lost to >= k rows in its own shard)."""
+    from ecommerce_dbt_medallion_spark.ops.sampling import weighted_reservoir
+
+    rows = [(f"doc{i:04d}", 1 + (i * 7) % 8) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id string, w int")
+    k = 50
+    glob = weighted_reservoir(df, "doc_id", "w", k)
+    half_a = weighted_reservoir(df.where("doc_id < 'doc0300'"), "doc_id", "w", k)
+    half_b = weighted_reservoir(df.where("doc_id >= 'doc0300'"), "doc_id", "w", k)
+    merged = weighted_reservoir(
+        half_a.select("doc_id", "w").union(half_b.select("doc_id", "w")),
+        "doc_id",
+        "w",
+        k,
+    )
+    assert sorted(r["doc_id"] for r in glob.collect()) == sorted(
+        r["doc_id"] for r in merged.collect()
+    )
+    # rank order identical too (priority is a pure function of id+w)
+    g = {r["doc_id"]: r["sample_rank"] for r in glob.collect()}
+    m = {r["doc_id"]: r["sample_rank"] for r in merged.collect()}
+    assert g == m
+
+
+def test_weighted_reservoir_is_weight_proportional(spark):
+    """Planted extreme weights (synthetic corpus weights are near-
+    degenerate): w=8 docs must be selected roughly 8x as often as w=1
+    docs when k << n — the E-S inclusion-probability contract."""
+    from ecommerce_dbt_medallion_spark.ops.sampling import weighted_reservoir
+
+    n_per = 2000
+    rows = [(f"h{i:05d}", 8) for i in range(n_per)] + [
+        (f"l{i:05d}", 1) for i in range(n_per)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, w int")
+    got = weighted_reservoir(df, "doc_id", "w", 360).collect()
+    hi = sum(1 for r in got if r["doc_id"].startswith("h"))
+    lo = len(got) - hi
+    # expectation: hi/lo ~ 8; md5 determinism makes this a fixed number,
+    # the band just documents the proportionality claim
+    assert hi + lo == 360
+    assert hi > 5 * lo, (hi, lo)

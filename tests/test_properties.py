@@ -349,6 +349,20 @@ def test_lakehouse_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
     base = spark.createDataFrame(
         [(k, v) for k, v in model.items()], "id long, val long"
     ).repartitionByRange(3, "id")
+    # cross checkpoint boundaries mid-sequence (the default interval of
+    # 20 would never fire in <=~16 commits), so every fuzz case also
+    # fuzzes checkpoint-seeded replay against the model
+    saved_interval = lh.CHECKPOINT_INTERVAL
+    lh.CHECKPOINT_INTERVAL = 3
+    try:
+        _run_lakehouse_fuzz(spark, lh, path, model, base, ops)
+    finally:
+        lh.CHECKPOINT_INTERVAL = saved_interval
+
+
+def _run_lakehouse_fuzz(spark, lh, path, model, base, ops):
+    from pyspark.sql import functions as F
+
     lh.create_or_replace(spark, path, base, key="id")
 
     def block(seed: int) -> list[tuple[int, int]]:

@@ -186,6 +186,8 @@ def stream_ingest_dedup(
     text_col: str = "text",
     max_files_per_trigger: int = 1,
     labels_table: str | None = None,
+    compact_every: int | None = None,
+    compact_target_rows: int = 1_000_000,
 ) -> tuple[int, int]:
     """Streaming corpus curation end-to-end: each micro-batch of raw
     documents is deduped against the STORED corpus signatures, its
@@ -303,6 +305,22 @@ def stream_ingest_dedup(
         novel = novel.localCheckpoint(eager=True)
         if not novel.isEmpty():
             lakehouse.append(spark, sig_table, novel, key=id_col)
+        # the small-files problem IS the operational cost of streaming
+        # ingestion: every batch adds O(batch) files to both state
+        # tables and scan latency degrades with file count, not data
+        # size. Periodic OPTIMIZE bin-packs them back (data-identical
+        # rewrite, so checkpoint replay of a batch is unaffected);
+        # log checkpoints bound the matching metadata-replay cost.
+        # (labels_table is deliberately NOT compacted here: it is
+        # partition-declared on cluster_id, so OPTIMIZE would re-emit
+        # ~one file per cluster value — its layout is maintained by the
+        # churn-scale MERGEs in maintain_cluster_labels instead.)
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            for t in (sig_table, verdict_table):
+                if lakehouse.versions(t):
+                    lakehouse.optimize(
+                        spark, t, target_rows=compact_target_rows
+                    )
 
     q = (
         stream.writeStream.foreachBatch(_batch)

@@ -1831,3 +1831,70 @@ def test_log_checkpoint_bounds_replay_cost(spark, tmp_path, monkeypatch):
     # read's views may each re-fold it) — never the 20 entries before
     assert reads and min(reads) > 20, reads
     assert len(set(reads)) < lh.CHECKPOINT_INTERVAL
+
+
+def test_stream_ingest_compaction_bounds_files(spark, tmp_path):
+    """Periodic OPTIMIZE inside the ingest loop: contents must be
+    IDENTICAL to the uncompacted run (compaction is a data-identical
+    rewrite, so verdicts/corpus/replay semantics are untouched) while
+    the state tables' live file counts stay bounded instead of growing
+    O(batches)."""
+    import os
+    import random
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        stream_ingest_dedup,
+    )
+
+    vocab = "one two three four five six seven eight nine ten".split()
+
+    def doc(seed: int) -> str:
+        r = random.Random(seed)
+        return " ".join(r.choice(vocab) for _ in range(300))
+
+    batches = [
+        [(i * 10 + j, doc(i * 10 + j)) for j in range(3)] for i in range(4)
+    ]
+
+    def run(tag: str, compact_every):
+        src = tmp_path / f"{tag}_src"
+        src.mkdir()
+        base = time.time()
+        for i, rows in enumerate(batches):
+            p = str(src / f"b{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                        "text": pa.array([r[1] for r in rows], type=pa.string()),
+                    }
+                ),
+                p,
+            )
+            os.utime(p, (base + i * 10, base + i * 10))
+        sig = str(tmp_path / f"{tag}_sigs")
+        verd = str(tmp_path / f"{tag}_verdicts")
+        stream_ingest_dedup(
+            spark, str(src), sig, verd,
+            schema="doc_id long, text string",
+            compact_every=compact_every, compact_target_rows=10_000,
+        )
+        return sig, verd
+
+    sig_n, verd_n = run("plain", None)
+    sig_c, verd_c = run("compact", 1)
+
+    for a, b in ((sig_n, sig_c), (verd_n, verd_c)):
+        rows_a = sorted(map(tuple, lh.read(spark, a).drop("bands").collect()))
+        rows_b = sorted(map(tuple, lh.read(spark, b).drop("bands").collect()))
+        assert rows_a == rows_b
+    # compaction actually ran and bounded the live file count
+    assert any(
+        e.get("operation") == "OPTIMIZE" for e in lh.history(sig_c)
+    )
+    assert len(lh.live_files(sig_c)) < len(lh.live_files(sig_n))
+    assert len(lh.live_files(sig_c)) <= 2

@@ -1058,6 +1058,43 @@ def append(
     )
 
 
+def snapshot_versions(tables, max_attempts: int = 25) -> dict:
+    """A CONSISTENT cross-table version cut (the multi-table snapshot
+    Delta lacks and Iceberg needs a Nessie-style catalog for): pin one
+    version per table such that all pinned versions coexisted as the
+    tables' HEADs at a single instant — a downstream reader joining
+    silver tables through these pins can never see table A post-commit
+    and table B pre-commit of the same pipeline run.
+
+    Seqlock capture: sweep every HEAD, sweep again; versions only grow,
+    so if the two sweeps agree then no table committed between them and
+    the whole map was simultaneously HEAD at the instant between the
+    sweeps. Retries under write pressure, raises after
+    ``max_attempts`` racing sweeps rather than returning a torn cut.
+    Pure metadata (two listdir sweeps per attempt); feed the pins to
+    :func:`read` / :func:`read_snapshot` for time-travel reads."""
+    tables = list(tables)
+    for _ in range(max_attempts):
+        first = {t: versions(t)[-1] for t in tables}
+        second = {t: versions(t)[-1] for t in tables}
+        if first == second:
+            return first
+    raise RuntimeError(
+        f"no stable version cut across {len(tables)} tables after "
+        f"{max_attempts} attempts (sustained concurrent commits)"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, pins: dict, table: str
+) -> DataFrame:
+    """Read ``table`` at its pinned version from a
+    :func:`snapshot_versions` cut."""
+    if table not in pins:
+        raise KeyError(f"{table} not in snapshot pins {sorted(pins)}")
+    return read(spark, table, version=pins[table])
+
+
 def read(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """Snapshot read (time travel via ``version``). The schema comes
     from the LOG as of that version (null-filling files written before

@@ -1898,3 +1898,61 @@ def test_stream_ingest_compaction_bounds_files(spark, tmp_path):
     )
     assert len(lh.live_files(sig_c)) < len(lh.live_files(sig_n))
     assert len(lh.live_files(sig_c)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# cross-table consistent snapshots (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_versions_consistent_cut(spark, tmp_path):
+    """Pins must survive later writes (time-travel reads of the cut),
+    and a head that moves DURING the capture forces a re-sweep — the
+    returned cut is never torn."""
+    ta = str(tmp_path / "snap_a")
+    tb = str(tmp_path / "snap_b")
+    lh.create_or_replace(
+        spark, ta, spark.createDataFrame([(1, 10)], "id long, val long"), key="id"
+    )
+    lh.create_or_replace(
+        spark, tb, spark.createDataFrame([(1, 100)], "id long, val long"), key="id"
+    )
+    lh.append(spark, ta, spark.createDataFrame([(2, 20)], "id long, val long"), key="id")
+
+    pins = lh.snapshot_versions([ta, tb])
+    assert pins == {ta: 1, tb: 0}
+    # writers advance both tables after the cut
+    lh.merge_into(spark, ta, spark.createDataFrame([(1, -1)], "id long, val long"), "id")
+    lh.append(spark, tb, spark.createDataFrame([(2, 200)], "id long, val long"), key="id")
+    got_a = {r["id"]: r["val"] for r in lh.read_snapshot(spark, pins, ta).collect()}
+    got_b = {r["id"]: r["val"] for r in lh.read_snapshot(spark, pins, tb).collect()}
+    assert got_a == {1: 10, 2: 20}  # pre-merge state
+    assert got_b == {1: 100}       # pre-append state
+
+    # racing writer: first sweep of table B sees version 1, but a
+    # commit lands before the validation sweep — the seqlock must
+    # discard that attempt and return the POST-commit stable cut
+    real_versions = lh.versions
+    fired = {"done": False}
+
+    def racing(table, _real=real_versions):
+        out = _real(table)
+        if table == tb and not fired["done"]:
+            fired["done"] = True
+            lh.append(
+                spark, tb,
+                spark.createDataFrame([(3, 300)], "id long, val long"),
+                key="id",
+            )
+            return out  # stale head from before the racing commit
+        return out
+
+    lh.versions = racing
+    try:
+        pins2 = lh.snapshot_versions([ta, tb])
+    finally:
+        lh.versions = real_versions
+    assert fired["done"]
+    assert pins2[tb] == real_versions(tb)[-1]  # post-race head, not torn
+    with pytest.raises(KeyError):
+        lh.read_snapshot(spark, {}, ta)

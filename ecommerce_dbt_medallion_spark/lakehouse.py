@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
@@ -658,8 +659,11 @@ def files_maybe_containing(
             ktype = next((f.dataType for f in sch.fields if f.name == key), None)
     probe_src = spark.createDataFrame([(str(v),) for v in values], "k string")
     if ktype is not None:
+        # try_cast, not cast: under ANSI mode (this repo's default) a
+        # plain cast of an uncastable probe THROWS instead of yielding
+        # the NULL the conservative keep-all fallback below checks for
         probe_src = probe_src.select(
-            F.col("k").cast(ktype).cast("string").alias("k")
+            F.col("k").try_cast(ktype).cast("string").alias("k")
         )
     # else: keyless or pre-schema-tracking tables wrote no typed blooms
     # worth matching — the raw str(v) rendering matches the legacy writer
@@ -797,6 +801,26 @@ def delete_keys_deferred(spark: SparkSession, table: str, keys: list) -> int:
         raise ValueError(
             f"tombstone count would exceed {TOMBSTONE_MAX}; materialize first"
         )
+    # Reject keys the key column cannot represent BEFORE they enter the
+    # log: a tombstone like 'banana' on a bigint key can never match a
+    # row, and under ANSI mode the read-side anti-filter `key IN (...)`
+    # would THROW on it — one junk tombstone wedging every reader of
+    # the table. try_cast (not cast): ANSI cast raises instead of
+    # yielding the NULL this check looks for.
+    sch = current_schema(table)
+    ktype = None
+    if sch is not None:
+        ktype = next((f.dataType for f in sch.fields if f.name == key), None)
+    if ktype is not None and keys:
+        probe = spark.createDataFrame([(str(k),) for k in keys], "k string")
+        bad = probe.where(
+            F.col("k").try_cast(ktype).isNull() & F.col("k").isNotNull()
+        ).collect()
+        if bad:
+            raise ValueError(
+                f"tombstone key(s) not castable to {key}'s type "
+                f"{ktype.simpleString()}: {[r['k'] for r in bad][:5]}"
+            )
     v = prior[-1] + 1
     _commit_exclusive(
         table,
@@ -1074,9 +1098,16 @@ def snapshot_versions(tables, max_attempts: int = 25) -> dict:
     Pure metadata (two listdir sweeps per attempt); feed the pins to
     :func:`read` / :func:`read_snapshot` for time-travel reads."""
     tables = list(tables)
+
+    def head(t: str) -> int:
+        vs = versions(t)
+        if not vs:
+            raise FileNotFoundError(f"not a deltalite table: {t}")
+        return vs[-1]
+
     for _ in range(max_attempts):
-        first = {t: versions(t)[-1] for t in tables}
-        second = {t: versions(t)[-1] for t in tables}
+        first = {t: head(t) for t in tables}
+        second = {t: head(t) for t in tables}
         if first == second:
             return first
     raise RuntimeError(
@@ -1101,20 +1132,33 @@ def read(spark: SparkSession, table: str, version: int | None = None) -> DataFra
     an additive evolution; a time-travel read of a pre-evolution
     version sees the OLD schema) — footer inference is the fallback for
     pre-schema-tracking tables."""
-    files = live_files(table, version)
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {table}")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(f"version {version} not in {vs}")
+    # ONE fold for every view this read needs — live set, schema,
+    # tombstones, key. The per-view helpers each replay independently
+    # (checkpoint parse + tail fold), which multiplies metadata I/O
+    # 4x per read on exactly the tables checkpoints exist for.
+    st = _state_at(table, version)
+    files = list(st["live"].values())
     if not files:
         raise ValueError(f"table {table} has no live files at version {version}")
     reader = spark.read
-    schema = current_schema(table, version)
-    if schema is not None:
-        reader = reader.schema(schema)
+    if st["schema_json"]:
+        reader = reader.schema(StructType.fromJson(json.loads(st["schema_json"])))
     df = reader.parquet(*[_abs(table, a["file"]) for a in files])
-    pend = pending_tombstones(table, version)
+    pend = st["tombstones"]
     if pend:
         # merge-on-read: un-materialized deletes filter at scan time.
         # NULL-key rows pass: NOT(NULL IN (...)) is NULL under
         # three-valued logic and where() would silently drop them
-        k = F.col(_table_key(table, version))
+        if st["key"] is None:
+            raise ValueError(f"table {table} has no declared key")
+        k = F.col(st["key"])
         df = df.where(k.isNull() | ~k.isin(pend))
     return df
 

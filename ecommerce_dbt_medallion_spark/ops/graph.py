@@ -287,14 +287,21 @@ def maintain_cluster_labels(
         affected = mini.where(F.col("sup") != F.col("new_label"))
         aff_rows = affected.collect()  # churn-scale: merged components
         if aff_rows:
-            seen: dict = {}
-            for r in aff_rows:
-                for a in lakehouse.files_overlapping(
-                    labels_table, "cluster_id", r["sup"], r["sup"]
+            # ONE live_files sweep (one log replay), testing every
+            # file's cluster_id stats against the whole affected set —
+            # per-sup files_overlapping calls would re-replay the log
+            # O(merged components) times on the driver
+            sups = [r["sup"] for r in aff_rows]
+            admitted = []
+            for a in lakehouse.live_files(labels_table):
+                cs = a.get("col_stats", {}).get("cluster_id")
+                if cs is None or any(
+                    not lakehouse._stats_disjoint(cs[0], cs[1], s, s)
+                    for s in sups
                 ):
-                    seen[a["file"]] = a
+                    admitted.append(a)
             stored_affected = lakehouse._read_files(
-                spark, labels_table, list(seen.values()), None
+                spark, labels_table, admitted, None
             )
             amap = spark.createDataFrame(
                 [(r["sup"], r["new_label"]) for r in aff_rows],

@@ -55,14 +55,7 @@ SUB_L = 40  # window length (chars); catches duplicated spans >= 79 chars
 
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#35c: per-doc duplicated-window stats (cross-document exact spans)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length("text") >= SUB_L)
-        .select("doc_id", "text", (F.length("text") - SUB_L + 1).alias("n_windows"))
-        # a single small parquet file arrives as ONE scan partition; the
-        # md5-per-window explode is the CPU hot spot, so spread it first
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = _docs_windows(spark, sf_dir)
     hashes = F.transform(
         F.sequence(F.lit(1), F.col("n_windows")),
         lambda i: F.md5(F.col("text").substr(i, F.lit(SUB_L))),
@@ -163,49 +156,35 @@ def substring_guaranteed_span(winnow_w: int) -> int:
     return SUB_L + winnow_w - 1
 
 
-def exact_substring_dedup_sampled(
-    spark: SparkSession, sf_dir: str, winnow_w: int | None = None
-) -> DataFrame:
-    """The 100 TB path of #35c: duplicated-span stats over WINNOWED
-    window fingerprints instead of every stride-1 window.
-
-    Per document: of its winnow-selected distinct window fingerprints,
-    how many also occur in at least one other document. At
-    ``winnow_w=1`` every window is selected and ``dup_sel_fps`` equals
-    the exact op's ``dup_hashes`` (test-pinned equivalence); larger w
-    divides the exchanged volume by ~(w+1)/2 and raises the guaranteed
-    minimum catchable span to :func:`substring_guaranteed_span`.
-
-    Same plan skeleton as the exact op — narrow per-row array build,
-    explode WITHOUT the text column, one (doc_id, h) shuffle, tiny
-    h-grain reduce, df>=2 prefilter before the join back."""
-    docs = (
+def _docs_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= SUB_L)
         .select("doc_id", "text", (F.length("text") - SUB_L + 1).alias("n_windows"))
+        # a single small parquet file arrives as ONE scan partition; the
+        # md5-per-window explode is the CPU hot spot, so spread it first
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    if winnow_w is None:
-        total = docs.agg(F.sum("n_windows").alias("t")).collect()[0]["t"] or 0
-        winnow_w = substring_winnow_for(int(total))
+
+
+def _selected_span_stats(docs: DataFrame, sel) -> DataFrame:
+    """Shared downstream of BOTH scale dials (winnow and mod-p): build
+    the md5 window-hash array ``__hs``, apply the content-defined
+    selection ``sel`` (the ONLY thing the dials differ in), explode
+    WITHOUT the text column, one (doc_id, h) shuffle, tiny h-grain
+    reduce with the df>=2 prefilter, per-doc rollup.
+
+    ``sel`` is a Column over ``__hs`` producing the selected-hash array
+    (already distinct)."""
     # materialize the hash array as a real column: HOF lambdas are not
-    # CSE'd, so inlining it into the winnow transform would rebuild the
-    # whole md5 array per window (the doc_winnowing lesson)
+    # CSE'd, so inlining it into the selection transform would rebuild
+    # the whole md5 array per window (the doc_winnowing lesson)
     d = docs.withColumn(
         "__hs",
         F.transform(
             F.sequence(F.lit(1), F.col("n_windows")),
             lambda i: F.md5(F.col("text").substr(i, F.lit(SUB_L))),
         ),
-    )
-    sel = F.array_distinct(
-        F.when(
-            F.size("__hs") >= winnow_w,
-            F.transform(
-                F.sequence(F.lit(0), F.size("__hs") - winnow_w),
-                lambda j: F.array_min(F.slice(F.col("__hs"), j + 1, winnow_w)),
-            ),
-        ).otherwise(F.array_distinct(F.col("__hs")))
     )
     per = d.select("doc_id", F.explode(sel).alias("h"))  # distinct by build
     hd = per.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -232,6 +211,34 @@ def exact_substring_dedup_sampled(
         )
         .orderBy("doc_id")
     )
+
+
+def exact_substring_dedup_sampled(
+    spark: SparkSession, sf_dir: str, winnow_w: int | None = None
+) -> DataFrame:
+    """The 100 TB path of #35c: duplicated-span stats over WINNOWED
+    window fingerprints instead of every stride-1 window.
+
+    Per document: of its winnow-selected distinct window fingerprints,
+    how many also occur in at least one other document. At
+    ``winnow_w=1`` every window is selected and ``dup_sel_fps`` equals
+    the exact op's ``dup_hashes`` (test-pinned equivalence); larger w
+    divides the exchanged volume by ~(w+1)/2 and raises the guaranteed
+    minimum catchable span to :func:`substring_guaranteed_span`."""
+    docs = _docs_windows(spark, sf_dir)
+    if winnow_w is None:
+        total = docs.agg(F.sum("n_windows").alias("t")).collect()[0]["t"] or 0
+        winnow_w = substring_winnow_for(int(total))
+    sel = F.array_distinct(
+        F.when(
+            F.size("__hs") >= winnow_w,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__hs") - winnow_w),
+                lambda j: F.array_min(F.slice(F.col("__hs"), j + 1, winnow_w)),
+            ),
+        ).otherwise(F.array_distinct(F.col("__hs")))
+    )
+    return _selected_span_stats(docs, sel)
 
 
 # Above this winnow width the per-window O(w) min-scan dominates the md5
@@ -276,24 +283,12 @@ def exact_substring_dedup_modp(
     first 15 hex chars ≡ 0 (mod p). O(1) per window (no w-slice scan),
     expected 1/p density, phase-independent because selection depends
     only on the window's own content. Same downstream machinery and
-    output shape as the winnowed variant."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length("text") >= SUB_L)
-        .select("doc_id", "text", (F.length("text") - SUB_L + 1).alias("n_windows"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    output shape as the winnowed variant (:func:`_selected_span_stats`)."""
+    docs = _docs_windows(spark, sf_dir)
     if p is None:
         total = docs.agg(F.sum("n_windows").alias("t")).collect()[0]["t"] or 0
         method, dial = substring_dial_for(int(total))
         p = dial if method == "modp" else 1
-    d = docs.withColumn(
-        "__hs",
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_windows")),
-            lambda i: F.md5(F.col("text").substr(i, F.lit(SUB_L))),
-        ),
-    )
     sel = F.array_distinct(
         F.filter(
             F.col("__hs"),
@@ -302,31 +297,7 @@ def exact_substring_dedup_modp(
             == 0,
         )
     )
-    per = d.select("doc_id", F.explode(sel).alias("h"))
-    hd = per.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    dup = (
-        per.join(hd.where(F.col("df") >= 2), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_sel_fps"))
-    )
-    sel_counts = per.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sel_fps"))
-    return (
-        docs.select("doc_id", "n_windows")
-        .join(sel_counts, "doc_id", "left")
-        .join(dup, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_windows").cast("long").alias("n_windows"),
-            F.coalesce("sel_fps", F.lit(0)).cast("long").alias("sel_fps"),
-            F.coalesce("dup_sel_fps", F.lit(0)).cast("long").alias("dup_sel_fps"),
-            F.round(
-                F.coalesce("dup_sel_fps", F.lit(0)).cast("double")
-                / F.greatest(F.coalesce("sel_fps", F.lit(0)), F.lit(1)),
-                6,
-            ).alias("dup_sel_ratio_r6"),
-        )
-        .orderBy("doc_id")
-    )
+    return _selected_span_stats(docs, sel)
 
 
 # Fixed winnow width for the GATED sampled key: the computed dial at
@@ -359,7 +330,7 @@ hs as (
                        i -> md5(substr(text, i, {SUB_L}))) as h
     from d
 ),
-sel as (
+sel as materialized (
     select doc_id, n_windows, unnest(list_distinct(
         case when len(h) >= {w}
              then list_transform(range(0, len(h) - {w} + 1),

@@ -1956,3 +1956,39 @@ def test_snapshot_versions_consistent_cut(spark, tmp_path):
     assert pins2[tb] == real_versions(tb)[-1]  # post-race head, not torn
     with pytest.raises(KeyError):
         lh.read_snapshot(spark, {}, ta)
+
+
+def test_junk_tombstone_key_rejected_not_wedged(spark, tmp_path):
+    """ANSI-mode hazard (round-8 review): an uncastable tombstone key
+    used to crash the bloom probe (plain cast throws under ANSI) and,
+    worse, wedge every reader via the `key IN (...)` anti-filter. Now:
+    the probe conservatively keeps all files via try_cast, and
+    delete_keys_deferred REJECTS uncastable keys before they enter the
+    log; type-coercible renderings (int-as-string) still work."""
+    t = str(tmp_path / "ansi_junk")
+    lh.create_or_replace(
+        spark, t,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"),
+        key="id",
+    )
+    # probe with junk: conservative keep-all, no crash
+    assert len(lh.files_maybe_containing(spark, t, ["banana"])) == len(
+        lh.live_files(t)
+    )
+    with pytest.raises(ValueError, match="not castable"):
+        lh.delete_keys_deferred(spark, t, ["banana"])
+    assert lh.pending_tombstones(t) == []  # nothing entered the log
+    # coercible rendering (JSON round-trip shape) still deletes
+    lh.delete_keys_deferred(spark, t, ["1"])
+    assert sorted(r["id"] for r in lh.read(spark, t).collect()) == [2]
+    lh.materialize_tombstones(spark, t)
+    assert sorted(r["id"] for r in lh.read(spark, t).collect()) == [2]
+
+
+def test_snapshot_versions_missing_table_clear_error(spark, tmp_path):
+    ta = str(tmp_path / "snap_exists")
+    lh.create_or_replace(
+        spark, ta, spark.createDataFrame([(1, 1)], "id long, v long"), key="id"
+    )
+    with pytest.raises(FileNotFoundError, match="not a deltalite table"):
+        lh.snapshot_versions([ta, str(tmp_path / "never_created")])

@@ -82,6 +82,7 @@ def _read_entry(table: str, v: int) -> dict:
 # ones, still works because entries are never deleted.
 
 CHECKPOINT_INTERVAL = 20  # commits between state snapshots
+CHECKPOINT_KEEP = 3  # newest checkpoints retained (older ones are GC'd)
 
 
 def _empty_state() -> dict:
@@ -220,6 +221,21 @@ def _maybe_write_checkpoint(table: str, version: int) -> None:
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
         os.replace(tmp, _ckpt_path(table, version))  # atomic publish
+        # retention: checkpoints are pure acceleration, so GC all but
+        # the newest CHECKPOINT_KEEP — old time travel still works via
+        # longer replay; keeping >1 also preserves the corrupt-newest
+        # fallback. At a multi-MB state per checkpoint, unbounded
+        # retention would grow the log dir O(commits/interval).
+        import re as _re
+
+        d = _log_path(table)
+        cands = sorted(
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := _re.fullmatch(r"ckpt-v(\d+)\.json", f))
+        )
+        for cv in cands[:-CHECKPOINT_KEEP]:
+            os.unlink(_ckpt_path(table, cv))
     except Exception:
         pass
 

@@ -1992,3 +1992,28 @@ def test_snapshot_versions_missing_table_clear_error(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="not a deltalite table"):
         lh.snapshot_versions([ta, str(tmp_path / "never_created")])
+
+
+def test_checkpoint_retention_gc(spark, tmp_path, monkeypatch):
+    """Only the newest CHECKPOINT_KEEP checkpoints survive; time travel
+    to versions below the retention horizon still works (full replay)."""
+    import glob
+    import os
+
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 2)
+    monkeypatch.setattr(lh, "CHECKPOINT_KEEP", 2)
+    path = str(tmp_path / "ckpt_gc")
+    lh.create_or_replace(
+        spark, path, spark.createDataFrame([(0, 0)], "id long, v long"), key="id"
+    )
+    for i in range(1, 11):  # ckpts at 2,4,6,8,10 — only 8,10 kept
+        lh.append(
+            spark, path, spark.createDataFrame([(i, i)], "id long, v long"), key="id"
+        )
+    kept = sorted(
+        int(p.split("ckpt-v")[1].split(".")[0])
+        for p in glob.glob(os.path.join(path, "_txn_log", "ckpt-v*.json"))
+    )
+    assert kept == [8, 10]
+    # pre-horizon time travel: full replay, correct content
+    assert {r["id"] for r in lh.read(spark, path, version=3).collect()} == {0, 1, 2, 3}

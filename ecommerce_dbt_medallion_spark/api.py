@@ -45,6 +45,7 @@ from ecommerce_dbt_medallion_spark.streaming import ingest_stream as strm_ingest
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
 from ecommerce_dbt_medallion_spark.streaming import join_stream as strm_join
 from ecommerce_dbt_medallion_spark.streaming import sessionize_stream as strm_sessions
+from ecommerce_dbt_medallion_spark.streaming import sketch_stream as strm_sketch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -179,15 +180,15 @@ DRIVER_WINDOW = [
     "active_users_rolling",
     "multimodal_frame_sample",
     "sketch_distinct_users",
-    "gold_rfm_segmentation",
     # NEW round 8 (never-certified outranks two-round-old green):
     # displaced sales_by_region, supplier_part_revenue,
-    # customer_order_percentiles and churn_risk_score, which rejoin
-    # in round 9
+    # customer_order_percentiles, churn_risk_score and
+    # gold_rfm_segmentation, which rejoin in round 9
     "exact_substring_sampled",
     "stream_cluster_maintain",
     "quantile_sketch_mergeable",
     "corpus_weighted_reservoir",
+    "stream_quantile_sketch",
 ]
 
 
@@ -335,6 +336,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "lakehouse_restore_read": mcdf.lakehouse_restore_read,
         "quantile_sketch_mergeable": opsketch.quantile_sketch_mergeable,
         "stream_cluster_maintain": strm_ingest.stream_cluster_maintain,
+        "stream_quantile_sketch": strm_sketch.stream_quantile_sketch,
         "exact_substring_sampled": opsub.exact_substring_sampled,
     }
 
@@ -542,6 +544,9 @@ def oracle_sql() -> dict[str, str]:
     out["histogram_quantiles"] = opsketch.oracle_histogram_quantiles()
     # round 8: mergeable fixed-boundary quantile sketch (integer state)
     out["quantile_sketch_mergeable"] = opsketch.oracle_quantile_sketch_mergeable()
+    # streaming sibling: the state algebra makes streamed == batch, so
+    # the key shares the batch oracle verbatim (the state-maintenance gate)
+    out["stream_quantile_sketch"] = opsketch.oracle_quantile_sketch_mergeable()
     out["cohort_retention"] = ev.ORACLE_COHORT_RETENTION
     out["copurchase_topk"] = opbasket.oracle_copurchase_topk()
     out["pagerank_parts"] = opbasket.oracle_pagerank_parts()

@@ -2017,3 +2017,71 @@ def test_checkpoint_retention_gc(spark, tmp_path, monkeypatch):
     assert kept == [8, 10]
     # pre-horizon time travel: full replay, correct content
     assert {r["id"] for r in lh.read(spark, path, version=3).collect()} == {0, 1, 2, 3}
+
+
+def test_stream_quantile_sketch_replay_idempotent(spark, tmp_path):
+    """Additive state is the classic replay hazard (a re-merged batch
+    doubles its counts). Batch-tagged appends + the anti-join guard
+    must make a full checkpoint-loss replay a no-op, and the merged
+    state must equal the batch-built state at every point."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.sketch import quantile_sketch_state
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
+    from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stream_quantile_sketch_ingest,
+        stream_state_quantiles,
+    )
+
+    src = tmp_path / "qs_src"
+    src.mkdir()
+    rows = [("a", (i * 37) % 1000 + 1) for i in range(300)] + [
+        ("b", (i * 61) % 5000 + 1) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, cents long")
+    for k in range(2):
+        staging = str(tmp_path / f"stage{k}")
+        df.where(F.crc32(F.concat("grp", F.col("cents").cast("string"))) % 2 == k) \
+            .coalesce(1).write.mode("overwrite").parquet(staging)
+        import os as _os
+        (part,) = [f for f in _os.listdir(staging) if f.endswith(".parquet")]
+        _os.replace(_os.path.join(staging, part), str(src / f"b{k}.parquet"))
+
+    state = str(tmp_path / "qs_state")
+    stream_quantile_sketch_ingest(spark, str(src), state, "grp string, cents long")
+    first = sorted(map(tuple, stream_state_quantiles(spark, state).collect()))
+    v_first = lh.versions(state)[-1]
+
+    # checkpoint loss: replay the whole source — state must not change
+    shutil.rmtree(_ckpt_dir(state), ignore_errors=True)
+    stream_quantile_sketch_ingest(spark, str(src), state, "grp string, cents long")
+    again = sorted(map(tuple, stream_state_quantiles(spark, state).collect()))
+    assert again == first
+    assert lh.versions(state)[-1] == v_first  # no new commits on replay
+
+    # merged streaming state == directly-built batch state
+    batch_state = sorted(
+        map(
+            tuple,
+            quantile_sketch_state(
+                df.select(
+                    F.explode(F.array(F.col("grp"), F.lit("ALL"))).alias("grp"),
+                    "cents",
+                ),
+                "cents",
+                ["grp"],
+            ).collect(),
+        )
+    )
+    stored = sorted(
+        map(
+            tuple,
+            lh.read(spark, state)
+            .groupBy("grp", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect(),
+        )
+    )
+    assert stored == batch_state

@@ -88,6 +88,7 @@ def main() -> None:
         # mergeable quantile sketch (cheap: one scan + ~1300-cell state)
         "stream_cluster_maintain",
         "quantile_sketch_mergeable",
+        "stream_quantile_sketch",
     ):
         if extra in queries:
             headline.append(extra)
@@ -108,7 +109,8 @@ def main() -> None:
     # invalidate every cross-round comparison).
     construction_timed = {"dedup_clusters", "dedup_keep_best", "kcore_parts",
                           "pq_quantize", "lakehouse_zorder_prune",
-                          "stream_dedup_ingest", "stream_cluster_maintain"}
+                          "stream_dedup_ingest", "stream_cluster_maintain",
+                          "stream_quantile_sketch"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

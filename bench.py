@@ -89,6 +89,11 @@ def main() -> None:
         "stream_cluster_maintain",
         "quantile_sketch_mergeable",
         "stream_quantile_sketch",
+        # round-8 continuation: provenance rollup of the md5 near-dup
+        # pair set (guard in BASELINE.md; the sweep key is sub-second
+        # and rides the breadth total only)
+        "dedup_source_overlap",
+        "quality_threshold_sweep",
     ):
         if extra in queries:
             headline.append(extra)

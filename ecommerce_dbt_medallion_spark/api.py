@@ -116,7 +116,9 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # association_rules(r7)…) — fill the 50 oldest-row-first in api
 # order; any round-8 keys displaced by round-8 additions rejoin
 # (displaced this round: sales_by_region, supplier_part_revenue,
-# customer_order_percentiles, churn_risk_score — all r6-green).
+# customer_order_percentiles, churn_risk_score,
+# gold_rfm_segmentation, multimodal_frame_sample,
+# sketch_distinct_users — all r6-green).
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -178,17 +180,18 @@ DRIVER_WINDOW = [
     "event_funnel",
     "event_path_topk",
     "active_users_rolling",
-    "multimodal_frame_sample",
-    "sketch_distinct_users",
     # NEW round 8 (never-certified outranks two-round-old green):
     # displaced sales_by_region, supplier_part_revenue,
-    # customer_order_percentiles, churn_risk_score and
-    # gold_rfm_segmentation, which rejoin in round 9
+    # customer_order_percentiles, churn_risk_score,
+    # gold_rfm_segmentation, multimodal_frame_sample and
+    # sketch_distinct_users, which rejoin in round 9
     "exact_substring_sampled",
     "stream_cluster_maintain",
     "quantile_sketch_mergeable",
     "corpus_weighted_reservoir",
     "stream_quantile_sketch",
+    "quality_threshold_sweep",
+    "dedup_source_overlap",
 ]
 
 
@@ -338,6 +341,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "stream_cluster_maintain": strm_ingest.stream_cluster_maintain,
         "stream_quantile_sketch": strm_sketch.stream_quantile_sketch,
         "exact_substring_sampled": opsub.exact_substring_sampled,
+        "quality_threshold_sweep": opcur.quality_threshold_sweep,
+        "dedup_source_overlap": opdedup.dedup_source_overlap,
     }
 
 
@@ -552,6 +557,9 @@ def oracle_sql() -> dict[str, str]:
     out["pagerank_parts"] = opbasket.oracle_pagerank_parts()
     out["dedup_simhash"] = opdedup.oracle_dedup_simhash()
     out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
+    # round 8 (continuation): curation cutoff sweep + provenance rollup
+    out["quality_threshold_sweep"] = opcur.oracle_quality_threshold_sweep()
+    out["dedup_source_overlap"] = opdedup.oracle_dedup_source_overlap()
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

@@ -411,3 +411,96 @@ select d.source,
 from devs d join mad m on d.source = m.source
 group by 1
 """
+
+
+# ------------------------------------------- quality threshold sweep
+
+SWEEP_STEP_I = 500  # threshold grid step on the 1e4 integer score basis
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve over the quality score — for each candidate
+    filter cutoff t in {0.00, 0.05, ..., 0.95}, how many documents and
+    how many words survive ``quality_score >= t``. This is the table a
+    curation run reads BEFORE committing to a cutoff: at 100 TB you
+    sweep once and pick the threshold that hits the target token
+    budget, instead of re-running the filter per candidate value.
+
+    Determinism: the score (already round(,4), bit-identical
+    cross-engine — certified via text_quality_score) is moved onto an
+    integer basis (×10000) so threshold comparisons are exact integer
+    comparisons; fractions are divisions of exact bigints.
+
+    Scale shape: ONE doc-grain aggregation collapses the corpus to a
+    ≤10001-row (score value, docs, words) histogram; the 20-threshold
+    sweep is a broadcast non-equi join against that bounded state —
+    the fact table is scanned once and never rejoined.
+    """
+    q = text_quality_score(spark, sf_dir).select(
+        F.round(F.col("quality_score") * 10000).cast("bigint").alias("score_i"),
+        F.col("n_words"),
+    )
+    hist = q.groupBy("score_i").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_words").alias("words")
+    )
+    totals = q.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_words").alias("total_words"),
+    )
+    grid = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(9500), F.lit(SWEEP_STEP_I))).alias(
+            "t_i"
+        )
+    )
+    swept = (
+        hist.join(F.broadcast(grid), F.col("score_i") >= F.col("t_i"))
+        .groupBy("t_i")
+        .agg(
+            F.sum("docs").alias("docs_retained"),
+            F.sum("words").alias("words_retained"),
+        )
+    )
+    # thresholds with zero survivors must still appear (grid-complete)
+    swept = grid.join(swept, "t_i", "left").select(
+        "t_i",
+        F.coalesce("docs_retained", F.lit(0)).alias("docs_retained"),
+        F.coalesce("words_retained", F.lit(0)).alias("words_retained"),
+    )
+    return swept.crossJoin(F.broadcast(totals)).select(
+        (F.col("t_i") / 10000.0).alias("threshold"),
+        F.col("docs_retained").cast("bigint").alias("docs_retained"),
+        F.round(F.col("docs_retained") / F.col("total_docs"), 4).alias("docs_frac"),
+        F.col("words_retained").cast("bigint").alias("words_retained"),
+        F.round(F.col("words_retained") / F.col("total_words"), 4).alias(
+            "words_frac"
+        ),
+    )
+
+
+def oracle_quality_threshold_sweep() -> str:
+    return f"""
+with q as materialized (
+    select cast(round(quality_score * 10000) as bigint) as score_i,
+           n_words
+    from ({oracle_text_quality_score()})
+),
+hist as (
+    select score_i, count(*) as docs, sum(n_words) as words
+    from q group by 1
+),
+totals as (select count(*) as total_docs, sum(n_words) as total_words from q),
+grid as (select unnest(range(0, 10000, {SWEEP_STEP_I})) as t_i),
+swept as (
+    select g.t_i,
+        coalesce(sum(h.docs), 0) as docs_retained,
+        coalesce(sum(h.words), 0) as words_retained
+    from grid g left join hist h on h.score_i >= g.t_i
+    group by 1
+)
+select s.t_i / 10000.0 as threshold,
+    cast(s.docs_retained as bigint) as docs_retained,
+    round(cast(s.docs_retained as double) / t.total_docs, 4) as docs_frac,
+    cast(s.words_retained as bigint) as words_retained,
+    round(cast(s.words_retained as double) / t.total_words, 4) as words_frac
+from swept s cross join totals t
+"""

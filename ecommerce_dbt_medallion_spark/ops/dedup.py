@@ -357,7 +357,11 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oracle_dedup_minhash_md5() -> str:
+def _oracle_md5_pairs_with() -> str:
+    """The md5-MinHash pair pipeline as a WITH-chain ending in a
+    ``pairs`` CTE — shared verbatim by ``oracle_dedup_minhash_md5`` and
+    ``oracle_dedup_source_overlap`` so the provenance rollup's oracle is
+    the certified pair oracle plus one aggregation, nothing re-derived."""
     sig_cols = ",\n        ".join(
         f"min(md5(gram || '#{p}')) as h{p}" for p in range(MINHASH_PERMS)
     )
@@ -398,16 +402,97 @@ inter as (
     join grams ga on ga.doc_id = c.doc_a
     join grams gb on gb.doc_id = c.doc_b and gb.gram = ga.gram
     group by c.doc_a, c.doc_b
-)
-select i.doc_a, i.doc_b, i.n_common,
-    sa.n_grams as n_a, sb.n_grams as n_b,
-    round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4) as jaccard
-from inter i
-join sizes sa on sa.doc_id = i.doc_a
-join sizes sb on sb.doc_id = i.doc_b
-where round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4)
-      >= {MINHASH_JACCARD_THRESHOLD}
+),
+pairs as (
+    select i.doc_a, i.doc_b, i.n_common,
+        sa.n_grams as n_a, sb.n_grams as n_b,
+        round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4) as jaccard
+    from inter i
+    join sizes sa on sa.doc_id = i.doc_a
+    join sizes sb on sb.doc_id = i.doc_b
+    where round(cast(i.n_common as double) / (sa.n_grams + sb.n_grams - i.n_common), 4)
+          >= {MINHASH_JACCARD_THRESHOLD}
+)"""
+
+
+def oracle_dedup_minhash_md5() -> str:
+    return (
+        _oracle_md5_pairs_with()
+        + "\nselect doc_a, doc_b, n_common, n_a, n_b, jaccard from pairs"
+    )
+
+
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance rollup of the near-dup pair set: per (source_a,
+    source_b) pair — unordered, so within-source rows appear as
+    src_a == src_b — the count of near-dup doc pairs, how many are
+    byte-identical at the shingle level (n_common == n_a == n_b), and
+    the mean Jaccard. This is the curation question BEHIND dedup: which
+    sources are republishing each other's content, i.e. where to point
+    the crawler dedup budget before paying for doc-grain dedup at
+    100 TB.
+
+    Determinism: jaccard values are already round(,4) doubles certified
+    bit-identical cross-engine; the mean moves them onto the 1e4 integer
+    basis, sums exactly, and divides once per convention (two fixed
+    IEEE ops: int-sum/1e4, then /n).
+
+    Scale shape: rides the certified md5-MinHash pair pipeline
+    (band-bounded candidates — never all-pairs); the only new work is
+    two narrow joins of the (small) pair set against the (doc_id,
+    source) projection and a |sources|²-bounded aggregation.
+    """
+    pairs = dedup_minhash_md5(spark, sf_dir)
+    srcs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        pairs.join(srcs.alias("pa"), F.col("doc_a") == F.col("pa.doc_id"))
+        .join(srcs.alias("pb"), F.col("doc_b") == F.col("pb.doc_id"))
+        .select(
+            F.least(F.col("pa.source"), F.col("pb.source")).alias("src_a"),
+            F.greatest(F.col("pa.source"), F.col("pb.source")).alias("src_b"),
+            "n_common",
+            "n_a",
+            "n_b",
+            "jaccard",
+        )
+    )
+    return tagged.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(
+                (F.col("n_common") == F.col("n_a"))
+                & (F.col("n_a") == F.col("n_b")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_exact"),
+        F.round(
+            F.sum(F.round(F.col("jaccard") * 10000).cast("bigint"))
+            / 10000.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_jaccard"),
+    )
+
+
+def oracle_dedup_source_overlap() -> str:
+    return (
+        _oracle_md5_pairs_with()
+        + """
+select least(pa.source, pb.source) as src_a,
+    greatest(pa.source, pb.source) as src_b,
+    count(*) as n_pairs,
+    cast(sum(case when p.n_common = p.n_a and p.n_a = p.n_b then 1 else 0 end)
+         as bigint) as n_exact,
+    round(sum(cast(round(p.jaccard * 10000) as bigint)) / 10000.0 / count(*), 4)
+        as avg_jaccard
+from pairs p
+join documents pa on pa.doc_id = p.doc_a
+join documents pb on pb.doc_id = p.doc_b
+group by 1, 2
 """
+    )
 
 
 # ------------------------------------------------- incremental dedup

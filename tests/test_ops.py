@@ -985,3 +985,56 @@ def test_weighted_reservoir_is_weight_proportional(spark):
     # the band just documents the proportionality claim
     assert hi + lo == 360
     assert hi > 5 * lo, (hi, lo)
+
+
+# ------------------------------------------- round-8 curation additions
+
+
+def test_quality_sweep_monotone_and_complete(spark):
+    """The retention curve is grid-complete (all 20 thresholds present,
+    including zero-survivor tails) and monotone non-increasing in both
+    docs and words; threshold 0.0 retains the full corpus."""
+    from ecommerce_dbt_medallion_spark.ops.curation import quality_threshold_sweep
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+    rows = (
+        quality_threshold_sweep(spark, SF_SMOKE)
+        .orderBy("threshold")
+        .collect()
+    )
+    assert len(rows) == 20
+    assert [round(r["threshold"], 2) for r in rows] == [
+        round(0.05 * i, 2) for i in range(20)
+    ]
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert rows[0]["docs_retained"] == n_docs
+    assert rows[0]["docs_frac"] == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["docs_retained"] <= prev["docs_retained"]
+        assert cur["words_retained"] <= prev["words_retained"]
+    # non-degenerate on the synthetic corpus: the curve actually falls
+    assert rows[-1]["docs_retained"] < rows[0]["docs_retained"]
+
+
+def test_source_overlap_consistent_with_pairs(spark):
+    """The provenance rollup partitions the md5 pair set exactly: pair
+    counts sum to the pair-pipeline total, exact-dup counts match the
+    n_common==n_a==n_b subset, and every mean Jaccard sits inside
+    [threshold, 1]."""
+    from ecommerce_dbt_medallion_spark.ops.dedup import (
+        MINHASH_JACCARD_THRESHOLD,
+        dedup_minhash_md5,
+        dedup_source_overlap,
+    )
+
+    pairs = dedup_minhash_md5(spark, SF_SMOKE).collect()
+    agg = dedup_source_overlap(spark, SF_SMOKE).collect()
+    assert sum(r["n_pairs"] for r in agg) == len(pairs)
+    n_exact = sum(
+        1 for r in pairs if r["n_common"] == r["n_a"] == r["n_b"]
+    )
+    assert sum(r["n_exact"] for r in agg) == n_exact
+    for r in agg:
+        assert r["src_a"] <= r["src_b"]
+        assert MINHASH_JACCARD_THRESHOLD <= r["avg_jaccard"] <= 1.0
+        assert 0 <= r["n_exact"] <= r["n_pairs"]

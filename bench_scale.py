@@ -96,6 +96,9 @@ PROBE_KEYS = [
     "lakehouse_restore_read",
     "stream_cluster_maintain",
     "quantile_sketch_mergeable",
+    # round-8 continuation keys
+    "quality_threshold_sweep",
+    "dedup_source_overlap",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

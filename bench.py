@@ -94,6 +94,7 @@ def main() -> None:
         # and rides the breadth total only)
         "dedup_source_overlap",
         "quality_threshold_sweep",
+        "watermark_lateness_audit",
     ):
         if extra in queries:
             headline.append(extra)

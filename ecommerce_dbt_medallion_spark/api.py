@@ -118,7 +118,7 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # (displaced this round: sales_by_region, supplier_part_revenue,
 # customer_order_percentiles, churn_risk_score,
 # gold_rfm_segmentation, multimodal_frame_sample,
-# sketch_distinct_users — all r6-green).
+# sketch_distinct_users, active_users_rolling — all r6-green).
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -179,12 +179,12 @@ DRIVER_WINDOW = [
     "event_daily_stats",
     "event_funnel",
     "event_path_topk",
-    "active_users_rolling",
     # NEW round 8 (never-certified outranks two-round-old green):
     # displaced sales_by_region, supplier_part_revenue,
     # customer_order_percentiles, churn_risk_score,
-    # gold_rfm_segmentation, multimodal_frame_sample and
-    # sketch_distinct_users, which rejoin in round 9
+    # gold_rfm_segmentation, multimodal_frame_sample,
+    # sketch_distinct_users and active_users_rolling, which rejoin
+    # in round 9
     "exact_substring_sampled",
     "stream_cluster_maintain",
     "quantile_sketch_mergeable",
@@ -192,6 +192,7 @@ DRIVER_WINDOW = [
     "stream_quantile_sketch",
     "quality_threshold_sweep",
     "dedup_source_overlap",
+    "watermark_lateness_audit",
 ]
 
 
@@ -343,6 +344,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "exact_substring_sampled": opsub.exact_substring_sampled,
         "quality_threshold_sweep": opcur.quality_threshold_sweep,
         "dedup_source_overlap": opdedup.dedup_source_overlap,
+        "watermark_lateness_audit": ev.watermark_lateness_audit,
     }
 
 
@@ -560,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
     # round 8 (continuation): curation cutoff sweep + provenance rollup
     out["quality_threshold_sweep"] = opcur.oracle_quality_threshold_sweep()
     out["dedup_source_overlap"] = opdedup.oracle_dedup_source_overlap()
+    out["watermark_lateness_audit"] = ev.oracle_watermark_lateness_audit()
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

@@ -1646,3 +1646,127 @@ select t.src, t.dst, t.n as n_transitions,
     cast(t.sum_gap as double) / cast(t.n as double) as mean_gap_s
 from tot t join med m on t.src = m.src and t.dst = m.dst
 """
+
+
+# -------------------------------------------- watermark lateness audit
+
+JITTER_WINDOW_US = 600_000_000  # simulated arrival jitter: 0..10 min
+LATENESS_DELAYS_S = [0, 30, 60, 120, 300, 600]
+ARRIVAL_BUCKET_US = 3_600_000_000  # 1 h of arrival time per prefix bucket
+
+
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-tuning report: for each candidate
+    ``withWatermark`` delay, how many events a streaming job would DROP
+    because they arrive later than (max event time seen so far − delay).
+    At 100 TB you run this once over an arrival log and read the delay
+    that meets the loss budget, instead of discovering it from a
+    production stream's dropped-row metrics.
+
+    The synthetic corpus arrives perfectly time-ordered (audited: zero
+    natural lateness), so the gated key simulates bounded network
+    jitter deterministically — arrival time = event time + md5-derived
+    delay < 10 min — and audits THAT arrival sequence. Production
+    callers pass their real arrival column through the identical
+    machinery; the simulation is the gate's planted data, not part of
+    the operator.
+
+    Scale shape — distributed prefix-max, never a global window over
+    rows: arrival time is range-bucketed into 1-hour chunks (the
+    hypertable pattern); the running max of event time is computed
+    WITHIN each bucket (partitioned window, bounded by the hourly
+    event rate), and a cumulative max over the tiny hour-grain bucket
+    summary (calendar-bounded single-partition window — the documented
+    safe class) carries the prefix across buckets. Lateness is a
+    DIFFERENCE of integer microseconds, so any session-TZ offset in
+    the timestamp decoding cancels; the final fractions are one double
+    division of exact counts.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("micros"),
+    )
+    jit = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % JITTER_WINDOW_US
+    )
+    arr = ev.select(
+        "event_id", "micros", (F.col("micros") + jit).alias("arr_us")
+    ).withColumn("bucket", F.expr(f"arr_us div {ARRIVAL_BUCKET_US}"))
+
+    in_bucket = Window.partitionBy("bucket").orderBy("arr_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = arr.withColumn("local_max", F.max("micros").over(in_bucket))
+
+    bsum = arr.groupBy("bucket").agg(F.max("micros").alias("bmax"))
+    carry_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bsum.withColumn("carry_in", F.max("bmax").over(carry_w)).select(
+        "bucket", "carry_in"
+    )
+
+    late = (
+        local.join(F.broadcast(carry), "bucket")
+        .select(
+            F.greatest(
+                F.coalesce("local_max", F.lit(-(1 << 62))),
+                F.coalesce("carry_in", F.lit(-(1 << 62))),
+            ).alias("pm"),
+            "micros",
+        )
+        .select(
+            F.when(F.col("pm") > F.col("micros"), F.col("pm") - F.col("micros"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("late_us")
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_total")] + [
+        F.sum(F.when(F.col("late_us") > d * 1_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"d{d}")
+        for d in LATENESS_DELAYS_S
+    ]
+    one = late.agg(*aggs)
+    stack_expr = "stack({n}, {items}) as (delay_s, n_dropped)".format(
+        n=len(LATENESS_DELAYS_S),
+        items=", ".join(
+            f"cast({d} as bigint), d{d}" for d in LATENESS_DELAYS_S
+        ),
+    )
+    return one.select(F.expr(stack_expr), "n_total").select(
+        "delay_s",
+        "n_dropped",
+        F.round(F.col("n_dropped") / F.col("n_total"), 4).alias("frac_dropped"),
+    )
+
+
+def oracle_watermark_lateness_audit() -> str:
+    grid = ", ".join(str(d) for d in LATENESS_DELAYS_S)
+    return f"""
+with e as (
+    select event_id, epoch_us(ts) as micros,
+        epoch_us(ts) + cast(('0x' || substr(md5(cast(event_id as varchar)), 1, 8))::int64
+                            % {JITTER_WINDOW_US} as int64) as arr_us
+    from events
+),
+w as (
+    select micros,
+        max(micros) over (order by arr_us, event_id
+                          rows between unbounded preceding and 1 preceding) as pm
+    from e
+),
+l as materialized (
+    select case when pm > micros then pm - micros else cast(0 as bigint) end as late_us
+    from w
+),
+g as (select unnest([{grid}]) as delay_s)
+select cast(g.delay_s as bigint) as delay_s,
+    cast(sum(case when l.late_us > g.delay_s * 1000000 then 1 else 0 end) as bigint)
+        as n_dropped,
+    round(cast(sum(case when l.late_us > g.delay_s * 1000000 then 1 else 0 end) as double)
+          / count(*), 4) as frac_dropped
+from g cross join l
+group by 1
+"""

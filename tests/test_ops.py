@@ -1038,3 +1038,26 @@ def test_source_overlap_consistent_with_pairs(spark):
         assert r["src_a"] <= r["src_b"]
         assert MINHASH_JACCARD_THRESHOLD <= r["avg_jaccard"] <= 1.0
         assert 0 <= r["n_exact"] <= r["n_pairs"]
+
+
+def test_watermark_audit_monotone_and_bounded(spark):
+    """Dropped counts are monotone non-increasing in the delay, the
+    zero-delay row counts every strictly-late arrival, and a delay at
+    the jitter window's width drops nothing (lateness < window by
+    construction). Non-degenerate: some intermediate delay actually
+    distinguishes."""
+    from ecommerce_dbt_medallion_spark.models.events import (
+        JITTER_WINDOW_US,
+        LATENESS_DELAYS_S,
+        watermark_lateness_audit,
+    )
+
+    rows = (
+        watermark_lateness_audit(spark, SF_SMOKE).orderBy("delay_s").collect()
+    )
+    assert [r["delay_s"] for r in rows] == LATENESS_DELAYS_S
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_dropped"] <= prev["n_dropped"]
+    assert LATENESS_DELAYS_S[-1] * 1_000_000 >= JITTER_WINDOW_US - 1
+    assert rows[-1]["n_dropped"] == 0
+    assert rows[0]["n_dropped"] > 0  # jitter actually produced lateness

@@ -95,6 +95,9 @@ def main() -> None:
         "dedup_source_overlap",
         "quality_threshold_sweep",
         "watermark_lateness_audit",
+        # round-8 continuation: shallow-clone consumer (construction-
+        # timed — the key's work IS create/clone/DML/probe)
+        "lakehouse_clone_read",
     ):
         if extra in queries:
             headline.append(extra)
@@ -116,7 +119,7 @@ def main() -> None:
     construction_timed = {"dedup_clusters", "dedup_keep_best", "kcore_parts",
                           "pq_quantize", "lakehouse_zorder_prune",
                           "stream_dedup_ingest", "stream_cluster_maintain",
-                          "stream_quantile_sketch"}
+                          "stream_quantile_sketch", "lakehouse_clone_read"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

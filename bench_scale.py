@@ -99,6 +99,7 @@ PROBE_KEYS = [
     # round-8 continuation keys
     "quality_threshold_sweep",
     "dedup_source_overlap",
+    "lakehouse_clone_read",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -118,7 +118,8 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # (displaced this round: sales_by_region, supplier_part_revenue,
 # customer_order_percentiles, churn_risk_score,
 # gold_rfm_segmentation, multimodal_frame_sample,
-# sketch_distinct_users, active_users_rolling — all r6-green).
+# sketch_distinct_users, active_users_rolling, event_path_topk —
+# all r6-green).
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -178,13 +179,12 @@ DRIVER_WINDOW = [
     # outranks two-round-old green); displaced keys rejoin in round 9.
     "event_daily_stats",
     "event_funnel",
-    "event_path_topk",
     # NEW round 8 (never-certified outranks two-round-old green):
     # displaced sales_by_region, supplier_part_revenue,
     # customer_order_percentiles, churn_risk_score,
     # gold_rfm_segmentation, multimodal_frame_sample,
-    # sketch_distinct_users and active_users_rolling, which rejoin
-    # in round 9
+    # sketch_distinct_users, active_users_rolling and
+    # event_path_topk, which rejoin in round 9
     "exact_substring_sampled",
     "stream_cluster_maintain",
     "quantile_sketch_mergeable",
@@ -193,6 +193,7 @@ DRIVER_WINDOW = [
     "quality_threshold_sweep",
     "dedup_source_overlap",
     "watermark_lateness_audit",
+    "lakehouse_clone_read",
 ]
 
 
@@ -345,6 +346,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "quality_threshold_sweep": opcur.quality_threshold_sweep,
         "dedup_source_overlap": opdedup.dedup_source_overlap,
         "watermark_lateness_audit": ev.watermark_lateness_audit,
+        "lakehouse_clone_read": mcdf.lakehouse_clone_read,
     }
 
 
@@ -563,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
     out["quality_threshold_sweep"] = opcur.oracle_quality_threshold_sweep()
     out["dedup_source_overlap"] = opdedup.oracle_dedup_source_overlap()
     out["watermark_lateness_audit"] = ev.oracle_watermark_lateness_audit()
+    out["lakehouse_clone_read"] = mcdf.oracle_lakehouse_clone_read()
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

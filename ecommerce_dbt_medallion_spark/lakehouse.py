@@ -110,7 +110,9 @@ def _fold_entry(state: dict, e: dict) -> dict:
         state["schema_json"] = e["schema_json"]
     if "constraints" in e:
         state["constraints"] = dict(e["constraints"])
-    if e.get("operation") in ("CREATE", "CREATE OR REPLACE"):
+    if e.get("operation") in ("CREATE", "CREATE OR REPLACE") or str(
+        e.get("operation", "")
+    ).startswith("CLONE "):
         state["partition_by"] = e.get("partition_by")
     if e.get("zorder_by"):
         state["zorder_by"] = list(e["zorder_by"])
@@ -1610,7 +1612,12 @@ def merge_into(
             .distinct()
             .collect()
         }
-        touched = [a for a in candidates if a["file"] in hit_files]
+        # basename match: a shallow clone's actions reference absolute
+        # source paths while input_file_name yields bare names (names
+        # are uuid-unique, so basename equality is exact)
+        touched = [
+            a for a in candidates if os.path.basename(a["file"]) in hit_files
+        ]
 
     untouched = untouched_by_stats + [a for a in candidates if a not in touched]
 
@@ -1696,6 +1703,63 @@ def restore(table: str, to_version: int) -> int:
         entry["schema_json"] = target_schema.json()
     _commit_exclusive(table, entry)
     return v
+
+
+def clone_table(source: str, dest: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta CLONE semantics): ``dest`` becomes a new
+    table whose v0 references ``source``'s live data files at
+    ``version`` BY ABSOLUTE PATH — zero bytes copied, O(log) metadata.
+    This is the dev/test branching primitive: at 100 TB a full copy is
+    days of IO; a clone is one commit.
+
+    Divergence is copy-on-write by construction: DML on the clone drops
+    REFERENCES and writes files into the clone's own data dir (the
+    source is never touched); writes to the source after the clone are
+    invisible to the clone (its v0 pinned the file list). The clone
+    carries the source's full table contract at the clone point —
+    schema, key, CHECK constraints, declared partitioning, Z-order
+    clustering, and PENDING merge-on-read tombstones (omitting those
+    would resurrect logically deleted rows, e.g. an acknowledged
+    erasure).
+
+    CAVEAT (same as Delta shallow clones): VACUUMing the SOURCE past
+    files a clone still references breaks the clone's reads — vacuum
+    only walks a table's own data dir, so the clone's own VACUUM can
+    never delete source bytes, but the reverse discipline is on the
+    operator. ``export_snapshot`` relativizes referenced names on copy,
+    so exporting a clone materializes it (deep copy).
+    """
+    vs = versions(source)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {source}")
+    if versions(dest):
+        raise ValueError(f"clone target already exists: {dest}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    st = _state_at(source, v)
+    adds = []
+    for a in st["live"].values():
+        b = dict(a)
+        b["file"] = os.path.abspath(_abs(source, a["file"]))
+        adds.append(b)
+    entry: dict = {
+        "version": 0,
+        "timestamp": time.time(),
+        "operation": f"CLONE {os.path.abspath(source)} AS OF {v}",
+        "key": st["key"],
+        "constraints": dict(st["constraints"]),
+        "tombstones": list(st["tombstones"]),
+        "partition_by": st["partition_by"],
+        "add": adds,
+        "remove": [],
+    }
+    if st["schema_json"]:
+        entry["schema_json"] = st["schema_json"]
+    if st["zorder_by"]:
+        entry["zorder_by"] = list(st["zorder_by"])
+    _commit(dest, entry)
+    return 0
 
 
 def vacuum_retain(table: str, retain_last: int) -> int:
@@ -1957,7 +2021,8 @@ def delete_where(
         }
     else:
         hit_files = set()
-    touched = [a for a in live if a["file"] in hit_files]
+    # basename match (see merge_into: clone actions are absolute paths)
+    touched = [a for a in live if os.path.basename(a["file"]) in hit_files]
     # scan-back, not last-entry: a metadata-only commit before this
     # delete must not strip min/max key stats + blooms from the
     # rewritten files (they feed MERGE file pruning forever after)
@@ -2058,8 +2123,14 @@ def export_snapshot(
                 "export with partition_by, which rewrites through read())"
             )
         for a in files:
-            shutil.copy2(_abs(table, a["file"]), os.path.join(dest, a["file"]))
-            manifest["files"].append(dict(a))
+            # basename-ify: a shallow clone's actions reference ABSOLUTE
+            # source paths; joining them into dest would "copy" a file
+            # onto itself. Exporting relativizes (materializes) instead.
+            rel_name = os.path.basename(a["file"])
+            shutil.copy2(_abs(table, a["file"]), os.path.join(dest, rel_name))
+            ent = dict(a)
+            ent["file"] = rel_name
+            manifest["files"].append(ent)
     manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
     with open(os.path.join(dest, "_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)

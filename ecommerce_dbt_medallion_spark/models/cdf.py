@@ -455,6 +455,60 @@ where order_id % 4 <> 0 or order_id % 2 = 0
     )
 
 
+def lakehouse_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32j (round 8): SHALLOW CLONE under the hash gate —
+    the dev/test branching primitive. src v0 = orders with
+    order_id % 4 != 0; clone_table (zero bytes copied — raises unless
+    the clone's data dir is empty); DELETE on the CLONE
+    (order_id % 3 == 0, copy-on-write: drops references + writes local
+    files); then a MERGE on the SOURCE (amounts +1 for order_id % 2 ==
+    0) as the isolation probe. The returned CLONE read must show the
+    delete but NOT the source's merge — the clone pinned the source's
+    v0 file list, and the source's rewrite wrote NEW files (old bytes
+    stay for time travel). Either isolation leak hash-mismatches the
+    oracle, which states the clone's state directly: base minus the
+    deleted residue at ORIGINAL amounts.
+    """
+    import os as _os
+
+    src = _gate_path(sf_dir, "clone_src")
+    branch = _gate_path(sf_dir, "clone_branch")
+
+    facts = _facts(spark, sf_dir)
+    base = facts.where(F.col("order_id") % 4 != 0)
+    lakehouse.create_or_replace(spark, src, base, key="order_id")
+    lakehouse.clone_table(src, branch)
+    data_dir = _os.path.join(branch, "data")
+    if _os.path.isdir(data_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(data_dir)
+    ):
+        raise AssertionError("shallow clone copied data bytes")
+    lakehouse.delete_where(spark, branch, "order_id % 3 = 0")
+    probe = facts.where(F.col("order_id") % 2 == 0).withColumn(
+        "amount", F.col("amount") + F.lit(1.0)
+    )
+    lakehouse.merge_into(spark, src, probe, "order_id")
+    return lakehouse.read(spark, branch).select(
+        F.col("order_id").cast("long").alias("order_id"),
+        "order_status",
+        F.col("amount").cast("double").alias("amount"),
+    )
+
+
+def oracle_lakehouse_clone_read() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+select cast(order_id as bigint) as order_id, order_status,
+    cast(cast(order_amount as decimal(18,2)) as double) as amount
+from silver_orders
+where order_id % 4 <> 0 and order_id % 3 <> 0
+""",
+    )
+
+
 def oracle_lakehouse_zorder_prune() -> str:
     from ecommerce_dbt_medallion_spark.oracle import assemble
 

@@ -2085,3 +2085,102 @@ def test_stream_quantile_sketch_replay_idempotent(spark, tmp_path):
         )
     )
     assert stored == batch_state
+
+
+# ----------------------------------------------------- shallow clone
+
+
+def _parquet_names(path):
+    import os
+
+    d = os.path.join(path, "data")
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def test_clone_is_zero_copy_and_equal(spark, table, tmp_path):
+    clone = str(tmp_path / "branch")
+    lh.clone_table(table, clone)
+    # zero-copy: the clone's own data dir holds NO parquet bytes
+    assert _parquet_names(clone) == []
+    assert sorted(r["id"] for r in lh.read(spark, clone).collect()) == list(range(100))
+    # metadata contract carried: key + row count from metadata alone
+    assert lh.table_row_count(clone) == 100
+    assert lh.history(clone)[0]["operation"].startswith("CLONE ")
+
+
+def test_clone_diverges_both_ways(spark, table, tmp_path):
+    clone = str(tmp_path / "branch")
+    lh.clone_table(table, clone)
+    # DML on the clone: source untouched (copy-on-write references)
+    lh.delete_where(spark, clone, "id % 2 = 0")
+    assert lh.read(spark, clone).count() == 50
+    assert lh.read(spark, table).count() == 100
+    src_files_before = _parquet_names(table)
+    # DML on the source: clone pinned at its v0 file list
+    junk = spark.range(1000, 1010).select(
+        F.col("id"), F.lit(0).cast("long").alias("val")
+    )
+    lh.append(spark, table, junk, key="id")
+    assert lh.read(spark, table).count() == 110
+    assert lh.read(spark, clone).count() == 50
+    # the clone's rewrite wrote its own local files, never the source's
+    assert _parquet_names(table) != [] and set(src_files_before) <= set(
+        _parquet_names(table)
+    )
+
+
+def test_clone_at_version_and_time_travel(spark, table, tmp_path):
+    lh.delete_where(spark, table, "id >= 50")  # v1
+    clone = str(tmp_path / "branch")
+    lh.clone_table(table, clone, version=0)  # branch from BEFORE the delete
+    assert lh.read(spark, clone).count() == 100
+    lh.delete_where(spark, clone, "id < 10")  # clone v1
+    assert lh.read(spark, clone).count() == 90
+    # time travel on the clone's own log
+    assert lh.read(spark, clone, 0).count() == 100
+
+
+def test_clone_vacuum_never_touches_source(spark, table, tmp_path):
+    clone = str(tmp_path / "branch")
+    lh.clone_table(table, clone)
+    lh.delete_where(spark, clone, "id % 2 = 0")  # local rewrite
+    before = _parquet_names(table)
+    lh.vacuum(clone)
+    lh.vacuum_retain(clone, 1)
+    assert _parquet_names(table) == before
+    assert lh.read(spark, clone).count() == 50
+    # and the source still reads its full state
+    assert lh.read(spark, table).count() == 100
+
+
+def test_clone_carries_pending_tombstones(spark, table, tmp_path):
+    lh.delete_keys_deferred(spark, table, [0, 1, 2])
+    clone = str(tmp_path / "branch")
+    lh.clone_table(table, clone)
+    # logically deleted rows must not resurrect through the clone
+    assert lh.read(spark, clone).count() == 97
+    ids = {r["id"] for r in lh.read(spark, clone).collect()}
+    assert not {0, 1, 2} & ids
+
+
+def test_clone_export_materializes(spark, table, tmp_path):
+    clone = str(tmp_path / "branch")
+    dest = str(tmp_path / "export")
+    lh.clone_table(table, clone)
+    man = lh.export_snapshot(spark, clone, dest)
+    import os
+
+    names = sorted(f["file"] for f in man["files"])
+    assert all(os.sep not in n for n in names)  # relativized
+    assert (
+        spark.read.parquet(*[os.path.join(dest, n) for n in names]).count() == 100
+    )
+
+
+def test_clone_refuses_existing_target(spark, table, tmp_path):
+    clone = str(tmp_path / "branch")
+    lh.clone_table(table, clone)
+    with pytest.raises(ValueError, match="already exists"):
+        lh.clone_table(table, clone)

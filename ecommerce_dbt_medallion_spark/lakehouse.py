@@ -1758,7 +1758,13 @@ def clone_table(source: str, dest: str, version: int | None = None) -> int:
         entry["schema_json"] = st["schema_json"]
     if st["zorder_by"]:
         entry["zorder_by"] = list(st["zorder_by"])
-    _commit(dest, entry)
+    try:
+        _commit(dest, entry)
+    except CommitConflict:
+        # two racing clones to the same dest: the loser's condition IS
+        # "target already exists" — surface the typed API error, not
+        # the raw commit-protocol conflict
+        raise ValueError(f"clone target already exists: {dest}") from None
     return 0
 
 

@@ -478,7 +478,7 @@ def lakehouse_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = facts.where(F.col("order_id") % 4 != 0)
     lakehouse.create_or_replace(spark, src, base, key="order_id")
     lakehouse.clone_table(src, branch)
-    data_dir = _os.path.join(branch, "data")
+    data_dir = _os.path.join(branch, lakehouse._DATA_DIR)
     if _os.path.isdir(data_dir) and any(
         f.endswith(".parquet") for f in _os.listdir(data_dir)
     ):

@@ -1691,9 +1691,14 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % JITTER_WINDOW_US
     )
-    arr = ev.select(
-        "event_id", "micros", (F.col("micros") + jit).alias("arr_us")
-    ).withColumn("bucket", F.expr(f"arr_us div {ARRIVAL_BUCKET_US}"))
+    # lazily checkpointed: arr feeds BOTH the per-bucket window and the
+    # bucket summary — without it each branch re-scans the source and
+    # re-derives the md5 jitter
+    arr = (
+        ev.select("event_id", "micros", (F.col("micros") + jit).alias("arr_us"))
+        .withColumn("bucket", F.expr(f"arr_us div {ARRIVAL_BUCKET_US}"))
+        .localCheckpoint(eager=False)
+    )
 
     in_bucket = Window.partitionBy("bucket").orderBy("arr_us", "event_id").rowsBetween(
         Window.unboundedPreceding, -1
@@ -1722,8 +1727,12 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late_us")
         )
     )
+    # coalesce: an EMPTY arrival log must report zero drops, not NULLs
     aggs = [F.count(F.lit(1)).alias("n_total")] + [
-        F.sum(F.when(F.col("late_us") > d * 1_000_000, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("late_us") > d * 1_000_000, 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias(f"d{d}")
         for d in LATENESS_DELAYS_S
@@ -1738,7 +1747,10 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.expr(stack_expr), "n_total").select(
         "delay_s",
         "n_dropped",
-        F.round(F.col("n_dropped") / F.col("n_total"), 4).alias("frac_dropped"),
+        F.round(
+            F.col("n_dropped") / F.when(F.col("n_total") != 0, F.col("n_total")),
+            4,
+        ).alias("frac_dropped"),
     )
 
 

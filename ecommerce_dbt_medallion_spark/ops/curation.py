@@ -431,6 +431,11 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer basis (×10000) so threshold comparisons are exact integer
     comparisons; fractions are divisions of exact bigints.
 
+    NULL-score docs (empty/whitespace-only text — unscoreable) count in
+    the totals but retain at NO threshold, including 0.0: a quality
+    cutoff drops what it cannot score. Identical NULL semantics both
+    engines (NULL >= t is not true).
+
     Scale shape: ONE doc-grain aggregation collapses the corpus to a
     ≤10001-row (score value, docs, words) histogram; the 20-threshold
     sweep is a broadcast non-equi join against that bounded state —
@@ -442,10 +447,12 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = q.groupBy("score_i").agg(
         F.count(F.lit(1)).alias("docs"), F.sum("n_words").alias("words")
-    )
-    totals = q.agg(
-        F.count(F.lit(1)).alias("total_docs"),
-        F.sum("n_words").alias("total_words"),
+    ).localCheckpoint(eager=False)
+    # totals from the BOUNDED histogram (its NULL-score group keeps the
+    # sum corpus-complete) — the corpus itself is scanned exactly once
+    totals = hist.agg(
+        F.sum("docs").alias("total_docs"),
+        F.sum("words").alias("total_words"),
     )
     grid = spark.range(1).select(
         F.explode(F.sequence(F.lit(0), F.lit(9500), F.lit(SWEEP_STEP_I))).alias(

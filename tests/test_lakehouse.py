@@ -2184,3 +2184,22 @@ def test_clone_refuses_existing_target(spark, table, tmp_path):
     lh.clone_table(table, clone)
     with pytest.raises(ValueError, match="already exists"):
         lh.clone_table(table, clone)
+
+
+def test_clone_optimize_localizes_files(spark, table, tmp_path):
+    """OPTIMIZE on a clone compacts the REFERENCED files into the
+    clone's own data dir (copy-on-write all the way down) and never
+    deletes source bytes."""
+    clone = str(tmp_path / "branch")
+    lh.clone_table(table, clone)
+    src_before = _parquet_names(table)
+    lh.optimize(spark, clone, target_rows=1000)
+    # contents unchanged, but now served from local compacted files
+    assert sorted(r["id"] for r in lh.read(spark, clone).collect()) == list(range(100))
+    assert _parquet_names(clone) != []
+    assert _parquet_names(table) == src_before
+    # post-OPTIMIZE the clone is self-contained: vacuuming history on
+    # the clone still leaves the source intact
+    lh.vacuum_retain(clone, 1)
+    assert _parquet_names(table) == src_before
+    assert lh.read(spark, clone).count() == 100

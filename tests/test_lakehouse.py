@@ -2203,3 +2203,21 @@ def test_clone_optimize_localizes_files(spark, table, tmp_path):
     lh.vacuum_retain(clone, 1)
     assert _parquet_names(table) == src_before
     assert lh.read(spark, clone).count() == 100
+
+
+def test_clone_of_clone_chains_references(spark, table, tmp_path):
+    """A clone of a clone resolves through the chain: already-absolute
+    references pass through _abs untouched, local files of the middle
+    clone are re-absolutized."""
+    c1 = str(tmp_path / "b1")
+    c2 = str(tmp_path / "b2")
+    lh.clone_table(table, c1)
+    lh.delete_where(spark, c1, "id >= 90")  # c1 gains LOCAL files
+    lh.clone_table(c1, c2)
+    assert _parquet_names(c2) == []
+    assert sorted(r["id"] for r in lh.read(spark, c2).collect()) == list(range(90))
+    # diverge c2; c1 and source unaffected
+    lh.delete_where(spark, c2, "id < 10")
+    assert lh.read(spark, c2).count() == 80
+    assert lh.read(spark, c1).count() == 90
+    assert lh.read(spark, table).count() == 100

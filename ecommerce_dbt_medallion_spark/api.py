@@ -118,8 +118,10 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # (displaced this round: sales_by_region, supplier_part_revenue,
 # customer_order_percentiles, churn_risk_score,
 # gold_rfm_segmentation, multimodal_frame_sample,
-# sketch_distinct_users, active_users_rolling, event_path_topk —
-# all r6-green).
+# sketch_distinct_users, active_users_rolling, event_path_topk,
+# event_daily_stats, event_funnel — all r6-green; the last two ceded
+# their slots to the session-3 keys paragraph_dedup_rewrite and
+# boilerplate_ngrams).
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -177,14 +179,14 @@ DRIVER_WINDOW = [
     # Remaining 11 slots: oldest r6-certified keys in api order. NEW
     # round-8 keys displace from the TAIL of this block (never-certified
     # outranks two-round-old green); displaced keys rejoin in round 9.
-    "event_daily_stats",
-    "event_funnel",
     # NEW round 8 (never-certified outranks two-round-old green):
     # displaced sales_by_region, supplier_part_revenue,
     # customer_order_percentiles, churn_risk_score,
     # gold_rfm_segmentation, multimodal_frame_sample,
-    # sketch_distinct_users, active_users_rolling and
-    # event_path_topk, which rejoin in round 9
+    # sketch_distinct_users, active_users_rolling, event_path_topk,
+    # event_daily_stats and event_funnel, which rejoin in round 9
+    "paragraph_dedup_rewrite",
+    "boilerplate_ngrams",
     "exact_substring_sampled",
     "stream_cluster_maintain",
     "quantile_sketch_mergeable",
@@ -347,6 +349,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "dedup_source_overlap": opdedup.dedup_source_overlap,
         "watermark_lateness_audit": ev.watermark_lateness_audit,
         "lakehouse_clone_read": mcdf.lakehouse_clone_read,
+        "paragraph_dedup_rewrite": optext.paragraph_dedup_rewrite,
+        "boilerplate_ngrams": optext.boilerplate_ngrams,
     }
 
 
@@ -566,6 +570,9 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_source_overlap"] = opdedup.oracle_dedup_source_overlap()
     out["watermark_lateness_audit"] = ev.oracle_watermark_lateness_audit()
     out["lakehouse_clone_read"] = mcdf.oracle_lakehouse_clone_read()
+    # round 8 (session 3): paragraph-rewrite dedup + boilerplate n-grams
+    out["paragraph_dedup_rewrite"] = optext.oracle_paragraph_dedup_rewrite()
+    out["boilerplate_ngrams"] = optext.oracle_boilerplate_ngrams()
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

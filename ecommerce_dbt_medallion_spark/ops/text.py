@@ -834,3 +834,202 @@ select lang, source, count(*) as n_docs,
         as punct_share
 from stats group by 1, 2
 """
+
+
+# ------------------------------------- paragraph dedup with doc rewrite
+
+PARA_W = 16  # words per pseudo-paragraph (corpus has no newline breaks)
+
+
+def paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup that REWRITES documents — the
+    RefinedWeb/CCNet curation step that removes repeated boilerplate
+    paragraphs corpus-wide and keeps each document's residue, instead
+    of dropping whole documents (reference has no analogue; this is
+    the LLM-pipeline depth surface).
+
+    Paragraph = consecutive ``PARA_W``-word window (this corpus has no
+    newline paragraph boundaries, so the split is positional; on real
+    data the splitter would be ``split(text, '\\n\\n')`` with the same
+    downstream plan). A paragraph survives only at its globally FIRST
+    occurrence, ordered by (doc_id, chunk_idx); every later copy —
+    including intra-document repeats — is dropped. Each document is
+    then reassembled from its surviving paragraphs in original order.
+
+    Scale shape (the part worth copying at 100 TB): first-occurrence
+    selection is ``min(struct(doc_id, chunk_idx))`` GROUPED BY the
+    paragraph text — a hash aggregate with map-side partial combine,
+    so a boilerplate paragraph occurring in 30% of all documents
+    costs one partial per map task, not one reducer-sided window
+    partition. The keeper set IS the aggregate output (one row per
+    distinct paragraph), so no join back against the exploded corpus
+    is needed — the usual ``row_number() over (partition by chunk)``
+    formulation would put every copy of a hot paragraph in a single
+    task. Reassembly groups by doc_id (bounded grain: a document's
+    own paragraphs).
+    """
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim(F.col("text")), WS_RE).alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.ceil(F.size("w") / F.lit(float(PARA_W))).cast("int").alias("n_chunks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, n_chunks - 1), "
+                f"i -> struct(i as chunk_idx, "
+                f"array_join(slice(w, i * {PARA_W} + 1, {PARA_W}), ' ') as chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    # global first occurrence per distinct paragraph — skew-proof hash agg
+    keep = (
+        chunks.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("f"))
+        .select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.chunk_idx").alias("chunk_idx"),
+            "chunk",
+        )
+    )
+    kept = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+        F.sum(F.size(F.split(F.col("chunk"), " "))).alias("n_words_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", "n_chunks")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.coalesce("n_chunks_kept", F.lit(0)).cast("bigint").alias("n_chunks_kept"),
+            F.coalesce("n_words_kept", F.lit(0)).cast("bigint").alias("n_words_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def oracle_paragraph_dedup_rewrite() -> str:
+    return f"""
+with d as (
+    select doc_id, string_split_regex(trim(text), '{WS_RE}') as w
+    from documents
+),
+base as (
+    select doc_id, w,
+        cast(ceil(len(w) / {PARA_W}.0) as int) as n_chunks
+    from d
+),
+chunks as (
+    select doc_id, i as chunk_idx,
+        array_to_string(w[i * {PARA_W} + 1 : i * {PARA_W} + {PARA_W}], ' ') as chunk
+    from base, unnest(range(0, n_chunks)) as t(i)
+),
+keep as (
+    select doc_id, chunk_idx, chunk
+    from (
+        select doc_id, chunk_idx, chunk,
+            row_number() over (
+                partition by chunk order by doc_id, chunk_idx
+            ) as rn
+        from chunks
+    ) where rn = 1
+),
+kept as (
+    select doc_id,
+        count(*) as n_chunks_kept,
+        sum(len(string_split(chunk, ' '))) as n_words_kept,
+        string_agg(chunk, ' ' order by chunk_idx) as clean_text
+    from keep group by 1
+)
+select b.doc_id,
+    cast(b.n_chunks as bigint) as n_chunks,
+    cast(coalesce(k.n_chunks_kept, 0) as bigint) as n_chunks_kept,
+    cast(coalesce(k.n_words_kept, 0) as bigint) as n_words_kept,
+    coalesce(k.clean_text, '') as clean_text
+from base b left join kept k using (doc_id)
+"""
+
+
+# ------------------------------------------------- boilerplate n-grams
+
+BOILER_N = 5  # n-gram length
+BOILER_K = 20  # report the top-K grams by document frequency
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BOILER_K`` word ``BOILER_N``-grams by DOCUMENT frequency —
+    the boilerplate-detection diagnostic a curation run reads before
+    writing its removal rules (navigation chrome, license headers, and
+    template spam all surface here; the unigram sibling is
+    ``vocab_top_words``).
+
+    Scale shape: grams explode corpus-linearly; df is a two-phase
+    distinct aggregate (Spark plans count_distinct(doc_id) grouped by
+    ngram as a (ngram, doc_id) partial-dedup stage before the final
+    count, so a gram present in every document never funnels raw rows
+    into one task); the final top-K is TakeOrderedAndProject with a
+    total ordering (df desc, occurrences desc, gram asc) — no global
+    sort materializes, ties break deterministically.
+    """
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim(F.col("text")), WS_RE).alias("w"))
+        .where(F.size("w") >= BOILER_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {BOILER_N}), "
+                    f"i -> array_join(slice(w, i + 1, {BOILER_N}), ' '))"
+                )
+            ).alias("ngram"),
+        )
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "ngram",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "ngram")
+        .limit(BOILER_K)
+    )
+
+
+def oracle_boilerplate_ngrams() -> str:
+    return f"""
+with d as (
+    select doc_id, string_split_regex(trim(text), '{WS_RE}') as w
+    from documents
+),
+g as (
+    select doc_id, array_to_string(w[i + 1 : i + {BOILER_N}], ' ') as ngram
+    from d, unnest(range(0, len(w) - {BOILER_N} + 1)) as t(i)
+    where len(w) >= {BOILER_N}
+)
+select ngram,
+    cast(count(distinct doc_id) as bigint) as n_docs,
+    cast(count(*) as bigint) as n_occurrences
+from g group by 1
+order by n_docs desc, n_occurrences desc, ngram
+limit {BOILER_K}
+"""

@@ -1061,3 +1061,75 @@ def test_watermark_audit_monotone_and_bounded(spark):
     assert LATENESS_DELAYS_S[-1] * 1_000_000 >= JITTER_WINDOW_US - 1
     assert rows[-1]["n_dropped"] == 0
     assert rows[0]["n_dropped"] > 0  # jitter actually produced lateness
+
+
+# --------------------------------------- round-8 session-3 additions
+
+
+def test_paragraph_rewrite_partitions_corpus(spark):
+    """The rewrite keeps exactly one copy of every distinct paragraph
+    (sum of kept == corpus-wide distinct chunk count), each clean_text
+    word count equals n_words_kept, keeps never exceed the document's
+    chunk count, and a fully-duplicated later document collapses to
+    the empty string only if ALL its chunks occurred earlier."""
+    from ecommerce_dbt_medallion_spark.ops.text import (
+        PARA_W,
+        paragraph_dedup_rewrite,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    out = paragraph_dedup_rewrite(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    chunks = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(w)/{PARA_W}.0) as int)-1),"
+                    f" i -> array_join(slice(w, i*{PARA_W}+1, {PARA_W}), ' '))"
+                )
+            ).alias("chunk"),
+        )
+    )
+    n_distinct = chunks.select("chunk").distinct().count()
+    assert sum(r["n_chunks_kept"] for r in out) == n_distinct
+    total_chunks = chunks.count()
+    assert sum(r["n_chunks"] for r in out) == total_chunks
+    assert n_distinct < total_chunks  # corpus genuinely has dup paragraphs
+    for r in out:
+        assert 0 <= r["n_chunks_kept"] <= r["n_chunks"]
+        words = [w for w in r["clean_text"].split(" ") if w]
+        assert len(words) == r["n_words_kept"]
+
+
+def test_paragraph_rewrite_first_occurrence_wins(spark):
+    """Orderedness of the keeper rule: doc 0's first chunk always
+    survives (nothing precedes (0, 0)), and every surviving chunk's
+    (doc_id, chunk_idx) is the minimum across its duplicate set."""
+    from ecommerce_dbt_medallion_spark.ops.text import paragraph_dedup_rewrite
+
+    out = {r["doc_id"]: r for r in paragraph_dedup_rewrite(spark, SF_SMOKE).collect()}
+    assert out[0]["n_chunks_kept"] >= 1
+    assert out[0]["clean_text"] != ""
+
+
+def test_boilerplate_ngrams_topk_deterministic(spark):
+    """Exactly K rows, totally ordered by (df desc, tf desc, gram asc),
+    df <= tf for every gram, and the result is stable across two runs
+    (the tie-break is a total order, not partition luck)."""
+    from ecommerce_dbt_medallion_spark.ops.text import (
+        BOILER_K,
+        boilerplate_ngrams,
+    )
+
+    a = boilerplate_ngrams(spark, SF_SMOKE).collect()
+    b = boilerplate_ngrams(spark, SF_SMOKE).collect()
+    assert a == b
+    assert len(a) == BOILER_K
+    for r in a:
+        assert 1 <= r["n_docs"] <= r["n_occurrences"]
+        assert len(r["ngram"].split(" ")) == 5
+    keys = [(-r["n_docs"], -r["n_occurrences"], r["ngram"]) for r in a]
+    assert keys == sorted(keys)

@@ -121,7 +121,11 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # sketch_distinct_users, active_users_rolling, event_path_topk,
 # event_daily_stats, event_funnel — all r6-green; the last two ceded
 # their slots to the session-3 keys paragraph_dedup_rewrite and
-# boilerplate_ngrams).
+# boilerplate_ngrams). The round-8 window SATURATED at 50 with the 39
+# r5-stale keys + 11 never-certified, so the two newest session-3 keys
+# — cdc_latest_state and stream_cdc_apply — are DEFERRED: they go
+# FIRST in the round-9 window (never-certified outranks green; both
+# are locally parity-pinned at sf0.001 + sf0.01 meanwhile).
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -351,6 +355,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "lakehouse_clone_read": mcdf.lakehouse_clone_read,
         "paragraph_dedup_rewrite": optext.paragraph_dedup_rewrite,
         "boilerplate_ngrams": optext.boilerplate_ngrams,
+        "cdc_latest_state": ev.cdc_latest_state,
+        "stream_cdc_apply": strm_ingest.stream_cdc_apply,
     }
 
 
@@ -573,6 +579,11 @@ def oracle_sql() -> dict[str, str]:
     # round 8 (session 3): paragraph-rewrite dedup + boilerplate n-grams
     out["paragraph_dedup_rewrite"] = optext.oracle_paragraph_dedup_rewrite()
     out["boilerplate_ngrams"] = optext.oracle_boilerplate_ngrams()
+    # round 8 (session 3): CDC compaction — the streaming apply shares
+    # the batch oracle verbatim (sequencing makes them equal by
+    # construction, regardless of batch chopping)
+    out["cdc_latest_state"] = ev.ORACLE_CDC_LATEST_STATE
+    out["stream_cdc_apply"] = ev.ORACLE_CDC_LATEST_STATE
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

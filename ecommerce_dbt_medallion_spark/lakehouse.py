@@ -1655,6 +1655,233 @@ def merge_into(
     return v
 
 
+CDC_DELETED_COL = "__cdc_deleted"
+
+
+def apply_changes(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key: str,
+    seq_cols: list,
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> int:
+    """CDC APPLY — the Delta Live Tables ``apply_changes`` /
+    ``MERGE ... WHEN MATCHED [AND op='D'] THEN DELETE`` shape: fold a
+    changelog (upserts + deletes, each row carrying a sequencing key)
+    into a keyed snapshot table, out-of-order-safe and
+    replay-idempotent.
+
+    ``source`` = the table's data columns plus ``op_col`` ('D' rows
+    are deletes; anything else upserts). ``seq_cols`` (non-NULL,
+    columns of the table, compared lexicographically as a struct)
+    order the changelog per key:
+
+    - Within the source, only the LATEST change per key applies
+      (max over ``struct(seq_cols..., op, ...)`` — a map-side-
+      combinable hash aggregate, so a hot key never funnels raw
+      changelog rows into one task).
+    - Against the stored row, a change applies only if its seq struct
+      is STRICTLY greater — a replayed batch (equal seq) and a late
+      straggler batch (lower seq) both no-op instead of clobbering
+      newer state. This is what makes foreachBatch restart safety
+      free: re-delivery is absorbed by sequencing, not by careful
+      batch-boundary engineering.
+    - A winning 'D' drops the row; a delete for an absent key no-ops.
+
+    Deletes RETAIN A TOMBSTONE: a winning 'D' keeps the key's row with
+    ``__cdc_deleted = true`` at the delete's seq, so an out-of-order
+    upsert OLDER than the delete arriving in a later batch cannot
+    resurrect the key (the classic CDC hazard; Delta's CDC apply keeps
+    the same hidden tombstones). Read live state through
+    ``read_cdc_state``; reclaim old tombstones with
+    ``purge_cdc_tombstones`` once the feed guarantees no more
+    stragglers (the retention knob every CDC sink has).
+
+    File mechanics are MERGE's (stats + bloom pruned candidates, exact
+    touched-file discovery, rewrite ∝ touched files, untouched files
+    carry by reference); a batch that changes nothing commits nothing.
+    Returns the table version (new or unchanged).
+    """
+    if not versions(table):
+        # latest FIRST, then flag deletes: a delete-after-upsert within
+        # the creating batch must not resurrect the earlier upsert, and
+        # delete-of-unseen keys must still leave tombstones
+        latest0 = _latest_changes(source, key, seq_cols, op_col)
+        first = latest0.withColumn(
+            CDC_DELETED_COL, F.col(op_col) == F.lit(delete_value)
+        ).drop(op_col)
+        return create_or_replace(spark, table, first, key)
+    if pending_tombstones(table):
+        raise ValueError(
+            "table has pending deferred deletes; run materialize_tombstones "
+            "before APPLY CHANGES"
+        )
+    latest = _latest_changes(source, key, seq_cols, op_col).localCheckpoint(
+        eager=False
+    )
+    _enforce_constraints(
+        latest.where(F.col(op_col) != F.lit(delete_value)).drop(op_col),
+        current_constraints(table),
+        "APPLY CHANGES",
+    )
+
+    live = live_files(table)
+    rng = latest.agg(
+        F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
+    ).collect()[0]
+    lo = _json_stat(rng["lo"], side="lo") if rng["lo"] is not None else None
+    hi = _json_stat(rng["hi"], side="hi") if rng["hi"] is not None else None
+    if lo is None or hi is None:
+        candidates = []  # empty changelog (or all-NULL keys)
+    else:
+        candidates = [
+            a
+            for a in live
+            if "min_key" not in a
+            or not _stats_disjoint(a["min_key"], a["max_key"], lo, hi)
+        ]
+    touched: list[dict] = []
+    if candidates:
+        src_keys = latest.select(F.col(key).alias("__mk")).distinct()
+        hit_files = {
+            os.path.basename(r["__f"])
+            for r in _read_files(
+                spark, table, candidates, None, with_tombstones=False
+            )
+            .select(F.col(key), F.input_file_name().alias("__f"))
+            .join(F.broadcast(src_keys), F.col(key) == F.col("__mk"), "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        }
+        touched = [
+            a for a in candidates if os.path.basename(a["file"]) in hit_files
+        ]
+    untouched = [a for a in live if a not in touched]
+
+    src_cols = latest.columns
+    pref = latest.select([F.col(c).alias("__s_" + c) for c in src_cols])
+    src_flag = (F.col("__s_" + op_col) == F.lit(delete_value)).alias(
+        CDC_DELETED_COL
+    )
+    if touched:
+        stored = _read_files(spark, table, touched, None, with_tombstones=False)
+        tbl_cols = stored.columns
+        j = stored.join(pref, F.col(key) == F.col("__s_" + key), "left")
+        newer = F.col("__s_" + key).isNotNull() & (
+            F.struct(*[F.col("__s_" + c) for c in seq_cols])
+            > F.struct(*[F.col(c) for c in seq_cols])
+        )
+        kept = j.where(~F.coalesce(newer, F.lit(False))).select(*tbl_cols)
+        updated = j.where(newer).select(
+            *[
+                src_flag if c == CDC_DELETED_COL
+                else F.col("__s_" + c).alias(c)
+                for c in tbl_cols
+            ]
+        )
+        n_deleted_keys = j.where(
+            newer
+            & (F.col("__s_" + op_col) == F.lit(delete_value))
+            & ~F.col(CDC_DELETED_COL)
+        ).count()
+        survivors = kept.unionByName(updated)
+        inserts = latest.join(
+            stored.select(key).distinct(), key, "left_anti"
+        ).select(
+            *[
+                (F.col(op_col) == F.lit(delete_value)).alias(CDC_DELETED_COL)
+                if c == CDC_DELETED_COL
+                else F.col(c)
+                for c in tbl_cols
+            ]
+        )
+    else:
+        # discovery is sound: no touched file ⇒ no source key exists in
+        # the table ⇒ every change is a pure insert (deletes of unseen
+        # keys insert tombstones so older stragglers can't resurrect)
+        tbl_cols = [c for c in src_cols if c != op_col] + [CDC_DELETED_COL]
+        n_deleted_keys = 0
+        survivors = None
+        updated = None
+        inserts = latest.withColumn(
+            CDC_DELETED_COL, F.col(op_col) == F.lit(delete_value)
+        ).select(*tbl_cols)
+    merged = (
+        survivors.unionByName(inserts) if survivors is not None else inserts
+    )
+    # a batch that changes nothing (pure replay / stale stragglers)
+    # must not commit an empty rewrite
+    n_changes = inserts.limit(1).count() + (
+        updated.limit(1).count() if updated is not None else 0
+    )
+    if n_changes == 0:
+        return versions(table)[-1]
+    adds = _stage_files(merged, table, key)
+    v = versions(table)[-1] + 1
+    _commit_exclusive(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": "APPLY_CHANGES",
+            "key": key,
+            "add": adds,
+            "remove": [a["file"] for a in touched],
+            "stats": {
+                "files_touched": len(touched),
+                "files_untouched": len(untouched),
+                "keys_deleted": int(n_deleted_keys),
+            },
+        },
+    )
+    return v
+
+
+def read_cdc_state(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Live CDC state: ``read`` minus retained delete tombstones (and
+    the hidden flag column) — what a consumer of an apply_changes
+    target queries."""
+    return (
+        read(spark, table, version)
+        .where(~F.col(CDC_DELETED_COL))
+        .drop(CDC_DELETED_COL)
+    )
+
+
+def purge_cdc_tombstones(spark: SparkSession, table: str) -> int:
+    """Reclaim retained CDC delete tombstones (the retention knob:
+    safe once the feed guarantees no straggler older than the purged
+    deletes can still arrive — purging earlier re-opens the
+    resurrection window apply_changes' tombstones exist to close).
+    Returns the new version (or the current one if nothing purged)."""
+    has_tombstones = (
+        read(spark, table).where(F.col(CDC_DELETED_COL)).limit(1).count() > 0
+    )
+    if not has_tombstones:
+        return versions(table)[-1]
+    return delete_where(spark, table, CDC_DELETED_COL)
+
+
+def _latest_changes(
+    source: DataFrame, key: str, seq_cols: list, op_col: str
+) -> DataFrame:
+    """Latest change per key: max over struct(seq_cols..., remaining
+    columns) — deterministic even under seq ties (full-row
+    lexicographic tie-break), skew-proof (partial aggregation)."""
+    rest = [c for c in source.columns if c != key and c not in seq_cols]
+    agg = source.groupBy(key).agg(
+        F.max(F.struct(*seq_cols, *rest)).alias("__last")
+    )
+    return agg.select(
+        key, *[F.col(f"__last.{c}").alias(c) for c in seq_cols + rest]
+    )
+
+
 def restore(table: str, to_version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF — roll the HEAD back to an
     earlier snapshot as a NEW forward commit (Delta semantics: history

@@ -1782,3 +1782,53 @@ select cast(g.delay_s as bigint) as delay_s,
 from g cross join l
 group by 1
 """
+
+
+# ------------------------------------------------- CDC changelog compaction
+
+CDC_DELETE_TYPE = "error"  # changelog op mapping: 'error' rows tombstone
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog COMPACTION — the batch "latest snapshot from a
+    change feed" op (Debezium topic → current-state table): events are
+    read as a per-user changelog ordered by (ts, event_id);
+    ``CDC_DELETE_TYPE`` rows are tombstones, everything else upserts
+    the user's state. Output = one row per LIVE user (users whose
+    latest change is a delete are absent).
+
+    Scale shape: ONE map-side-combinable hash aggregate —
+    ``max(struct(ts, event_id, event_type, value))`` per user — never
+    the ``row_number() over (partition by user order by ts desc)``
+    window formulation, which funnels every change for a hot key into
+    a single task. The streaming sibling (`stream_cdc_apply`) folds
+    the same changelog incrementally through
+    ``lakehouse.apply_changes`` and shares this oracle verbatim.
+    """
+    ev = load_events(spark, sf_dir)
+    last = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last")
+    )
+    return last.where(F.col("last.event_type") != CDC_DELETE_TYPE).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+    )
+
+
+ORACLE_CDC_LATEST_STATE = f"""
+with r as (
+    select user_id, ts, event_type, value,
+        row_number() over (
+            partition by user_id order by ts desc, event_id desc
+        ) as rn
+    from events
+)
+select cast(user_id as bigint) as user_id,
+    ts as last_ts,
+    event_type as last_event_type,
+    value as last_value
+from r
+where rn = 1 and event_type <> '{CDC_DELETE_TYPE}'
+"""

@@ -635,3 +635,102 @@ select cast(c.doc_id as bigint) as doc_id,
 from clusters c join sizes s using (cluster_id)
 order by doc_id
 """
+
+
+# ------------------------------------------------- streaming CDC apply
+
+CDC_BATCHES = 3
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str):
+    """Gated key (SURVEY §2 #14i, round 8): streaming CDC APPLY — the
+    Delta Live Tables ``apply_changes`` pattern end-to-end. The events
+    table is treated as a per-user changelog (``'error'`` rows are
+    tombstones, everything else upserts) and split into
+    ``CDC_BATCHES`` micro-batches CONTIGUOUS in the global
+    (ts, event_id) order (a change feed arrives roughly in commit
+    order); foreachBatch folds each into a lakehouse state table via
+    ``lakehouse.apply_changes`` with ``seq_cols=(ts, event_id)``.
+
+    Sequencing, not batch-boundary luck, carries the correctness: a
+    replayed batch (equal seq) and an out-of-order straggler (lower
+    seq) are absorbed by the strict seq comparison inside
+    ``apply_changes``, so the drained state equals the batch
+    compaction (``cdc_latest_state``) REGARDLESS of how the feed was
+    chopped — the oracle is shared verbatim.
+
+    Scale shape: per batch, one skew-proof latest-change aggregate +
+    a MERGE-shaped touched-file rewrite (stats-pruned, untouched files
+    by reference); state stays a versioned, time-travelable table.
+    """
+    import re as _re
+    import shutil as _sh
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+    from ecommerce_dbt_medallion_spark.models.events import (
+        CDC_DELETE_TYPE,
+        load_events,
+    )
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.normpath(os.path.join(_GATE_ROOT, f"cdcstream_src_{tag}"))
+    state = os.path.normpath(os.path.join(_GATE_ROOT, f"cdcstream_state_{tag}"))
+    for p in (src, state, _ckpt_dir(state)):
+        _sh.rmtree(p, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    # contiguous (ts, event_id) terciles — gate setup only, not the
+    # production path (a real feed arrives already batched)
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("__b", F.ntile(CDC_BATCHES).over(w) - 1)
+    base = _time.time()
+    for k in range(CDC_BATCHES):
+        staging = os.path.join(src, f"_stage{k}")
+        ranked.where(F.col("__b") == k).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        (part,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        dest = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(staging, part), dest)
+        _sh.rmtree(staging, ignore_errors=True)
+        os.utime(dest, (base + k * 10, base + k * 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chg = batch_df.withColumn(
+            "op",
+            F.when(
+                F.col("event_type") == CDC_DELETE_TYPE, F.lit("D")
+            ).otherwise(F.lit("U")),
+        )
+        lakehouse.apply_changes(
+            spark, state, chg, "user_id", ["ts", "event_id"]
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", _ckpt_dir(state))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return lakehouse.read_cdc_state(spark, state).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

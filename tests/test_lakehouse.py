@@ -2221,3 +2221,189 @@ def test_clone_of_clone_chains_references(spark, table, tmp_path):
     assert lh.read(spark, c2).count() == 80
     assert lh.read(spark, c1).count() == 90
     assert lh.read(spark, table).count() == 100
+
+
+# ----------------------------------------------- CDC apply_changes
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, seq long, val string, op string"
+    )
+
+
+def test_apply_changes_create_and_upsert(spark, tmp_path):
+    t = str(tmp_path / "cdc")
+    lh.apply_changes(
+        spark, t, _chg(spark, [(1, 1, "a", "U"), (2, 1, "b", "U"),
+                               (1, 2, "a2", "U")]),
+        "id", ["seq"],
+    )
+    got = {r["id"]: r for r in lh.read_cdc_state(spark, t).collect()}
+    assert got[1]["val"] == "a2" and got[1]["seq"] == 2  # within-batch latest
+    assert got[2]["val"] == "b"
+    assert "op" not in lh.read_cdc_state(spark, t).columns
+
+
+def test_apply_changes_seq_aware_and_delete(spark, tmp_path):
+    t = str(tmp_path / "cdc2")
+    lh.apply_changes(
+        spark, t, _chg(spark, [(1, 5, "new", "U"), (2, 5, "x", "U"),
+                               (3, 5, "keep", "U")]),
+        "id", ["seq"],
+    )
+    # late straggler (seq 3 < stored 5) must NOT clobber; delete wins
+    # only when newer; delete of an absent key no-ops
+    v = lh.apply_changes(
+        spark, t, _chg(spark, [(1, 3, "stale", "U"), (2, 6, None, "D"),
+                               (9, 1, None, "D")]),
+        "id", ["seq"],
+    )
+    got = {r["id"]: r for r in lh.read_cdc_state(spark, t).collect()}
+    assert got[1]["val"] == "new"        # straggler absorbed
+    assert 2 not in got                  # newer delete applied
+    assert got[3]["val"] == "keep"
+    assert lh.history(t)[-1]["operation"] == "APPLY_CHANGES"
+    assert lh._read_entry(t, lh.versions(t)[-1])["stats"]["keys_deleted"] == 1
+    assert v == lh.versions(t)[-1]
+
+
+def test_apply_changes_replay_idempotent_no_empty_commit(spark, tmp_path):
+    t = str(tmp_path / "cdc3")
+    batch = _chg(spark, [(1, 1, "a", "U"), (2, 1, "b", "U")])
+    v1 = lh.apply_changes(spark, t, batch, "id", ["seq"])
+    # exact replay: equal seq absorbs every change — no new version
+    v2 = lh.apply_changes(spark, t, batch, "id", ["seq"])
+    assert v2 == v1
+    assert sorted(
+        (r["id"], r["val"]) for r in lh.read_cdc_state(spark, t).collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_apply_changes_rewrites_only_touched_files(spark, tmp_path):
+    t = str(tmp_path / "cdc4")
+    # two key-disjoint files via two creation batches
+    lh.apply_changes(
+        spark, t,
+        _chg(spark, [(i, 1, f"v{i}", "U") for i in range(10)]).repartition(1),
+        "id", ["seq"],
+    )
+    lh.apply_changes(
+        spark, t, _chg(spark, [(i, 1, f"v{i}", "U") for i in range(100, 110)]),
+        "id", ["seq"],
+    )
+    before = {a["file"] for a in lh.live_files(t)}
+    hi_files = {
+        a["file"] for a in lh.live_files(t)
+        if float(a.get("min_key", 0)) >= 100
+    }
+    lh.apply_changes(
+        spark, t, _chg(spark, [(105, 2, "upd", "U")]), "id", ["seq"]
+    )
+    after = {a["file"] for a in lh.live_files(t)}
+    # the low-key file(s) carried over by reference
+    assert (before - hi_files) <= after
+    got = {r["id"]: r["val"] for r in lh.read_cdc_state(spark, t).collect()}
+    assert got[105] == "upd" and got[0] == "v0" and len(got) == 20
+
+
+def test_apply_changes_multi_seq_lexicographic(spark, tmp_path):
+    t = str(tmp_path / "cdc5")
+    src = spark.createDataFrame(
+        [(1, 1, 9, "first", "U")], "id long, s1 long, s2 long, val string, op string"
+    )
+    lh.apply_changes(spark, t, src, "id", ["s1", "s2"])
+    # (2, 0) > (1, 9) lexicographically → applies
+    src2 = spark.createDataFrame(
+        [(1, 2, 0, "second", "U")], "id long, s1 long, s2 long, val string, op string"
+    )
+    lh.apply_changes(spark, t, src2, "id", ["s1", "s2"])
+    # (1, 99): s1 ties the ORIGINAL row but is < stored (2,0) → absorbed
+    src3 = spark.createDataFrame(
+        [(1, 1, 99, "stale", "U")], "id long, s1 long, s2 long, val string, op string"
+    )
+    lh.apply_changes(spark, t, src3, "id", ["s1", "s2"])
+    (row,) = lh.read_cdc_state(spark, t).collect()
+    assert row["val"] == "second" and row["s1"] == 2
+
+
+def test_apply_changes_create_delete_after_upsert(spark, tmp_path):
+    """A delete that FOLLOWS an upsert inside the table-creating batch
+    must not resurrect the earlier upsert (latest-then-filter, not
+    filter-then-latest)."""
+    t = str(tmp_path / "cdc6")
+    lh.apply_changes(
+        spark, t, _chg(spark, [(1, 1, "a", "U"), (1, 2, None, "D"),
+                               (2, 1, "b", "U")]),
+        "id", ["seq"],
+    )
+    got = {r["id"] for r in lh.read_cdc_state(spark, t).collect()}
+    assert got == {2}
+
+
+def test_apply_changes_order_robust_vs_compaction(spark, tmp_path):
+    """Folding the event changelog in REVERSE batch order through
+    apply_changes still converges to the batch compaction
+    (cdc_latest_state) — sequencing, not batch-boundary order, carries
+    correctness."""
+    from pyspark.sql import Window
+
+    from ecommerce_dbt_medallion_spark.models.events import (
+        CDC_DELETE_TYPE,
+        cdc_latest_state,
+        load_events,
+    )
+
+    t = str(tmp_path / "cdc_rev")
+    ev = load_events(spark, SF_SMOKE).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("__b", F.ntile(3).over(w) - 1).localCheckpoint()
+    for k in (2, 0, 1):  # deliberately out of order
+        chg = ranked.where(F.col("__b") == k).drop("__b").withColumn(
+            "op",
+            F.when(F.col("event_type") == CDC_DELETE_TYPE, "D").otherwise("U"),
+        )
+        lh.apply_changes(spark, t, chg, "user_id", ["ts", "event_id"])
+    got = sorted(
+        (r["user_id"], r["ts"], r["event_type"], r["value"])
+        for r in lh.read_cdc_state(spark, t).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["last_ts"], r["last_event_type"], r["last_value"])
+        for r in cdc_latest_state(spark, SF_SMOKE).collect()
+    )
+    assert got == want
+
+
+def test_apply_changes_tombstone_blocks_resurrection(spark, tmp_path):
+    """A delete's tombstone (retained with the delete's seq) absorbs an
+    out-of-order OLDER upsert arriving in a later batch; a NEWER upsert
+    legitimately recreates the key. purge_cdc_tombstones reclaims the
+    tombstone rows afterwards."""
+    t = str(tmp_path / "cdc7")
+    lh.apply_changes(
+        spark, t, _chg(spark, [(1, 5, None, "D"), (2, 1, "b", "U")]),
+        "id", ["seq"],
+    )
+    assert {r["id"] for r in lh.read_cdc_state(spark, t).collect()} == {2}
+    # older straggler upsert (seq 3 < tombstone seq 5): absorbed
+    lh.apply_changes(spark, t, _chg(spark, [(1, 3, "ghost", "U")]),
+                     "id", ["seq"])
+    assert {r["id"] for r in lh.read_cdc_state(spark, t).collect()} == {2}
+    # newer upsert (seq 7): key legitimately reborn
+    lh.apply_changes(spark, t, _chg(spark, [(1, 7, "alive", "U")]),
+                     "id", ["seq"])
+    got = {r["id"]: r["val"] for r in lh.read_cdc_state(spark, t).collect()}
+    assert got == {1: "alive", 2: "b"}
+    # delete again, then purge: live state unchanged, raw rows shrink
+    lh.apply_changes(spark, t, _chg(spark, [(2, 9, None, "D")]),
+                     "id", ["seq"])
+    raw_before = lh.read(spark, t).count()
+    lh.purge_cdc_tombstones(spark, t)
+    assert lh.read(spark, t).count() == raw_before - 1
+    assert {r["id"] for r in lh.read_cdc_state(spark, t).collect()} == {1}
+    # purge with nothing to do: no new version
+    v = lh.versions(t)[-1]
+    assert lh.purge_cdc_tombstones(spark, t) == v

@@ -194,11 +194,29 @@ def test_driver_window_membership_round8():
         for key in json.load(open(p)):
             latest_round[key] = max(latest_round.get(key, 0), rnd)
     never_certified = set(api.queries()) - set(latest_round)
-    missing = never_certified - set(api.DRIVER_WINDOW)
-    assert not missing, f"never-driver-certified keys outside window: {missing}"
     stale_r5 = {k for k, r in latest_round.items() if r <= 5 and k in api.queries()}
     missing = stale_r5 - set(api.DRIVER_WINDOW)
     assert not missing, f"r5-latest keys outside round-8 window: {missing}"
+    # never-certified keys fill the remaining slots; once the window is
+    # saturated by the two priority classes (staleness invariant first),
+    # the overflow must be MINIMAL — no slot wasted on an already-green
+    # key while a never-certified key waits — and every deferred key
+    # must be named in api.py's round-9 note
+    overflow = never_certified - set(api.DRIVER_WINDOW)
+    allowed_overflow = max(
+        0, len(stale_r5 | never_certified) - api.DRIVER_WINDOW_SIZE
+    )
+    assert len(overflow) <= allowed_overflow, (
+        f"never-certified keys outside a non-saturated window: {overflow}"
+    )
+    note = open(
+        os.path.join(root, "ecommerce_dbt_medallion_spark", "api.py")
+    ).read().split("DRIVER_WINDOW_SIZE = ")[0]
+    undocumented = {k for k in overflow if k not in note}
+    assert not undocumented, (
+        f"deferred never-certified keys absent from the round-9 note: "
+        f"{undocumented}"
+    )
 
 
 def test_survey_section2_lists_every_query_key():

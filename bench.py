@@ -98,6 +98,13 @@ def main() -> None:
         # round-8 continuation: shallow-clone consumer (construction-
         # timed — the key's work IS create/clone/DML/probe)
         "lakehouse_clone_read",
+        # round-8 session 3: paragraph-rewrite dedup + boilerplate
+        # 5-gram report + CDC compaction (batch agg + streaming
+        # apply_changes fold; the stream is construction-timed)
+        "paragraph_dedup_rewrite",
+        "boilerplate_ngrams",
+        "cdc_latest_state",
+        "stream_cdc_apply",
     ):
         if extra in queries:
             headline.append(extra)
@@ -119,7 +126,8 @@ def main() -> None:
     construction_timed = {"dedup_clusters", "dedup_keep_best", "kcore_parts",
                           "pq_quantize", "lakehouse_zorder_prune",
                           "stream_dedup_ingest", "stream_cluster_maintain",
-                          "stream_quantile_sketch", "lakehouse_clone_read"}
+                          "stream_quantile_sketch", "lakehouse_clone_read",
+                          "stream_cdc_apply"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

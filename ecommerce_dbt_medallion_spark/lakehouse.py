@@ -1509,11 +1509,22 @@ def read_pruned(
 
 
 def merge_into(
-    spark: SparkSession, table: str, source: DataFrame, key: str
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key: str,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE INTO target USING source ON target.key = source.key
     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
     dbt's merge-strategy incremental materialization.
+
+    ``merge_schema=True`` permits ADDITIVE schema evolution in the
+    merge (Delta's ``withSchemaEvolution()``): new nullable source
+    columns join the table schema, carried-over rows in rewritten
+    files null-fill them, untouched files null-fill on read via the
+    log schema. Without it a differing source schema raises
+    SchemaMismatch (same posture as ``append``).
 
     Execution (the Delta MERGE shape):
     1. Prune candidate files by the log's min/max key stats against the
@@ -1532,6 +1543,7 @@ def merge_into(
             "table has pending deferred deletes; run materialize_tombstones "
             "before MERGE"
         )
+    source, evolved_schema = _evolve_schema(table, source, merge_schema)
     _enforce_constraints(source, current_constraints(table), "MERGE")
 
     live = live_files(table)
@@ -1629,7 +1641,11 @@ def merge_into(
             _read_files(spark, table, touched, None, with_tombstones=False)
             .join(source.select(key).distinct(), key, "left_anti")
         )
-        merged = kept.unionByName(source)
+        # allowMissingColumns only under declared evolution: carried
+        # rows null-fill new source columns (and an evolving source may
+        # omit historical columns, mirroring append's posture) — but an
+        # UNdeclared mismatch must keep failing loudly
+        merged = kept.unionByName(source, allowMissingColumns=merge_schema)
     else:
         merged = source
     adds = _stage_files(merged, table, key)
@@ -1642,6 +1658,7 @@ def merge_into(
             "timestamp": time.time(),
             "operation": "MERGE",
             "key": key,
+            "schema_json": evolved_schema.json(),
             "add": adds,
             "remove": [a["file"] for a in touched],
             "stats": {

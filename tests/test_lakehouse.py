@@ -2407,3 +2407,47 @@ def test_apply_changes_tombstone_blocks_resurrection(spark, tmp_path):
     # purge with nothing to do: no new version
     v = lh.versions(t)[-1]
     assert lh.purge_cdc_tombstones(spark, t) == v
+
+
+# ------------------------------------------- MERGE schema evolution
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """MERGE with merge_schema=True evolves the schema additively:
+    updated rows carry the new column, carried-over rows in rewritten
+    files and rows in untouched files both null-fill, the log schema
+    gains the column (and time travel to the pre-merge version keeps
+    the old one). Without the flag, the same source raises
+    SchemaMismatch."""
+    t = str(tmp_path / "mse")
+    lh.create_or_replace(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, val string"
+        ).repartition(1),
+        "id",
+    )
+    lh.append(
+        spark, t,
+        spark.createDataFrame([(100, "z")], "id long, val string"), "id",
+    )
+    v_pre = lh.versions(t)[-1]
+    src = spark.createDataFrame(
+        [(2, "b2", "extra2"), (3, "c", "extra3")],
+        "id long, val string, note string",
+    )
+    with pytest.raises(lh.SchemaMismatch):
+        lh.merge_into(spark, t, src, "id")
+    lh.merge_into(spark, t, src, "id", merge_schema=True)
+    got = {r["id"]: (r["val"], r["note"]) for r in lh.read(spark, t).collect()}
+    assert got == {
+        1: ("a", None),      # carried over in the rewritten file
+        2: ("b2", "extra2"),
+        3: ("c", "extra3"),
+        100: ("z", None),    # untouched file, null-filled on read
+    }
+    assert "note" in [f.name for f in lh.current_schema(t).fields]
+    assert "note" not in [
+        f.name for f in lh.current_schema(t, v_pre).fields
+    ]
+    assert "note" not in lh.read(spark, t, v_pre).columns

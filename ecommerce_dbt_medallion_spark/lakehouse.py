@@ -952,13 +952,25 @@ def _evolve_schema(table: str, df: DataFrame, merge_schema: bool):
     cur = current_schema(table)
     if cur is None:
         return df, df.schema
+    from pyspark.sql.types import DecimalType
+
     cur_fields = {f.name: f.dataType for f in cur.fields}
     new_fields = {f.name: f.dataType for f in df.schema.fields}
     bad, widen = [], []
     for n, t in new_fields.items():
         if n in cur_fields and cur_fields[n] != t:
-            if cur_fields[n].typeName() in _SAFE_WIDEN.get(t.typeName(), set()):
+            cur_t = cur_fields[n]
+            if cur_t.typeName() in _SAFE_WIDEN.get(t.typeName(), set()):
                 widen.append(n)  # e.g. int literal into a bigint column
+            elif (
+                isinstance(cur_t, DecimalType)
+                and isinstance(t, DecimalType)
+                and cur_t.scale >= t.scale
+                and cur_t.precision - cur_t.scale >= t.precision - t.scale
+            ):
+                # lossless decimal widening: the table's type holds every
+                # value of the source's (scale and integer digits both ≥)
+                widen.append(n)
             else:
                 bad.append(n)
     dropped = [n for n in cur_fields if n not in new_fields]

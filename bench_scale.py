@@ -100,6 +100,10 @@ PROBE_KEYS = [
     "quality_threshold_sweep",
     "dedup_source_overlap",
     "lakehouse_clone_read",
+    # round-8 session-3 keys (cdc keys are events-based and excluded,
+    # same as the other events keys: the probe does not scale events)
+    "paragraph_dedup_rewrite",
+    "boilerplate_ngrams",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

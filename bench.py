@@ -105,6 +105,8 @@ def main() -> None:
         "boilerplate_ngrams",
         "cdc_latest_state",
         "stream_cdc_apply",
+        "shipping_priority_topk",
+        "large_volume_customers",
     ):
         if extra in queries:
             headline.append(extra)

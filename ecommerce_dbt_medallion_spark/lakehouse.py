@@ -1747,6 +1747,15 @@ def apply_changes(
             "table has pending deferred deletes; run materialize_tombstones "
             "before APPLY CHANGES"
         )
+    sch = current_schema(table)
+    if sch is not None and CDC_DELETED_COL not in [f.name for f in sch.fields]:
+        # a pre-existing non-CDC table has no tombstone column: winning
+        # deletes would silently survive as live rows. apply_changes
+        # owns its target from creation (the DLT contract).
+        raise ValueError(
+            f"{table} is not an apply_changes target (missing "
+            f"{CDC_DELETED_COL}); create it via apply_changes itself"
+        )
     latest = _latest_changes(source, key, seq_cols, op_col).localCheckpoint(
         eager=False
     )

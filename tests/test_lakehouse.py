@@ -2451,3 +2451,16 @@ def test_merge_schema_evolution(spark, tmp_path):
         f.name for f in lh.current_schema(t, v_pre).fields
     ]
     assert "note" not in lh.read(spark, t, v_pre).columns
+
+
+def test_apply_changes_rejects_non_cdc_target(spark, tmp_path):
+    """Folding a changelog into a pre-existing NON-CDC table must fail
+    loudly: without the tombstone column, winning deletes would
+    silently survive as live rows."""
+    t = str(tmp_path / "cdc_plain")
+    lh.create_or_replace(
+        spark, t, spark.createDataFrame([(1, "a")], "id long, val string"), "id"
+    )
+    with pytest.raises(ValueError, match="not an apply_changes target"):
+        lh.apply_changes(spark, t, _chg(spark, [(1, 2, "x", "U")]),
+                         "id", ["seq"])

@@ -1878,6 +1878,122 @@ def apply_changes(
     return v
 
 
+def verify_table(spark: SparkSession, table: str) -> dict:
+    """Lakehouse FSCK — the integrity audit an operator runs after an
+    incident (partial restore, manual file surgery, suspected bit rot)
+    and a scheduled job runs continuously at fleet scale. Pure metadata
+    + parquet FOOTER reads (O(live files), never row data), so it is
+    safe to run against a 100 TB table.
+
+    Checks, each an entry in the returned report's ``errors`` list when
+    violated:
+
+    - every live file exists on disk (a missing file = guaranteed
+      future read failure; surfacing it NOW beats a 3 am pager),
+    - every live file's logged ``rows`` matches its parquet footer
+      row count (tampering / truncation / wrong-file-same-name),
+    - per-file key stats are ordered (min_key <= max_key) — an
+      inverted range silently disables pruning soundness,
+    - the logged schema parses and every live footer's columns are a
+      subset of it (a file with columns the schema lacks means a
+      rewrite path lost a schema commit),
+    - checkpoint states REPLAY-EQUAL: the newest readable checkpoint's
+      folded state must equal a from-scratch log fold at its version —
+      a divergent checkpoint would silently fork every subsequent read,
+    - no dangling removes (a remove naming a file never added),
+    - unresolved staged commits are reported (informational: WAP
+      audits pending publish) in ``staged_pending``.
+
+    Returns ``{"ok": bool, "files_checked": n, "errors": [...],
+    "staged_pending": [...]}`` — report, don't raise: an auditor must
+    enumerate EVERY problem, not stop at the first.
+    """
+    report: dict = {"ok": True, "files_checked": 0, "errors": [],
+                    "staged_pending": sorted(_unresolved_staged(table))}
+    vs = versions(table)
+    if not vs:
+        report["ok"] = False
+        report["errors"].append(f"not a table: {table}")
+        return report
+    head = vs[-1]
+
+    # log coherence: adds/removes pair up
+    seen_adds: set = set()
+    for v in vs:
+        e = _read_entry(table, v)
+        for a in e.get("add", []):
+            seen_adds.add(a["file"])
+        for r in e.get("remove", []):
+            if r not in seen_adds:
+                report["errors"].append(
+                    f"v{v}: remove of never-added file {r}"
+                )
+
+    # schema parses
+    sch = None
+    try:
+        sch = current_schema(table)
+    except Exception as exc:  # noqa: BLE001 — auditing, not crashing
+        report["errors"].append(f"schema unreadable: {exc}")
+    sch_cols = {f.name for f in sch.fields} if sch is not None else None
+
+    # live files: existence + footer row count + stats sanity + columns
+    for a in live_files(table):
+        report["files_checked"] += 1
+        path = _abs(table, a["file"])
+        if not os.path.exists(path):
+            report["errors"].append(f"missing data file: {a['file']}")
+            continue
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception as exc:  # noqa: BLE001
+            report["errors"].append(f"unreadable footer: {a['file']}: {exc}")
+            continue
+        if "rows" in a and md.num_rows != a["rows"]:
+            report["errors"].append(
+                f"row-count drift: {a['file']} log={a['rows']} "
+                f"footer={md.num_rows}"
+            )
+        if "min_key" in a and "max_key" in a:
+            lo, hi = a["min_key"], a["max_key"]
+            try:
+                if type(lo) is type(hi) and lo > hi:
+                    report["errors"].append(
+                        f"inverted key stats: {a['file']} [{lo}, {hi}]"
+                    )
+            except TypeError:
+                pass  # mixed-generation stats: comparison not defined
+        if sch_cols is not None:
+            # top-level field names via the arrow schema (ParquetSchema
+            # flattens nested paths; arrow keeps the logical columns)
+            extra = set(md.schema.to_arrow_schema().names) - sch_cols
+            if extra:
+                report["errors"].append(
+                    f"columns outside log schema: {a['file']}: {sorted(extra)}"
+                )
+
+    # checkpoint replay-equality at its own version
+    ck = _latest_checkpoint(table, head)
+    if ck is not None:
+        ck_version, ck_state = ck
+        scratch = _empty_state()
+        for v in vs:
+            if v > ck_version:
+                break
+            scratch = _fold_entry(scratch, _read_entry(table, v))
+        if (
+            scratch["live"] != ck_state["live"]
+            or scratch.get("schema_json") != ck_state.get("schema_json")
+            or scratch.get("tombstones") != ck_state.get("tombstones")
+        ):
+            report["errors"].append(
+                f"checkpoint@v{ck_version} diverges from log replay"
+            )
+
+    report["ok"] = not report["errors"]
+    return report
+
+
 def read_cdc_state(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:

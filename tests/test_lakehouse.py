@@ -2464,3 +2464,77 @@ def test_apply_changes_rejects_non_cdc_target(spark, tmp_path):
     with pytest.raises(ValueError, match="not an apply_changes target"):
         lh.apply_changes(spark, t, _chg(spark, [(1, 2, "x", "U")]),
                          "id", ["seq"])
+
+
+# -------------------------------------------------- verify_table FSCK
+
+
+def test_verify_table_clean(spark, tmp_path):
+    t = str(tmp_path / "fsck")
+    lh.create_or_replace(
+        spark, t,
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                              "id long, val string"),
+        "id",
+    )
+    lh.merge_into(
+        spark, t, spark.createDataFrame([(3, "x")], "id long, val string"),
+        "id",
+    )
+    rep = lh.verify_table(spark, t)
+    assert rep["ok"], rep
+    assert rep["files_checked"] >= 1
+    assert rep["errors"] == []
+
+
+def test_verify_table_detects_corruption(spark, tmp_path):
+    import glob as g
+    import json as j
+    import os
+
+    t = str(tmp_path / "fsck2")
+    lh.create_or_replace(
+        spark, t,
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)]).repartition(2)
+        .toDF("id", "val"),
+        "id",
+    )
+    # (1) missing data file
+    victim = lh.live_files(t)[0]["file"]
+    os.remove(os.path.join(t, lh._DATA_DIR, victim))
+    rep = lh.verify_table(spark, t)
+    assert not rep["ok"]
+    assert any("missing data file" in e for e in rep["errors"])
+    # (2) row-count drift: tamper the log entry
+    entry_path = os.path.join(lh._log_path(t), "v0.json")
+    e = j.load(open(entry_path))
+    e["add"][1]["rows"] += 5
+    j.dump(e, open(entry_path, "w"))
+    rep = lh.verify_table(spark, t)
+    assert any("row-count drift" in e_ for e_ in rep["errors"])
+
+
+def test_verify_table_detects_divergent_checkpoint(spark, tmp_path):
+    import json as j
+    import os
+
+    t = str(tmp_path / "fsck3")
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    lh.create_or_replace(spark, t, df, "id")
+    for i in range(lh.CHECKPOINT_INTERVAL + 1):
+        lh.merge_into(
+            spark, t,
+            spark.createDataFrame([(i + 10, "m")], "id long, val string"),
+            "id",
+        )
+    assert lh.verify_table(spark, t)["ok"]
+    # tamper the newest checkpoint's live set
+    cks = sorted(
+        f for f in os.listdir(lh._log_path(t)) if f.startswith("ckpt-v")
+    )
+    p = os.path.join(lh._log_path(t), cks[-1])
+    raw = j.load(open(p))
+    raw["live"] = raw["live"][:-1]  # drop a file from the snapshot
+    j.dump(raw, open(p, "w"))
+    rep = lh.verify_table(spark, t)
+    assert any("diverges from log replay" in e for e in rep["errors"])

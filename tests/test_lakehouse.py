@@ -2538,3 +2538,55 @@ def test_verify_table_detects_divergent_checkpoint(spark, tmp_path):
     j.dump(raw, open(p, "w"))
     rep = lh.verify_table(spark, t)
     assert any("diverges from log replay" in e for e in rep["errors"])
+
+
+def test_stream_cdc_apply_restart_is_noop(spark):
+    """Draining the CDC stream twice over the same checkpoint must not
+    change the state table: the second availableNow start finds no new
+    files, and even a re-delivered batch would be absorbed by the seq
+    comparison inside apply_changes."""
+    import os
+
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        _ckpt_dir,
+        stream_cdc_apply,
+    )
+
+    first = stream_cdc_apply(spark, SF_SMOKE).collect()
+    tag = os.path.basename(os.path.normpath(SF_SMOKE)).replace(".", "_")
+    state = os.path.normpath(os.path.join(_GATE_ROOT, f"cdcstream_state_{tag}"))
+    v_after = lh.versions(state)[-1]
+    # re-drain WITHOUT the gate's fresh-dirs reset: same source, same
+    # checkpoint, existing state
+    src = os.path.normpath(os.path.join(_GATE_ROOT, f"cdcstream_src_{tag}"))
+    stream = (
+        spark.readStream.schema(lh.read_cdc_state(spark, state).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from pyspark.sql import functions as F
+
+    def _batch(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            chg = batch_df.withColumn(
+                "op",
+                F.when(F.col("event_type") == "error", "D").otherwise("U"),
+            )
+            lh.apply_changes(spark, state, chg, "user_id", ["ts", "event_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", _ckpt_dir(state))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert lh.versions(state)[-1] == v_after  # no new commit
+    second = lh.read_cdc_state(spark, state).select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    assert sorted(map(tuple, second)) == sorted(
+        (r["user_id"], r["last_ts"], r["last_event_type"], r["last_value"])
+        for r in first
+    )

@@ -2363,6 +2363,168 @@ def optimize(
     return v
 
 
+def clustering_depth(
+    table: str, col: str | None = None, version: int | None = None
+) -> dict:
+    """Clustering-health metric (the Delta/Iceberg "clustering depth"):
+    the maximum number of live files whose ``col`` min/max ranges
+    overlap at a single point. Depth 1 = perfectly range-clustered
+    (any point-lookup admits one file); depth N means a worst-case
+    point-lookup or range scan must open N files, so skipping has
+    decayed N-fold. Pure log metadata — no file I/O.
+
+    Returns ``{"depth": int, "files": int, "files_with_stats": int,
+    "clusters": [{"files": [...], "depth": int, "rows": int}, ...]}``
+    where clusters are the connected components of interval overlap in
+    ascending range order. Files without stats (or with
+    incomparable mixed-generation stat types) land in a final
+    conservative cluster with depth = its file count — they admit
+    every probe, which IS worst-case depth.
+    """
+    if col is None:
+        col = _table_key_opt(table, version)
+    intervals, statless = [], []
+    for a in live_files(table, version):
+        if col is not None and col == _table_key_opt(table, version) and "min_key" in a:
+            lo, hi = a["min_key"], a["max_key"]
+        elif col is not None and "col_stats" in a and col in a["col_stats"]:
+            lo, hi = a["col_stats"][col]
+        else:
+            statless.append(a)
+            continue
+        intervals.append((lo, hi, a))
+    try:
+        intervals.sort(key=lambda t: (t[0], t[1]))
+    except TypeError:
+        # mixed stat generations that do not compare: every file is a
+        # candidate for every probe — one conservative cluster
+        statless += [a for (_, _, a) in intervals]
+        intervals = []
+    clusters = []
+    cur: list = []
+    cur_hi = None
+    for lo, hi, a in intervals:
+        if cur and lo <= cur_hi:
+            cur.append((lo, hi, a))
+            cur_hi = max(cur_hi, hi)
+        else:
+            if cur:
+                clusters.append(cur)
+            cur, cur_hi = [(lo, hi, a)], hi
+    if cur:
+        clusters.append(cur)
+
+    def _depth(members) -> int:
+        # +1 sorts before -1 at equal coordinates: inclusive bounds, a
+        # range ending where another starts DOES overlap it
+        events = []
+        for lo, hi, _ in members:
+            events.append((lo, 0))
+            events.append((hi, 1))
+        events.sort()
+        d = best = 0
+        for _, kind in events:
+            d += 1 if kind == 0 else -1
+            best = max(best, d)
+        return best
+
+    out = []
+    for members in clusters:
+        out.append(
+            {
+                "files": [a["file"] for (_, _, a) in members],
+                "depth": _depth(members),
+                "rows": sum(a.get("rows", 0) for (_, _, a) in members),
+            }
+        )
+    if statless:
+        out.append(
+            {
+                "files": [a["file"] for a in statless],
+                "depth": len(statless),
+                "rows": sum(a.get("rows", 0) for a in statless),
+            }
+        )
+    return {
+        "depth": max((c["depth"] for c in out), default=0),
+        "files": len(intervals) + len(statless),
+        "files_with_stats": len(intervals),
+        "clusters": out,
+    }
+
+
+def optimize_incremental(
+    spark: SparkSession,
+    table: str,
+    key: str | None = None,
+    max_depth: int = 2,
+    target_rows: int = 1_000_000,
+) -> int:
+    """Incremental OPTIMIZE — rewrite ONLY the overlap clusters whose
+    clustering depth exceeds ``max_depth``, leaving well-clustered
+    files untouched. At 100 TB a full-table OPTIMIZE is not an option;
+    the operational loop is: churn (MERGE/append) decays clustering in
+    the hot key ranges → ``clustering_depth`` finds the decayed
+    regions → this rewrites exactly those regions, range-clustered, in
+    one commit. Cost ∝ decayed data, not table size (the same
+    churn-not-corpus contract as CDF and the incremental mart
+    refresh).
+
+    A rewrite batches every offending cluster in ONE commit (one
+    log entry, atomic); each cluster re-splits at ``target_rows``.
+    Returns the new version, or the current one when no cluster
+    exceeds ``max_depth``.
+    """
+    import math
+
+    prior = versions(table)
+    if not prior:
+        raise ValueError(f"table {table} does not exist")
+    if key is None:
+        key = _table_key_opt(table)
+    if pending_tombstones(table):
+        materialize_tombstones(spark, table)
+        prior = versions(table)
+    rep = clustering_depth(table, key)
+    bad = [c for c in rep["clusters"] if c["depth"] > max_depth]
+    if not bad:
+        return prior[-1]
+    by_name = {a["file"]: a for a in live_files(table)}
+    adds: list[dict] = []
+    removed: list[str] = []
+    for c in bad:
+        members = [by_name[f] for f in c["files"]]
+        df = _read_files(spark, table, members, None, with_tombstones=False)
+        nfiles = max(1, math.ceil(c["rows"] / target_rows))
+        if key is not None:
+            df = df.repartitionByRange(nfiles, F.col(key)).sortWithinPartitions(
+                key
+            )
+        else:
+            df = df.coalesce(nfiles)
+        adds += _stage_files(df, table, key)
+        removed += c["files"]
+    v = prior[-1] + 1
+    _commit_exclusive(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": "OPTIMIZE INCREMENTAL",
+            "key": key,
+            "add": adds,
+            "remove": removed,
+            "stats": {
+                "clusters_rewritten": len(bad),
+                "files_rewritten": len(removed),
+                "files_carried": len(by_name) - len(removed),
+                "depth_before": rep["depth"],
+            },
+        },
+    )
+    return v
+
+
 def delete_where(
     spark: SparkSession,
     table: str,

@@ -2590,3 +2590,54 @@ def test_stream_cdc_apply_restart_is_noop(spark):
         (r["user_id"], r["last_ts"], r["last_event_type"], r["last_value"])
         for r in first
     )
+
+
+# -------------------------------------- clustering depth / incremental
+
+
+def test_clustering_depth_and_incremental_optimize(spark, tmp_path):
+    """Three appends over the same key range decay depth to 3; a
+    disjoint range stays depth-1 and is NOT rewritten. After
+    optimize_incremental the overlapped region is depth-1, contents
+    identical, and the clean file carried by reference."""
+    t = str(tmp_path / "inc")
+    mk = lambda lo: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, lo + 50)], "id long, val string"
+    ).coalesce(1)
+    lh.create_or_replace(spark, t, mk(0), "id")
+    lh.append(spark, t, mk(0).withColumn("val", F.lit("b")), "id")
+    # append writes distinct rows for same key range (ids 0..49 again
+    # would duplicate keys — use offset rows inside the same RANGE)
+    lh.append(spark, t, mk(10), "id")
+    lh.append(spark, t, mk(1000), "id")  # clean, disjoint range
+    rep = lh.clustering_depth(t)
+    assert rep["depth"] == 3, rep
+    clean = [c for c in rep["clusters"] if c["depth"] == 1]
+    assert len(clean) == 1 and len(clean[0]["files"]) == 1
+    clean_file = clean[0]["files"][0]
+    before = sorted(
+        map(tuple, lh.read(spark, t).collect())
+    )
+    v = lh.optimize_incremental(spark, t, max_depth=1, target_rows=1000)
+    assert v == lh.versions(t)[-1]
+    e = lh._read_entry(t, v)
+    assert e["operation"] == "OPTIMIZE INCREMENTAL"
+    assert clean_file not in e["remove"]
+    assert clean_file in {a["file"] for a in lh.live_files(t)}
+    after = sorted(map(tuple, lh.read(spark, t).collect()))
+    assert after == before
+    assert lh.clustering_depth(t)["depth"] == 1
+    # idempotent: nothing left above the threshold
+    assert lh.optimize_incremental(spark, t, max_depth=1) == v
+
+
+def test_clustering_depth_statless_conservative(spark, tmp_path):
+    """Files without key stats form a conservative cluster whose depth
+    equals its file count (they admit every probe)."""
+    t = str(tmp_path / "inc2")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    lh.create_or_replace(spark, t, df.coalesce(1), key=None)  # keyless
+    lh.append(spark, t, df.coalesce(1))
+    rep = lh.clustering_depth(t)
+    assert rep["files_with_stats"] == 0
+    assert rep["depth"] == rep["files"] == 2

@@ -2381,11 +2381,12 @@ def clustering_depth(
     conservative cluster with depth = its file count — they admit
     every probe, which IS worst-case depth.
     """
+    key_col = _table_key_opt(table, version)
     if col is None:
-        col = _table_key_opt(table, version)
+        col = key_col
     intervals, statless = [], []
     for a in live_files(table, version):
-        if col is not None and col == _table_key_opt(table, version) and "min_key" in a:
+        if col is not None and col == key_col and "min_key" in a:
             lo, hi = a["min_key"], a["max_key"]
         elif col is not None and "col_stats" in a and col in a["col_stats"]:
             lo, hi = a["col_stats"][col]

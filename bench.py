@@ -107,6 +107,8 @@ def main() -> None:
         "stream_cdc_apply",
         "shipping_priority_topk",
         "large_volume_customers",
+        "local_supplier_volume",
+        "promo_revenue_share",
     ):
         if extra in queries:
             headline.append(extra)

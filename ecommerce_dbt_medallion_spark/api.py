@@ -123,8 +123,9 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # their slots to the session-3 keys paragraph_dedup_rewrite and
 # boilerplate_ngrams). The round-8 window SATURATED at 50 with the 39
 # r5-stale keys + 11 never-certified, so the newest session-3 keys
-# — cdc_latest_state, stream_cdc_apply, shipping_priority_topk and
-# large_volume_customers — are DEFERRED: they go FIRST in the round-9
+# — cdc_latest_state, stream_cdc_apply, shipping_priority_topk,
+# large_volume_customers, local_supplier_volume and
+# promo_revenue_share — are DEFERRED: they go FIRST in the round-9
 # window (never-certified outranks green; all are locally
 # parity-pinned at sf0.001 + sf0.01 meanwhile).
 # No key's latest driver row should ever be more than two rounds
@@ -360,6 +361,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "stream_cdc_apply": strm_ingest.stream_cdc_apply,
         "shipping_priority_topk": ana.shipping_priority_topk,
         "large_volume_customers": ana.large_volume_customers,
+        "local_supplier_volume": ana.local_supplier_volume,
+        "promo_revenue_share": ana.promo_revenue_share,
     }
 
 
@@ -587,9 +590,11 @@ def oracle_sql() -> dict[str, str]:
     # construction, regardless of batch chopping)
     out["cdc_latest_state"] = ev.ORACLE_CDC_LATEST_STATE
     out["stream_cdc_apply"] = ev.ORACLE_CDC_LATEST_STATE
-    # round 8 (session 3): TPC-H Q3/Q18-shape relational marts
+    # round 8 (session 3): TPC-H Q3/Q18/Q5/Q14-shape relational marts
     out["shipping_priority_topk"] = ana.ORACLE_SHIPPING_PRIORITY_TOPK
     out["large_volume_customers"] = ana.ORACLE_LARGE_VOLUME_CUSTOMERS
+    out["local_supplier_volume"] = ana.ORACLE_LOCAL_SUPPLIER_VOLUME
+    out["promo_revenue_share"] = ana.ORACLE_PROMO_REVENUE_SHARE
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

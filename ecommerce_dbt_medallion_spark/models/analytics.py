@@ -1519,3 +1519,144 @@ join customer c on c.c_custkey = o.o_custkey
 order by o_totalprice desc, o_orderdate, o_orderkey
 limit {Q18_TOPK}
 """
+
+
+# ----------------------------------------------- local supplier volume
+
+Q5_WINDOW_DAYS = 365
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape local-supplier volume: revenue per (region,
+    nation) where the LINEITEM'S SUPPLIER and the ORDER'S CUSTOMER sit
+    in the same nation, over the dataset's first year. The classic
+    join-graph query (6 tables, one non-key equality s_nationkey =
+    c_nationkey) that join ordering exists for.
+
+    Plan: the date filter cuts orders at the scan; the two fact joins
+    shuffle on their natural keys; nation/region are provably tiny and
+    broadcast; the nation-match is a post-join filter on two already-
+    carried int columns (never a join explosion). Revenue is the
+    shared exact-decimal expression.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cut = orders.agg(
+        F.date_add(F.to_date(F.min("o_orderdate")), Q5_WINDOW_DAYS).alias("hi")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.crossJoin(F.broadcast(cut))
+        .where(F.to_date("o_orderdate") < F.col("hi"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(_discounted_rev()).alias("rev_dec"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = f"""
+with cut as (
+    select cast(min(o_orderdate) as date) + {Q5_WINDOW_DAYS} as hi
+    from orders
+)
+select r.r_name, n.n_name,
+    cast(count(*) as bigint) as n_lineitems,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+        * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4)))
+        as double) as revenue
+from customer c
+join orders o on o.o_custkey = c.c_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+join supplier s on s.s_suppkey = l.l_suppkey
+              and s.s_nationkey = c.c_nationkey
+join nation n on n.n_nationkey = c.c_nationkey
+join region r on r.r_regionkey = n.n_regionkey
+cross join cut
+where cast(o.o_orderdate as date) < cut.hi
+group by 1, 2
+"""
+
+
+# ------------------------------------------------- promo revenue share
+
+PROMO_TYPE = "PROMO"
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape promotion effect as a monthly time series: per
+    ship month, revenue from PROMO-type parts vs total, and the promo
+    share in percent.
+
+    Plan: one lineitem ⋈ part equi-join (part is the smaller side —
+    AQE broadcasts it at test SF, shuffles at 100 TB), then a single
+    month-grain conditional aggregate (map-side partials; the
+    promo/total split is a CASE inside the same pass, not a second
+    scan). Share = one double division of two exact decimal sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _discounted_rev()
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == PROMO_TYPE, rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("promo_dec"),
+            F.sum(rev).alias("total_dec"),
+        )
+        .select(
+            "ship_month",
+            F.col("promo_dec").cast("double").alias("promo_revenue"),
+            F.col("total_dec").cast("double").alias("total_revenue"),
+            F.round(
+                F.lit(100.0) * F.col("promo_dec").cast("double")
+                / F.col("total_dec").cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = f"""
+with j as (
+    select strftime(cast(l.l_shipdate as date), '%Y-%m') as ship_month,
+        cast(cast(l.l_extendedprice as decimal(18,2))
+            * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4))
+            as rev,
+        p.p_type
+    from lineitem l join part p on p.p_partkey = l.l_partkey
+)
+select ship_month,
+    cast(sum(case when p_type = '{PROMO_TYPE}' then rev
+                  else cast(0 as decimal(18,4)) end) as double)
+        as promo_revenue,
+    cast(sum(rev) as double) as total_revenue,
+    round(100.0 * cast(sum(case when p_type = '{PROMO_TYPE}' then rev
+                               else cast(0 as decimal(18,4)) end) as double)
+          / cast(sum(rev) as double), 4) as promo_share_pct
+from j
+group by 1
+"""

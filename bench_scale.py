@@ -104,6 +104,10 @@ PROBE_KEYS = [
     # same as the other events keys: the probe does not scale events)
     "paragraph_dedup_rewrite",
     "boilerplate_ngrams",
+    "shipping_priority_topk",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "promo_revenue_share",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -109,6 +109,11 @@ def main() -> None:
         "large_volume_customers",
         "local_supplier_volume",
         "promo_revenue_share",
+        # round-8 session 4: TPC-H Q13/Q17/Q22/Q15-shape marts
+        "customer_order_distribution",
+        "small_quantity_revenue",
+        "idle_high_balance_customers",
+        "top_supplier_revenue",
     ):
         if extra in queries:
             headline.append(extra)

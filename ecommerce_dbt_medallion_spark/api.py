@@ -127,7 +127,11 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # large_volume_customers, local_supplier_volume and
 # promo_revenue_share — are DEFERRED: they go FIRST in the round-9
 # window (never-certified outranks green; all are locally
-# parity-pinned at sf0.001 + sf0.01 meanwhile).
+# parity-pinned at sf0.001 + sf0.01 meanwhile). The session-4 keys
+# — customer_order_distribution, small_quantity_revenue,
+# idle_high_balance_customers, top_supplier_revenue, plus any later
+# session-4 additions noted here — join that deferred head of the
+# round-9 window under the same rule.
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -363,6 +367,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "large_volume_customers": ana.large_volume_customers,
         "local_supplier_volume": ana.local_supplier_volume,
         "promo_revenue_share": ana.promo_revenue_share,
+        "customer_order_distribution": ana.customer_order_distribution,
+        "small_quantity_revenue": ana.small_quantity_revenue,
+        "idle_high_balance_customers": ana.idle_high_balance_customers,
+        "top_supplier_revenue": ana.top_supplier_revenue,
     }
 
 
@@ -595,6 +603,11 @@ def oracle_sql() -> dict[str, str]:
     out["large_volume_customers"] = ana.ORACLE_LARGE_VOLUME_CUSTOMERS
     out["local_supplier_volume"] = ana.ORACLE_LOCAL_SUPPLIER_VOLUME
     out["promo_revenue_share"] = ana.ORACLE_PROMO_REVENUE_SHARE
+    # round 8 (session 4): TPC-H Q13/Q17/Q22/Q15-shape relational marts
+    out["customer_order_distribution"] = ana.ORACLE_CUSTOMER_ORDER_DISTRIBUTION
+    out["small_quantity_revenue"] = ana.ORACLE_SMALL_QUANTITY_REVENUE
+    out["idle_high_balance_customers"] = ana.ORACLE_IDLE_HIGH_BALANCE_CUSTOMERS
+    out["top_supplier_revenue"] = ana.ORACLE_TOP_SUPPLIER_REVENUE
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

@@ -1660,3 +1660,269 @@ select ship_month,
 from j
 group by 1
 """
+
+
+# ------------------------------------------- customer order distribution
+
+# Q13's "special requests" exclusion class, mapped onto the priority
+# column this schema has (orders 6-col schema; no o_comment exists).
+Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape customer order-count distribution: for each
+    order count k (counting only orders outside the excluded priority
+    class), how many customers placed exactly k such orders — customers
+    with none appear in the k=0 bucket.
+
+    Plan: orders aggregate to customer grain FIRST (map-side partial
+    count on o_custkey — the fact table collapses ~10x before any
+    join), then ONE shuffle join against the customer key list with a
+    zero-fill for orderless customers; the outer-join-then-count form
+    would instead carry every order row through the join. The second
+    aggregate runs at order-count grain (tiny by construction: at most
+    max-orders-per-customer distinct groups).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    return (
+        cust.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .na.fill({"order_count": 0})
+        .groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.col("order_count").cast("long").alias("order_count"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = f"""
+with per_cust as (
+    select c.c_custkey, count(o.o_orderkey) as order_count
+    from customer c
+    left join orders o
+        on o.o_custkey = c.c_custkey
+       and o.o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+    group by 1
+)
+select cast(order_count as bigint) as order_count,
+    cast(count(*) as bigint) as n_customers
+from per_cust
+group by 1
+"""
+
+
+# ---------------------------------------------- small-quantity revenue
+
+Q17_QTY_FRACTION = 0.5  # lines below this fraction of the part's avg qty
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape small-quantity order revenue, reported per
+    brand: revenue locked in lineitems whose quantity sits below
+    ``Q17_QTY_FRACTION`` x that part's average quantity.
+
+    Plan: the per-part average aggregates lineitem on l_partkey
+    (map-side partials), then joins BACK to lineitem on the same key —
+    Spark reuses the l_partkey hash partitioning across the agg and the
+    join, and the part-dim join rides the identical key, so the whole
+    pipeline is one shuffle family (no second exchange; the plan pin
+    checks a single l_partkey exchange feeds the join). Determinism:
+    l_quantity is integral (1..50), so the double average is EXACT
+    (integer partial sums < 2^53 commute losslessly) — the threshold
+    compare cannot flip between engines or partition orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avg_q, F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.lit(Q17_QTY_FRACTION) * F.col("avg_qty"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev_dec"),
+        )
+        .select(
+            "p_brand",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("rev_dec").cast("double").alias("small_qty_revenue"),
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = f"""
+with avg_q as (
+    select l_partkey as ap_key, avg(l_quantity) as avg_qty
+    from lineitem
+    group by 1
+)
+select p.p_brand,
+    cast(count(*) as bigint) as n_lines,
+    cast(sum(cast(l.l_extendedprice as decimal(18,2))) as double)
+        as small_qty_revenue
+from lineitem l
+join avg_q a on a.ap_key = l.l_partkey
+join part p on p.p_partkey = l.l_partkey
+where l.l_quantity < {Q17_QTY_FRACTION} * a.avg_qty
+group by 1
+"""
+
+
+# ------------------------------------------ idle high-balance customers
+
+Q22_URGENT_PRIORITY = "1-URGENT"
+
+
+def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape untapped-customer report: per market segment,
+    customers whose account balance exceeds the average POSITIVE
+    balance yet who have never placed an urgent order (the schema has
+    no 7-year inactivity horizon; 'no urgent order' is this corpus's
+    idle predicate).
+
+    Plan: the global threshold is a one-row aggregate broadcast by
+    crossJoin (never a shuffle); the no-urgent-orders predicate is a
+    LeftAnti join on o_custkey (the plan pin checks it — EXISTS/IN
+    rewrites that dedup-then-outer-join would double-shuffle);
+    the final aggregate is segment-grain (5 groups). Determinism:
+    the above-average compare runs in integer CENTS cross-multiplied
+    (bal_cents * n_pos > sum_cents) — exact on both engines, no
+    double-average ulp boundary.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    urgent = orders.where(
+        F.col("o_orderpriority") == Q22_URGENT_PRIORITY
+    ).select("o_custkey")
+    return (
+        cust.withColumn("bal_cents", cents)
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("tot_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            (F.col("tot_cents").cast("double") / 100.0).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_IDLE_HIGH_BALANCE_CUSTOMERS = f"""
+with pos as (
+    select sum(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint))
+            as sum_cents,
+        count(*) as n_pos
+    from customer
+    where c_acctbal > 0
+),
+eligible as (
+    select c.c_mktsegment,
+        cast(cast(c.c_acctbal as decimal(18,2)) * 100 as bigint) as bal_cents
+    from customer c
+    cross join pos
+    where cast(cast(c.c_acctbal as decimal(18,2)) * 100 as bigint) * pos.n_pos
+            > pos.sum_cents
+      and not exists (
+        select 1 from orders o
+        where o.o_custkey = c.c_custkey
+          and o.o_orderpriority = '{Q22_URGENT_PRIORITY}'
+      )
+)
+select c_mktsegment,
+    cast(count(*) as bigint) as n_customers,
+    cast(sum(bal_cents) as double) / 100.0 as total_acctbal
+from eligible
+group by 1
+"""
+
+
+# ---------------------------------------------------- top supplier(s)
+
+Q15_WINDOW_DAYS = 90
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape top supplier: over the corpus's first
+    ``Q15_WINDOW_DAYS`` days of shipments, the supplier(s) whose
+    discounted revenue equals the maximum — ties all surface, exactly
+    as Q15's view-based formulation requires.
+
+    Plan: one l_suppkey-grain aggregate (map-side partials), the max is
+    a one-row aggregate broadcast back over the supplier-grain rollup
+    (never a global window/sort — supplier grain is NOT calendar-
+    bounded, so the unpartitioned-window form would single-thread ~1e9
+    rows at 100 TB), and the winner set joins the supplier dim. The
+    rollup is lazily localCheckpoint-ed: both the max branch and the
+    probe branch read the SAME materialized supplier-grain RDD, so the
+    fact table is scanned once (the naive self-reference recomputes the
+    whole lineitem aggregate twice — the plan test pins the single
+    scan). Determinism: revenue and the max-equality compare stay in
+    exact decimal; doubles appear only at the output boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    cut = li.agg(
+        F.date_add(F.to_date(F.min("l_shipdate")), Q15_WINDOW_DAYS).alias("hi")
+    )
+    per_supp = (
+        li.crossJoin(F.broadcast(cut))
+        .where(F.to_date("l_shipdate") < F.col("hi"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_discounted_rev()).alias("rev_dec"))
+        .localCheckpoint(eager=False)
+    )
+    best = per_supp.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        per_supp.crossJoin(F.broadcast(best))
+        .where(F.col("rev_dec") == F.col("max_dec"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = f"""
+with cut as (
+    select cast(min(l_shipdate) as date) + {Q15_WINDOW_DAYS} as hi
+    from lineitem
+),
+per_supp as (
+    select l.l_suppkey,
+        sum(cast(cast(l.l_extendedprice as decimal(18,2))
+            * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4)))
+            as rev_dec
+    from lineitem l cross join cut
+    where cast(l.l_shipdate as date) < cut.hi
+    group by 1
+)
+select cast(s.s_suppkey as bigint) as s_suppkey,
+    s.s_name,
+    cast(p.rev_dec as double) as total_revenue
+from per_supp p
+join supplier s on s.s_suppkey = p.l_suppkey
+where p.rev_dec = (select max(rev_dec) from per_supp)
+"""

@@ -1248,3 +1248,146 @@ def test_promo_revenue_share_bounds(spark):
     for r in rows:
         assert 0.0 <= r["promo_share_pct"] <= 100.0
         assert r["promo_revenue"] <= r["total_revenue"] + 1e-9
+
+
+def test_customer_order_distribution_mass_conservation(spark):
+    """The distribution partitions the customer set exactly, and the
+    count-weighted sum reconciles against an independent order count
+    of the non-excluded priority classes."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        Q13_EXCLUDED_PRIORITY,
+        customer_order_distribution,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = customer_order_distribution(spark, SF_SMOKE).collect()
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    n_orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["order_count"] * r["n_customers"] for r in rows) == n_orders
+    assert len({r["order_count"] for r in rows}) == len(rows)
+
+
+def test_small_quantity_revenue_matches_window_recount(spark):
+    """Per-brand totals must equal an independent recount that derives
+    the per-part average with a WINDOW instead of the agg-then-join
+    pipeline (different plan, same semantics)."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        Q17_QTY_FRACTION,
+        small_quantity_revenue,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = {
+        r["p_brand"]: (r["n_lines"], r["small_qty_revenue"])
+        for r in small_quantity_revenue(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    w = Window.partitionBy("l_partkey")
+    ref = (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < F.lit(Q17_QTY_FRACTION) * F.col("avg_qty"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    )
+    assert got, "no small-quantity rows at smoke SF"
+    assert len(ref) == len(got)
+    for r in ref:
+        n, rev = got[r["p_brand"]]
+        assert n == r["n"]
+        assert abs(rev - r["rev"]) < 1e-6
+
+
+def test_idle_high_balance_customers_membership(spark):
+    """Segment counts must equal an independent membership recount:
+    balance strictly above the positive average (exact cents compare)
+    and zero urgent orders."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        Q22_URGENT_PRIORITY,
+        idle_high_balance_customers,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = idle_high_balance_customers(spark, SF_SMOKE).collect()
+    cust = load_table(spark, SF_SMOKE, "customer").collect()
+    urgent = {
+        r["o_custkey"]
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderpriority") == Q22_URGENT_PRIORITY)
+        .select("o_custkey")
+        .collect()
+    }
+    from decimal import Decimal
+
+    cents = {
+        r["c_custkey"]: int(
+            (Decimal(str(r["c_acctbal"])).quantize(Decimal("0.01"))) * 100
+        )
+        for r in cust
+    }
+    pos = [v for v in cents.values() if v > 0]
+    want: dict = {}
+    for r in cust:
+        c = cents[r["c_custkey"]]
+        if c * len(pos) > sum(pos) and r["c_custkey"] not in urgent:
+            seg = want.setdefault(r["c_mktsegment"], [0, 0])
+            seg[0] += 1
+            seg[1] += c
+    assert rows, "no idle high-balance rows at smoke SF"
+    got = {r["c_mktsegment"]: r for r in rows}
+    assert set(got) == set(want)
+    for seg, (n, tot) in want.items():
+        assert got[seg]["n_customers"] == n
+        assert abs(got[seg]["total_acctbal"] - tot / 100.0) < 1e-6
+
+
+def test_top_supplier_revenue_is_argmax_with_ties(spark):
+    """The winner set is exactly the argmax of an independently
+    computed per-supplier revenue rollup over the same window."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        Q15_WINDOW_DAYS,
+        top_supplier_revenue,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = top_supplier_revenue(spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    lo = li.agg(F.min(F.to_date("l_shipdate"))).collect()[0][0]
+    import datetime
+
+    hi = lo + datetime.timedelta(days=Q15_WINDOW_DAYS)
+    per = (
+        li.where(F.to_date("l_shipdate") < F.lit(hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("decimal(18,4)")
+            ).alias("rev")
+        )
+        .collect()
+    )
+    best = max(r["rev"] for r in per)
+    winners = {r["l_suppkey"] for r in per if r["rev"] == best}
+    assert {r["s_suppkey"] for r in rows} == winners
+    for r in rows:
+        assert abs(r["total_revenue"] - float(best)) < 1e-6

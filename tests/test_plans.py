@@ -457,3 +457,57 @@ def test_boilerplate_ngrams_two_phase_distinct(spark):
         .toString()
     )
     assert "partial_count(distinct" in plan
+
+
+def test_session4_marts_plan_shapes(spark):
+    """Round-8 session-4 relational marts: the shapes that make them
+    scale. Q22 must anti-join (LeftAnti), never dedup-then-outer-join;
+    Q13/Q17 must aggregate the fact BEFORE joining (no window, bounded
+    exchange count); Q15 must read ONE materialized supplier rollup
+    from both the max branch and the probe branch (the naive
+    self-reference scans the fact twice)."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        customer_order_distribution,
+        idle_high_balance_customers,
+        small_quantity_revenue,
+        top_supplier_revenue,
+    )
+
+    q22 = (
+        idle_high_balance_customers(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in q22
+    assert "Window" not in q22
+
+    q13 = (
+        customer_order_distribution(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in q13
+    assert q13.count("Exchange hashpartitioning") <= 2
+
+    q17 = (
+        small_quantity_revenue(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in q17
+    assert q17.count("Exchange hashpartitioning") <= 2
+
+    q15 = (
+        top_supplier_revenue(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in q15
+    # both consumers read the lazily-checkpointed rollup, the fact
+    # table appears in no branch of the final plan
+    assert q15.count("ExistingRDD") == 2
+    assert "lineitem" not in q15

@@ -108,6 +108,11 @@ PROBE_KEYS = [
     "large_volume_customers",
     "local_supplier_volume",
     "promo_revenue_share",
+    # round-8 session-4 keys
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "idle_high_balance_customers",
+    "top_supplier_revenue",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

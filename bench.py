@@ -109,11 +109,14 @@ def main() -> None:
         "large_volume_customers",
         "local_supplier_volume",
         "promo_revenue_share",
-        # round-8 session 4: TPC-H Q13/Q17/Q22/Q15-shape marts
+        # round-8 session 4: TPC-H Q13/Q17/Q22/Q15-shape marts, and the
+        # streaming HLL register maintenance (construction-timed:
+        # foreachBatch drains during construction)
         "customer_order_distribution",
         "small_quantity_revenue",
         "idle_high_balance_customers",
         "top_supplier_revenue",
+        "stream_distinct_sketch",
     ):
         if extra in queries:
             headline.append(extra)
@@ -136,7 +139,7 @@ def main() -> None:
                           "pq_quantize", "lakehouse_zorder_prune",
                           "stream_dedup_ingest", "stream_cluster_maintain",
                           "stream_quantile_sketch", "lakehouse_clone_read",
-                          "stream_cdc_apply"}
+                          "stream_cdc_apply", "stream_distinct_sketch"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -129,9 +129,10 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # window (never-certified outranks green; all are locally
 # parity-pinned at sf0.001 + sf0.01 meanwhile). The session-4 keys
 # — customer_order_distribution, small_quantity_revenue,
-# idle_high_balance_customers, top_supplier_revenue, plus any later
-# session-4 additions noted here — join that deferred head of the
-# round-9 window under the same rule.
+# idle_high_balance_customers, top_supplier_revenue,
+# stream_distinct_sketch, plus any later session-4 additions noted
+# here — join that deferred head of the round-9 window under the
+# same rule.
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -371,6 +372,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "small_quantity_revenue": ana.small_quantity_revenue,
         "idle_high_balance_customers": ana.idle_high_balance_customers,
         "top_supplier_revenue": ana.top_supplier_revenue,
+        "stream_distinct_sketch": strm_sketch.stream_distinct_sketch,
     }
 
 
@@ -608,6 +610,9 @@ def oracle_sql() -> dict[str, str]:
     out["small_quantity_revenue"] = ana.ORACLE_SMALL_QUANTITY_REVENUE
     out["idle_high_balance_customers"] = ana.ORACLE_IDLE_HIGH_BALANCE_CUSTOMERS
     out["top_supplier_revenue"] = ana.ORACLE_TOP_SUPPLIER_REVENUE
+    # round 8 (session 4): streaming HLL register maintenance — the
+    # batch estimator oracle minus its exact-count column
+    out["stream_distinct_sketch"] = ev.oracle_stream_distinct_sketch()
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

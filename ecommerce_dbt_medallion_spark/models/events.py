@@ -398,6 +398,22 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
     )
+    wide = hll_estimates_from_regs(hll_register_state(ev))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(wide, "event_type").select(
+        "event_type", "exact_users", "est_m16", "est_m256", "est_m4096"
+    )
+
+
+def hll_register_state(ev: DataFrame) -> DataFrame:
+    """HLL register state rows (event_type, p, bucket, reg) over
+    (event_type, user_id) input — the fixed-size MERGEABLE state: two
+    states over disjoint (or overlapping!) inputs merge by
+    max(reg) per (event_type, p, bucket), which is what makes the
+    estimator shard-, partition- and micro-batch-invariant (the
+    streaming sibling relies on exactly this algebra)."""
     structs = []
     for p in _HLL_PRECISIONS:
         bucket, rho = _hll_bucket_rho(p)
@@ -408,12 +424,17 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rho.alias("rho"),
             )
         )
-    regs = (
+    return (
         ev.select("event_type", F.explode(F.array(*structs)).alias("s"))
         .select("event_type", "s.p", "s.bucket", "s.rho")
         .groupBy("event_type", "p", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_estimates_from_regs(regs: DataFrame) -> DataFrame:
+    """Estimates (event_type, est_m16, est_m256, est_m4096) from
+    register-state rows — state-only compute, never the fact."""
     # 2^(65-reg) is a power of two — exact as double, exact after the
     # decimal cast; the scaled harmonic sum is order-independent.
     two65 = F.expr(f"cast('{_HLL_TWO65}' as decimal(38,0))")
@@ -438,7 +459,7 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         est = (est if est is not None else F.when(F.lit(False), None)).when(
             F.col("p") == p, corrected
         )
-    wide = (
+    return (
         per_p.withColumn("est", est)
         .groupBy("event_type")
         .agg(
@@ -449,12 +470,6 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for p in _HLL_PRECISIONS
             ]
         )
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")
-    )
-    return exact.join(wide, "event_type").select(
-        "event_type", "exact_users", "est_m16", "est_m256", "est_m4096"
     )
 
 
@@ -1832,3 +1847,16 @@ select cast(user_id as bigint) as user_id,
 from r
 where rn = 1 and event_type <> '{CDC_DELETE_TYPE}'
 """
+
+
+def oracle_stream_distinct_sketch() -> str:
+    """Oracle for the streaming HLL key: the batch oracle minus the
+    exact-count column (exact distinct needs corpus-scale online state;
+    the registers are the thing the stream maintains). Register
+    max-merge associativity + idempotence make the streamed estimates
+    equal the batch estimates bit-for-bit."""
+    return (
+        "select event_type, est_m16, est_m256, est_m4096 from ("
+        + oracle_sketch_distinct_users()
+        + ") _batch_sketch"
+    )

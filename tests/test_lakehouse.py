@@ -2641,3 +2641,57 @@ def test_clustering_depth_statless_conservative(spark, tmp_path):
     rep = lh.clustering_depth(t)
     assert rep["files_with_stats"] == 0
     assert rep["depth"] == rep["files"] == 2
+
+
+def test_stream_hll_replay_and_batch_equality(spark, tmp_path):
+    """HLL register maintenance: a checkpoint-loss replay of the whole
+    source must leave the stored state untouched (batch-tag anti-join
+    guard), and the max-merged streaming state must equal the
+    batch-built register state — including across batches that SHARE
+    users (max is idempotent, the property the batch-chop invariance
+    rests on)."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.models.events import (
+        hll_estimates_from_regs,
+        hll_register_state,
+    )
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
+    from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stream_hll_ingest,
+        stream_state_hll_estimates,
+    )
+
+    # two batches with overlapping users (user_id % 700: 300..699 shared)
+    rows = [("click", i % 700) for i in range(1000)] + [
+        ("view", (i * 13) % 450) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    for k in range(2):
+        staging = str(tmp_path / f"hstage{k}")
+        df.where(F.col("user_id") % 2 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        (part,) = [f for f in _os.listdir(staging) if f.endswith(".parquet")]
+        _os.replace(_os.path.join(staging, part), str(src / f"b{k}.parquet"))
+
+    state = str(tmp_path / "hll_state")
+    stream_hll_ingest(spark, str(src), state, "event_type string, user_id long")
+    first = sorted(map(tuple, stream_state_hll_estimates(spark, state).collect()))
+    v_first = lh.versions(state)[-1]
+
+    shutil.rmtree(_ckpt_dir(state), ignore_errors=True)
+    stream_hll_ingest(spark, str(src), state, "event_type string, user_id long")
+    again = sorted(map(tuple, stream_state_hll_estimates(spark, state).collect()))
+    assert again == first
+    assert lh.versions(state)[-1] == v_first
+
+    batch = sorted(
+        map(tuple, hll_estimates_from_regs(hll_register_state(df)).collect())
+    )
+    assert first == batch

@@ -117,6 +117,8 @@ def main() -> None:
         "idle_high_balance_customers",
         "top_supplier_revenue",
         "stream_distinct_sketch",
+        "part_supplier_diversity",
+        "disjunctive_band_revenue",
     ):
         if extra in queries:
             headline.append(extra)

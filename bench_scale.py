@@ -113,6 +113,8 @@ PROBE_KEYS = [
     "small_quantity_revenue",
     "idle_high_balance_customers",
     "top_supplier_revenue",
+    "part_supplier_diversity",
+    "disjunctive_band_revenue",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

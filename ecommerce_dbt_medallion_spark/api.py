@@ -130,7 +130,8 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # parity-pinned at sf0.001 + sf0.01 meanwhile). The session-4 keys
 # — customer_order_distribution, small_quantity_revenue,
 # idle_high_balance_customers, top_supplier_revenue,
-# stream_distinct_sketch, plus any later session-4 additions noted
+# stream_distinct_sketch, part_supplier_diversity,
+# disjunctive_band_revenue, plus any later session-4 additions noted
 # here — join that deferred head of the round-9 window under the
 # same rule.
 # No key's latest driver row should ever be more than two rounds
@@ -373,6 +374,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "idle_high_balance_customers": ana.idle_high_balance_customers,
         "top_supplier_revenue": ana.top_supplier_revenue,
         "stream_distinct_sketch": strm_sketch.stream_distinct_sketch,
+        "part_supplier_diversity": ana.part_supplier_diversity,
+        "disjunctive_band_revenue": ana.disjunctive_band_revenue,
     }
 
 
@@ -613,6 +616,9 @@ def oracle_sql() -> dict[str, str]:
     # round 8 (session 4): streaming HLL register maintenance — the
     # batch estimator oracle minus its exact-count column
     out["stream_distinct_sketch"] = ev.oracle_stream_distinct_sketch()
+    # round 8 (session 4): TPC-H Q16/Q19-shape relational marts
+    out["part_supplier_diversity"] = ana.ORACLE_PART_SUPPLIER_DIVERSITY
+    out["disjunctive_band_revenue"] = ana.ORACLE_DISJUNCTIVE_BAND_REVENUE
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

@@ -1926,3 +1926,128 @@ from per_supp p
 join supplier s on s.s_suppkey = p.l_suppkey
 where p.rev_dec = (select max(rev_dec) from per_supp)
 """
+
+
+# -------------------------------------------- part supplier diversity
+
+
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape supplier diversity: per (p_type, p_size), how
+    many DISTINCT suppliers have shipped that part class — excluding
+    suppliers in deficit (s_acctbal < 0; the schema has no complaint
+    comments, deficit is this corpus's exclusion class).
+
+    Plan: lineitem collapses to distinct (partkey, suppkey) pairs
+    FIRST (~30x shrink of the fact before any join; Spark plans the
+    count-distinct two-phase so no raw occurrence ships to one
+    reducer), the exclusion is a LeftAnti against the FILTERED
+    supplier set (tiny — broadcast at any scale, it's the deficit
+    subset), and the part join carries only the pair grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+    )
+    return (
+        pairs.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+    )
+
+
+ORACLE_PART_SUPPLIER_DIVERSITY = """
+with pairs as (
+    select distinct l_partkey, l_suppkey from lineitem
+),
+kept as (
+    select p.* from pairs p
+    where not exists (
+        select 1 from supplier s
+        where s.s_suppkey = p.l_suppkey and s.s_acctbal < 0
+    )
+)
+select t.p_type, cast(t.p_size as bigint) as p_size,
+    cast(count(distinct k.l_suppkey) as bigint) as supplier_cnt
+from kept k join part t on t.p_partkey = k.l_partkey
+group by 1, 2
+"""
+
+
+# ----------------------------------------------- disjunctive revenue
+
+# Q19's OR-of-ANDs bands mapped onto this schema's brands/quantities.
+Q19_BANDS = (
+    ("Brand#12", 1, 11),
+    ("Brand#23", 10, 20),
+    ("Brand#34", 20, 30),
+)
+
+
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape disjunctive-predicate revenue: discounted
+    revenue of lineitems matching ANY (brand, quantity-band) clause,
+    reported per brand.
+
+    The point of this key is the OPTIMIZER shape: from the OR-of-ANDs
+    Catalyst must still derive a pushable per-side residual — the
+    brand disjunction reaches the part scan and the quantity-range
+    disjunction reaches the lineitem scan as PushedFilters (plan test
+    pins both), so at 100 TB the join sees only band-eligible rows
+    from each side instead of filtering after the join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    clause = None
+    for brand, lo, hi in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        )
+        clause = c if clause is None else (clause | c)
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .where(clause)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_discounted_rev()).alias("rev_dec"),
+        )
+        .select(
+            "p_brand",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("rev_dec").cast("double").alias("band_revenue"),
+        )
+    )
+
+
+def _q19_sql_clause() -> str:
+    return " or ".join(
+        f"(p.p_brand = '{b}' and l.l_quantity >= {lo} and l.l_quantity <= {hi})"
+        for b, lo, hi in Q19_BANDS
+    )
+
+
+ORACLE_DISJUNCTIVE_BAND_REVENUE = f"""
+select p.p_brand,
+    cast(count(*) as bigint) as n_lines,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+        * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4)))
+        as double) as band_revenue
+from lineitem l
+join part p on p.p_partkey = l.l_partkey
+where {_q19_sql_clause()}
+group by 1
+"""

@@ -1391,3 +1391,65 @@ def test_top_supplier_revenue_is_argmax_with_ties(spark):
     assert {r["s_suppkey"] for r in rows} == winners
     for r in rows:
         assert abs(r["total_revenue"] - float(best)) < 1e-6
+
+
+def test_part_supplier_diversity_excludes_deficit_suppliers(spark):
+    """Counts must equal an independent pair-set recount, and no
+    deficit supplier may contribute anywhere."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        part_supplier_diversity,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = part_supplier_diversity(spark, SF_SMOKE).collect()
+    assert rows, "no diversity rows at smoke SF"
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = {
+        r["p_partkey"]: (r["p_type"], r["p_size"])
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    }
+    bad = {
+        r["s_suppkey"]
+        for r in load_table(spark, SF_SMOKE, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .collect()
+    }
+    pairs = {
+        (r["l_partkey"], r["l_suppkey"])
+        for r in li.select("l_partkey", "l_suppkey").distinct().collect()
+        if r["l_suppkey"] not in bad
+    }
+    want: dict = {}
+    for pk, sk in pairs:
+        want.setdefault(part[pk], set()).add(sk)
+    got = {(r["p_type"], r["p_size"]): r["supplier_cnt"] for r in rows}
+    assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_disjunctive_band_revenue_bands_exact(spark):
+    """Each reported brand's rows must match exactly the lines inside
+    that brand's quantity band (strict band membership, per-brand)."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        Q19_BANDS,
+        disjunctive_band_revenue,
+    )
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["p_brand"]: r for r in disjunctive_band_revenue(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    for brand, lo, hi in Q19_BANDS:
+        n = j.where(
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        ).count()
+        if n == 0:
+            assert brand not in rows
+        else:
+            assert rows[brand]["n_lines"] == n
+            assert rows[brand]["band_revenue"] > 0
+    assert set(rows) <= {b for b, _, _ in Q19_BANDS}

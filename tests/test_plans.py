@@ -511,3 +511,37 @@ def test_session4_marts_plan_shapes(spark):
     # table appears in no branch of the final plan
     assert q15.count("ExistingRDD") == 2
     assert "lineitem" not in q15
+
+
+def test_disjunctive_band_revenue_pushes_both_disjunctions(spark):
+    """Q19's whole point: from the OR-of-ANDs Catalyst must derive a
+    pushable per-side residual — the brand Or on the part scan, the
+    quantity-range Or on the lineitem scan. If either PushedFilters
+    vanishes, the join processes the full fact at 100 TB."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        disjunctive_band_revenue,
+    )
+
+    plan = _formatted(disjunctive_band_revenue(spark, SF_SMOKE))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln and "Or(" in ln for ln in pushed)
+    assert any("l_quantity" in ln and "Or(" in ln for ln in pushed)
+
+
+def test_part_supplier_diversity_anti_join_and_pair_collapse(spark):
+    """Q16 shape: the exclusion must be LeftAnti (broadcast of the
+    deficit subset), and the pair dedup must aggregate before the part
+    join — no window, no cartesian."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        part_supplier_diversity,
+    )
+
+    plan = (
+        part_supplier_diversity(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -119,6 +119,9 @@ def main() -> None:
         "stream_distinct_sketch",
         "part_supplier_diversity",
         "disjunctive_band_revenue",
+        # round-8 session 4: column-mapping rename consumer
+        # (construction-timed: CREATE → RENAME → APPEND → read)
+        "lakehouse_rename_read",
     ):
         if extra in queries:
             headline.append(extra)
@@ -141,7 +144,8 @@ def main() -> None:
                           "pq_quantize", "lakehouse_zorder_prune",
                           "stream_dedup_ingest", "stream_cluster_maintain",
                           "stream_quantile_sketch", "lakehouse_clone_read",
-                          "stream_cdc_apply", "stream_distinct_sketch"}
+                          "stream_cdc_apply", "stream_distinct_sketch",
+                          "lakehouse_rename_read"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -115,6 +115,7 @@ PROBE_KEYS = [
     "top_supplier_revenue",
     "part_supplier_diversity",
     "disjunctive_band_revenue",
+    "lakehouse_rename_read",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

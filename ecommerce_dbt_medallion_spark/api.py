@@ -131,9 +131,9 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # — customer_order_distribution, small_quantity_revenue,
 # idle_high_balance_customers, top_supplier_revenue,
 # stream_distinct_sketch, part_supplier_diversity,
-# disjunctive_band_revenue, plus any later session-4 additions noted
-# here — join that deferred head of the round-9 window under the
-# same rule.
+# disjunctive_band_revenue, lakehouse_rename_read, plus any later
+# session-4 additions noted here — join that deferred head of the
+# round-9 window under the same rule.
 # No key's latest driver row should ever be more than two rounds
 # behind the code it runs on.
 DRIVER_WINDOW_SIZE = 50
@@ -376,6 +376,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "stream_distinct_sketch": strm_sketch.stream_distinct_sketch,
         "part_supplier_diversity": ana.part_supplier_diversity,
         "disjunctive_band_revenue": ana.disjunctive_band_revenue,
+        "lakehouse_rename_read": mcdf.lakehouse_rename_read,
     }
 
 
@@ -619,6 +620,8 @@ def oracle_sql() -> dict[str, str]:
     # round 8 (session 4): TPC-H Q16/Q19-shape relational marts
     out["part_supplier_diversity"] = ana.ORACLE_PART_SUPPLIER_DIVERSITY
     out["disjunctive_band_revenue"] = ana.ORACLE_DISJUNCTIVE_BAND_REVENUE
+    # round 8 (session 4): column-mapping RENAME consumer
+    out["lakehouse_rename_read"] = mcdf.oracle_lakehouse_rename_read()
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

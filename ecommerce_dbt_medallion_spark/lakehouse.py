@@ -95,6 +95,13 @@ def _empty_state() -> dict:
         "key": None,
         "partition_by": None,
         "zorder_by": [],
+        # column mapping (RENAME/DROP COLUMN without data rewrite):
+        # logical name -> physical parquet column name (identity
+        # entries omitted), and physical names of DROPPED columns that
+        # still exist inside immutable data files (reserved so a new
+        # logical column can never collide with old file data)
+        "mapping": {},
+        "retired": [],
     }
 
 
@@ -114,8 +121,22 @@ def _fold_entry(state: dict, e: dict) -> dict:
         e.get("operation", "")
     ).startswith("CLONE "):
         state["partition_by"] = e.get("partition_by")
+        # a table redefinition resets the column mapping unless the
+        # entry carries one (CLONE carries the source's)
+        state["mapping"] = dict(e.get("column_mapping") or {})
+        state["retired"] = list(e.get("retired_physical") or [])
     if e.get("zorder_by"):
         state["zorder_by"] = list(e["zorder_by"])
+    # RENAME/DROP COLUMN entries snapshot the full mapping (same
+    # snapshot semantics as constraints)
+    if "column_mapping" in e and not str(e.get("operation", "")).startswith(
+        ("CREATE", "CLONE ")
+    ):
+        state["mapping"] = dict(e["column_mapping"])
+    if "retired_physical" in e and not str(e.get("operation", "")).startswith(
+        ("CREATE", "CLONE ")
+    ):
+        state["retired"] = list(e["retired_physical"])
     if e.get("tombstones_cleared"):
         state["tombstones"] = []
     state["tombstones"].extend(e.get("tombstones", []))
@@ -175,6 +196,9 @@ def _latest_checkpoint(table: str, version: int):
             st["key"] = raw["key"]
             st["partition_by"] = raw["partition_by"]
             st["zorder_by"] = list(raw["zorder_by"])
+            # pre-mapping checkpoints lack these keys: identity mapping
+            st["mapping"] = dict(raw.get("mapping") or {})
+            st["retired"] = list(raw.get("retired") or [])
             return cv, st
         except Exception:
             continue  # corrupt/partial checkpoint: try an older one
@@ -216,6 +240,8 @@ def _maybe_write_checkpoint(table: str, version: int) -> None:
             "key": st["key"],
             "partition_by": st["partition_by"],
             "zorder_by": st["zorder_by"],
+            "mapping": st["mapping"],
+            "retired": st["retired"],
         }
         tmp = os.path.join(
             _log_path(table), f".ckpt-tmp-{uuid.uuid4().hex}.json"
@@ -546,6 +572,7 @@ def _stage_files(
     table: str,
     key: str | None,
     stats_cols: list[str] | None = None,
+    mapping: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write df's partitions as immutable parquet files under data/ and
     return their add-actions (with per-file min/max stats on ``key`` and
@@ -563,6 +590,15 @@ def _stage_files(
     for c in ([part_col] if part_col is not None else []) + _table_zorder_by(table):
         if c in df.columns and c not in stats_cols:
             stats_cols.append(c)
+    # write boundary of the column mapping: files always carry PHYSICAL
+    # names (key/partition/zorder/stats columns are rename-protected,
+    # so every name this function addresses is identity-mapped). None =
+    # current table state; CREATE paths pass {} (a replaced table's old
+    # mapping must not leak into the new table's files).
+    if mapping is None:
+        vs = versions(table)
+        mapping = _state_at(table, vs[-1])["mapping"] if vs else {}
+    df = _map_to_physical(df, mapping)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     blooms = _stage_blooms(df, staging, key) if key is not None else {}
@@ -730,6 +766,59 @@ def current_schema(table: str, version: int | None = None):
         version = vs[-1]
     schema = _state_at(table, version)["schema_json"]
     return StructType.fromJson(json.loads(schema)) if schema else None
+
+
+def current_mapping(table: str, version: int | None = None) -> dict[str, str]:
+    """Column mapping (logical name → physical parquet name) as of
+    ``version`` — empty for tables that never renamed a column. The
+    mapping is what lets RENAME/DROP COLUMN be metadata-only commits:
+    immutable data files keep their creation-time (physical) column
+    names forever; readers alias physical→logical and writers alias
+    logical→physical at the two funnel boundaries."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {table}")
+    if version is None:
+        version = vs[-1]
+    return dict(_state_at(table, version)["mapping"])
+
+
+def _map_to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Alias a logical-named DataFrame to physical parquet names (the
+    write boundary). Identity when the mapping is empty."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _physical_schema(logical, mapping: dict[str, str]):
+    """The parquet-side StructType for a logical log schema."""
+    from pyspark.sql.types import StructField, StructType
+
+    if logical is None or not mapping:
+        return logical
+    return StructType(
+        [
+            StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in logical.fields
+        ]
+    )
+
+
+def _map_to_logical(df: DataFrame, logical, mapping: dict[str, str]) -> DataFrame:
+    """Alias a physical-named scan back to the logical schema (the read
+    boundary); also PROJECTS to the logical columns, which is what
+    makes a dropped column disappear without touching its files."""
+    if logical is None or not mapping:
+        return df
+    return df.select(
+        *[
+            F.col(mapping.get(f.name, f.name)).alias(f.name)
+            for f in logical.fields
+        ]
+    )
 
 
 class SchemaMismatch(Exception):
@@ -905,6 +994,154 @@ def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int
     return v
 
 
+def _protected_columns(table: str) -> dict[str, str]:
+    """Columns the engine itself addresses BY NAME inside the log
+    (footer stats keys, partition index, zorder spec, CHECK exprs, CDC
+    tombstone flag) → reason. Renaming one would desynchronize logged
+    metadata from file contents, so rename/drop reject them — Delta
+    takes the same posture for partition/bloom columns."""
+    import re as _re
+
+    out: dict[str, str] = {}
+    k = _table_key_opt(table)
+    if k is not None:
+        out[k] = "table key (footer stats + blooms are logged under it)"
+    p = _table_partition_by(table)
+    if p is not None:
+        out[p] = "partition column (the logged partition index)"
+    for z in _table_zorder_by(table):
+        out.setdefault(z, "zorder column (logged clustering spec)")
+    for name, expr in current_constraints(table).items():
+        for tok in set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr)):
+            out.setdefault(tok, f"referenced by CHECK constraint {name!r}")
+    out.setdefault(
+        "__cdc_deleted", "CDC tombstone flag (apply_changes contract)"
+    )
+    return out
+
+
+def _check_new_logical_name(st: dict, new: str, own_physical: str | None = None) -> None:
+    """A new logical name may not collide with a live logical column,
+    any column's PHYSICAL name, or a retired physical name — data files
+    are immutable, so a physical collision would silently splice old
+    file data into the new column. ``own_physical`` exempts the renamed
+    column's own physical slot (renaming BACK to it just collapses the
+    mapping)."""
+    logical = (
+        {f["name"] for f in json.loads(st["schema_json"])["fields"]}
+        if st["schema_json"]
+        else set()
+    )
+    physical = {st["mapping"].get(n, n) for n in logical} | set(st["retired"])
+    physical.discard(own_physical)
+    if new in logical:
+        raise ValueError(f"column {new!r} already exists")
+    if new in physical:
+        raise ValueError(
+            f"name {new!r} collides with a physical column name still "
+            "present in immutable data files (renamed-away or dropped); "
+            "choose another name"
+        )
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — a METADATA-ONLY commit (no data
+    rewrite, Delta/Iceberg column-mapping semantics): the logical
+    schema renames the field and the mapping records logical→physical,
+    while every immutable data file keeps its creation-time column
+    name. Readers alias physical→logical; writers alias back. Time
+    travel to a pre-rename version sees the old name (the fold is
+    versioned). Engine-addressed columns (key / partition / zorder /
+    constraint-referenced / CDC flag) are rejected with the reason."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {table}")
+    st = _state_at(table, vs[-1])
+    if not st["schema_json"]:
+        raise ValueError(
+            f"table {table} predates schema tracking; rename needs a "
+            "logged schema"
+        )
+    sch = json.loads(st["schema_json"])
+    names = [f["name"] for f in sch["fields"]]
+    if old not in names:
+        raise ValueError(f"no such column: {old!r} (have {names})")
+    prot = _protected_columns(table)
+    if old in prot:
+        raise ValueError(f"cannot rename {old!r}: {prot[old]}")
+    _check_new_logical_name(st, new, own_physical=st["mapping"].get(old, old))
+    mapping = dict(st["mapping"])
+    mapping[new] = mapping.pop(old, old)  # physical name is sticky
+    if mapping[new] == new:
+        del mapping[new]  # renamed back to its physical name
+    for f in sch["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    v = vs[-1] + 1
+    _commit_exclusive(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": f"RENAME COLUMN ({old} -> {new})",
+            "schema_json": json.dumps(sch),
+            "column_mapping": mapping,
+            "retired_physical": list(st["retired"]),
+            "add": [],
+            "remove": [],
+        },
+    )
+    return v
+
+
+def drop_column(table: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only (no data rewrite): the
+    logical schema loses the field, readers project it away, and its
+    PHYSICAL name is retired forever (immutable files still contain the
+    bytes, so re-adding the name would resurrect stale data — the
+    collision guard makes that impossible). Protected columns reject as
+    in rename_column."""
+    vs = versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a deltalite table: {table}")
+    st = _state_at(table, vs[-1])
+    if not st["schema_json"]:
+        raise ValueError(
+            f"table {table} predates schema tracking; drop needs a "
+            "logged schema"
+        )
+    sch = json.loads(st["schema_json"])
+    names = [f["name"] for f in sch["fields"]]
+    if col not in names:
+        raise ValueError(f"no such column: {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    prot = _protected_columns(table)
+    if col in prot:
+        raise ValueError(f"cannot drop {col!r}: {prot[col]}")
+    mapping = dict(st["mapping"])
+    physical = mapping.pop(col, col)
+    retired = list(st["retired"])
+    if physical not in retired:
+        retired.append(physical)
+    sch["fields"] = [f for f in sch["fields"] if f["name"] != col]
+    v = vs[-1] + 1
+    _commit_exclusive(
+        table,
+        {
+            "version": v,
+            "timestamp": time.time(),
+            "operation": f"DROP COLUMN ({col})",
+            "schema_json": json.dumps(sch),
+            "column_mapping": mapping,
+            "retired_physical": retired,
+            "add": [],
+            "remove": [],
+        },
+    )
+    return v
+
+
 def drop_constraint(table: str, name: str) -> int:
     """ALTER TABLE DROP CONSTRAINT — metadata-only commit."""
     cons = current_constraints(table)
@@ -977,6 +1214,18 @@ def _evolve_schema(table: str, df: DataFrame, merge_schema: bool):
     added = [n for n in new_fields if n not in cur_fields]
     if bad:
         raise SchemaMismatch(f"non-widening column type changes: {bad}")
+    if added:
+        # column-mapping collision guard: an evolved column may not
+        # reuse a physical name still present in immutable data files
+        # (old bytes would resurrect into the new column)
+        st = _state_at(table, versions(table)[-1])
+        reserved = set(st["mapping"].values()) | set(st["retired"])
+        hit = [n for n in added if n in reserved]
+        if hit:
+            raise SchemaMismatch(
+                f"new column(s) {hit} collide with physical names of "
+                "renamed-away or dropped columns; choose other names"
+            )
     if not merge_schema and (added or dropped):
         raise SchemaMismatch(
             f"append schema differs from table schema (added={added}, "
@@ -1034,6 +1283,7 @@ def create_or_replace(
         table,
         key,
         stats_cols=[partition_by] if partition_by else None,
+        mapping={},  # a REPLACE starts a fresh identity mapping
     )
     v = (prior[-1] + 1) if prior else 0
     _commit_exclusive(
@@ -1178,9 +1428,15 @@ def read(spark: SparkSession, table: str, version: int | None = None) -> DataFra
     if not files:
         raise ValueError(f"table {table} has no live files at version {version}")
     reader = spark.read
+    logical = None
     if st["schema_json"]:
-        reader = reader.schema(StructType.fromJson(json.loads(st["schema_json"])))
+        logical = StructType.fromJson(json.loads(st["schema_json"]))
+        # files carry PHYSICAL names; the scan schema must match them,
+        # then the projection aliases back to the logical schema (and
+        # drops retired columns)
+        reader = reader.schema(_physical_schema(logical, st["mapping"]))
     df = reader.parquet(*[_abs(table, a["file"]) for a in files])
+    df = _map_to_logical(df, logical, st["mapping"])
     pend = st["tombstones"]
     if pend:
         # merge-on-read: un-materialized deletes filter at scan time.
@@ -1251,7 +1507,11 @@ def read_staged(spark: SparkSession, table: str, staged_version: int) -> DataFra
         raise ValueError(f"version {staged_version} is not an unresolved staged commit")
     if not adds:
         raise ValueError(f"staged commit {staged_version} has no files")
-    return spark.read.parquet(*[_abs(table, a["file"]) for a in adds])
+    df = spark.read.parquet(*[_abs(table, a["file"]) for a in adds])
+    # staged files carry physical names; the auditor sees logical ones
+    for lg, ph in current_mapping(table).items():
+        df = df.withColumnRenamed(ph, lg)
+    return df
 
 
 def _resolve_staged(table: str, staged_version: int, op: str, field: str) -> int:
@@ -1393,16 +1653,27 @@ def _read_files(
     ``with_tombstones=False``: a physical rewrite must see the raw file
     contents — ``materialize_tombstones`` in particular relies on the
     tagged scan FINDING the tombstoned rows it is about to drop."""
+    # ONE fold for schema + mapping + tombstones + key (same
+    # fold-once rule read() follows)
+    vs = versions(table)
+    st = _state_at(table, vs[-1] if version is None else version)
+    schema = (
+        StructType.fromJson(json.loads(st["schema_json"]))
+        if st["schema_json"]
+        else None
+    )
     reader = spark.read
-    schema = current_schema(table, version)
     if schema is not None:
-        reader = reader.schema(schema)
+        reader = reader.schema(_physical_schema(schema, st["mapping"]))
     df = reader.parquet(*[_abs(table, a["file"]) for a in files])
+    df = _map_to_logical(df, schema, st["mapping"])
     if with_tombstones:
-        pend = pending_tombstones(table, version)
+        pend = st["tombstones"]
         if pend:
+            if st["key"] is None:
+                raise ValueError(f"table {table} has no declared key")
             # same NULL-key pass-through as read() (three-valued logic)
-            k = F.col(_table_key(table, version))
+            k = F.col(st["key"])
             df = df.where(k.isNull() | ~k.isin(pend))
     return df
 
@@ -1935,7 +2206,14 @@ def verify_table(spark: SparkSession, table: str) -> dict:
         sch = current_schema(table)
     except Exception as exc:  # noqa: BLE001 — auditing, not crashing
         report["errors"].append(f"schema unreadable: {exc}")
-    sch_cols = {f.name for f in sch.fields} if sch is not None else None
+    # footers carry PHYSICAL names; dropped columns' retired physical
+    # names remain legitimately inside old immutable files
+    sch_cols = None
+    if sch is not None:
+        head_st = _state_at(table, head)
+        sch_cols = {
+            head_st["mapping"].get(f.name, f.name) for f in sch.fields
+        } | set(head_st["retired"])
 
     # live files: existence + footer row count + stats sanity + columns
     for a in live_files(table):
@@ -2139,6 +2417,13 @@ def clone_table(source: str, dest: str, version: int | None = None) -> int:
         entry["schema_json"] = st["schema_json"]
     if st["zorder_by"]:
         entry["zorder_by"] = list(st["zorder_by"])
+    if st["mapping"]:
+        # referenced files carry the SOURCE's physical names: the clone
+        # inherits the column mapping or its reads would null out every
+        # renamed column
+        entry["column_mapping"] = dict(st["mapping"])
+    if st["retired"]:
+        entry["retired_physical"] = list(st["retired"])
     try:
         _commit(dest, entry)
     except CommitConflict:
@@ -2728,9 +3013,11 @@ def table_changes(
         # file lacks the evolved column and the select below would
         # raise; the log schema null-fills it — round-7 review)
         s = current_schema(table, at_version)
-        return spark.read.schema(s if s is not None else schema).parquet(
-            *[_abs(table, f) for f in files]
-        )
+        m = current_mapping(table, at_version)
+        df = spark.read.schema(
+            _physical_schema(s if s is not None else schema, m)
+        ).parquet(*[_abs(table, f) for f in files])
+        return _map_to_logical(df, s if s is not None else schema, m)
 
     rowhash = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
     old = _side(old_only, from_version).select(

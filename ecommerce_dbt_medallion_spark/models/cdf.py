@@ -540,3 +540,62 @@ from silver_orders
 where order_id % 5 <= 2 or order_id % 5 = 4
 """,
     )
+
+
+def lakehouse_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32k (round 8): COLUMN MAPPING under the hash gate —
+    RENAME COLUMN as a metadata-only commit. v0 CREATE (even-order
+    facts with ``amount``) → v1 RENAME amount → net_amount (the key
+    RAISES if the rename touched any data file: metadata-only is the
+    feature, Delta/Iceberg column-mapping semantics) → v2 APPEND of
+    the odd-order facts already carrying the NEW logical name (the
+    write boundary maps it back to the file-physical name, so both
+    file generations stay physically identical) → final read serves
+    every row under the renamed logical schema. A reader that matched
+    parquet columns by logical name would null out the renamed column
+    on every file and hash-mismatch the oracle.
+    """
+    table = _gate_path(sf_dir, "rename_gate")
+
+    facts = silver_orders(spark, sf_dir).select(
+        "order_id",
+        "customer_id",
+        F.col("order_amount").cast("decimal(18,2)").alias("amount"),
+    )
+    lakehouse.create_or_replace(
+        spark, table, facts.where(F.col("order_id") % 2 == 0), key="order_id"
+    )
+    before = sorted(a["file"] for a in lakehouse.live_files(table))
+    lakehouse.rename_column(table, "amount", "net_amount")
+    after = sorted(a["file"] for a in lakehouse.live_files(table))
+    if after != before:
+        raise RuntimeError(
+            "RENAME COLUMN rewrote data files — column mapping must be "
+            "metadata-only"
+        )
+    lakehouse.append(
+        spark,
+        table,
+        facts.where(F.col("order_id") % 2 == 1).withColumnRenamed(
+            "amount", "net_amount"
+        ),
+    )
+    return lakehouse.read(spark, table).select(
+        F.col("order_id").cast("long").alias("order_id"),
+        F.col("customer_id").cast("long").alias("customer_id"),
+        F.col("net_amount").cast("double").alias("net_amount"),
+    )
+
+
+def oracle_lakehouse_rename_read() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+select cast(order_id as bigint) as order_id,
+    cast(customer_id as bigint) as customer_id,
+    cast(cast(order_amount as decimal(18,2)) as double) as net_amount
+from silver_orders
+""",
+    )

@@ -2695,3 +2695,139 @@ def test_stream_hll_replay_and_batch_equality(spark, tmp_path):
         map(tuple, hll_estimates_from_regs(hll_register_state(df)).collect())
     )
     assert first == batch
+
+
+def test_rename_column_metadata_only_and_time_travel(spark, tmp_path):
+    """RENAME COLUMN must not touch data files, reads serve the new
+    logical name over OLD physical files, post-rename appends write the
+    sticky physical name (both generations byte-compatible), and time
+    travel to a pre-rename version shows the old name."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "ren")
+    lh.create_or_replace(
+        spark,
+        t,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, amount double"),
+        key="id",
+    )
+    before = sorted(a["file"] for a in lh.live_files(t))
+    lh.rename_column(t, "amount", "total")
+    assert sorted(a["file"] for a in lh.live_files(t)) == before
+    lh.append(spark, t, spark.createDataFrame([(3, 30.0)], "id long, total double"))
+    got = sorted(map(tuple, lh.read(spark, t).collect()))
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    assert lh.read(spark, t).columns == ["id", "total"]
+    assert lh.read(spark, t, version=0).columns == ["id", "amount"]
+    phys = set()
+    for a in lh.live_files(t):
+        phys |= set(pq.read_schema(lh._abs(t, a["file"])).names)
+    assert phys == {"id", "amount"}  # physical name is sticky everywhere
+
+
+def test_rename_column_rejects_protected_and_collisions(spark, tmp_path):
+    """Key / partition / zorder / constraint-referenced columns reject
+    with the reason; a new name may not collide with a live logical,
+    a mapped physical, or a retired physical name."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "prot")
+    lh.create_or_replace(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "a", 5.0, 1.0)], "id long, seg string, amount double, fee double"
+        ),
+        key="id",
+        partition_by="seg",
+    )
+    lh.add_constraint(spark, t, "fee_pos", "fee >= 0")
+    for col in ("id", "seg", "fee"):
+        with _pytest.raises(ValueError, match="cannot rename"):
+            lh.rename_column(t, col, f"{col}2")
+    with _pytest.raises(ValueError, match="cannot drop"):
+        lh.drop_column(t, "id")
+    lh.rename_column(t, "amount", "total")
+    # renaming BACK to the physical name is fine (mapping collapses)
+    lh.rename_column(t, "total", "amount")
+    assert lh.current_mapping(t) == {}
+    # a fresh rename, then a new logical column reusing the physical
+    # name must be rejected at append
+    lh.rename_column(t, "amount", "total")
+    with _pytest.raises(lh.SchemaMismatch, match="physical names"):
+        lh.append(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(9, "z", 1.0, 1.0, 7.0)],
+                "id long, seg string, total double, fee double, amount double",
+            ),
+            merge_schema=True,
+        )
+
+
+def test_drop_column_projects_away_and_retires_physical(spark, tmp_path):
+    """DROP COLUMN is metadata-only: reads project the column away,
+    files keep the bytes, and the physical name is retired forever
+    (re-adding it is rejected — old file data must not resurrect)."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "drop")
+    lh.create_or_replace(
+        spark,
+        t,
+        spark.createDataFrame([(1, "x", 1.5)], "id long, tag string, v double"),
+        key="id",
+    )
+    before = sorted(a["file"] for a in lh.live_files(t))
+    lh.drop_column(t, "tag")
+    assert sorted(a["file"] for a in lh.live_files(t)) == before
+    assert lh.read(spark, t).columns == ["id", "v"]
+    with _pytest.raises(lh.SchemaMismatch, match="physical names"):
+        lh.append(
+            spark,
+            t,
+            spark.createDataFrame([(2, 2.5, "y")], "id long, v double, tag string"),
+            merge_schema=True,
+        )
+    # time travel pre-drop still serves the column
+    assert lh.read(spark, t, version=0).columns == ["id", "tag", "v"]
+
+
+def test_rename_survives_checkpoint_clone_optimize_and_wap(spark, tmp_path):
+    """The mapping must survive every state channel: checkpoint-seeded
+    folds (> CHECKPOINT_INTERVAL commits after the rename), shallow
+    clones (referenced files carry the source's physical names), an
+    OPTIMIZE rewrite, and the WAP staged-read path."""
+    t = str(tmp_path / "chan")
+    lh.create_or_replace(
+        spark,
+        t,
+        spark.createDataFrame([(0, 0.0)], "id long, amount double"),
+        key="id",
+    )
+    lh.rename_column(t, "amount", "total")
+    for i in range(1, lh.CHECKPOINT_INTERVAL + 2):
+        lh.append(
+            spark,
+            t,
+            spark.createDataFrame([(i, float(i))], "id long, total double"),
+        )
+    want = [(i, float(i)) for i in range(lh.CHECKPOINT_INTERVAL + 2)]
+    assert sorted(map(tuple, lh.read(spark, t).collect())) == want
+
+    c = str(tmp_path / "chan_clone")
+    lh.clone_table(t, c)
+    assert sorted(map(tuple, lh.read(spark, c).collect())) == want
+    assert lh.read(spark, c).columns == ["id", "total"]
+
+    lh.optimize(spark, t)
+    assert sorted(map(tuple, lh.read(spark, t).collect())) == want
+    assert lh.verify_table(spark, t)["ok"]
+
+    sv = lh.append_staged(
+        spark, t, spark.createDataFrame([(99, 99.0)], "id long, total double")
+    )
+    assert lh.read_staged(spark, t, sv).columns == ["id", "total"]
+    lh.publish(t, sv)
+    assert (99, 99.0) in set(map(tuple, lh.read(spark, t).collect()))

@@ -204,7 +204,17 @@ def main() -> None:
         out["errors"] = errors
         out["incomplete"] = True
         out["value"] = None
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Parse-proofing (round 8: the driver's tail capture truncated the
+    # stdout line, leaving the official artifact with parsed=null): the
+    # summary also lands in a file next to this script, atomically.
+    summary_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SUMMARY.json")
+    tmp = summary_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(line + "\n")
+    os.replace(tmp, summary_path)
+    print(line)
 
 
 if __name__ == "__main__":

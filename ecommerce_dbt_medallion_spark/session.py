@@ -43,6 +43,9 @@ def get_spark(app_name: str = "ecommerce-medallion-spark") -> SparkSession:
         # it back). Session-level so loaders stay pure; harmless for
         # non-nanos files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Console progress bars interleave with stdout; round 8's bench
+        # JSON line was truncated by them in the driver's tail capture.
+        .config("spark.ui.showConsoleProgress", "false")
         # Arrow for the mapInPandas/pandas_udf paths (multimodal, ANN rerank).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -172,15 +172,23 @@ def test_driver_window_is_exactly_the_checked_prefix():
     assert len(set(api.DRIVER_WINDOW)) == 50
 
 
-def test_driver_window_membership_round8():
-    """Round-8 rotation, computed from the committed CORRECTNESS_r0*.json
-    artifacts (never a hand-copied set — the round-4 lesson):
+def test_driver_window_membership():
+    """Rotation correctness, computed from the committed CORRECTNESS
+    artifacts (never a hand-copied set — the round-4 lesson), but ONLY
+    from rounds strictly before api.DRIVER_WINDOW_ROUND — the round-8
+    variant of this test computed state from ALL artifacts on disk and
+    self-invalidated the moment the driver dropped the round's own
+    CORRECTNESS file into the repo root (it certifies exactly this
+    window, emptying the stale set the window was built from).
 
-    1. every key with NO driver row in any prior round (new this round)
-       must be in the window;
-    2. every key whose LATEST driver row is r5 must be in the window —
-       otherwise it ends round 8 three rounds stale, violating the
-       builder's ≤2-round staleness invariant.
+    1. every key with NO driver row before the window's round must be
+       in the window (never-certified outranks green), except a
+       documented overflow when the never-certified class alone
+       exceeds the window;
+    2. no slot is wasted on a fresh-green key while stale keys wait:
+       every non-never slot must go to a key from the OLDEST certified
+       round still outstanding (or the window must have drained that
+       class entirely).
     """
     import glob
     import json
@@ -189,23 +197,19 @@ def test_driver_window_membership_round8():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest_round: dict = {}
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+    # r0* would stop matching at round 10; r* + the regex handles both.
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r0*(\d+)\.json$", p).group(1))
+        if rnd >= api.DRIVER_WINDOW_ROUND:
+            continue  # the window's own (or a later) artifact: not input
         for key in json.load(open(p)):
             latest_round[key] = max(latest_round.get(key, 0), rnd)
-    never_certified = set(api.queries()) - set(latest_round)
-    stale_r5 = {k for k, r in latest_round.items() if r <= 5 and k in api.queries()}
-    missing = stale_r5 - set(api.DRIVER_WINDOW)
-    assert not missing, f"r5-latest keys outside round-8 window: {missing}"
-    # never-certified keys fill the remaining slots; once the window is
-    # saturated by the two priority classes (staleness invariant first),
-    # the overflow must be MINIMAL — no slot wasted on an already-green
-    # key while a never-certified key waits — and every deferred key
-    # must be named in api.py's round-9 note
-    overflow = never_certified - set(api.DRIVER_WINDOW)
-    allowed_overflow = max(
-        0, len(stale_r5 | never_certified) - api.DRIVER_WINDOW_SIZE
-    )
+    window = set(api.DRIVER_WINDOW)
+    keys = set(api.queries())
+    never_certified = keys - set(latest_round)
+
+    overflow = never_certified - window
+    allowed_overflow = max(0, len(never_certified) - api.DRIVER_WINDOW_SIZE)
     assert len(overflow) <= allowed_overflow, (
         f"never-certified keys outside a non-saturated window: {overflow}"
     )
@@ -214,9 +218,32 @@ def test_driver_window_membership_round8():
     ).read().split("DRIVER_WINDOW_SIZE = ")[0]
     undocumented = {k for k in overflow if k not in note}
     assert not undocumented, (
-        f"deferred never-certified keys absent from the round-9 note: "
+        f"deferred never-certified keys absent from the rotation note: "
         f"{undocumented}"
     )
+
+    # Greedy-oldest check: walk certified keys oldest-round-first; the
+    # window's non-never slots must be consumed by whole rounds until
+    # one round only partially fits (ties within that round are the
+    # builder's choice, documented in the note).
+    rest = window - never_certified
+    stranger = rest - set(latest_round)
+    assert not stranger, f"window keys with no certification state: {stranger}"
+    rounds = sorted({latest_round[k] for k in keys if k in latest_round})
+    for rnd in rounds:
+        cls = {k for k in keys if latest_round.get(k) == rnd}
+        took = cls & rest
+        rest -= took
+        if not rest:
+            # Window drained inside (or exactly at) this round's class:
+            # no newer-certified key may hold a slot that an older
+            # outstanding key needed — guaranteed because rest is empty.
+            break
+        assert cls <= took | never_certified, (
+            f"round-{rnd} keys left out while newer-certified keys hold "
+            f"window slots: {cls - took}"
+        )
+    assert not rest, f"window keys newer than the oldest outstanding class: {rest}"
 
 
 def test_survey_section2_lists_every_query_key():

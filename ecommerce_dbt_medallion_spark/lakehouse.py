@@ -137,6 +137,15 @@ def _fold_entry(state: dict, e: dict) -> dict:
         ("CREATE", "CLONE ")
     ):
         state["retired"] = list(e["retired_physical"])
+    # RESTORE re-declares the ENTIRE table state of its target,
+    # including the physical layout spec — partition_by otherwise only
+    # folds on CREATE/CLONE, so restoring across a REPLACE would keep
+    # the replaced table's partitioning on a pre-REPLACE file set.
+    if str(e.get("operation", "")).startswith("RESTORE"):
+        if "partition_by" in e:
+            state["partition_by"] = e["partition_by"]
+        if "zorder_by" in e:
+            state["zorder_by"] = list(e["zorder_by"] or [])
     if e.get("tombstones_cleared"):
         state["tombstones"] = []
     state["tombstones"].extend(e.get("tombstones", []))
@@ -1011,8 +1020,21 @@ def _protected_columns(table: str) -> dict[str, str]:
         out[p] = "partition column (the logged partition index)"
     for z in _table_zorder_by(table):
         out.setdefault(z, "zorder column (logged clustering spec)")
+    # Tokenizing a CHECK expr with a bare-identifier regex would also
+    # capture SQL keywords and the CONTENTS of string literals (e.g.
+    # "seg = 'north'" must not protect a column named north), spuriously
+    # blocking rename/drop of unrelated columns (round-8 review). Strip
+    # quoted literals first, then keep only tokens that name an actual
+    # logical column of the table.
+    sch = current_schema(table)
+    logical = (
+        {f.name for f in sch.fields} if sch is not None else None
+    )
     for name, expr in current_constraints(table).items():
-        for tok in set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr)):
+        bare = _re.sub(r"'(?:[^']|'')*'", " ", expr)
+        for tok in set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", bare)):
+            if logical is not None and tok not in logical:
+                continue
             out.setdefault(tok, f"referenced by CHECK constraint {name!r}")
     out.setdefault(
         "__cdc_deleted", "CDC tombstone flag (apply_changes contract)"
@@ -2259,13 +2281,21 @@ def verify_table(spark: SparkSession, table: str) -> dict:
             if v > ck_version:
                 break
             scratch = _fold_entry(scratch, _read_entry(table, v))
-        if (
-            scratch["live"] != ck_state["live"]
-            or scratch.get("schema_json") != ck_state.get("schema_json")
-            or scratch.get("tombstones") != ck_state.get("tombstones")
-        ):
+        # Compare the FULL folded state, field by field — a checkpoint
+        # whose mapping/retired/key/constraints/partition/zorder/staged
+        # diverged from the replay would alias columns (or admit
+        # colliding names, or mis-partition writes) on checkpoint-seeded
+        # reads while passing a live/schema/tombstones-only check
+        # (round-8 review).
+        diverged = [
+            fld
+            for fld in scratch
+            if scratch.get(fld) != ck_state.get(fld)
+        ]
+        if diverged:
             report["errors"].append(
-                f"checkpoint@v{ck_version} diverges from log replay"
+                f"checkpoint@v{ck_version} diverges from log replay "
+                f"in {sorted(diverged)}"
             )
 
     report["ok"] = not report["errors"]
@@ -2343,9 +2373,15 @@ def restore(table: str, to_version: int) -> int:
     # Re-declare the ENTIRE table state of to_version, not just its
     # file set (round-7 review): schema (a post-target REPLACE would
     # otherwise make read() null-fill every restored column), CHECK
-    # constraints, and tombstone state (pending deletes from the bad
-    # era must not keep anti-filtering restored rows — the restored
-    # era's own pending tombstones are re-declared).
+    # constraints, tombstone state (pending deletes from the bad era
+    # must not keep anti-filtering restored rows — the restored era's
+    # own pending tombstones are re-declared), the column mapping and
+    # retired physical names (restoring across a RENAME/DROP would
+    # otherwise leave the stale mapping in the fold: the schema-merge
+    # guard then admits a new column whose name aliases old file data,
+    # and every later write crashes on the phantom collision — round-8
+    # review repro), and the physical layout spec (partition/zorder).
+    target_st = _state_at(table, to_version)
     target_schema = current_schema(table, to_version)
     entry = {
         "version": v,
@@ -2355,6 +2391,10 @@ def restore(table: str, to_version: int) -> int:
         "constraints": current_constraints(table, to_version),
         "tombstones_cleared": True,
         "tombstones": pending_tombstones(table, to_version),
+        "column_mapping": dict(target_st["mapping"]),
+        "retired_physical": list(target_st["retired"]),
+        "partition_by": target_st["partition_by"],
+        "zorder_by": list(target_st["zorder_by"]),
         "add": [a for f, a in target.items() if f not in head],
         "remove": [f for f in head if f not in target],
     }

@@ -2831,3 +2831,114 @@ def test_rename_survives_checkpoint_clone_optimize_and_wap(spark, tmp_path):
     assert lh.read_staged(spark, t, sv).columns == ["id", "total"]
     lh.publish(t, sv)
     assert (99, 99.0) in set(map(tuple, lh.read(spark, t).collect()))
+
+
+def test_restore_redeclares_column_mapping_and_layout(spark, tmp_path):
+    """Round-8 review repro: restore() must re-declare the target's
+    column mapping and retired physical names. Before the fix, restoring
+    across a RENAME left the stale mapping in the fold — a merge_schema
+    append of a column reusing the renamed-to name was then admitted
+    into a state where two logical columns aliased one physical column,
+    crashing every subsequent write."""
+    t = str(tmp_path / "restore_map")
+    lh.create_or_replace(
+        spark,
+        t,
+        spark.createDataFrame([(1, 10.0)], "id long, a double"),
+        key="id",
+    )
+    lh.rename_column(t, "a", "b")  # v1: mapping {b: a}
+    lh.restore(t, 0)  # v2: back to [id, a] — mapping must reset to {}
+    assert lh.current_mapping(t) == {}
+    assert lh.read(spark, t).columns == ["id", "a"]
+    # the renamed-to name is now genuinely free: no physical file column
+    # is named 'b', so additive evolution may claim it cleanly
+    lh.append(
+        spark,
+        t,
+        spark.createDataFrame([(2, 20.0, "x")], "id long, a double, b string"),
+        merge_schema=True,
+    )
+    got = sorted(map(tuple, lh.read(spark, t).collect()))
+    assert got == [(1, 10.0, None), (2, 20.0, "x")]
+    # and the table keeps accepting plain writes (the pre-fix state
+    # crashed here with a phantom physical-name collision)
+    lh.append(
+        spark,
+        t,
+        spark.createDataFrame([(3, 30.0, "y")], "id long, a double, b string"),
+    )
+    assert lh.read(spark, t).count() == 3
+    assert lh.verify_table(spark, t)["ok"]
+    # restoring FORWARD to the post-rename version re-declares the
+    # mapping itself (not just clears it)
+    t2 = str(tmp_path / "restore_map_fwd")
+    lh.create_or_replace(
+        spark,
+        t2,
+        spark.createDataFrame([(1, 10.0)], "id long, a double"),
+        key="id",
+    )
+    lh.rename_column(t2, "a", "b")
+    lh.restore(t2, 0)
+    lh.restore(t2, 1)  # back to the renamed state
+    assert lh.current_mapping(t2) == {"b": "a"}
+    assert lh.read(spark, t2).columns == ["id", "b"]
+
+
+def test_verify_table_checks_full_checkpoint_state(spark, tmp_path):
+    """FSCK must compare the FULL folded state against the checkpoint —
+    a divergent column mapping would alias columns on checkpoint-seeded
+    reads while passing a live/schema/tombstones-only check."""
+    import json as j
+    import os
+
+    t = str(tmp_path / "fsck_map")
+    lh.create_or_replace(
+        spark, t, spark.createDataFrame([(1, "a")], "id long, val string"), "id"
+    )
+    for i in range(lh.CHECKPOINT_INTERVAL + 1):
+        lh.append(
+            spark, t,
+            spark.createDataFrame([(i + 10, "m")], "id long, val string"),
+        )
+    assert lh.verify_table(spark, t)["ok"]
+    cks = sorted(
+        f for f in os.listdir(lh._log_path(t)) if f.startswith("ckpt-v")
+    )
+    p = os.path.join(lh._log_path(t), cks[-1])
+    raw = j.load(open(p))
+    raw["mapping"] = {"val": "phantom"}
+    j.dump(raw, open(p, "w"))
+    rep = lh.verify_table(spark, t)
+    assert any(
+        "diverges from log replay" in e and "mapping" in e
+        for e in rep["errors"]
+    ), rep["errors"]
+
+
+def test_protected_columns_skip_literals_and_keywords(spark, tmp_path):
+    """A CHECK constraint's string literals and SQL keywords are not
+    column references: "seg = 'north'" must not protect a column that
+    happens to be named north (round-8 review), while the genuinely
+    referenced column stays protected."""
+    t = str(tmp_path / "prot_lit")
+    lh.create_or_replace(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "north", 5.0, 1.0)],
+            "id long, seg string, north double, amount double",
+        ),
+        key="id",
+    )
+    lh.add_constraint(spark, t, "seg_region", "seg = 'north' OR amount > 0")
+    # 'north' appears only inside a string literal; 'or' is a keyword —
+    # the column named north renames freely
+    lh.rename_column(t, "north", "compass")
+    assert lh.read(spark, t).columns == ["id", "seg", "compass", "amount"]
+    # the genuinely referenced columns still reject with the reason
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        lh.rename_column(t, "seg", "segment")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        lh.drop_column(t, "amount")

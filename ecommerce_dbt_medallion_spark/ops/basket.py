@@ -477,6 +477,7 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     cur = edges
+    prev_edges = -1
     for _ in range(KCORE_ROUNDS):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -491,6 +492,19 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
+        # Provable-fixpoint early exit: an unchanged edge count means
+        # the round removed nothing — same edges → same degrees → same
+        # keep set, so every remaining round is idempotent and the
+        # 8-round output is ALREADY this one (value parity with the
+        # fully-unrolled oracle is untouched). The count also eagerly
+        # materializes the round's checkpoint, which the next round's
+        # joins reuse. On the driver's dense co-purchase graph the
+        # 3-core converges in round 0, so this cuts ~24 shuffles to ~6
+        # (round-9: 11.4 s → measured below in BASELINE.md).
+        n = cur.count()
+        if n == prev_edges:
+            break
+        prev_edges = n
     return (
         cur.select(F.col("a").alias("part_id"))
         .union(cur.select(F.col("b")))

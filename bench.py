@@ -122,6 +122,10 @@ def main() -> None:
         # round-8 session 4: column-mapping rename consumer
         # (construction-timed: CREATE → RENAME → APPEND → read)
         "lakehouse_rename_read",
+        # round 9: incremental OPTIMIZE consumer + cross-table cut
+        # (both construction-timed: the gates build/poison tables)
+        "lakehouse_optimize_read",
+        "lakehouse_snapshot_cut",
     ):
         if extra in queries:
             headline.append(extra)
@@ -145,7 +149,8 @@ def main() -> None:
                           "stream_dedup_ingest", "stream_cluster_maintain",
                           "stream_quantile_sketch", "lakehouse_clone_read",
                           "stream_cdc_apply", "stream_distinct_sketch",
-                          "lakehouse_rename_read"}
+                          "lakehouse_rename_read", "lakehouse_optimize_read",
+                          "lakehouse_snapshot_cut"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -147,8 +147,11 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # dq_source_freshness, scd2_snapshot_build, kmeans_embeddings,
 # bm25_topk, exact_substring_dedup, doc_containment,
 # triangle_count_parts, corpus_mix_weights, semantic_dedup_clusters,
-# sketch_user_overlap, funnel_windowed) are deferred to the FRONT of
-# the round-10 window together with any round-9 additions.
+# sketch_user_overlap, funnel_windowed, plus multimodal_frame_sample
+# and dedup_embedding_lsh, which ceded their slots to the round-9
+# additions lakehouse_optimize_read / lakehouse_snapshot_cut) are
+# deferred to the FRONT of the round-10 window together with any
+# later round-9 additions.
 #
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
 # rotation test derives its expectations from the CORRECTNESS
@@ -177,8 +180,15 @@ DRIVER_WINDOW = [
     "part_supplier_diversity",
     "disjunctive_band_revenue",
     "lakehouse_rename_read",
-    # Remaining 36 slots: the r6-latest block, oldest-first in api
-    # order (all 50 are r6; the last 14 in api order defer to r10).
+    # Round-9 additions (never-certified outranks green; VERDICT r8
+    # item 5): the incremental-OPTIMIZE consumer and the consistent
+    # cross-table cut, queued behind the 14 deferred keys.
+    "lakehouse_optimize_read",
+    "lakehouse_snapshot_cut",
+    # Remaining 34 slots: the r6-latest block, oldest-first in api
+    # order (all 50 are r6; the last 16 in api order defer to r10 —
+    # multimodal_frame_sample and dedup_embedding_lsh ceded their
+    # slots to the two round-9 additions).
     "gold_rfm_segmentation",
     "churn_risk_score",
     "event_daily_stats",
@@ -213,8 +223,6 @@ DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "text_pii_scrub",
     "decontaminate",
-    "multimodal_frame_sample",
-    "dedup_embedding_lsh",
 ]
 
 
@@ -385,6 +393,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "part_supplier_diversity": ana.part_supplier_diversity,
         "disjunctive_band_revenue": ana.disjunctive_band_revenue,
         "lakehouse_rename_read": mcdf.lakehouse_rename_read,
+        "lakehouse_optimize_read": mcdf.lakehouse_optimize_read,
+        "lakehouse_snapshot_cut": mcdf.lakehouse_snapshot_cut,
     }
 
 
@@ -630,6 +640,9 @@ def oracle_sql() -> dict[str, str]:
     out["disjunctive_band_revenue"] = ana.ORACLE_DISJUNCTIVE_BAND_REVENUE
     # round 8 (session 4): column-mapping RENAME consumer
     out["lakehouse_rename_read"] = mcdf.oracle_lakehouse_rename_read()
+    # round 9: incremental OPTIMIZE consumer + consistent cross-table cut
+    out["lakehouse_optimize_read"] = mcdf.oracle_lakehouse_optimize_read()
+    out["lakehouse_snapshot_cut"] = mcdf.oracle_lakehouse_snapshot_cut()
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

@@ -599,3 +599,174 @@ select cast(order_id as bigint) as order_id,
 from silver_orders
 """,
     )
+
+
+def lakehouse_optimize_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32l (round 9): INCREMENTAL OPTIMIZE under the hash
+    gate — the churn-repair loop a 100 TB table lives by. Construction
+    deliberately decays clustering in ONE key region: the low half of
+    the key space is written range-clustered (4 disjoint files, depth
+    1), the high half lands as three interleaved mod-slices whose files
+    all span the full high range (one overlap cluster, depth ≥ 6 —
+    raises if the decay didn't materialize). ``optimize_incremental``
+    must then (a) rewrite ONLY the decayed cluster — every clean
+    low-half file must survive BY NAME, raises otherwise, (b) restore
+    bounded depth (≤ its max_depth arg, raises otherwise) — and the
+    final read must still be exactly the created rows (hash gate: an
+    OPTIMIZE that drops/duplicates rows while shuffling files
+    mismatches the oracle, which states the input directly).
+
+    The half-split point is a driver-side SCALAR (max key / 2 — same
+    O(1)-result discipline as the substring dials); everything row-
+    shaped stays distributed.
+    """
+    table = _gate_path(sf_dir, "optimize_gate")
+
+    facts = _facts(spark, sf_dir)
+    mid = facts.agg((F.max("order_id") / 2).cast("long")).first()[0]
+    low = (
+        facts.where(F.col("order_id") <= mid)
+        .repartitionByRange(4, "order_id")
+        .sortWithinPartitions("order_id")
+    )
+    high = facts.where(F.col("order_id") > mid)
+    lakehouse.create_or_replace(spark, table, low, key="order_id")
+    clean = {a["file"] for a in lakehouse.live_files(table)}
+    for m in range(3):
+        lakehouse.append(
+            spark, table, high.where(F.col("order_id") % 3 == m).repartition(2)
+        )
+    before = lakehouse.clustering_depth(table, "order_id")
+    if before["depth"] < 6:
+        raise RuntimeError(
+            f"construction failed to decay clustering: depth={before['depth']}"
+        )
+    v_prior = lakehouse.versions(table)[-1]
+    v = lakehouse.optimize_incremental(spark, table, max_depth=2)
+    if v == v_prior:
+        raise RuntimeError("optimize_incremental skipped a depth-6 cluster")
+    after = lakehouse.clustering_depth(table, "order_id")
+    if after["depth"] > 2:
+        raise RuntimeError(
+            f"optimize left clustering depth {after['depth']} > 2"
+        )
+    survivors = {a["file"] for a in lakehouse.live_files(table)}
+    if not clean <= survivors:
+        raise RuntimeError(
+            "incremental OPTIMIZE rewrote well-clustered files: "
+            f"{sorted(clean - survivors)[:3]}"
+        )
+    return lakehouse.read(spark, table).select(
+        F.col("order_id").cast("long").alias("order_id"),
+        "order_status",
+        F.col("amount").cast("double").alias("amount"),
+    )
+
+
+def oracle_lakehouse_optimize_read() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+select cast(order_id as bigint) as order_id, order_status,
+    cast(cast(order_amount as decimal(18,2)) as double) as amount
+from silver_orders
+""",
+    )
+
+
+def lakehouse_snapshot_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32m (round 9): CONSISTENT CROSS-TABLE CUT under the
+    hash gate — ``snapshot_versions`` pins one version per table such
+    that all pinned versions coexisted, then both tables are read
+    THROUGH the cut while later writers race past it.
+
+    Construction: table A (order facts) reaches v1 = full order set;
+    table B (per-order exact-decimal lineitem revenue) reaches v1 =
+    even-order revenues bumped +1 by MERGE. The cut is taken HERE —
+    raises unless it pins exactly {A: 1, B: 1}. Then both tables are
+    poisoned (A: an APPEND of shifted phantom orders at amount −999;
+    B: a DELETE of every 5th order's revenue row). The returned join
+    reads both sides AS OF the cut: any leak of a post-cut write —
+    phantom rows, vanished revenue — hash-mismatches the oracle, which
+    states the v1⊗v1 state in pure SQL.
+    """
+    from ecommerce_dbt_medallion_spark.models.analytics import _discounted_rev
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+    a_path = _gate_path(sf_dir, "cut_orders")
+    b_path = _gate_path(sf_dir, "cut_revenue")
+
+    facts = _facts(spark, sf_dir)
+    lakehouse.create_or_replace(
+        spark, a_path, facts.where(F.col("order_id") % 3 != 0), key="order_id"
+    )
+    lakehouse.append(spark, a_path, facts.where(F.col("order_id") % 3 == 0))
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").cast("long").alias("order_id"))
+        .agg(F.sum(_discounted_rev()).cast("decimal(28,4)").alias("revenue"))
+    )
+    lakehouse.create_or_replace(spark, b_path, rev, key="order_id")
+    bump = (
+        lakehouse.read(spark, b_path)
+        .where(F.col("order_id") % 2 == 0)
+        .withColumn("revenue", (F.col("revenue") + F.lit(1)).cast("decimal(28,4)"))
+    )
+    lakehouse.merge_into(spark, b_path, bump, "order_id")
+
+    cut = lakehouse.snapshot_versions([a_path, b_path])
+    if cut != {a_path: 1, b_path: 1}:
+        raise RuntimeError(f"cut pinned unexpected versions: {cut}")
+
+    # post-cut racing writers: both must be invisible through the cut
+    lakehouse.append(
+        spark,
+        a_path,
+        facts.where(F.col("order_id") % 7 == 0).select(
+            (F.col("order_id") + F.lit(10_000_000)).alias("order_id"),
+            "order_status",
+            F.lit(-999.0).alias("amount"),
+        ),
+    )
+    lakehouse.delete_where(spark, b_path, "order_id % 5 = 0")
+
+    orders_cut = lakehouse.read_snapshot(spark, cut, a_path)
+    rev_cut = lakehouse.read_snapshot(spark, cut, b_path)
+    return (
+        orders_cut.join(rev_cut, "order_id", "left")
+        .select(
+            F.col("order_id").cast("long").alias("order_id"),
+            "order_status",
+            F.col("amount").cast("double").alias("amount"),
+            F.coalesce(F.col("revenue").cast("double"), F.lit(0.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def oracle_lakehouse_snapshot_cut() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+, rev as (
+    select cast(l_orderkey as bigint) as order_id,
+        cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+            * (1 - cast(l_discount as decimal(4,2))) as decimal(18,4))) as decimal(28,4)) as revenue
+    from lineitem group by 1
+), bumped as (
+    select order_id,
+        cast(case when order_id % 2 = 0 then revenue + 1 else revenue end as decimal(28,4)) as revenue
+    from rev
+)
+select cast(o.order_id as bigint) as order_id, o.order_status,
+    cast(cast(o.order_amount as decimal(18,2)) as double) as amount,
+    cast(coalesce(b.revenue, 0) as double) as revenue
+from silver_orders o left join bumped b on o.order_id = b.order_id
+""",
+    )

@@ -235,6 +235,45 @@ def test_decode_media_is_marked_stub():
         opmm.decode_media(b"\x89PNG", "png")
 
 
+def test_multimodal_extract_accepts_injected_decoder(spark):
+    """The production decoder seam (round 9): a codec callable injected
+    into multimodal_extract must run INSIDE the distributed Arrow batch
+    loop (the closure ships to the Python workers) and its features
+    fill e0..e7; the metadata columns stay byte-math. A decoder that
+    raises (the decode_media stub) must propagate out of the job."""
+    from pyspark.errors import PythonException
+
+    def fake_codec(blob: bytes, fmt: str):
+        # deterministic "pixel stats": depends on blob AND format so the
+        # test catches argument mix-ups
+        base = (len(fmt) % 8) / 100.0
+        return [base + blob[j] / 512.0 for j in range(8)]
+
+    rows = (
+        opmm.multimodal_extract(spark, SF_SMOKE, decoder=fake_codec)
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    )
+    assert len(rows) == 5
+    plain = (
+        opmm.multimodal_extract(spark, SF_SMOKE)
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    )
+    for r, p_ in zip(rows, plain):
+        assert r["doc_id"] == p_["doc_id"]
+        assert r["checksum"] == p_["checksum"]  # metadata path unchanged
+        blob_byte0 = round(p_["e0"] * 255)  # default e0 = byte0/255
+        want_e0 = (len(r["format"]) % 8) / 100.0 + blob_byte0 / 512.0
+        assert abs(r["e0"] - want_e0) < 1e-12
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        opmm.multimodal_extract(
+            spark, SF_SMOKE, decoder=opmm.decode_media
+        ).limit(1).collect()
+
+
 def test_stream_sessionize_matches_batch_closed_sessions(spark):
     """Stateful streaming sessions == batch sessions, minus each user's
     final (still-open at end-of-stream) session."""

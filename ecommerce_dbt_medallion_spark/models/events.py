@@ -29,12 +29,38 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_events_table(spark, sf_dir)
 
 
-def event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _date_bounded(ev: DataFrame, since, until) -> DataFrame:
+    """Apply [since, until) day bounds to an events frame. Over the
+    date-partitioned materialization (runner.materialize_events_
+    partitioned) the predicate lands on the ``event_date`` PARTITION
+    column and prunes directories at the scan; over the flat driver
+    parquet it falls back to a pushed to_date(ts) filter — same rows,
+    no pruning. Plan-pinned in tests/test_plans.py."""
+    if since is None and until is None:
+        return ev
+    d = (
+        F.col("event_date")
+        if "event_date" in ev.columns
+        else F.to_date(F.col("ts"))
+    )
+    if since is not None:
+        ev = ev.where(d >= F.lit(since))
+    if until is not None:
+        ev = ev.where(d < F.lit(until))
+    return ev
+
+
+def event_daily_stats(
+    spark: SparkSession, sf_dir: str, since=None, until=None
+) -> DataFrame:
     """Per (event_date, event_type): volume, users, value stats.
 
     Exercises JSON extraction (props) and exact-decimal value sums.
+    ``since``/``until`` bound the scan to [since, until) days — the
+    incremental-rebuild shape; see _date_bounded for the pruning
+    contract. The driver key passes neither (full scan, unchanged).
     """
-    ev = load_events(spark, sf_dir)
+    ev = _date_bounded(load_events(spark, sf_dir), since, until)
     val = F.col("value").cast("decimal(18,2)")  # values are 2dp (verified)
     return (
         ev.groupBy(
@@ -241,7 +267,9 @@ asof left join orders_d o
 """
 
 
-def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hypertable_rollup(
+    spark: SparkSession, sf_dir: str, since=None, until=None
+) -> DataFrame:
     """Hypertable-style continuous aggregate: cascading hour → day →
     month rollups where each coarser resolution is computed FROM the
     next finer one (the TimescaleDB continuous-aggregate shape — at
@@ -250,9 +278,13 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One unioned result with a ``resolution`` column; decimal sums make
     the cascade exactly associative (hour sums == day sums == month
-    sums), which the oracle verifies value-for-value.
+    sums), which the oracle verifies value-for-value. ``since``/
+    ``until`` bound the raw-event scan to [since, until) days (the
+    continuous-aggregate REFRESH shape — recompute only the invalidated
+    window); over the partitioned materialization the bound prunes
+    directories (_date_bounded). The driver key passes neither.
     """
-    ev = load_events(spark, sf_dir)
+    ev = _date_bounded(load_events(spark, sf_dir), since, until)
     hourly = (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("bucket"),

@@ -229,6 +229,36 @@ def snapshot(
     return spark.read.parquet(snapshot_path)
 
 
+def materialize_events_partitioned(spark: SparkSession, sf_dir: str, dest_dir: str) -> str:
+    """Date-partitioned materialization of the events stream — pruning
+    parity with the orders fact (runner.run partitions silver_orders by
+    order_year_month; events is the second-biggest fact and had no
+    pruned read path, round-8 review). Writes
+    ``dest_dir/events_partitioned`` hive-partitioned by ``event_date``;
+    ``sources.registry.load_events_table`` prefers that layout when the
+    caller's dir carries it, so every date-bounded event mart gets
+    partition pruning with no mart change. Day grain: a 100 TB event
+    stream at ~30 days/month lands ~3% of the table per partition — the
+    incremental rebuild unit — while the partition count stays in the
+    thousands over years (no small-file explosion)."""
+    from ecommerce_dbt_medallion_spark.sources.registry import (
+        EVENTS_PARTITIONED_DIRNAME,
+        load_events_table,
+    )
+
+    ev = load_events_table(spark, sf_dir)
+    out = os.path.join(dest_dir, EVENTS_PARTITIONED_DIRNAME)
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .repartition("event_date")  # one writer task per day: no
+        # per-task fan-out into every partition dir (tiny-file storm)
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    return out
+
+
 def materialize_bucketed_facts(
     spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> tuple[str, str]:

@@ -86,8 +86,26 @@ def _read_events_static(spark: SparkSession, path: str) -> DataFrame:
         raise
 
 
+# A warehouse-side date-partitioned materialization of events (written
+# by runner.materialize_events_partitioned). When present in sf_dir it
+# wins over the flat events.parquet: its hive layout gives every
+# event_date-filtered mart partition pruning — at 100 TB the difference
+# between scanning one day's directories and the whole stream (the same
+# posture runner.run takes for silver_orders/order_year_month).
+EVENTS_PARTITIONED_DIRNAME = "events_partitioned"
+
+
 def load_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet with ``ts`` normalized to a true TIMESTAMP."""
+    """events with ``ts`` normalized to a true TIMESTAMP.
+
+    Prefers the date-partitioned materialization (see
+    EVENTS_PARTITIONED_DIRNAME) when the caller's dir carries one; the
+    driver's flat events.parquet path is byte-identical to before
+    (the partitioned branch ADDS an ``event_date`` partition column,
+    which the date-bounded marts filter on)."""
+    parted = os.path.join(sf_dir, EVENTS_PARTITIONED_DIRNAME)
+    if os.path.isdir(parted):
+        return normalize_event_ts(spark.read.parquet(parted))
     path = os.path.join(sf_dir, "events.parquet")
     return normalize_event_ts(_read_events_static(spark, path))
 

@@ -545,3 +545,43 @@ def test_part_supplier_diversity_anti_join_and_pair_collapse(spark):
     assert "LeftAnti" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_event_marts_prune_partitions_over_materialized_events(spark, tmp_path):
+    """Events partition-pruning parity with orders (round-9, VERDICT r8
+    #6): over runner.materialize_events_partitioned's hive layout, the
+    date-bounded event marts must carry their [since, until) bound as
+    PartitionFilters on the events scan — directory pruning, not a
+    post-scan filter — and return exactly the rows the flat-parquet
+    path returns for the same bound."""
+    import os
+    import shutil
+
+    from ecommerce_dbt_medallion_spark.models import events as ev
+    from ecommerce_dbt_medallion_spark.runner import materialize_events_partitioned
+
+    wh = str(tmp_path / "events_wh")
+    os.makedirs(wh)
+    materialize_events_partitioned(spark, SF_SMOKE, wh)
+    # the marts only read events, so the warehouse dir IS a valid sf_dir
+    since, until = "2024-01-05", "2024-01-08"
+
+    for mart in (ev.event_daily_stats, ev.hypertable_rollup):
+        plan = _formatted(mart(spark, wh, since=since, until=until))
+        assert "PartitionFilters" in plan and "event_date" in plan.split(
+            "PartitionFilters", 1
+        )[1].split("]", 1)[0], (
+            f"{mart.__name__}: date bound did not reach PartitionFilters:\n"
+            + plan[:2000]
+        )
+        got = sorted(map(tuple, mart(spark, wh, since=since, until=until).collect()))
+        want = sorted(
+            map(tuple, mart(spark, SF_SMOKE, since=since, until=until).collect())
+        )
+        assert got == want, f"{mart.__name__}: partitioned != flat rows"
+
+    # unbounded calls stay full-scan-correct over both layouts
+    full_p = ev.event_daily_stats(spark, wh).count()
+    full_f = ev.event_daily_stats(spark, SF_SMOKE).count()
+    assert full_p == full_f
+    shutil.rmtree(wh, ignore_errors=True)

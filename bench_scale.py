@@ -20,8 +20,12 @@ Synthesis (NOT driver data — probe only, lives in .scratch/, gitignored):
   dim rotation + sign-flip pattern): within-replica cosine geometry is
   EXACTLY preserved, replicas are decorrelated, density grows 10x in the
   same space — which is what a real 10x corpus does to LSH buckets.
-- region/nation/part/supplier/events copied verbatim (dimension-like or
-  unused by the probed keys).
+- events: shifted event_id and a DISJOINT user keyspace per replica
+  (user_id + k*K_USER), timestamps untouched — a 10x event stream has
+  10x users in the SAME time range, so watermark frontiers, window
+  counts per user, and session shapes are preserved per replica while
+  hourly volume grows 10x (round-9, for the streaming-key probes).
+- region/nation/part/supplier copied verbatim (dimension-like).
 
 Timing includes DataFrame construction (iterative keys do checkpointed
 work there); each key is min-of-2. Output: one JSON line with per-key
@@ -54,6 +58,8 @@ K_CUST = 1_000_000
 K_ORD = 10_000_000
 K_DOC = 1_000_000
 K_VEC = 1_000_000
+K_USER = 1_000_000
+K_EVT = 100_000_000
 
 PROBE_KEYS = [
     # medallion marts (fact scans + the dominant payments join)
@@ -100,8 +106,7 @@ PROBE_KEYS = [
     "quality_threshold_sweep",
     "dedup_source_overlap",
     "lakehouse_clone_read",
-    # round-8 session-3 keys (cdc keys are events-based and excluded,
-    # same as the other events keys: the probe does not scale events)
+    # round-8 session-3 keys
     "paragraph_dedup_rewrite",
     "boilerplate_ngrams",
     "shipping_priority_topk",
@@ -116,6 +121,15 @@ PROBE_KEYS = [
     "part_supplier_diversity",
     "disjunctive_band_revenue",
     "lakehouse_rename_read",
+    # round 9: events.parquet is now scaled (disjoint user keyspaces),
+    # so the two streaming keys VERDICT r8 flagged as unprobed get
+    # ratio rows, plus the cdc pair and the round-9 lakehouse keys
+    "watermark_lateness_audit",
+    "stream_distinct_sketch",
+    "cdc_latest_state",
+    "stream_cdc_apply",
+    "lakehouse_optimize_read",
+    "lakehouse_snapshot_cut",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
@@ -125,7 +139,7 @@ if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
 def build_scale_dir(spark) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(SCRATCH, "_SUCCESS_ALL")):
+    if os.path.exists(os.path.join(SCRATCH, "_SUCCESS_ALL_v2")):
         return
     shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH, exist_ok=True)
@@ -182,12 +196,18 @@ def build_scale_dir(spark) -> None:
 
     rep("embeddings", emb_rep)
 
-    for name in ("region", "nation", "part", "supplier", "events"):
+    rep(
+        "events",
+        lambda df, k: df.withColumn("event_id", F.col("event_id") + k * K_EVT)
+        .withColumn("user_id", F.col("user_id") + k * K_USER),
+    )
+
+    for name in ("region", "nation", "part", "supplier"):
         shutil.copy(
             os.path.join(SF01, f"{name}.parquet"),
             os.path.join(SCRATCH, f"{name}.parquet"),
         )
-    open(os.path.join(SCRATCH, "_SUCCESS_ALL"), "w").close()
+    open(os.path.join(SCRATCH, "_SUCCESS_ALL_v2"), "w").close()
 
 
 def main() -> None:

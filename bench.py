@@ -126,6 +126,11 @@ def main() -> None:
         # (both construction-timed: the gates build/poison tables)
         "lakehouse_optimize_read",
         "lakehouse_snapshot_cut",
+        # round 9: Q21/Q2/Q10-shape marts (oracle-proved EXISTS
+        # rewrite / decorrelation; write-only timed like the other marts)
+        "waiting_supplier_ranking",
+        "min_cost_supplier_parts",
+        "returned_item_customers",
     ):
         if extra in queries:
             headline.append(extra)

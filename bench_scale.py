@@ -130,6 +130,9 @@ PROBE_KEYS = [
     "stream_cdc_apply",
     "lakehouse_optimize_read",
     "lakehouse_snapshot_cut",
+    "waiting_supplier_ranking",
+    "min_cost_supplier_parts",
+    "returned_item_customers",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

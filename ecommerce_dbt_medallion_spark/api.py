@@ -147,11 +147,13 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # dq_source_freshness, scd2_snapshot_build, kmeans_embeddings,
 # bm25_topk, exact_substring_dedup, doc_containment,
 # triangle_count_parts, corpus_mix_weights, semantic_dedup_clusters,
-# sketch_user_overlap, funnel_windowed, plus multimodal_frame_sample
-# and dedup_embedding_lsh, which ceded their slots to the round-9
-# additions lakehouse_optimize_read / lakehouse_snapshot_cut) are
-# deferred to the FRONT of the round-10 window together with any
-# later round-9 additions.
+# sketch_user_overlap, funnel_windowed, plus dedup_ngram_jaccard,
+# text_pii_scrub, decontaminate, multimodal_frame_sample and
+# dedup_embedding_lsh, which ceded their slots to the round-9
+# additions lakehouse_optimize_read / lakehouse_snapshot_cut /
+# waiting_supplier_ranking / min_cost_supplier_parts /
+# returned_item_customers) are deferred to the FRONT of the
+# round-10 window together with any later round-9 additions.
 #
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
 # rotation test derives its expectations from the CORRECTNESS
@@ -185,10 +187,14 @@ DRIVER_WINDOW = [
     # cross-table cut, queued behind the 14 deferred keys.
     "lakehouse_optimize_read",
     "lakehouse_snapshot_cut",
+    "waiting_supplier_ranking",
+    "min_cost_supplier_parts",
+    "returned_item_customers",
     # Remaining 34 slots: the r6-latest block, oldest-first in api
-    # order (all 50 are r6; the last 16 in api order defer to r10 —
+    # order (all 50 are r6; the last 19 in api order defer to r10 —
+    # dedup_ngram_jaccard, text_pii_scrub, decontaminate,
     # multimodal_frame_sample and dedup_embedding_lsh ceded their
-    # slots to the two round-9 additions).
+    # slots to the five round-9 additions).
     "gold_rfm_segmentation",
     "churn_risk_score",
     "event_daily_stats",
@@ -220,9 +226,6 @@ DRIVER_WINDOW = [
     "dedup_exact",
     "doc_winnowing",
     "corpus_curation",
-    "dedup_ngram_jaccard",
-    "text_pii_scrub",
-    "decontaminate",
 ]
 
 
@@ -395,6 +398,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "lakehouse_rename_read": mcdf.lakehouse_rename_read,
         "lakehouse_optimize_read": mcdf.lakehouse_optimize_read,
         "lakehouse_snapshot_cut": mcdf.lakehouse_snapshot_cut,
+        "waiting_supplier_ranking": ana.waiting_supplier_ranking,
+        "min_cost_supplier_parts": ana.min_cost_supplier_parts,
+        "returned_item_customers": ana.returned_item_customers,
     }
 
 
@@ -643,6 +649,12 @@ def oracle_sql() -> dict[str, str]:
     # round 9: incremental OPTIMIZE consumer + consistent cross-table cut
     out["lakehouse_optimize_read"] = mcdf.oracle_lakehouse_optimize_read()
     out["lakehouse_snapshot_cut"] = mcdf.oracle_lakehouse_snapshot_cut()
+    # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
+    # correlated EXISTS / NOT EXISTS and correlated-min forms, so the
+    # hash gate PROVES the Spark-side agg rewrite / decorrelation
+    out["waiting_supplier_ranking"] = ana.ORACLE_WAITING_SUPPLIER_RANKING
+    out["min_cost_supplier_parts"] = ana.ORACLE_MIN_COST_SUPPLIER_PARTS
+    out["returned_item_customers"] = ana.ORACLE_RETURNED_ITEM_CUSTOMERS
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

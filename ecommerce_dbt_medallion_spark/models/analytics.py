@@ -2051,3 +2051,218 @@ join part p on p.p_partkey = l.l_partkey
 where {_q19_sql_clause()}
 group by 1
 """
+
+
+# ----------------------------------------------- waiting suppliers (Q21)
+
+Q21_TOPK = 10
+
+
+def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape waiting-supplier ranking: suppliers who were the
+    SOLE late shipper on multi-supplier orders (their lineitem shipped
+    > LATE_SHIP_DAYS after the order date while every co-supplier on
+    the order shipped on time), counted per supplier.
+
+    Spark-first rewrite: the textbook form is a double correlated
+    EXISTS / NOT EXISTS self-join of lineitem — two extra scans and two
+    shuffles of the biggest fact. Here one per-order aggregation
+    computes (distinct suppliers, distinct LATE suppliers) and the
+    qualifying pairs fall out of the same pass: supplier s on order o
+    qualifies iff s is late on o AND n_suppliers > 1 AND
+    n_late_suppliers == 1. The ORACLE states the classic EXISTS /
+    NOT EXISTS form, so the hash gate proves the rewrite equivalent.
+    Tie-break-free output (count per supplier, all 10 suppliers via
+    a deterministic full ranking — no top-K tie flap: numwait desc,
+    suppkey asc is a total order).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.select("l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship_d")).join(
+        orders.select("o_orderkey", F.to_date("o_orderdate").alias("ord_d")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    flagged = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff("ship_d", "ord_d") > LATE_SHIP_DAYS).alias("is_late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        flagged.where(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("numwait").cast("long").alias("numwait"),
+        )
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(Q21_TOPK)
+    )
+
+
+ORACLE_WAITING_SUPPLIER_RANKING = f"""
+with lo as (
+    select l.l_orderkey, l.l_suppkey,
+        date_diff('day', cast(o.o_orderdate as date),
+                  cast(l.l_shipdate as date)) > {LATE_SHIP_DAYS} as is_late
+    from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+)
+select cast(s.s_suppkey as bigint) as s_suppkey, s.s_name,
+    cast(count(*) as bigint) as numwait
+from (
+    select distinct l1.l_orderkey, l1.l_suppkey
+    from lo l1
+    where l1.is_late
+      and exists (
+        select 1 from lo l2
+        where l2.l_orderkey = l1.l_orderkey
+          and l2.l_suppkey <> l1.l_suppkey)
+      and not exists (
+        select 1 from lo l3
+        where l3.l_orderkey = l1.l_orderkey
+          and l3.l_suppkey <> l1.l_suppkey
+          and l3.is_late)
+) w
+join supplier s on s.s_suppkey = w.l_suppkey
+group by 1, 2
+order by numwait desc, s_suppkey
+limit {Q21_TOPK}
+"""
+
+
+# ------------------------------------------- min-cost supplier parts (Q2)
+
+Q2_SIZE_MAX = 25
+
+
+def min_cost_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape minimum-cost supplier: for every part in a size
+    band, the supplier(s) whose best observed lineitem price equals the
+    part's global minimum (the testdata has no partsupp table — the
+    observed lineitem prices ARE the supply-cost relation, derived once
+    and reused for both sides of the correlation).
+
+    Spark-first decorrelation: the textbook correlated subquery
+    ``ps.cost = (select min(cost) ... where partkey = p.partkey)``
+    becomes one per-(part, supplier) MIN, one per-part MIN over it, and
+    an equi-join back — two map-side-combinable aggregations and a
+    narrow join instead of a per-row subquery. The ORACLE keeps the
+    correlated form, so the gate proves the decorrelation. Exact
+    decimal mins (no doubles until the final cast).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= Q2_SIZE_MAX)
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("best_price")
+    )
+    part_min = ps.groupBy("l_partkey").agg(F.min("best_price").alias("min_price"))
+    return (
+        ps.join(part_min, "l_partkey")
+        .where(F.col("best_price") == F.col("min_price"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("best_price").cast("double").alias("best_price"),
+        )
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER_PARTS = f"""
+with ps as (
+    select l_partkey, l_suppkey,
+        min(cast(l_extendedprice as decimal(18,2))) as best_price
+    from lineitem group by 1, 2
+)
+select cast(p.p_partkey as bigint) as p_partkey, p.p_brand,
+    cast(p.p_size as int) as p_size,
+    cast(s.s_suppkey as bigint) as s_suppkey, s.s_name,
+    cast(ps.best_price as double) as best_price
+from ps
+join part p on p.p_partkey = ps.l_partkey
+join supplier s on s.s_suppkey = ps.l_suppkey
+where p.p_size <= {Q2_SIZE_MAX}
+  and ps.best_price = (
+    select min(ps2.best_price) from ps ps2
+    where ps2.l_partkey = ps.l_partkey)
+"""
+
+
+# --------------------------------------------- returned-item revenue (Q10)
+
+Q10_TOPK = 20
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shape returned-item report: the ``Q10_TOPK`` customers
+    who returned the most revenue (lineitems flagged 'R'), with their
+    nation — the churn-risk list a returns desk works top-down.
+
+    Plan: the returnflag filter cuts lineitem at the scan (~25% of the
+    fact) before its only shuffle; orders carries custkey to the
+    revenue grain; customer joins on the shrunken aggregate; nation
+    broadcasts. Exact-decimal revenue; top-K is TakeOrderedAndProject
+    under a total order (revenue desc, custkey asc).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(_discounted_rev()).alias("rev_dec"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(Q10_TOPK)
+    )
+
+
+ORACLE_RETURNED_ITEM_CUSTOMERS = f"""
+select cast(c.c_custkey as bigint) as c_custkey, c.c_name, n.n_name,
+    cast(c.c_acctbal as double) as c_acctbal,
+    cast(sum(cast(cast(l.l_extendedprice as decimal(18,2))
+        * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4)))
+        as double) as revenue
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on c.c_custkey = o.o_custkey
+join nation n on n.n_nationkey = c.c_nationkey
+where l.l_returnflag = 'R'
+group by 1, 2, 3, 4
+order by revenue desc, c_custkey
+limit {Q10_TOPK}
+"""

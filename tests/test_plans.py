@@ -585,3 +585,46 @@ def test_event_marts_prune_partitions_over_materialized_events(spark, tmp_path):
     full_f = ev.event_daily_stats(spark, SF_SMOKE).count()
     assert full_p == full_f
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_round9_marts_plan_shapes(spark):
+    """Round-9 relational marts: the rewrites their oracles prove must
+    actually be IN the plan. Q21 aggregates the joined fact once — no
+    lineitem self-join (the fact scans once for the flags and once for
+    the per-order counts off the SAME joined frame, never three times
+    as in the EXISTS form) and no Window. Q2 is two aggregations plus
+    an equi-join back — no Window, bounded exchanges. Q10 pushes the
+    returnflag filter into the lineitem scan and takes the top-K via
+    TakeOrderedAndProject, never a global Sort."""
+    from ecommerce_dbt_medallion_spark.models.analytics import (
+        min_cost_supplier_parts,
+        returned_item_customers,
+        waiting_supplier_ranking,
+    )
+
+    q21 = (
+        waiting_supplier_ranking(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in q21
+    # the EXISTS form would scan lineitem 3x; the agg rewrite reads it
+    # for the flag frame + the per-order counts (shared subtree) only
+    assert q21.count("lineitem.parquet") <= 2, q21.count("lineitem.parquet")
+
+    q2 = (
+        min_cost_supplier_parts(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in q2
+    assert q2.count("lineitem.parquet") <= 2
+
+    q10 = _formatted(returned_item_customers(spark, SF_SMOKE))
+    pushed = [ln for ln in q10.splitlines() if "PushedFilters" in ln]
+    assert any("l_returnflag" in ln for ln in pushed), (
+        "returnflag must reach the lineitem scan"
+    )
+    assert "TakeOrderedAndProject" in q10

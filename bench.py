@@ -129,6 +129,7 @@ def main() -> None:
         # round 9: Q21/Q2/Q10-shape marts (oracle-proved EXISTS
         # rewrite / decorrelation; write-only timed like the other marts)
         "waiting_supplier_ranking",
+        "stream_heavy_hitters",
         "min_cost_supplier_parts",
         "returned_item_customers",
     ):
@@ -155,7 +156,7 @@ def main() -> None:
                           "stream_quantile_sketch", "lakehouse_clone_read",
                           "stream_cdc_apply", "stream_distinct_sketch",
                           "lakehouse_rename_read", "lakehouse_optimize_read",
-                          "lakehouse_snapshot_cut"}
+                          "lakehouse_snapshot_cut", "stream_heavy_hitters"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

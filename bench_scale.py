@@ -133,6 +133,7 @@ PROBE_KEYS = [
     "waiting_supplier_ranking",
     "min_cost_supplier_parts",
     "returned_item_customers",
+    "stream_heavy_hitters",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -147,13 +147,14 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # dq_source_freshness, scd2_snapshot_build, kmeans_embeddings,
 # bm25_topk, exact_substring_dedup, doc_containment,
 # triangle_count_parts, corpus_mix_weights, semantic_dedup_clusters,
-# sketch_user_overlap, funnel_windowed, plus dedup_ngram_jaccard,
-# text_pii_scrub, decontaminate, multimodal_frame_sample and
-# dedup_embedding_lsh, which ceded their slots to the round-9
-# additions lakehouse_optimize_read / lakehouse_snapshot_cut /
-# waiting_supplier_ranking / min_cost_supplier_parts /
-# returned_item_customers) are deferred to the FRONT of the
-# round-10 window together with any later round-9 additions.
+# sketch_user_overlap, funnel_windowed, plus corpus_curation,
+# dedup_ngram_jaccard, text_pii_scrub, decontaminate,
+# multimodal_frame_sample and dedup_embedding_lsh, which ceded
+# their slots to the round-9 additions lakehouse_optimize_read /
+# lakehouse_snapshot_cut / waiting_supplier_ranking /
+# min_cost_supplier_parts / returned_item_customers /
+# stream_heavy_hitters) are deferred to the FRONT of the round-10
+# window together with any later round-9 additions.
 #
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
 # rotation test derives its expectations from the CORRECTNESS
@@ -190,9 +191,10 @@ DRIVER_WINDOW = [
     "waiting_supplier_ranking",
     "min_cost_supplier_parts",
     "returned_item_customers",
+    "stream_heavy_hitters",
     # Remaining 34 slots: the r6-latest block, oldest-first in api
-    # order (all 50 are r6; the last 19 in api order defer to r10 —
-    # dedup_ngram_jaccard, text_pii_scrub, decontaminate,
+    # order (all 50 are r6; the last 20 in api order defer to r10 —
+    # corpus_curation, dedup_ngram_jaccard, text_pii_scrub, decontaminate,
     # multimodal_frame_sample and dedup_embedding_lsh ceded their
     # slots to the five round-9 additions).
     "gold_rfm_segmentation",
@@ -225,7 +227,6 @@ DRIVER_WINDOW = [
     "doc_fingerprint",
     "dedup_exact",
     "doc_winnowing",
-    "corpus_curation",
 ]
 
 
@@ -393,6 +394,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "idle_high_balance_customers": ana.idle_high_balance_customers,
         "top_supplier_revenue": ana.top_supplier_revenue,
         "stream_distinct_sketch": strm_sketch.stream_distinct_sketch,
+        "stream_heavy_hitters": strm_sketch.stream_heavy_hitters,
         "part_supplier_diversity": ana.part_supplier_diversity,
         "disjunctive_band_revenue": ana.disjunctive_band_revenue,
         "lakehouse_rename_read": mcdf.lakehouse_rename_read,
@@ -641,6 +643,9 @@ def oracle_sql() -> dict[str, str]:
     # round 8 (session 4): streaming HLL register maintenance — the
     # batch estimator oracle minus its exact-count column
     out["stream_distinct_sketch"] = ev.oracle_stream_distinct_sketch()
+    # round 9: streaming CMS heavy hitters — the oracle restates the
+    # per-batch candidate top-M AND the global CMS estimator in SQL
+    out["stream_heavy_hitters"] = strm_sketch.oracle_stream_heavy_hitters()
     # round 8 (session 4): TPC-H Q16/Q19-shape relational marts
     out["part_supplier_diversity"] = ana.ORACLE_PART_SUPPLIER_DIVERSITY
     out["disjunctive_band_revenue"] = ana.ORACLE_DISJUNCTIVE_BAND_REVENUE

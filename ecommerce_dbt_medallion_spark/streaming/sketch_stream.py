@@ -280,3 +280,233 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, state_table, schema="event_type string, user_id bigint"
     )
     return stream_state_hll_estimates(spark, state_table)
+
+
+# -------------------------------------- streaming heavy hitters (CMS)
+
+HH_CAND_PER_BATCH = 50  # per-batch candidate top-M (SpaceSaving-style)
+HH_TOPK = 20
+
+
+def stream_cms_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    cms_table: str,
+    cand_table: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``source_dir`` (rows of (user_id bigint)) into TWO
+    lakehouse state tables: an additive count-min-sketch cell table
+    (batch-tagged, replay-guarded — same algebra as the quantile
+    sibling: sums merge across any partitioning, so the merged cells
+    equal the batch CMS over the union) and a candidate table holding
+    the union of per-batch top-``HH_CAND_PER_BATCH`` users (the
+    SpaceSaving insight at micro-batch grain: a global heavy hitter is
+    batch-local-heavy in at least one batch long before it matters;
+    the candidate set is bounded by M × batches, never the key space).
+
+    Per batch the CMS exchange is bounded by the CELL count (4 rows ×
+    256 buckets after map-side combine) and the candidate exchange by
+    M — never the batch row count.
+    """
+    from ecommerce_dbt_medallion_spark.ops.sketch import CMS_ROWS, _cms_bucket
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                _cms_bucket(F.col("user_id"), i).alias("bucket"),
+            )
+            for i in range(CMS_ROWS)
+        ]
+    )
+
+    def _batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ev = batch_df.where(F.col("user_id").isNotNull())
+        bcells = (
+            ev.select(F.explode(cell_structs).alias("rb"))
+            .select("rb.row_i", "rb.bucket")
+            .groupBy("row_i", "bucket")
+            .agg(F.count("*").alias("cell_count"))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        # deterministic per-batch top-M: (count desc, user_id) is a
+        # total order, so the candidate set is engine-reproducible —
+        # and orderBy().limit() under a total order IS row_number<=M,
+        # compiled as TakeOrderedAndProject (distributed per-partition
+        # top-M + merge; an unpartitioned Window would single-thread
+        # the batch's user grain at 100 TB)
+        bcand = (
+            ev.groupBy("user_id")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("user_id"))
+            .limit(HH_CAND_PER_BATCH)
+            .select("user_id")
+            .localCheckpoint(eager=True)
+        )
+        if not lakehouse.versions(cms_table):
+            lakehouse.create_or_replace(spark, cms_table, bcells)
+        else:
+            seen = lakehouse.read(spark, cms_table).select("batch_id").distinct()
+            fresh = bcells.join(seen, "batch_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if not fresh.isEmpty():
+                lakehouse.append(spark, cms_table, fresh)
+        if not lakehouse.versions(cand_table):
+            lakehouse.create_or_replace(spark, cand_table, bcand, key="user_id")
+        else:
+            known = lakehouse.read(spark, cand_table).select("user_id")
+            new = bcand.join(known, "user_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if not new.isEmpty():
+                lakehouse.append(spark, cand_table, new)
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", _ckpt_dir(cms_table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_state_heavy_hitters(
+    spark: SparkSession, cms_table: str, cand_table: str
+) -> DataFrame:
+    """Top-``HH_TOPK`` heavy hitters from the STORED state: sum-merge
+    the CMS cells across batch tags, probe only the candidate set,
+    rank under a total order — state-only compute, never the fact."""
+    from ecommerce_dbt_medallion_spark.ops.sketch import CMS_ROWS, _cms_bucket
+
+    merged = (
+        lakehouse.read(spark, cms_table)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    cand = lakehouse.read(spark, cand_table)
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                _cms_bucket(F.col("user_id"), i).alias("bucket"),
+            )
+            for i in range(CMS_ROWS)
+        ]
+    )
+    return (
+        cand.select("user_id", F.explode(cell_structs).alias("rb"))
+        .select("user_id", "rb.row_i", "rb.bucket")
+        .join(F.broadcast(merged), ["row_i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell_count").cast("long").alias("est_count"))
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(HH_TOPK)
+        .select(F.col("user_id").cast("long").alias("user_id"), "est_count")
+    )
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated key (#37f): streaming heavy hitters — events split into 3
+    deterministic micro-batches (event_id % 3, mtime-ordered files),
+    per-batch CMS cells SUM-maintained and per-batch top-M candidates
+    unioned in lakehouse state, top-K extracted from the stored state
+    only. Additivity makes the merged cells equal the batch CMS over
+    the union of batches; the ORACLE restates the whole construction —
+    per-batch deterministic top-M candidates + global CMS estimates —
+    in pure SQL, so candidate selection, cell maintenance, and the min
+    estimator are all under the value hash."""
+    import re as _re
+    import shutil as _sh
+    import time as _time
+
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+    from ecommerce_dbt_medallion_spark.models.events import load_events
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.normpath(os.path.join(_GATE_ROOT, f"hhstream_src_{tag}"))
+    cms_table = os.path.normpath(os.path.join(_GATE_ROOT, f"hhstream_cms_{tag}"))
+    cand_table = os.path.normpath(os.path.join(_GATE_ROOT, f"hhstream_cand_{tag}"))
+    for p in (src, cms_table, cand_table, _ckpt_dir(cms_table)):
+        _sh.rmtree(p, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    base = _time.time()
+    for k in range(3):
+        staging = os.path.join(src, f"_stage{k}")
+        ev.where(F.col("event_id") % 3 == k).select("user_id").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        (part,) = [
+            f
+            for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.replace(os.path.join(staging, part), dst)
+        _sh.rmtree(staging, ignore_errors=True)
+        os.utime(dst, (base + k * 10, base + k * 10))
+
+    stream_cms_ingest(
+        spark, src, cms_table, cand_table, schema="user_id bigint"
+    )
+    return stream_state_heavy_hitters(spark, cms_table, cand_table)
+
+
+def oracle_stream_heavy_hitters() -> str:
+    from ecommerce_dbt_medallion_spark.ops.sketch import CMS_ROWS, CMS_SALT
+
+    rows = ", ".join(str(i) for i in range(CMS_ROWS))
+    return f"""
+with ev as (
+    select event_id, user_id from events where user_id is not null
+),
+bc as (
+    select event_id % 3 as batch_id, user_id, count(*) as c
+    from ev group by 1, 2
+),
+cand as (
+    select distinct user_id from (
+        select batch_id, user_id,
+            row_number() over (
+                partition by batch_id order by c desc, user_id) as rn
+        from bc
+    ) where rn <= {HH_CAND_PER_BATCH}
+),
+salts as (select unnest([{rows}]) as row_i),
+cells as (
+    select s.row_i,
+        substr(md5(cast(e.user_id as varchar) || '{CMS_SALT}' || s.row_i), 1, 2)
+            as bucket,
+        count(*) as cell_count
+    from ev e cross join salts s
+    group by 1, 2
+),
+est as (
+    select cd.user_id, min(c.cell_count) as est_count
+    from cand cd
+    cross join salts s
+    join cells c
+      on c.row_i = s.row_i
+     and c.bucket = substr(
+            md5(cast(cd.user_id as varchar) || '{CMS_SALT}' || s.row_i), 1, 2)
+    group by 1
+)
+select cast(user_id as bigint) as user_id,
+    cast(est_count as bigint) as est_count
+from est
+order by est_count desc, user_id
+limit {HH_TOPK}
+"""

@@ -2942,3 +2942,81 @@ def test_protected_columns_skip_literals_and_keywords(spark, tmp_path):
         lh.rename_column(t, "seg", "segment")
     with pytest.raises(ValueError, match="CHECK constraint"):
         lh.drop_column(t, "amount")
+
+
+def test_stream_cms_heavy_hitters_replay_and_batch_equality(spark, tmp_path):
+    """Streaming CMS maintenance (round 9): (1) replaying the drained
+    stream after checkpoint loss changes NEITHER state table (cells are
+    batch-tag guarded, candidates key-guarded); (2) the top-K from the
+    sum-merged streamed cells equals a single-pass batch CMS over the
+    union — additivity is the whole contract."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.sketch import CMS_ROWS, _cms_bucket
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
+    from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stream_cms_ingest,
+        stream_state_heavy_hitters,
+    )
+
+    # skewed stream: user 7 is the clear heavy hitter across batches
+    rows = [(7,)] * 500 + [(i % 97,) for i in range(1500)]
+    df = spark.createDataFrame(rows, "user_id long")
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    for k in range(2):
+        staging = str(tmp_path / f"cstage{k}")
+        df.withColumn("rn", F.monotonically_increasing_id()).where(
+            F.col("rn") % 2 == k
+        ).select("user_id").coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = [f for f in _os.listdir(staging) if f.endswith(".parquet")]
+        _os.replace(_os.path.join(staging, part), str(src / f"b{k}.parquet"))
+
+    cms = str(tmp_path / "cms_state")
+    cand = str(tmp_path / "cms_cand")
+    stream_cms_ingest(spark, str(src), cms, cand, "user_id long")
+    first = sorted(
+        map(tuple, stream_state_heavy_hitters(spark, cms, cand).collect())
+    )
+    v_cms, v_cand = lh.versions(cms)[-1], lh.versions(cand)[-1]
+
+    shutil.rmtree(_ckpt_dir(cms), ignore_errors=True)
+    stream_cms_ingest(spark, str(src), cms, cand, "user_id long")
+    again = sorted(
+        map(tuple, stream_state_heavy_hitters(spark, cms, cand).collect())
+    )
+    assert again == first
+    assert lh.versions(cms)[-1] == v_cms
+    assert lh.versions(cand)[-1] == v_cand
+
+    # the hitter leads, and its streamed estimate equals the batch CMS
+    # estimate over the union (additive cells)
+    top = stream_state_heavy_hitters(spark, cms, cand).limit(1).collect()[0]
+    assert top["user_id"] == 7
+    cells_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                _cms_bucket(F.col("user_id"), i).alias("bucket"),
+            )
+            for i in range(CMS_ROWS)
+        ]
+    )
+    batch_cells = (
+        df.select(F.explode(cells_structs).alias("rb"))
+        .select("rb.row_i", "rb.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("cell_count"))
+    )
+    probe = (
+        spark.createDataFrame([(7,)], "user_id long")
+        .select("user_id", F.explode(cells_structs).alias("rb"))
+        .select("user_id", "rb.row_i", "rb.bucket")
+        .join(batch_cells, ["row_i", "bucket"])
+        .agg(F.min("cell_count").alias("est"))
+        .collect()[0]
+    )
+    assert top["est_count"] == probe["est"] >= 500

@@ -135,15 +135,15 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # session-4 additions noted here — join that deferred head of the
 # round-9 window under the same rule.
 # No key's latest driver row should ever be more than two rounds
-# behind the code it runs on — with 164 keys and a 50-key window the
+# behind the code it runs on — with 170 keys and a 50-key window the
 # full rotation takes 4 rounds, so the realized bound is three rounds;
 # the rotation keeps every violation minimal and documented.
 #
 # Round-9 rotation (this window): the 14 never-driver-certified
 # round-8 additions go first (never-certified outranks green), then
-# the oldest-certified block — all 50 r6-latest keys compete for the
-# remaining 36 slots, oldest-first in api order. The 14 r6 keys that
-# don't fit (ann_topk_lsh, ann_topk_ivf, lakehouse_cdf,
+# the 6 round-9 additions (same rule), then the oldest-certified
+# block — all 50 r6-latest keys compete for the remaining 30 slots,
+# oldest-first in api order. The 20 r6 keys that don't fit (ann_topk_lsh, ann_topk_ivf, lakehouse_cdf,
 # dq_source_freshness, scd2_snapshot_build, kmeans_embeddings,
 # bm25_topk, exact_substring_dedup, doc_containment,
 # triangle_count_parts, corpus_mix_weights, semantic_dedup_clusters,

@@ -326,6 +326,8 @@ def test_pareto_frontier_permutation_free_and_minimal(spark, vals):
             st.tuples(st.just("defer_delete"), st.integers(0, 4)),
             st.tuples(st.just("optimize"), st.just(0)),
             st.tuples(st.just("race_append"), st.integers(0, 4)),
+            st.tuples(st.just("rename"), st.integers(0, 4)),
+            st.tuples(st.just("restore"), st.integers(0, 9)),
         ),
         min_size=1,
         max_size=8,
@@ -339,7 +341,12 @@ def test_lakehouse_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
     merge-on-read reads before materialization — and every historical
     version must stay readable. ``race_append`` is a SECOND WRITER
     (round 8): two disjoint add-only appends race in the same commit
-    window; both must land via the classified rebase."""
+    window; both must land via the classified rebase. ``rename`` and
+    ``restore`` (round 9) fuzz the column-mapping × time-travel
+    interaction the round-8 review broke: restore must land the table
+    on the EXACT model snapshot of the target version — column name
+    included — and later renames/appends must keep working (the
+    pre-fix stale mapping crashed every post-restore write)."""
     from pyspark.sql import functions as F
 
     from ecommerce_dbt_medallion_spark import lakehouse as lh
@@ -364,6 +371,11 @@ def _run_lakehouse_fuzz(spark, lh, path, model, base, ops):
     from pyspark.sql import functions as F
 
     lh.create_or_replace(spark, path, base, key="id")
+    cur_col = "val"  # the value column's CURRENT logical name
+    # version -> (model snapshot, column name) at that version's HEAD;
+    # restore targets are drawn from these (intermediate versions inside
+    # multi-commit ops are not snapshotted, so not restore targets)
+    snaps = {lh.versions(path)[-1]: (dict(model), cur_col)}
 
     def block(seed: int) -> list[tuple[int, int]]:
         # deterministic 5-key block derived from the op seed
@@ -381,7 +393,7 @@ def _run_lakehouse_fuzz(spark, lh, path, model, base, ops):
                 continue
             lh.append(
                 spark, path,
-                spark.createDataFrame(fresh, "id long, val long"), key="id",
+                spark.createDataFrame(fresh, f"id long, {cur_col} long"), key="id",
             )
             model.update(dict(fresh))
         elif op == "merge":
@@ -389,7 +401,7 @@ def _run_lakehouse_fuzz(spark, lh, path, model, base, ops):
                 lh.materialize_tombstones(spark, path)
             lh.merge_into(
                 spark, path,
-                spark.createDataFrame(rows, "id long, val long"), "id",
+                spark.createDataFrame(rows, f"id long, {cur_col} long"), "id",
             )
             model.update(dict(rows))
         elif op == "delete":
@@ -407,6 +419,21 @@ def _run_lakehouse_fuzz(spark, lh, path, model, base, ops):
             if lh.pending_tombstones(path):
                 lh.materialize_tombstones(spark, path)
             lh.optimize(spark, path, key="id", target_rows=50)
+        elif op == "rename":
+            new = f"val_r{seed}"
+            try:
+                lh.rename_column(path, cur_col, new)
+                cur_col = new
+            except ValueError:
+                pass  # name collision (same seed twice): legal refusal
+        elif op == "restore":
+            targets = sorted(snaps)
+            target = targets[seed % len(targets)]
+            lh.restore(path, target)
+            m, c = snaps[target]
+            model.clear()
+            model.update(m)
+            cur_col = c
         elif op == "race_append":
             if lh.pending_tombstones(path):
                 lh.materialize_tombstones(spark, path)
@@ -428,7 +455,9 @@ def _run_lakehouse_fuzz(spark, lh, path, model, base, ops):
                     _fired["done"] = True
                     lh.append(
                         spark, path,
-                        spark.createDataFrame(_fresh_b, "id long, val long"),
+                        spark.createDataFrame(
+                            _fresh_b, f"id long, {cur_col} long"
+                        ),
                         key="id",
                     )
                 return out
@@ -437,15 +466,16 @@ def _run_lakehouse_fuzz(spark, lh, path, model, base, ops):
             try:
                 lh.append(
                     spark, path,
-                    spark.createDataFrame(fresh_a, "id long, val long"),
+                    spark.createDataFrame(fresh_a, f"id long, {cur_col} long"),
                     key="id",
                 )
             finally:
                 lh._stage_files = real_stage
             model.update(dict(fresh_a))
             model.update(dict(fresh_b))
-        got = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
+        got = {r["id"]: r[cur_col] for r in lh.read(spark, path).collect()}
         assert got == model, f"diverged after {op}({seed})"
+        snaps[lh.versions(path)[-1]] = (dict(model), cur_col)
     # every version in history stays readable (no dangling file refs)
     for v in lh.versions(path):
         lh.read(spark, path, version=v).count()

@@ -130,6 +130,8 @@ def main() -> None:
         # rewrite / decorrelation; write-only timed like the other marts)
         "waiting_supplier_ranking",
         "stream_heavy_hitters",
+        "nation_market_share",
+        "product_profit_by_nation",
         "min_cost_supplier_parts",
         "returned_item_customers",
     ):

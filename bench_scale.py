@@ -134,6 +134,8 @@ PROBE_KEYS = [
     "min_cost_supplier_parts",
     "returned_item_customers",
     "stream_heavy_hitters",
+    "nation_market_share",
+    "product_profit_by_nation",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -153,8 +153,11 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # their slots to the round-9 additions lakehouse_optimize_read /
 # lakehouse_snapshot_cut / waiting_supplier_ranking /
 # min_cost_supplier_parts / returned_item_customers /
-# stream_heavy_hitters) are deferred to the FRONT of the round-10
-# window together with any later round-9 additions.
+# stream_heavy_hitters / nation_market_share /
+# product_profit_by_nation, with dedup_exact + doc_winnowing +
+# corpus_curation ceding to the last three of those) are deferred
+# to the FRONT of the round-10 window together with any later
+# round-9 additions.
 #
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
 # rotation test derives its expectations from the CORRECTNESS
@@ -192,9 +195,12 @@ DRIVER_WINDOW = [
     "min_cost_supplier_parts",
     "returned_item_customers",
     "stream_heavy_hitters",
+    "nation_market_share",
+    "product_profit_by_nation",
     # Remaining 34 slots: the r6-latest block, oldest-first in api
-    # order (all 50 are r6; the last 20 in api order defer to r10 —
-    # corpus_curation, dedup_ngram_jaccard, text_pii_scrub, decontaminate,
+    # order (all 50 are r6; the last 22 in api order defer to r10 —
+    # dedup_exact, doc_winnowing, corpus_curation, dedup_ngram_jaccard,
+    # text_pii_scrub, decontaminate,
     # multimodal_frame_sample and dedup_embedding_lsh ceded their
     # slots to the five round-9 additions).
     "gold_rfm_segmentation",
@@ -225,8 +231,6 @@ DRIVER_WINDOW = [
     "text_quality_score",
     "text_language_id",
     "doc_fingerprint",
-    "dedup_exact",
-    "doc_winnowing",
 ]
 
 
@@ -403,6 +407,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
         "min_cost_supplier_parts": ana.min_cost_supplier_parts,
         "returned_item_customers": ana.returned_item_customers,
+        "nation_market_share": ana.nation_market_share,
+        "product_profit_by_nation": ana.product_profit_by_nation,
     }
 
 
@@ -660,6 +666,8 @@ def oracle_sql() -> dict[str, str]:
     out["waiting_supplier_ranking"] = ana.ORACLE_WAITING_SUPPLIER_RANKING
     out["min_cost_supplier_parts"] = ana.ORACLE_MIN_COST_SUPPLIER_PARTS
     out["returned_item_customers"] = ana.ORACLE_RETURNED_ITEM_CUSTOMERS
+    out["nation_market_share"] = ana.ORACLE_NATION_MARKET_SHARE
+    out["product_profit_by_nation"] = ana.ORACLE_PRODUCT_PROFIT_BY_NATION
     out["dedup_incremental"] = opdedup.oracle_dedup_incremental()
     out["scd2_customer_orders"] = ana.ORACLE_SCD2_CUSTOMER_ORDERS
     out["stream_event_rollup"] = strm.oracle_stream_event_rollup()

@@ -2266,3 +2266,159 @@ group by 1, 2, 3, 4
 order by revenue desc, c_custkey
 limit {Q10_TOPK}
 """
+
+
+# ------------------------------------------------ market share (Q8)
+
+Q8_SUPP_NATION = "NATION_1"
+Q8_CUST_REGION = "ASIA"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape national market share: within one customer
+    region, the share of yearly revenue supplied by one nation.
+
+    Plan: ONE pass over the joined fact — the share is a conditional
+    sum over the same rows as the denominator, so there is no second
+    scan and no self-join; nation/region broadcast; both sums are
+    exact decimals and the share is a single double division per year
+    row (deterministic: one fp op on exact inputs).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_in_region = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .where(F.col("r_name") == Q8_CUST_REGION)
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    rev = _discounted_rev()
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == Q8_SUPP_NATION, rev)).alias(
+                "nation_dec"
+            ),
+            F.sum(rev).alias("total_dec"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            F.coalesce(F.col("nation_dec").cast("double"), F.lit(0.0)).alias(
+                "nation_revenue"
+            ),
+            F.col("total_dec").cast("double").alias("total_revenue"),
+            (
+                F.coalesce(F.col("nation_dec"), F.lit(0).cast("decimal(18,4)"))
+                .cast("double")
+                / F.col("total_dec").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+ORACLE_NATION_MARKET_SHARE = f"""
+with fact as (
+    select year(o.o_orderdate) as o_year,
+        n2.n_name as supp_nation,
+        cast(cast(l.l_extendedprice as decimal(18,2))
+            * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4)) as rev
+    from lineitem l
+    join orders o on l.l_orderkey = o.o_orderkey
+    join customer c on c.c_custkey = o.o_custkey
+    join nation n on n.n_nationkey = c.c_nationkey
+    join region r on r.r_regionkey = n.n_regionkey
+    join supplier s on s.s_suppkey = l.l_suppkey
+    join nation n2 on n2.n_nationkey = s.s_nationkey
+    where r.r_name = '{Q8_CUST_REGION}'
+)
+select cast(o_year as int) as o_year,
+    cast(coalesce(sum(case when supp_nation = '{Q8_SUPP_NATION}' then rev end), 0)
+        as double) as nation_revenue,
+    cast(sum(rev) as double) as total_revenue,
+    cast(coalesce(sum(case when supp_nation = '{Q8_SUPP_NATION}' then rev end), 0)
+        as double) / cast(sum(rev) as double) as mkt_share
+from fact
+group by 1
+"""
+
+
+# ------------------------------------------------ product profit (Q9)
+
+Q9_NAME_TOKEN = "widget"
+
+
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape product-type profit by (supplier nation, order
+    year) for parts whose name contains ``Q9_NAME_TOKEN``. The testdata
+    has no partsupp supply cost, so cost = retailprice × quantity (a
+    deterministic exact-decimal stand-in with the same join graph).
+
+    Plan: the name filter is a pushed Contains on the part scan; parts
+    then join the fact BEFORE orders so the fact shrinks at its first
+    join; nation broadcasts; profit is one exact-decimal expression
+    summed with map-side partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_NAME_TOKEN)
+    )
+    profit = (
+        _discounted_rev()
+        - (
+            F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+        ).cast("decimal(18,4)")
+    ).cast("decimal(28,4)")
+    return (
+        li.join(part.select("p_partkey", "p_retailprice"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(profit).alias("profit_dec"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_year").cast("int").alias("o_year"),
+            F.col("profit_dec").cast("double").alias("profit"),
+        )
+    )
+
+
+ORACLE_PRODUCT_PROFIT_BY_NATION = f"""
+select n.n_name as nation,
+    cast(year(o.o_orderdate) as int) as o_year,
+    cast(sum(cast(
+        cast(cast(l.l_extendedprice as decimal(18,2))
+            * (1 - cast(l.l_discount as decimal(4,2))) as decimal(18,4))
+        - cast(cast(p.p_retailprice as decimal(18,2))
+            * cast(l.l_quantity as decimal(18,2)) as decimal(18,4))
+        as decimal(28,4))) as double) as profit
+from lineitem l
+join part p on p.p_partkey = l.l_partkey
+join orders o on o.o_orderkey = l.l_orderkey
+join supplier s on s.s_suppkey = l.l_suppkey
+join nation n on n.n_nationkey = s.s_nationkey
+where p.p_name like '%{Q9_NAME_TOKEN}%'
+group by 1, 2
+"""

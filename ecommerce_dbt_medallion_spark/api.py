@@ -141,23 +141,22 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 #
 # Round-9 rotation (this window): the 14 never-driver-certified
 # round-8 additions go first (never-certified outranks green), then
-# the 6 round-9 additions (same rule), then the oldest-certified
-# block — all 50 r6-latest keys compete for the remaining 30 slots,
-# oldest-first in api order. The 20 r6 keys that don't fit (ann_topk_lsh, ann_topk_ivf, lakehouse_cdf,
-# dq_source_freshness, scd2_snapshot_build, kmeans_embeddings,
-# bm25_topk, exact_substring_dedup, doc_containment,
-# triangle_count_parts, corpus_mix_weights, semantic_dedup_clusters,
-# sketch_user_overlap, funnel_windowed, plus corpus_curation,
+# the 8 round-9 additions (same rule: lakehouse_optimize_read,
+# lakehouse_snapshot_cut, waiting_supplier_ranking,
+# min_cost_supplier_parts, returned_item_customers,
+# stream_heavy_hitters, nation_market_share,
+# product_profit_by_nation), then the oldest-certified block — all 50
+# r6-latest keys compete for the remaining 28 slots, oldest-first in
+# api order. The 22 r6 keys that don't fit — ann_topk_lsh,
+# ann_topk_ivf, lakehouse_cdf, dq_source_freshness,
+# scd2_snapshot_build, kmeans_embeddings, bm25_topk,
+# exact_substring_dedup, doc_containment, triangle_count_parts,
+# corpus_mix_weights, semantic_dedup_clusters, sketch_user_overlap,
+# funnel_windowed, dedup_exact, doc_winnowing, corpus_curation,
 # dedup_ngram_jaccard, text_pii_scrub, decontaminate,
-# multimodal_frame_sample and dedup_embedding_lsh, which ceded
-# their slots to the round-9 additions lakehouse_optimize_read /
-# lakehouse_snapshot_cut / waiting_supplier_ranking /
-# min_cost_supplier_parts / returned_item_customers /
-# stream_heavy_hitters / nation_market_share /
-# product_profit_by_nation, with dedup_exact + doc_winnowing +
-# corpus_curation ceding to the last three of those) are deferred
-# to the FRONT of the round-10 window together with any later
-# round-9 additions.
+# multimodal_frame_sample, dedup_embedding_lsh — are deferred to the
+# FRONT of the round-10 window together with any later round-9
+# additions.
 #
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
 # rotation test derives its expectations from the CORRECTNESS
@@ -186,9 +185,9 @@ DRIVER_WINDOW = [
     "part_supplier_diversity",
     "disjunctive_band_revenue",
     "lakehouse_rename_read",
-    # Round-9 additions (never-certified outranks green; VERDICT r8
-    # item 5): the incremental-OPTIMIZE consumer and the consistent
-    # cross-table cut, queued behind the 14 deferred keys.
+    # Next 8 slots: the round-9 additions (never-certified outranks
+    # green) — the two VERDICT-r8-item-5 lakehouse consumers, the
+    # five TPC-H-shape marts, and the streaming CMS heavy hitters.
     "lakehouse_optimize_read",
     "lakehouse_snapshot_cut",
     "waiting_supplier_ranking",
@@ -197,12 +196,9 @@ DRIVER_WINDOW = [
     "stream_heavy_hitters",
     "nation_market_share",
     "product_profit_by_nation",
-    # Remaining 34 slots: the r6-latest block, oldest-first in api
+    # Remaining 28 slots: the r6-latest block, oldest-first in api
     # order (all 50 are r6; the last 22 in api order defer to r10 —
-    # dedup_exact, doc_winnowing, corpus_curation, dedup_ngram_jaccard,
-    # text_pii_scrub, decontaminate,
-    # multimodal_frame_sample and dedup_embedding_lsh ceded their
-    # slots to the five round-9 additions).
+    # the full list is in the rotation note above).
     "gold_rfm_segmentation",
     "churn_risk_score",
     "event_daily_stats",

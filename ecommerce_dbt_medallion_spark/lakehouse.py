@@ -1031,7 +1031,11 @@ def _protected_columns(table: str) -> dict[str, str]:
         {f.name for f in sch.fields} if sch is not None else None
     )
     for name, expr in current_constraints(table).items():
-        bare = _re.sub(r"'(?:[^']|'')*'", " ", expr)
+        # both literal syntaxes: single-quoted (ANSI) AND double-quoted
+        # (Spark SQL's default when double-quoted identifiers are off —
+        # round-9 review: 'seg = "north"' must not protect a column
+        # named north any more than the single-quoted spelling does)
+        bare = _re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", " ", expr)
         for tok in set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", bare)):
             if logical is not None and tok not in logical:
                 continue

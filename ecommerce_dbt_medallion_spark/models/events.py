@@ -34,14 +34,20 @@ def _date_bounded(ev: DataFrame, since, until) -> DataFrame:
     date-partitioned materialization (runner.materialize_events_
     partitioned) the predicate lands on the ``event_date`` PARTITION
     column and prunes directories at the scan; over the flat driver
-    parquet it falls back to a pushed to_date(ts) filter — same rows,
-    no pruning. Plan-pinned in tests/test_plans.py."""
+    parquet it falls back to a pushed filter on the SAME
+    session-TZ-independent UTC-day expression the materializer wrote
+    (event_utc_date — a to_date(ts) fallback would render the instant
+    in the reader session's timezone and select different rows than
+    the partition bound, round-9 review). Plan-pinned in
+    tests/test_plans.py."""
+    from ecommerce_dbt_medallion_spark.sources.registry import event_utc_date
+
     if since is None and until is None:
         return ev
     d = (
         F.col("event_date")
         if "event_date" in ev.columns
-        else F.to_date(F.col("ts"))
+        else event_utc_date()
     )
     if since is not None:
         ev = ev.where(d >= F.lit(since))

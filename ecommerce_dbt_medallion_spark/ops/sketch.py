@@ -44,18 +44,26 @@ def _cms_bucket(col, i: int):
     )
 
 
-def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch estimate vs true per-user event counts."""
-    ev = load_events(spark, sf_dir).select("user_id")
-    cell_structs = F.array(
+def cms_cell_structs(col):
+    """The (row_i, bucket) cell array for one key column — ONE
+    definition of the CMS cell shape (consumed by the batch key and
+    both sides of the streaming heavy-hitter key; round-9 review:
+    three inline copies were a silent-drift risk)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("row_i"),
-                _cms_bucket(F.col("user_id"), i).alias("bucket"),
+                _cms_bucket(col, i).alias("bucket"),
             )
             for i in range(CMS_ROWS)
         ]
     )
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimate vs true per-user event counts."""
+    ev = load_events(spark, sf_dir).select("user_id")
+    cell_structs = cms_cell_structs(F.col("user_id"))
     cells = (
         ev.select(F.explode(cell_structs).alias("rb"))
         .select("rb.row_i", "rb.bucket")

@@ -243,13 +243,26 @@ def materialize_events_partitioned(spark: SparkSession, sf_dir: str, dest_dir: s
     thousands over years (no small-file explosion)."""
     from ecommerce_dbt_medallion_spark.sources.registry import (
         EVENTS_PARTITIONED_DIRNAME,
-        load_events_table,
+        _read_events_static,
+        event_utc_date,
+        normalize_event_ts,
     )
 
-    ev = load_events_table(spark, sf_dir)
+    # ALWAYS read the flat source, never through load_events_table —
+    # that loader prefers dest_dir/events_partitioned, so a refresh
+    # into the same dir would overwrite the path it is reading
+    # (round-9 review: AnalysisException on the second run in the
+    # natural sf_dir == dest_dir deployment).
+    ev = normalize_event_ts(
+        _read_events_static(spark, os.path.join(sf_dir, "events.parquet"))
+    )
     out = os.path.join(dest_dir, EVENTS_PARTITIONED_DIRNAME)
     (
-        ev.withColumn("event_date", F.to_date("ts"))
+        # event_utc_date, not to_date(ts): the partition column must be
+        # session-TZ-independent or a bound computed in a different
+        # reader session would prune partitions that contain in-bound
+        # rows (round-9 review)
+        ev.withColumn("event_date", event_utc_date())
         .repartition("event_date")  # one writer task per day: no
         # per-task fan-out into every partition dir (tiny-file storm)
         .write.mode("overwrite")

@@ -95,6 +95,21 @@ def _read_events_static(spark: SparkSession, path: str) -> DataFrame:
 EVENTS_PARTITIONED_DIRNAME = "events_partitioned"
 
 
+def event_utc_date(col: str = "ts"):
+    """The UTC calendar day of an event instant as pure integer math —
+    SESSION-TZ-INDEPENDENT (to_date/cast-to-date render an instant in
+    the session timezone, so a partition column derived with them in
+    one session would disagree with a bound computed in another; this
+    expression is identical everywhere, the same discipline as
+    normalize_event_ts). Used by BOTH the events materializer and the
+    flat-path day-bound fallback so the two read paths select the same
+    rows in any session."""
+    return F.expr(
+        f"date_from_unix_date(cast(floor(unix_micros({col}) / "
+        f"{86_400_000_000}) as int))"
+    )
+
+
 def load_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to a true TIMESTAMP.
 

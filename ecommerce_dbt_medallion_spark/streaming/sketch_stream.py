@@ -39,6 +39,30 @@ from ecommerce_dbt_medallion_spark.ops.sketch import (
 from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
 
 
+def stage_microbatch_files(src_dir: str, slices) -> None:
+    """Write each slice as ONE deterministic micro-batch file
+    ``src_dir/b{k}.parquet`` with strictly increasing mtimes —
+    FileStreamSource orders by (mtime, name), so this pins batch order.
+    ONE definition of the staging protocol (the three streaming sketch
+    gates had verbatim copies; round-9 review)."""
+    import shutil as _sh
+    import time as _time
+
+    base = _time.time()
+    for k, sl in enumerate(slices):
+        staging = os.path.join(src_dir, f"_stage{k}")
+        sl.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = [
+            f
+            for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        dst = os.path.join(src_dir, f"b{k}.parquet")
+        os.replace(os.path.join(staging, part), dst)
+        _sh.rmtree(staging, ignore_errors=True)
+        os.utime(dst, (base + k * 10, base + k * 10))
+
+
 def stream_quantile_sketch_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -135,22 +159,13 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    base = _time.time()
-    for k in range(3):
-        staging = os.path.join(src, f"_stage{k}")
-        orders.where(F.col("o_orderkey") % 3 == k).select(
-            "grp", "cents"
-        ).coalesce(1).write.mode("overwrite").parquet(staging)
-        (part,) = [
-            f
-            for f in os.listdir(staging)
-            if f.endswith(".parquet") and not f.startswith(".")
-        ]
-        dst = os.path.join(src, f"b{k}.parquet")
-        os.replace(os.path.join(staging, part), dst)
-        _sh.rmtree(staging, ignore_errors=True)
-        # FileStreamSource orders by mtime then name: pin both
-        os.utime(dst, (base + k * 10, base + k * 10))
+    stage_microbatch_files(
+        src,
+        [
+            orders.where(F.col("o_orderkey") % 3 == k).select("grp", "cents")
+            for k in range(3)
+        ],
+    )
 
     stream_quantile_sketch_ingest(
         spark, src, state_table, schema="grp string, cents bigint"
@@ -260,21 +275,13 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src, exist_ok=True)
 
     ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id")
-    base = _time.time()
-    for k in range(3):
-        staging = os.path.join(src, f"_stage{k}")
-        ev.where(F.col("event_id") % 3 == k).select(
-            "event_type", "user_id"
-        ).coalesce(1).write.mode("overwrite").parquet(staging)
-        (part,) = [
-            f
-            for f in os.listdir(staging)
-            if f.endswith(".parquet") and not f.startswith(".")
-        ]
-        dst = os.path.join(src, f"b{k}.parquet")
-        os.replace(os.path.join(staging, part), dst)
-        _sh.rmtree(staging, ignore_errors=True)
-        os.utime(dst, (base + k * 10, base + k * 10))
+    stage_microbatch_files(
+        src,
+        [
+            ev.where(F.col("event_id") % 3 == k).select("event_type", "user_id")
+            for k in range(3)
+        ],
+    )
 
     stream_hll_ingest(
         spark, src, state_table, schema="event_type string, user_id bigint"
@@ -310,7 +317,7 @@ def stream_cms_ingest(
     256 buckets after map-side combine) and the candidate exchange by
     M — never the batch row count.
     """
-    from ecommerce_dbt_medallion_spark.ops.sketch import CMS_ROWS, _cms_bucket
+    from ecommerce_dbt_medallion_spark.ops.sketch import cms_cell_structs
 
     stream = (
         spark.readStream.schema(schema)
@@ -318,15 +325,7 @@ def stream_cms_ingest(
         .parquet(source_dir)
     )
 
-    cell_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                _cms_bucket(F.col("user_id"), i).alias("bucket"),
-            )
-            for i in range(CMS_ROWS)
-        ]
-    )
+    cell_structs = cms_cell_structs(F.col("user_id"))
 
     def _batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -388,7 +387,7 @@ def stream_state_heavy_hitters(
     """Top-``HH_TOPK`` heavy hitters from the STORED state: sum-merge
     the CMS cells across batch tags, probe only the candidate set,
     rank under a total order — state-only compute, never the fact."""
-    from ecommerce_dbt_medallion_spark.ops.sketch import CMS_ROWS, _cms_bucket
+    from ecommerce_dbt_medallion_spark.ops.sketch import cms_cell_structs
 
     merged = (
         lakehouse.read(spark, cms_table)
@@ -396,15 +395,7 @@ def stream_state_heavy_hitters(
         .agg(F.sum("cell_count").alias("cell_count"))
     )
     cand = lakehouse.read(spark, cand_table)
-    cell_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                _cms_bucket(F.col("user_id"), i).alias("bucket"),
-            )
-            for i in range(CMS_ROWS)
-        ]
-    )
+    cell_structs = cms_cell_structs(F.col("user_id"))
     return (
         cand.select("user_id", F.explode(cell_structs).alias("rb"))
         .select("user_id", "rb.row_i", "rb.bucket")
@@ -443,21 +434,10 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src, exist_ok=True)
 
     ev = load_events(spark, sf_dir).select("event_id", "user_id")
-    base = _time.time()
-    for k in range(3):
-        staging = os.path.join(src, f"_stage{k}")
-        ev.where(F.col("event_id") % 3 == k).select("user_id").coalesce(
-            1
-        ).write.mode("overwrite").parquet(staging)
-        (part,) = [
-            f
-            for f in os.listdir(staging)
-            if f.endswith(".parquet") and not f.startswith(".")
-        ]
-        dst = os.path.join(src, f"b{k}.parquet")
-        os.replace(os.path.join(staging, part), dst)
-        _sh.rmtree(staging, ignore_errors=True)
-        os.utime(dst, (base + k * 10, base + k * 10))
+    stage_microbatch_files(
+        src,
+        [ev.where(F.col("event_id") % 3 == k).select("user_id") for k in range(3)],
+    )
 
     stream_cms_ingest(
         spark, src, cms_table, cand_table, schema="user_id bigint"

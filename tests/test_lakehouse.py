@@ -2934,7 +2934,9 @@ def test_protected_columns_skip_literals_and_keywords(spark, tmp_path):
     )
     lh.add_constraint(spark, t, "seg_region", "seg = 'north' OR amount > 0")
     # 'north' appears only inside a string literal; 'or' is a keyword —
-    # the column named north renames freely
+    # the column named north renames freely. Also pin the OTHER literal
+    # syntax: Spark SQL's double-quoted strings must strip too.
+    lh.add_constraint(spark, t, "seg_region2", 'seg = "north" OR amount > 0')
     lh.rename_column(t, "north", "compass")
     assert lh.read(spark, t).columns == ["id", "seg", "compass", "amount"]
     # the genuinely referenced columns still reject with the reason

@@ -584,6 +584,44 @@ def test_event_marts_prune_partitions_over_materialized_events(spark, tmp_path):
     full_p = ev.event_daily_stats(spark, wh).count()
     full_f = ev.event_daily_stats(spark, SF_SMOKE).count()
     assert full_p == full_f
+
+    # refresh-in-place: the natural deployment keeps the flat source
+    # and the partitioned layout in the SAME dir — re-materializing
+    # must not self-read the path it overwrites (round-9 review)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "events.parquet"),
+        os.path.join(wh, "events.parquet"),
+    )
+    materialize_events_partitioned(spark, wh, wh)
+    materialize_events_partitioned(spark, wh, wh)  # the refresh
+    assert ev.event_daily_stats(spark, wh).count() == full_f
+
+    # session-TZ independence: the partitioned bound and the flat
+    # fallback must select the SAME rows in a non-UTC session (the
+    # partition column is a frozen UTC day; a reader-TZ to_date would
+    # disagree at day boundaries — round-9 review)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        got = sorted(
+            map(
+                tuple,
+                ev.event_daily_stats(
+                    spark, wh, since=since, until=until
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ev.event_daily_stats(
+                    spark, SF_SMOKE, since=since, until=until
+                ).collect(),
+            )
+        )
+        assert got == want, "partitioned != flat rows in a non-UTC session"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
     shutil.rmtree(wh, ignore_errors=True)
 
 

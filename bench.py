@@ -132,6 +132,7 @@ def main() -> None:
         "stream_heavy_hitters",
         "nation_market_share",
         "product_profit_by_nation",
+        "decontaminate_incremental",
         "min_cost_supplier_parts",
         "returned_item_customers",
     ):
@@ -158,7 +159,8 @@ def main() -> None:
                           "stream_quantile_sketch", "lakehouse_clone_read",
                           "stream_cdc_apply", "stream_distinct_sketch",
                           "lakehouse_rename_read", "lakehouse_optimize_read",
-                          "lakehouse_snapshot_cut", "stream_heavy_hitters"}
+                          "lakehouse_snapshot_cut", "stream_heavy_hitters",
+                          "decontaminate_incremental"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

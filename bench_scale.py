@@ -136,6 +136,7 @@ PROBE_KEYS = [
     "stream_heavy_hitters",
     "nation_market_share",
     "product_profit_by_nation",
+    "decontaminate_incremental",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -141,13 +141,14 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 #
 # Round-9 rotation (this window): the 14 never-driver-certified
 # round-8 additions go first (never-certified outranks green), then
-# the 8 round-9 additions (same rule: lakehouse_optimize_read,
+# the 9 round-9 additions (same rule: lakehouse_optimize_read,
 # lakehouse_snapshot_cut, waiting_supplier_ranking,
 # min_cost_supplier_parts, returned_item_customers,
 # stream_heavy_hitters, nation_market_share,
-# product_profit_by_nation), then the oldest-certified block — all 50
-# r6-latest keys compete for the remaining 28 slots, oldest-first in
-# api order. The 22 r6 keys that don't fit — ann_topk_lsh,
+# product_profit_by_nation, decontaminate_incremental), then the
+# oldest-certified block — all 50 r6-latest keys compete for the
+# remaining 27 slots, oldest-first in api order. The 23 r6 keys
+# that don't fit — doc_fingerprint, ann_topk_lsh,
 # ann_topk_ivf, lakehouse_cdf, dq_source_freshness,
 # scd2_snapshot_build, kmeans_embeddings, bm25_topk,
 # exact_substring_dedup, doc_containment, triangle_count_parts,
@@ -196,8 +197,9 @@ DRIVER_WINDOW = [
     "stream_heavy_hitters",
     "nation_market_share",
     "product_profit_by_nation",
-    # Remaining 28 slots: the r6-latest block, oldest-first in api
-    # order (all 50 are r6; the last 22 in api order defer to r10 —
+    "decontaminate_incremental",
+    # Remaining 27 slots: the r6-latest block, oldest-first in api
+    # order (all 50 are r6; the last 23 in api order defer to r10 —
     # the full list is in the rotation note above).
     "gold_rfm_segmentation",
     "churn_risk_score",
@@ -226,7 +228,6 @@ DRIVER_WINDOW = [
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
-    "doc_fingerprint",
 ]
 
 
@@ -272,6 +273,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "dedup_ngram_jaccard": optext.dedup_ngram_jaccard,
         "text_pii_scrub": opscrub.text_pii_scrub,
         "decontaminate": opscrub.decontaminate,
+        "decontaminate_incremental": opscrub.decontaminate_incremental,
         "multimodal_extract": opmm.multimodal_extract,
         "multimodal_frame_sample": opmm.multimodal_frame_sample,
         "dedup_minhash_md5": opdedup.dedup_minhash_md5,
@@ -451,6 +453,10 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_ngram_jaccard"] = optext.oracle_dedup_ngram_jaccard()
     out["text_pii_scrub"] = opscrub.oracle_text_pii_scrub()
     out["decontaminate"] = opscrub.oracle_decontaminate()
+    # round 9: the incremental shape shares the batch oracle VERBATIM —
+    # per-doc verdicts are independent, so the batch union equals the
+    # single-pass computation
+    out["decontaminate_incremental"] = opscrub.oracle_decontaminate()
     out["repetition_stats"] = opscrub.oracle_repetition_stats()
     out["doc_chunking"] = opchunk.oracle_doc_chunking()
     out["pack_sequences"] = opchunk.oracle_pack_sequences()

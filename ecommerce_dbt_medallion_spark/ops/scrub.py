@@ -354,3 +354,87 @@ select g.doc_id, g.lang,
                else cast(0.0 as double) end, 4) as dup_ratio
 from g left join per_doc p using (doc_id)
 """
+
+
+def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as a PRODUCTION pipeline: the benchmark
+    gram INDEX is built once and persisted (a lakehouse table — at
+    100 TB you never re-shingle the benchmark per ingest), then three
+    deterministic train batches (doc_id % 3) are each checked against
+    the STORED index and their verdicts MERGEd into a keyed verdict
+    table. Per-doc verdicts are independent, so the union over batches
+    equals the single-pass batch computation — the key shares
+    ``oracle_decontaminate`` VERBATIM, the strongest gate for the
+    incremental shape (same contract as dedup_incremental, ops/dedup.py).
+
+    Scale shape: the index is computed once and broadcast per batch
+    (benchmark sets are small by construction); each batch shuffles
+    only its own matching grams; the MERGE rewrites nothing (disjoint
+    keys) but keeps re-runs idempotent.
+    """
+    from ecommerce_dbt_medallion_spark import lakehouse
+    from ecommerce_dbt_medallion_spark.models.cdf import _gate_path
+
+    idx_table = _gate_path(sf_dir, "decon_index")
+    verdict_table = _gate_path(sf_dir, "decon_verdicts")
+
+    grams = _word_grams(DECON_N)
+    docs = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn(
+            "__words",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)),
+        )
+        .withColumn("__grams", grams("__words"))
+        .select("doc_id", "__grams")
+        # shared subtree consumed by the index build + 3 batches: dedup
+        # the regex/gram cost exactly like the batch key
+        .localCheckpoint(eager=False)
+    )
+    bench = (
+        docs.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("__grams").alias("gram"))
+        .distinct()
+    )
+    lakehouse.create_or_replace(spark, idx_table, bench)
+    stored = lakehouse.read(spark, idx_table)
+
+    for k in range(3):
+        batch = docs.where(
+            (F.col("doc_id") % BENCH_MOD != 0) & (F.col("doc_id") % 3 == k)
+        )
+        overlap = (
+            batch.select("doc_id", F.explode("__grams").alias("gram"))
+            .join(F.broadcast(stored), "gram")
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("gram").alias("overlap_grams"),
+                F.countDistinct("bench_id").alias("bench_docs"),
+            )
+        )
+        out = (
+            batch.select("doc_id", F.size("__grams").cast("long").alias("n_grams"))
+            .join(overlap, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_grams",
+                F.coalesce(F.col("overlap_grams"), F.lit(0))
+                .cast("long")
+                .alias("overlap_grams"),
+                F.coalesce(F.col("bench_docs"), F.lit(0))
+                .cast("long")
+                .alias("bench_docs"),
+                (
+                    F.coalesce(F.col("overlap_grams"), F.lit(0))
+                    >= DECON_THRESHOLD
+                ).alias("contaminated"),
+            )
+        )
+        if not lakehouse.versions(verdict_table):
+            lakehouse.create_or_replace(spark, verdict_table, out, key="doc_id")
+        else:
+            lakehouse.merge_into(spark, verdict_table, out, "doc_id")
+    return lakehouse.read(spark, verdict_table).select(
+        "doc_id", "n_grams", "overlap_grams", "bench_docs", "contaminated"
+    )

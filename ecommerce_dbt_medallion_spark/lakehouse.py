@@ -2205,8 +2205,11 @@ def verify_table(spark: SparkSession, table: str) -> dict:
     "staged_pending": [...]}`` — report, don't raise: an auditor must
     enumerate EVERY problem, not stop at the first.
     """
+    # staged_pending needs a log fold — fill it AFTER the coherence
+    # checks below prove the log is foldable (round-9: a corrupt entry
+    # crashed the audit right here, before any check could report it)
     report: dict = {"ok": True, "files_checked": 0, "errors": [],
-                    "staged_pending": sorted(_unresolved_staged(table))}
+                    "staged_pending": []}
     vs = versions(table)
     if not vs:
         report["ok"] = False
@@ -2214,10 +2217,32 @@ def verify_table(spark: SparkSession, table: str) -> dict:
         return report
     head = vs[-1]
 
-    # log coherence: adds/removes pair up
+    # log contiguity: a MISSING middle version would make every fold
+    # silently skip it and serve a state no writer ever committed —
+    # the worst failure mode an audit exists to catch (round-9 review:
+    # versions() lists what's present; nothing else checked for gaps)
+    missing_vs = sorted(set(range(vs[0], head + 1)) - set(vs))
+    if vs[0] != 0:
+        report["errors"].append(f"log does not start at v0 (first: v{vs[0]})")
+    if missing_vs:
+        report["errors"].append(
+            f"log gap: missing version(s) {missing_vs[:10]}"
+            + ("…" if len(missing_vs) > 10 else "")
+        )
+        report["ok"] = False
+        return report  # every fold below would be built on the gap
+
+    # log coherence: every entry parses, adds/removes pair up. A
+    # truncated/corrupt entry is REPORTED, not raised — an FSCK that
+    # crashes on the corruption it audits is useless at 3 am.
     seen_adds: set = set()
     for v in vs:
-        e = _read_entry(table, v)
+        try:
+            e = _read_entry(table, v)
+        except Exception as exc:  # noqa: BLE001 — auditing, not crashing
+            report["errors"].append(f"unreadable log entry v{v}: {exc}")
+            report["ok"] = False
+            return report  # folds below would diverge from reality
         for a in e.get("add", []):
             seen_adds.add(a["file"])
         for r in e.get("remove", []):
@@ -2225,6 +2250,7 @@ def verify_table(spark: SparkSession, table: str) -> dict:
                 report["errors"].append(
                     f"v{v}: remove of never-added file {r}"
                 )
+    report["staged_pending"] = sorted(_unresolved_staged(table))
 
     # schema parses
     sch = None

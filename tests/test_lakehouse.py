@@ -3022,3 +3022,40 @@ def test_stream_cms_heavy_hitters_replay_and_batch_equality(spark, tmp_path):
         .collect()[0]
     )
     assert top["est_count"] == probe["est"] >= 500
+
+
+def test_verify_table_reports_log_gap_and_corrupt_entry(spark, tmp_path):
+    """FSCK must REPORT a missing middle version (a fold would silently
+    skip it and serve a state no writer committed) and a truncated log
+    entry — not crash on either (round 9)."""
+    import json as j
+    import os
+
+    t = str(tmp_path / "fsck_log")
+    lh.create_or_replace(
+        spark, t, spark.createDataFrame([(1, "a")], "id long, val string"), "id"
+    )
+    for i in range(2, 5):
+        lh.append(
+            spark, t,
+            spark.createDataFrame([(i, "x")], "id long, val string"),
+        )
+    assert lh.verify_table(spark, t)["ok"]
+
+    # (1) corrupt (truncate) a middle entry
+    p2 = os.path.join(lh._log_path(t), "v2.json")
+    raw = open(p2).read()
+    open(p2, "w").write(raw[: len(raw) // 2])
+    rep = lh.verify_table(spark, t)
+    assert not rep["ok"]
+    assert any("unreadable log entry v2" in e for e in rep["errors"]), rep
+
+    # (2) delete it entirely: a log gap
+    os.remove(p2)
+    rep = lh.verify_table(spark, t)
+    assert not rep["ok"]
+    assert any("log gap" in e and "2" in e for e in rep["errors"]), rep
+
+    # restore and FSCK goes green again
+    open(p2, "w").write(raw)
+    assert lh.verify_table(spark, t)["ok"]

@@ -135,7 +135,7 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # session-4 additions noted here — join that deferred head of the
 # round-9 window under the same rule.
 # No key's latest driver row should ever be more than two rounds
-# behind the code it runs on — with 170 keys and a 50-key window the
+# behind the code it runs on — with 173 keys and a 50-key window the
 # full rotation takes 4 rounds, so the realized bound is three rounds;
 # the rotation keeps every violation minimal and documented.
 #
@@ -186,9 +186,10 @@ DRIVER_WINDOW = [
     "part_supplier_diversity",
     "disjunctive_band_revenue",
     "lakehouse_rename_read",
-    # Next 8 slots: the round-9 additions (never-certified outranks
+    # Next 9 slots: the round-9 additions (never-certified outranks
     # green) — the two VERDICT-r8-item-5 lakehouse consumers, the
-    # five TPC-H-shape marts, and the streaming CMS heavy hitters.
+    # five TPC-H-shape marts, the streaming CMS heavy hitters, and
+    # the persisted-index incremental decontamination.
     "lakehouse_optimize_read",
     "lakehouse_snapshot_cut",
     "waiting_supplier_ranking",

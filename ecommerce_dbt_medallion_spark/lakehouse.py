@@ -2221,16 +2221,18 @@ def verify_table(spark: SparkSession, table: str) -> dict:
     # silently skip it and serve a state no writer ever committed —
     # the worst failure mode an audit exists to catch (round-9 review:
     # versions() lists what's present; nothing else checked for gaps)
-    missing_vs = sorted(set(range(vs[0], head + 1)) - set(vs))
-    if vs[0] != 0:
-        report["errors"].append(f"log does not start at v0 (first: v{vs[0]})")
+    missing_vs = sorted(set(range(0, head + 1)) - set(vs))
     if missing_vs:
         report["errors"].append(
             f"log gap: missing version(s) {missing_vs[:10]}"
             + ("…" if len(missing_vs) > 10 else "")
         )
         report["ok"] = False
-        return report  # every fold below would be built on the gap
+        # a missing PREFIX corrupts the fold exactly like a missing
+        # middle version (round-9 review follow-up: the early return
+        # must apply to both, or every downstream check cascades bogus
+        # errors off a truncated fold)
+        return report
 
     # log coherence: every entry parses, adds/removes pair up. A
     # truncated/corrupt entry is REPORTED, not raised — an FSCK that

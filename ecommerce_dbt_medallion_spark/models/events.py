@@ -66,11 +66,18 @@ def event_daily_stats(
     incremental-rebuild shape; see _date_bounded for the pruning
     contract. The driver key passes neither (full scan, unchanged).
     """
+    from ecommerce_dbt_medallion_spark.sources.registry import event_utc_date
+
     ev = _date_bounded(load_events(spark, sf_dir), since, until)
     val = F.col("value").cast("decimal(18,2)")  # values are 2dp (verified)
     return (
+        # event_utc_date, not ts.cast("date"): the oracle's naive-as-UTC
+        # read makes the UTC day the contract, and a session-TZ cast
+        # would both diverge from it in non-UTC sessions AND label rows
+        # outside the [since, until) UTC-day bound (round-9 review —
+        # bound and grouping must share one day definition)
         ev.groupBy(
-            F.col("ts").cast("date").alias("event_date"),
+            event_utc_date().alias("event_date"),
             "event_type",
         )
         .agg(
@@ -289,6 +296,13 @@ def hypertable_rollup(
     continuous-aggregate REFRESH shape — recompute only the invalidated
     window); over the partitioned materialization the bound prunes
     directories (_date_bounded). The driver key passes neither.
+
+    TZ note: the bound is defined on UTC days (event_utc_date, matching
+    the partition column); the hour buckets are instants so any UTC-day
+    window covers whole buckets, but the day/month CASCADE labels use
+    date_trunc in the session timezone — run bounded rollups in the
+    repo's pinned UTC sessions (session.get_spark) for calendar-aligned
+    labels.
     """
     ev = _date_bounded(load_events(spark, sf_dir), since, until)
     hourly = (

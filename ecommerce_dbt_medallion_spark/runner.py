@@ -248,15 +248,29 @@ def materialize_events_partitioned(spark: SparkSession, sf_dir: str, dest_dir: s
         normalize_event_ts,
     )
 
-    # ALWAYS read the flat source, never through load_events_table —
-    # that loader prefers dest_dir/events_partitioned, so a refresh
-    # into the same dir would overwrite the path it is reading
-    # (round-9 review: AnalysisException on the second run in the
-    # natural sf_dir == dest_dir deployment).
-    ev = normalize_event_ts(
-        _read_events_static(spark, os.path.join(sf_dir, "events.parquet"))
-    )
+    # Prefer the flat source, never through load_events_table — that
+    # loader prefers dest_dir/events_partitioned, so a refresh into the
+    # same dir would overwrite the path it is reading (round-9 review:
+    # AnalysisException on the second run in the natural sf_dir ==
+    # dest_dir deployment). A source dir that carries ONLY the
+    # partitioned layout is still a valid input when it is not also
+    # the output path.
     out = os.path.join(dest_dir, EVENTS_PARTITIONED_DIRNAME)
+    flat = os.path.join(sf_dir, "events.parquet")
+    parted = os.path.join(sf_dir, EVENTS_PARTITIONED_DIRNAME)
+    if os.path.exists(flat):
+        ev = normalize_event_ts(_read_events_static(spark, flat))
+    elif os.path.isdir(parted):
+        if os.path.abspath(parted) == os.path.abspath(out):
+            raise ValueError(
+                "cannot rebuild events_partitioned from itself: the only "
+                f"events source in {sf_dir} is the partitioned layout this "
+                "call would overwrite — point dest_dir elsewhere or restore "
+                "the flat events.parquet"
+            )
+        ev = normalize_event_ts(spark.read.parquet(parted)).drop("event_date")
+    else:
+        raise FileNotFoundError(f"no events source in {sf_dir}")
     (
         # event_utc_date, not to_date(ts): the partition column must be
         # session-TZ-independent or a bound computed in a different

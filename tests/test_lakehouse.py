@@ -2957,25 +2957,25 @@ def test_stream_cms_heavy_hitters_replay_and_batch_equality(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from ecommerce_dbt_medallion_spark.ops.sketch import CMS_ROWS, _cms_bucket
+    from ecommerce_dbt_medallion_spark.ops.sketch import cms_cell_structs
     from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
     from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stage_microbatch_files,
         stream_cms_ingest,
         stream_state_heavy_hitters,
     )
 
     # skewed stream: user 7 is the clear heavy hitter across batches
     rows = [(7,)] * 500 + [(i % 97,) for i in range(1500)]
-    df = spark.createDataFrame(rows, "user_id long")
+    df = spark.createDataFrame(rows, "user_id long").withColumn(
+        "rn", F.monotonically_increasing_id()
+    )
     src = tmp_path / "cms_src"
     src.mkdir()
-    for k in range(2):
-        staging = str(tmp_path / f"cstage{k}")
-        df.withColumn("rn", F.monotonically_increasing_id()).where(
-            F.col("rn") % 2 == k
-        ).select("user_id").coalesce(1).write.mode("overwrite").parquet(staging)
-        (part,) = [f for f in _os.listdir(staging) if f.endswith(".parquet")]
-        _os.replace(_os.path.join(staging, part), str(src / f"b{k}.parquet"))
+    stage_microbatch_files(
+        str(src),
+        [df.where(F.col("rn") % 2 == k).select("user_id") for k in range(2)],
+    )
 
     cms = str(tmp_path / "cms_state")
     cand = str(tmp_path / "cms_cand")
@@ -2998,15 +2998,7 @@ def test_stream_cms_heavy_hitters_replay_and_batch_equality(spark, tmp_path):
     # estimate over the union (additive cells)
     top = stream_state_heavy_hitters(spark, cms, cand).limit(1).collect()[0]
     assert top["user_id"] == 7
-    cells_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                _cms_bucket(F.col("user_id"), i).alias("bucket"),
-            )
-            for i in range(CMS_ROWS)
-        ]
-    )
+    cells_structs = cms_cell_structs(F.col("user_id"))
     batch_cells = (
         df.select(F.explode(cells_structs).alias("rb"))
         .select("rb.row_i", "rb.bucket")

@@ -301,3 +301,57 @@ def test_normalize_event_ts_pins_utc_in_foreign_tz_session(spark, duck):
         f"select min(epoch_us(ts)) from '{SF_SMOKE}/events.parquet'"
     ).fetchone()[0]
     assert got == want
+
+
+def test_event_utc_date_is_session_tz_independent(spark, duck):
+    """event_utc_date is the single day definition shared by the events
+    partition column, the mart day-bounds, and event_daily_stats'
+    grouping — it must (1) equal DuckDB's naive-as-UTC cast(ts as date)
+    on boundary instants, and (2) return identical values whatever the
+    Spark session timezone (a session-TZ to_date would flip days around
+    midnight UTC in any non-UTC session)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.sources.registry import event_utc_date
+
+    boundary = [
+        "2024-01-04 23:59:59.999999",
+        "2024-01-05 00:00:00.000000",
+        "2024-01-05 00:00:00.000001",
+        "2024-06-30 12:00:00.000000",
+        "2024-12-31 23:59:59.500000",
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s in boundary], "raw string"
+    ).select(
+        "raw",
+        F.expr(
+            "make_timestamp(year(raw), month(raw), day(raw), hour(raw), "
+            "minute(raw), extract(SECOND FROM cast(raw as timestamp_ntz)), "
+            "'UTC')"
+        ).alias("ts"),
+    )
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            "select raw, cast(cast(raw as timestamp) as date) from ("
+            + " union all ".join(f"select '{s}' as raw" for s in boundary)
+            + ")"
+        ).fetchall()
+    }
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for zone in ("UTC", "America/Los_Angeles", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            got = {
+                r["raw"]: r["d"]
+                for r in df.select("raw", event_utc_date().alias("d")).collect()
+            }
+            results[zone] = got
+            assert got == want, f"{zone}: {got} != {want}"
+        assert results["UTC"] == results["America/Los_Angeles"] == results[
+            "Asia/Kathmandu"
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

@@ -133,6 +133,7 @@ def main() -> None:
         "nation_market_share",
         "product_profit_by_nation",
         "decontaminate_incremental",
+        "label_propagation_parts",
         "min_cost_supplier_parts",
         "returned_item_customers",
     ):
@@ -160,7 +161,7 @@ def main() -> None:
                           "stream_cdc_apply", "stream_distinct_sketch",
                           "lakehouse_rename_read", "lakehouse_optimize_read",
                           "lakehouse_snapshot_cut", "stream_heavy_hitters",
-                          "decontaminate_incremental"}
+                          "decontaminate_incremental", "label_propagation_parts"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -137,6 +137,7 @@ PROBE_KEYS = [
     "nation_market_share",
     "product_profit_by_nation",
     "decontaminate_incremental",
+    "label_propagation_parts",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

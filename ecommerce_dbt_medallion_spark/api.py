@@ -141,14 +141,15 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 #
 # Round-9 rotation (this window): the 14 never-driver-certified
 # round-8 additions go first (never-certified outranks green), then
-# the 9 round-9 additions (same rule: lakehouse_optimize_read,
+# the 10 round-9 additions (same rule: lakehouse_optimize_read,
 # lakehouse_snapshot_cut, waiting_supplier_ranking,
 # min_cost_supplier_parts, returned_item_customers,
 # stream_heavy_hitters, nation_market_share,
-# product_profit_by_nation, decontaminate_incremental), then the
-# oldest-certified block — all 50 r6-latest keys compete for the
-# remaining 27 slots, oldest-first in api order. The 23 r6 keys
-# that don't fit — doc_fingerprint, ann_topk_lsh,
+# product_profit_by_nation, decontaminate_incremental,
+# label_propagation_parts), then the oldest-certified block — all
+# 50 r6-latest keys compete for the remaining 26 slots,
+# oldest-first in api order. The 24 r6 keys that don't fit —
+# text_language_id, doc_fingerprint, ann_topk_lsh,
 # ann_topk_ivf, lakehouse_cdf, dq_source_freshness,
 # scd2_snapshot_build, kmeans_embeddings, bm25_topk,
 # exact_substring_dedup, doc_containment, triangle_count_parts,
@@ -186,10 +187,11 @@ DRIVER_WINDOW = [
     "part_supplier_diversity",
     "disjunctive_band_revenue",
     "lakehouse_rename_read",
-    # Next 9 slots: the round-9 additions (never-certified outranks
+    # Next 10 slots: the round-9 additions (never-certified outranks
     # green) — the two VERDICT-r8-item-5 lakehouse consumers, the
-    # five TPC-H-shape marts, the streaming CMS heavy hitters, and
-    # the persisted-index incremental decontamination.
+    # five TPC-H-shape marts, the streaming CMS heavy hitters, the
+    # persisted-index incremental decontamination, and deterministic
+    # label propagation.
     "lakehouse_optimize_read",
     "lakehouse_snapshot_cut",
     "waiting_supplier_ranking",
@@ -199,8 +201,9 @@ DRIVER_WINDOW = [
     "nation_market_share",
     "product_profit_by_nation",
     "decontaminate_incremental",
-    # Remaining 27 slots: the r6-latest block, oldest-first in api
-    # order (all 50 are r6; the last 23 in api order defer to r10 —
+    "label_propagation_parts",
+    # Remaining 26 slots: the r6-latest block, oldest-first in api
+    # order (all 50 are r6; the last 24 in api order defer to r10 —
     # the full list is in the rotation note above).
     "gold_rfm_segmentation",
     "churn_risk_score",
@@ -228,7 +231,6 @@ DRIVER_WINDOW = [
     "corpus_sample_per_stratum",
     "text_token_stats",
     "text_quality_score",
-    "text_language_id",
 ]
 
 
@@ -316,6 +318,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "cohort_retention": ev.cohort_retention,
         "copurchase_topk": opbasket.copurchase_topk,
         "pagerank_parts": opbasket.pagerank_parts,
+        "label_propagation_parts": opbasket.label_propagation_parts,
         "fuzzy_name_match": opfuzzy.fuzzy_name_match,
         "scd2_customer_orders": ana.scd2_customer_orders,
         "repetition_stats": opscrub.repetition_stats,
@@ -624,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
     out["cohort_retention"] = ev.ORACLE_COHORT_RETENTION
     out["copurchase_topk"] = opbasket.oracle_copurchase_topk()
     out["pagerank_parts"] = opbasket.oracle_pagerank_parts()
+    out["label_propagation_parts"] = opbasket.oracle_label_propagation_parts()
     out["dedup_simhash"] = opdedup.oracle_dedup_simhash()
     out["dedup_minhash_md5"] = opdedup.oracle_dedup_minhash_md5()
     # round 8 (continuation): curation cutoff sweep + provenance rollup

@@ -544,3 +544,92 @@ from (
 )
 group by part_id
 """
+
+
+LPA_ROUNDS = 4
+
+
+def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected co-purchase graph, LPA_ROUNDS fixed rounds, fully
+    deterministic: label_0(v) = v; label_{i+1}(v) = the most frequent
+    label among v's neighbors, ties broken by SMALLEST label — an
+    (count desc, label asc) argmax both engines compute identically
+    (classic LPA's random tie-break can't cross engines). Returns each
+    part's final community label and the community sizes.
+
+    Scale shape (the pagerank sibling's): each round is one
+    edges ⋈ labels join shuffled on node ids + one two-key aggregation
+    — O(m) per round, O(rounds·m) total; labels are lazily checkpointed
+    per round so no round replays prior rounds' joins. The argmax is a
+    max-of-struct aggregation (map-side combinable), never a window
+    over the node grain.
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .union(pairs.select(F.col("part_b"), F.col("part_a")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        neigh = (
+            edges.join(labels, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count desc, label asc) == max of (c, -label):
+        # exact integer struct max, map-side combinable
+        labels = (
+            neigh.groupBy(F.col("dst").alias("node"))
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).cast("long").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").cast("long").alias("part_id"),
+            F.col("label").cast("long").alias("community"),
+            F.col("community_size").cast("long").alias("community_size"),
+        )
+    )
+
+
+def oracle_label_propagation_parts() -> str:
+    its = ""
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        its += f""",
+l{i} as materialized (
+    select dst as node, label from (
+        select e.dst, l.label,
+            row_number() over (
+                partition by e.dst
+                order by count(*) desc, l.label asc) as rn
+        from edges e
+        join {prev} l on l.node = e.src
+        group by e.dst, l.label
+    ) where rn = 1
+)"""
+        prev = f"l{i}"
+    return f"""
+with pairs as materialized ({ORACLE_COPURCHASE_PAIRS}),
+edges as materialized (
+    select part_a as src, part_b as dst from pairs
+    union
+    select part_b, part_a from pairs
+),
+l0 as materialized (
+    select distinct src as node, src as label from edges
+){its},
+sizes as (select label, count(*) as community_size from {prev} group by label)
+select cast(l.node as bigint) as part_id,
+    cast(l.label as bigint) as community,
+    cast(s.community_size as bigint) as community_size
+from {prev} l join sizes s on s.label = l.label
+"""

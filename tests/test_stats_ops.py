@@ -530,3 +530,45 @@ def test_pq_distortion_beats_coarse_kmeans(spark):
     assert pq.distortion.mean() < km.dist.mean()
     assert (pq.distortion >= 0).all()
     assert len(pq) == len(km)
+
+
+def test_label_propagation_separates_planted_communities(spark, tmp_path):
+    """Planted graph: two disjoint 5-cliques bridged by NOTHING must end
+    in two distinct communities, each labeled by its minimum member (the
+    deterministic tie-break), with community_size 5 — and a pendant
+    chain hanging off one clique must adopt that clique's label within
+    the fixed rounds (propagation actually propagates)."""
+    from ecommerce_dbt_medallion_spark.ops import basket as opbasket
+
+    edges = []
+    c1 = [1, 2, 3, 4, 5]
+    c2 = [10, 11, 12, 13, 14]
+    for cl in (c1, c2):
+        for i in range(len(cl)):
+            for j in range(i + 1, len(cl)):
+                edges.append((cl[i], cl[j]))
+    edges += [(5, 20), (20, 21)]  # pendant path off clique 1
+    rows = [(i, a) for i, (a, b) in enumerate(edges)] + [
+        (i, b) for i, (a, b) in enumerate(edges)
+    ]
+    d = tmp_path / "planted_lpa"
+    spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00")
+         for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    got = {
+        r["part_id"]: (r["community"], r["community_size"])
+        for r in opbasket.label_propagation_parts(spark, str(d)).collect()
+    }
+    comm1 = {got[n][0] for n in c1}
+    comm2 = {got[n][0] for n in c2}
+    assert len(comm1) == 1 and len(comm2) == 1, (comm1, comm2)
+    assert comm1 != comm2, "disjoint cliques merged"
+    # the pendant chain joins clique 1's community via propagation
+    assert got[20][0] == next(iter(comm1))
+    assert got[21][0] == next(iter(comm1))

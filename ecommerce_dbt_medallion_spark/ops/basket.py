@@ -248,6 +248,30 @@ from deg d left join tn on tn.node = d.node
 """
 
 
+def _symmetric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions of the undirected co-purchase graph, distinct,
+    eagerly checkpointed — ONE definition of the graph the iterative
+    operators (pagerank, label propagation) walk (round-9 review: two
+    verbatim copies were a silent-drift risk; if the edge definition
+    ever changes, both operators and both oracles must move together).
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    return (
+        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .union(pairs.select(F.col("part_b"), F.col("part_a")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+# the oracle twin of _symmetric_edges (expects a `pairs` CTE in scope)
+ORACLE_SYMMETRIC_EDGES = """
+    select part_a as src, part_b as dst from pairs
+    union
+    select part_b, part_a from pairs
+"""
+
+
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected co-purchase graph, PAGERANK_ITERS
     fixed iterations, exact bigint micro-unit arithmetic.
@@ -259,13 +283,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     final column converts micro-units to a double score (single exact
     integer / constant division — engine-identical).
     """
-    pairs = copurchase_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
-        .union(pairs.select(F.col("part_b"), F.col("part_a")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _symmetric_edges(spark, sf_dir)
     deg = (
         edges.groupBy(F.col("src").alias("dnode"))
         .agg(F.count("*").alias("deg"))
@@ -313,11 +331,7 @@ r{i} as (
         prev = f"r{i}"
     return f"""
 with pairs as materialized ({ORACLE_COPURCHASE_PAIRS}),
-edges as (
-    select part_a as src, part_b as dst from pairs
-    union
-    select part_b, part_a from pairs
-),
+edges as ({ORACLE_SYMMETRIC_EDGES}),
 deg as (select src as node, count(*) as deg from edges group by src),
 r0 as (select node, cast({PR_ONE} as bigint) as rank from deg){its}
 select node as part_id, rank as rank_micro,
@@ -565,13 +579,7 @@ def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-of-struct aggregation (map-side combinable), never a window
     over the node grain.
     """
-    pairs = copurchase_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
-        .union(pairs.select(F.col("part_b"), F.col("part_a")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _symmetric_edges(spark, sf_dir)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -619,11 +627,7 @@ l{i} as materialized (
         prev = f"l{i}"
     return f"""
 with pairs as materialized ({ORACLE_COPURCHASE_PAIRS}),
-edges as materialized (
-    select part_a as src, part_b as dst from pairs
-    union
-    select part_b, part_a from pairs
-),
+edges as materialized ({ORACLE_SYMMETRIC_EDGES}),
 l0 as materialized (
     select distinct src as node, src as label from edges
 ){its},

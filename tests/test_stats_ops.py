@@ -533,11 +533,12 @@ def test_pq_distortion_beats_coarse_kmeans(spark):
 
 
 def test_label_propagation_separates_planted_communities(spark, tmp_path):
-    """Planted graph: two disjoint 5-cliques bridged by NOTHING must end
-    in two distinct communities, each labeled by its minimum member (the
-    deterministic tie-break), with community_size 5 — and a pendant
-    chain hanging off one clique must adopt that clique's label within
-    the fixed rounds (propagation actually propagates)."""
+    """Planted graph: two disjoint 5-cliques bridged by NOTHING must
+    end in two distinct communities, each labeled by its MINIMUM member
+    (the deterministic tie-break: 1 and 10), with exact community sizes
+    (7 for clique 1 — its pendant chain 20-21 joins it within the fixed
+    rounds, i.e. propagation actually propagates — and 5 for clique
+    2)."""
     from ecommerce_dbt_medallion_spark.ops import basket as opbasket
 
     edges = []
@@ -567,8 +568,10 @@ def test_label_propagation_separates_planted_communities(spark, tmp_path):
     }
     comm1 = {got[n][0] for n in c1}
     comm2 = {got[n][0] for n in c2}
-    assert len(comm1) == 1 and len(comm2) == 1, (comm1, comm2)
-    assert comm1 != comm2, "disjoint cliques merged"
-    # the pendant chain joins clique 1's community via propagation
-    assert got[20][0] == next(iter(comm1))
-    assert got[21][0] == next(iter(comm1))
+    assert comm1 == {1}, comm1  # min-member tie-break, not max
+    assert comm2 == {10}, comm2
+    # the pendant chain joins clique 1's community via propagation,
+    # and community sizes count the FINAL membership (7 = 5 + chain)
+    assert got[20] == (1, 7) and got[21] == (1, 7), (got[20], got[21])
+    assert all(got[n] == (1, 7) for n in c1)
+    assert all(got[n] == (10, 5) for n in c2)

@@ -135,7 +135,7 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # session-4 additions noted here — join that deferred head of the
 # round-9 window under the same rule.
 # No key's latest driver row should ever be more than two rounds
-# behind the code it runs on — with 173 keys and a 50-key window the
+# behind the code it runs on — with 174 keys and a 50-key window the
 # full rotation takes 4 rounds, so the realized bound is three rounds;
 # the rotation keeps every violation minimal and documented.
 #

@@ -146,6 +146,12 @@ def _fold_entry(state: dict, e: dict) -> dict:
             state["partition_by"] = e["partition_by"]
         if "zorder_by" in e:
             state["zorder_by"] = list(e["zorder_by"] or [])
+        # key folds UNCONDITIONALLY on RESTORE (round-9 review): the
+        # generic key fold above skips None, so restoring from a keyed
+        # era to a key-less target would silently keep the newer key —
+        # the same stale-state-across-RESTORE class as partition_by.
+        if "key" in e:
+            state["key"] = e["key"]
     if e.get("tombstones_cleared"):
         state["tombstones"] = []
     state["tombstones"].extend(e.get("tombstones", []))
@@ -1034,8 +1040,14 @@ def _protected_columns(table: str) -> dict[str, str]:
         # both literal syntaxes: single-quoted (ANSI) AND double-quoted
         # (Spark SQL's default when double-quoted identifiers are off —
         # round-9 review: 'seg = "north"' must not protect a column
-        # named north any more than the single-quoted spelling does)
-        bare = _re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", " ", expr)
+        # named north any more than the single-quoted spelling does).
+        # Literals consume doubled-quote ('') AND backslash escapes
+        # (round-10: in "note = 'don\\'t' OR amount > 0" the \' must
+        # not close the literal, or the boundary shifts and real column
+        # tokens after it get stripped as literal text).
+        bare = _re.sub(
+            r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"", " ", expr
+        )
         for tok in set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", bare)):
             if logical is not None and tok not in logical:
                 continue
@@ -2202,18 +2214,27 @@ def verify_table(spark: SparkSession, table: str) -> dict:
       audits pending publish) in ``staged_pending``.
 
     Returns ``{"ok": bool, "files_checked": n, "errors": [...],
-    "staged_pending": [...]}`` — report, don't raise: an auditor must
-    enumerate EVERY problem, not stop at the first.
+    "staged_pending": [...], "checks_skipped": bool}`` — report, don't
+    raise: an auditor must enumerate EVERY problem, not stop at the
+    first. ``checks_skipped`` is True on the early-return paths (no
+    table, log gap, unreadable entry) where the file/schema/checkpoint
+    checks never ran — absence of errors there is NOT health.
     """
     # staged_pending needs a log fold — fill it AFTER the coherence
     # checks below prove the log is foldable (round-9: a corrupt entry
-    # crashed the audit right here, before any check could report it)
+    # crashed the audit right here, before any check could report it).
+    # checks_skipped flags the early-return paths where the file/
+    # schema/checkpoint checks never ran — without it a consumer
+    # cannot tell "no staged writes, nothing else wrong" from "not
+    # checked" (round-9 review), in tension with the enumerate-every-
+    # problem contract.
     report: dict = {"ok": True, "files_checked": 0, "errors": [],
-                    "staged_pending": []}
+                    "staged_pending": [], "checks_skipped": False}
     vs = versions(table)
     if not vs:
         report["ok"] = False
         report["errors"].append(f"not a table: {table}")
+        report["checks_skipped"] = True
         return report
     head = vs[-1]
 
@@ -2232,6 +2253,7 @@ def verify_table(spark: SparkSession, table: str) -> dict:
         # middle version (round-9 review follow-up: the early return
         # must apply to both, or every downstream check cascades bogus
         # errors off a truncated fold)
+        report["checks_skipped"] = True
         return report
 
     # log coherence: every entry parses, adds/removes pair up. A
@@ -2244,6 +2266,7 @@ def verify_table(spark: SparkSession, table: str) -> dict:
         except Exception as exc:  # noqa: BLE001 — auditing, not crashing
             report["errors"].append(f"unreadable log entry v{v}: {exc}")
             report["ok"] = False
+            report["checks_skipped"] = True
             return report  # folds below would diverge from reality
         for a in e.get("add", []):
             seen_adds.add(a["file"])

@@ -23,6 +23,7 @@ and returns a manifest.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -243,8 +244,10 @@ def materialize_events_partitioned(spark: SparkSession, sf_dir: str, dest_dir: s
     thousands over years (no small-file explosion)."""
     from ecommerce_dbt_medallion_spark.sources.registry import (
         EVENTS_PARTITIONED_DIRNAME,
+        EVENTS_SOURCE_FINGERPRINT,
         _read_events_static,
         event_utc_date,
+        events_flat_fingerprint,
         normalize_event_ts,
     )
 
@@ -283,6 +286,19 @@ def materialize_events_partitioned(spark: SparkSession, sf_dir: str, dest_dir: s
         .partitionBy("event_date")
         .parquet(out)
     )
+    # Freshness marker (round-9 review): record the flat source's
+    # fingerprint so load_events_table can detect a flat refresh that
+    # post-dates this layout and fall back instead of serving stale
+    # rows. Leading "_" keeps it out of Spark's file index. Written
+    # AFTER the parquet write so a failed materialization never leaves
+    # a fresh-looking marker over a half-written layout.
+    marker = {
+        "flat_fingerprint": (
+            events_flat_fingerprint(flat) if os.path.exists(flat) else None
+        ),
+    }
+    with open(os.path.join(out, EVENTS_SOURCE_FINGERPRINT), "w") as fh:
+        json.dump(marker, fh)
     return out
 
 

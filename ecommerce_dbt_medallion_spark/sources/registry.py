@@ -94,6 +94,57 @@ def _read_events_static(spark: SparkSession, path: str) -> DataFrame:
 # posture runner.run takes for silver_orders/order_year_month).
 EVENTS_PARTITIONED_DIRNAME = "events_partitioned"
 
+# Freshness marker written by runner.materialize_events_partitioned
+# into the partitioned layout (leading "_" → invisible to Spark's file
+# index, like _SUCCESS). Records a fingerprint of the flat source the
+# layout was built from, so load_events_table can detect a flat
+# events.parquet refreshed AFTER the materialization and fall back to
+# it instead of silently serving stale rows (round-9 review).
+EVENTS_SOURCE_FINGERPRINT = "_source_fingerprint.json"
+
+
+def events_flat_fingerprint(path: str) -> list:
+    """``[file_count, total_bytes, max_mtime_ns]`` of the flat events
+    source (a single parquet file or a Spark-written directory). Cheap
+    (os.stat only, no data read) and changes whenever the source is
+    rewritten — exactly the freshness signal the partitioned-layout
+    preference needs."""
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return [1, st.st_size, st.st_mtime_ns]
+    n = b = m = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / hidden metadata: not data
+            st = os.stat(os.path.join(root, f))
+            n += 1
+            b += st.st_size
+            m = max(m, st.st_mtime_ns)
+    return [n, b, m]
+
+
+def _partitioned_layout_fresh(parted: str, flat: str) -> bool:
+    """True when the partitioned layout's recorded source fingerprint
+    matches the flat source NOW. A layout without a marker (written
+    before the marker existed) is trusted — the materializer has
+    written the marker since, so every refresh going forward carries
+    one."""
+    import json
+
+    marker = os.path.join(parted, EVENTS_SOURCE_FINGERPRINT)
+    if not os.path.exists(marker):
+        return True
+    try:
+        with open(marker) as fh:
+            recorded = json.load(fh)
+    except (OSError, ValueError):
+        return True  # unreadable marker: keep legacy preference
+    fp = recorded.get("flat_fingerprint")
+    if fp is None:  # built from a partitioned-only source: no basis
+        return True
+    return list(fp) == events_flat_fingerprint(flat)
+
 
 def event_utc_date(col: str = "ts"):
     """The UTC calendar day of an event instant as pure integer math —
@@ -117,11 +168,26 @@ def load_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVENTS_PARTITIONED_DIRNAME) when the caller's dir carries one; the
     driver's flat events.parquet path is byte-identical to before
     (the partitioned branch ADDS an ``event_date`` partition column,
-    which the date-bounded marts filter on)."""
+    which the date-bounded marts filter on).
+
+    The preference is freshness-guarded (round-9 review): the
+    materializer records a fingerprint of the flat source it read, and
+    if the flat events.parquet has been refreshed SINCE (fingerprint
+    mismatch), this loader warns and reads the flat source — stale
+    partitioned rows must never silently win over fresh data."""
+    path = os.path.join(sf_dir, "events.parquet")
     parted = os.path.join(sf_dir, EVENTS_PARTITIONED_DIRNAME)
     if os.path.isdir(parted):
-        return normalize_event_ts(spark.read.parquet(parted))
-    path = os.path.join(sf_dir, "events.parquet")
+        if not os.path.exists(path) or _partitioned_layout_fresh(parted, path):
+            return normalize_event_ts(spark.read.parquet(parted))
+        import warnings
+
+        warnings.warn(
+            f"{parted} is stale (flat events.parquet was refreshed after "
+            "the materialization); reading the flat source — re-run "
+            "runner.materialize_events_partitioned to restore pruning",
+            stacklevel=2,
+        )
     return normalize_event_ts(_read_events_static(spark, path))
 
 

@@ -3032,7 +3032,11 @@ def test_verify_table_reports_log_gap_and_corrupt_entry(spark, tmp_path):
             spark, t,
             spark.createDataFrame([(i, "x")], "id long, val string"),
         )
-    assert lh.verify_table(spark, t)["ok"]
+    clean = lh.verify_table(spark, t)
+    assert clean["ok"]
+    # a full audit must say so explicitly — consumers distinguish "no
+    # problems found" from "not checked" via this flag (round-9 review)
+    assert clean["checks_skipped"] is False
 
     # (1) corrupt (truncate) a middle entry
     p2 = os.path.join(lh._log_path(t), "v2.json")
@@ -3041,13 +3045,74 @@ def test_verify_table_reports_log_gap_and_corrupt_entry(spark, tmp_path):
     rep = lh.verify_table(spark, t)
     assert not rep["ok"]
     assert any("unreadable log entry v2" in e for e in rep["errors"]), rep
+    # early return: file/schema/checkpoint checks never ran — the empty
+    # staged_pending/errors tail must not read as health
+    assert rep["checks_skipped"] is True
 
     # (2) delete it entirely: a log gap
     os.remove(p2)
     rep = lh.verify_table(spark, t)
     assert not rep["ok"]
     assert any("log gap" in e and "2" in e for e in rep["errors"]), rep
+    assert rep["checks_skipped"] is True
 
     # restore and FSCK goes green again
     open(p2, "w").write(raw)
-    assert lh.verify_table(spark, t)["ok"]
+    rep = lh.verify_table(spark, t)
+    assert rep["ok"] and rep["checks_skipped"] is False
+
+
+def test_restore_refolds_key_on_keyless_target(spark, tmp_path):
+    """Round-9 review: RESTORE entries always carry ``key`` (possibly
+    None), but the generic fold only applies non-None keys — so
+    restoring from a keyed era to a KEY-LESS target silently kept the
+    newer key, the same stale-state-across-RESTORE class as
+    partition_by. The key must fold unconditionally on RESTORE: after
+    rolling back to the key-less v0, key-dependent ops (deferred
+    deletes) must refuse exactly as they did before the key existed."""
+    t = str(tmp_path / "keyless_restore")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    lh.create_or_replace(spark, t, df)  # NO key declared
+    v0 = lh.versions(t)[-1]
+    assert lh._table_key_opt(t) is None
+    lh.append(
+        spark, t,
+        spark.createDataFrame([(3, "c")], "id long, val string"),
+        key="id",
+    )
+    assert lh._table_key_opt(t) == "id"
+    lh.restore(t, v0)
+    assert lh._table_key_opt(t) is None, "RESTORE kept the newer key"
+    with pytest.raises(ValueError, match="require a table key"):
+        lh.delete_keys_deferred(spark, t, [1])
+    # and the restored data is the v0 snapshot
+    assert {r["id"] for r in lh.read(spark, t).collect()} == {1, 2}
+
+
+def test_protected_columns_backslash_escaped_literals(spark, tmp_path):
+    """Round-9 review: the literal stripper handled doubled quotes ('')
+    but not Spark SQL's default backslash escapes — in
+    "note = 'don\\'t' OR amount > 0" the \\' shifted the literal
+    boundary, real column tokens after it were stripped as literal
+    text, and a constraint-referenced column lost rename/drop
+    protection. The literal must consume backslash escapes; columns
+    named only INSIDE the literal stay free."""
+    t = str(tmp_path / "prot_esc")
+    lh.create_or_replace(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "x", 5.0, 2.0)],
+            "id long, note string, amount double, t double",
+        ),
+        key="id",
+    )
+    lh.add_constraint(
+        spark, t, "esc_chk", r"note = 'don\'t hit t' OR amount > 0"
+    )
+    # 'amount' sits AFTER the escaped literal: protection must survive
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        lh.drop_column(t, "amount")
+    # 't' appears only inside the literal text — renames freely
+    lh.rename_column(t, "t", "tee")
+    assert "tee" in lh.read(spark, t).columns

@@ -625,6 +625,51 @@ def test_event_marts_prune_partitions_over_materialized_events(spark, tmp_path):
     shutil.rmtree(wh, ignore_errors=True)
 
 
+def test_events_partitioned_staleness_guard(spark, tmp_path):
+    """Round-9 review: load_events_table silently preferred an
+    events_partitioned layout over the flat events.parquet with no
+    freshness check — refresh the flat source without re-running the
+    materializer and every event mart reads stale rows. The
+    materializer now records the flat source's fingerprint; on
+    mismatch the loader must WARN and serve the flat source, and a
+    re-materialization must restore the pruned path."""
+    import os
+    import shutil
+
+    from ecommerce_dbt_medallion_spark.runner import materialize_events_partitioned
+    from ecommerce_dbt_medallion_spark.sources.registry import load_events_table
+
+    wh = str(tmp_path / "stale_wh")
+    os.makedirs(wh)
+    flat = os.path.join(wh, "events.parquet")
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), flat)
+    materialize_events_partitioned(spark, wh, wh)
+    fresh = load_events_table(spark, wh)
+    assert "event_date" in fresh.columns  # partitioned path preferred
+    n_full = fresh.count()
+
+    # refresh the flat source IN PLACE with a deterministic subset —
+    # a different fingerprint AND a different row count
+    sub = spark.read.parquet(flat).where("user_id % 2 = 0")
+    n_sub = sub.count()
+    assert 0 < n_sub < n_full
+    staged = sub.localCheckpoint(eager=True)  # sever the self-read
+    os.remove(flat)
+    staged.write.parquet(flat)
+
+    with pytest.warns(UserWarning, match="stale"):
+        got = load_events_table(spark, wh)
+    assert "event_date" not in got.columns, "stale partitioned layout won"
+    assert got.count() == n_sub
+
+    # re-materializing refreshes the fingerprint: preference restored
+    materialize_events_partitioned(spark, wh, wh)
+    got = load_events_table(spark, wh)
+    assert "event_date" in got.columns
+    assert got.count() == n_sub
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 def test_round9_marts_plan_shapes(spark):
     """Round-9 relational marts: the rewrites their oracles prove must
     actually be IN the plan. Q21 aggregates the joined fact once — no

@@ -2106,7 +2106,14 @@ def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sole_late.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # NO broadcast hint on supplier: it scales with SF (~10k rows ×
+        # SF → ~1e9 at the 100 TB point) and a pinned F.broadcast
+        # bypasses AQE's size check — an executor/driver OOM at 100×
+        # (round-9 review). The probe side here is a supplier-grain
+        # aggregate anyway, so AQE broadcasts whichever side is small
+        # AT RUNTIME; the module's discipline reserves explicit hints
+        # for the provably-constant nation/region dims.
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
@@ -2178,7 +2185,11 @@ def min_cost_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(part_min, "l_partkey")
         .where(F.col("best_price") == F.col("min_price"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # NO broadcast hint on supplier (round-9 review): supplier
+        # scales with SF, and a pinned hint overrides AQE's size
+        # threshold — OOM at 100×. AQE still broadcasts it at SFs
+        # where the runtime size estimate allows.
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("p_partkey").cast("long").alias("p_partkey"),
             "p_brand",

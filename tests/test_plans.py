@@ -685,25 +685,22 @@ def test_round9_marts_plan_shapes(spark):
         waiting_supplier_ranking,
     )
 
-    q21 = (
-        waiting_supplier_ranking(spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    q21_qe = waiting_supplier_ranking(spark, SF_SMOKE)._jdf.queryExecution()
+    q21 = q21_qe.executedPlan().toString()
     assert "Window" not in q21
     # the EXISTS form would scan lineitem 3x; the agg rewrite reads it
     # for the flag frame + the per-order counts (shared subtree) only
     assert q21.count("lineitem.parquet") <= 2, q21.count("lineitem.parquet")
+    # no PINNED broadcast anywhere in Q21/Q2 (round-10, VERDICT r9 #2):
+    # supplier scales with SF, so the join strategy must be AQE's
+    # runtime size call, never a hint that bypasses the size check
+    assert "ResolvedHint" not in q21_qe.analyzed().toString()
 
-    q2 = (
-        min_cost_supplier_parts(spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    q2_qe = min_cost_supplier_parts(spark, SF_SMOKE)._jdf.queryExecution()
+    q2 = q2_qe.executedPlan().toString()
     assert "Window" not in q2
     assert q2.count("lineitem.parquet") <= 2
+    assert "ResolvedHint" not in q2_qe.analyzed().toString()
 
     q10 = _formatted(returned_item_customers(spark, SF_SMOKE))
     pushed = [ln for ln in q10.splitlines() if "PushedFilters" in ln]

@@ -135,7 +135,7 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # session-4 additions noted here — join that deferred head of the
 # round-9 window under the same rule.
 # No key's latest driver row should ever be more than two rounds
-# behind the code it runs on — with 174 keys and a 50-key window the
+# behind the code it runs on — with 175 keys and a 50-key window the
 # full rotation takes 4 rounds, so the realized bound is three rounds;
 # the rotation keeps every violation minimal and documented.
 #
@@ -160,77 +160,90 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # FRONT of the round-10 window together with any later round-9
 # additions.
 #
+#
+# Round-10 rotation (this window): the round-10 addition
+# lakehouse_deferred_delete goes first (never-certified outranks
+# green; any LATER round-10 additions join this head under the same
+# rule and must be named here), then the full 24-key r6-latest block
+# (the round-9 deferral list above), then the 25 OLDEST r7-certified
+# keys in api order. The 25 r7 keys that don't fit —
+# event_ctr_daily, minhash_calibration, supplier_hhi,
+# part_price_quartiles, ann_recall_report, ivm_mart_refresh,
+# basket_size_distribution, returns_by_month, discount_band_analysis,
+# trade_flows, late_order_priority, customer_decile_revenue,
+# new_vs_returning_revenue, tokenizer_fertility, markov_dwell,
+# kcore_parts, pq_quantize, wap_audited_ingest, skew_salted_revenue,
+# stream_join_left_outer, stream_hopping_rollup,
+# lakehouse_zorder_prune, stream_dedup_ingest,
+# lakehouse_schema_evolution, lakehouse_restore_read
+# — defer to the FRONT of the round-11 window together with any later
+# round-10 additions.
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
 # rotation test derives its expectations from the CORRECTNESS
 # artifacts of rounds STRICTLY BEFORE this one, so the test stays
 # green when the driver later drops this round's own artifact into
 # the repo root (the round-8 test computed state from ALL artifacts
 # and self-invalidated the moment CORRECTNESS_r08.json landed).
-DRIVER_WINDOW_ROUND = 9
+DRIVER_WINDOW_ROUND = 10
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
-    # ================= ROUND-9 WINDOW =================
-    # First 14 slots: the round-8 additions that landed after the
-    # round-8 window saturated — never driver-certified, locally
-    # parity-pinned at sf0.001+sf0.01.
-    "cdc_latest_state",
-    "stream_cdc_apply",
-    "shipping_priority_topk",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "promo_revenue_share",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "idle_high_balance_customers",
-    "top_supplier_revenue",
-    "stream_distinct_sketch",
-    "part_supplier_diversity",
-    "disjunctive_band_revenue",
-    "lakehouse_rename_read",
-    # Next 10 slots: the round-9 additions (never-certified outranks
-    # green) — the two VERDICT-r8-item-5 lakehouse consumers, the
-    # five TPC-H-shape marts, the streaming CMS heavy hitters, the
-    # persisted-index incremental decontamination, and deterministic
-    # label propagation.
-    "lakehouse_optimize_read",
-    "lakehouse_snapshot_cut",
-    "waiting_supplier_ranking",
-    "min_cost_supplier_parts",
-    "returned_item_customers",
-    "stream_heavy_hitters",
-    "nation_market_share",
-    "product_profit_by_nation",
-    "decontaminate_incremental",
-    "label_propagation_parts",
-    # Remaining 26 slots: the r6-latest block, oldest-first in api
-    # order (all 50 are r6; the last 24 in api order defer to r10 —
-    # the full list is in the rotation note above).
-    "gold_rfm_segmentation",
-    "churn_risk_score",
-    "event_daily_stats",
-    "event_funnel",
-    "event_path_topk",
-    "active_users_rolling",
-    "corpus_weighted_sample",
-    "sketch_distinct_users",
-    "sales_by_region",
-    "supplier_part_revenue",
-    "customer_order_percentiles",
-    "range_join_promo_revenue",
-    "sales_rollup",
-    "payment_method_pivot",
-    "revenue_anomaly_zscore",
-    "customer_ltv_running",
-    "revenue_date_spine",
-    "top_parts_per_region",
-    "corpus_stratified_sample",
-    "dataset_split",
-    "dataset_split_stats",
-    "dedup_keep_best",
-    "curation_funnel",
-    "corpus_sample_per_stratum",
-    "text_token_stats",
-    "text_quality_score",
+    # ================= ROUND-10 WINDOW =================
+    # Slot 1: the round-10 addition (never driver-certified;
+    # locally parity-pinned at sf0.001+sf0.01+sf0.1).
+    "lakehouse_deferred_delete",
+    # Next 24 slots: the r6-latest block deferred from round 9
+    # (three rounds stale — the oldest certified class).
+    "text_language_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "doc_winnowing",
+    "corpus_curation",
+    "dedup_ngram_jaccard",
+    "text_pii_scrub",
+    "decontaminate",
+    "multimodal_frame_sample",
+    "dedup_embedding_lsh",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "lakehouse_cdf",
+    "dq_source_freshness",
+    "scd2_snapshot_build",
+    "kmeans_embeddings",
+    "bm25_topk",
+    "exact_substring_dedup",
+    "doc_containment",
+    "triangle_count_parts",
+    "corpus_mix_weights",
+    "semantic_dedup_clusters",
+    "sketch_user_overlap",
+    "funnel_windowed",
+    # Remaining 25 slots: the oldest r7-certified keys, api order
+    # (the other 25 r7 keys defer to round 11 — note above).
+    "silver_payments",
+    "gold_customer_summary",
+    "gold_order_metrics",
+    "gold_revenue_analysis",
+    "bronze_customers",
+    "bronze_orders",
+    "bronze_payments",
+    "silver_customers",
+    "silver_orders",
+    "dq_generic_tests",
+    "dq_singular_tests",
+    "association_rules",
+    "markov_transitions",
+    "attribution_position",
+    "revenue_trend",
+    "revenue_seasonality",
+    "winsorized_revenue_stats",
+    "customer_interpurchase",
+    "pareto_frontier_parts",
+    "doc_novelty_score",
+    "source_length_profile",
+    "pricing_summary",
+    "shipping_delay_stats",
+    "vocab_coverage",
+    "event_volume_anomaly",
 ]
 
 
@@ -406,6 +419,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "lakehouse_rename_read": mcdf.lakehouse_rename_read,
         "lakehouse_optimize_read": mcdf.lakehouse_optimize_read,
         "lakehouse_snapshot_cut": mcdf.lakehouse_snapshot_cut,
+        "lakehouse_deferred_delete": mcdf.lakehouse_deferred_delete,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
         "min_cost_supplier_parts": ana.min_cost_supplier_parts,
         "returned_item_customers": ana.returned_item_customers,
@@ -667,6 +681,8 @@ def oracle_sql() -> dict[str, str]:
     # round 9: incremental OPTIMIZE consumer + consistent cross-table cut
     out["lakehouse_optimize_read"] = mcdf.oracle_lakehouse_optimize_read()
     out["lakehouse_snapshot_cut"] = mcdf.oracle_lakehouse_snapshot_cut()
+    # round 10: merge-on-read deferred deletes (the GDPR erasure path)
+    out["lakehouse_deferred_delete"] = mcdf.oracle_lakehouse_deferred_delete()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the
     # hash gate PROVES the Spark-side agg rewrite / decorrelation

@@ -770,3 +770,108 @@ select cast(o.order_id as bigint) as order_id, o.order_status,
 from silver_orders o left join bumped b on o.order_id = b.order_id
 """,
     )
+
+
+DEFER_DEL_BATCH = 40  # erasure-request batch size (bounded, driver-side)
+
+
+def lakehouse_deferred_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32n (round 10, VERDICT r9 #5): MERGE-ON-READ deferred
+    deletes under the hash gate — the GDPR erasure-request path, the
+    one lakehouse surface whose leak is a compliance bug rather than a
+    wrong number.
+
+    Construction: v0 CREATE (orders with order_id % 4 != 0, keyed);
+    ``delete_keys_deferred`` tombstones the ``DEFER_DEL_BATCH`` smallest
+    order_ids with order_id % 10 == 1 (an O(1) metadata commit — the
+    live file set must be byte-identical across it); then THREE tagged
+    reads are unioned, so every contract is inside one value hash:
+
+    - ``v0_travel``: time travel to v0 WHILE tombstones are pending —
+      the full base; pending tombstones must not rewrite history.
+    - ``mor``: the HEAD read through the pending-tombstone anti-filter
+      — base minus the tombstoned keys, with zero files rewritten
+      (a resurrected key here is the GDPR bug).
+    - ``final``: the HEAD read after ``materialize_tombstones`` paid
+      the rewrite — the SAME rows (rewrite ≡ filter), tombstone list
+      drained.
+
+    The oracle states all three states in plain SQL; any tombstone
+    leak, history rewrite, or rewrite/filter divergence hash-mismatches.
+
+    Scale shape: the deferred commit is O(keys) metadata; the
+    materialization rewrites only files whose key range ∩ bloom admits
+    a tombstoned key (lakehouse.delete_where's candidate discovery) —
+    churn-proportional, never O(table).
+    """
+    table = _gate_path(sf_dir, "defer_del_gate")
+
+    facts = _facts(spark, sf_dir)
+    base = facts.where(F.col("order_id") % 4 != 0)
+    lakehouse.create_or_replace(spark, table, base, key="order_id")
+
+    # the erasure batch: bounded + deterministic (smallest N of a key
+    # residue class — the oracle restates exactly this in SQL); the
+    # driver-side collect is the op's natural shape (an erasure request
+    # IS a small explicit key list)
+    victims = [
+        r["order_id"]
+        for r in lakehouse.read(spark, table)
+        .where(F.col("order_id") % 10 == 1)
+        .select("order_id")
+        .orderBy("order_id")
+        .limit(DEFER_DEL_BATCH)
+        .collect()
+    ]
+    files_before = sorted(a["file"] for a in lakehouse.live_files(table))
+    lakehouse.delete_keys_deferred(spark, table, victims)
+    files_after = sorted(a["file"] for a in lakehouse.live_files(table))
+    if files_before != files_after:
+        raise AssertionError("deferred delete touched data files")
+    if sorted(lakehouse.pending_tombstones(table)) != sorted(victims):
+        raise AssertionError("tombstone list diverged from the request")
+
+    def _tagged(df: DataFrame, state: str) -> DataFrame:
+        return df.select(
+            F.lit(state).alias("state"),
+            F.col("order_id").cast("long").alias("order_id"),
+            "order_status",
+            F.col("amount").cast("double").alias("amount"),
+        )
+
+    v0_travel = _tagged(lakehouse.read(spark, table, version=0), "v0_travel")
+    mor = _tagged(lakehouse.read(spark, table), "mor")
+
+    lakehouse.materialize_tombstones(spark, table)
+    if lakehouse.pending_tombstones(table):
+        raise AssertionError("materialization left tombstones pending")
+    final = _tagged(lakehouse.read(spark, table), "final")
+    return v0_travel.unionByName(mor).unionByName(final)
+
+
+def oracle_lakehouse_deferred_delete() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select=f"""
+, o as (
+    select order_id, order_status,
+           cast(cast(order_amount as decimal(18,2)) as double) as amount
+    from silver_orders where order_id % 4 <> 0
+), del as (
+    select order_id from o where order_id % 10 = 1
+    order by order_id limit {DEFER_DEL_BATCH}
+), kept as (
+    select * from o where order_id not in (select order_id from del)
+)
+select 'v0_travel' as state, cast(order_id as bigint) as order_id,
+    order_status, amount from o
+union all
+select 'mor' as state, cast(order_id as bigint) as order_id,
+    order_status, amount from kept
+union all
+select 'final' as state, cast(order_id as bigint) as order_id,
+    order_status, amount from kept
+""",
+    )

@@ -220,16 +220,42 @@ def main() -> None:
         out["errors"] = errors
         out["incomplete"] = True
         out["value"] = None
-    line = json.dumps(out)
-    # Parse-proofing (round 8: the driver's tail capture truncated the
-    # stdout line, leaving the official artifact with parsed=null): the
-    # summary also lands in a file next to this script, atomically.
+    # Parse-proofing, round 10 (VERDICT r9 #6): the driver tail-captures
+    # the LAST ~2000 stdout chars; three rounds running, the full
+    # per-query dict grew the single line past that budget and truncated
+    # its HEAD, leaving the driver artifact parsed=null. So stdout now
+    # carries ONE COMPACT line (guaranteed under the budget: the 8
+    # comparable queries + totals — everything BASELINE.md's cross-round
+    # comparison needs) and the FULL detail (breadth per-query timings,
+    # methodology) lands atomically in BENCH_SUMMARY.json, committed.
+    full_line = json.dumps(out)
     summary_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_SUMMARY.json")
     tmp = summary_path + ".tmp"
     with open(tmp, "w") as fh:
-        fh.write(line + "\n")
+        fh.write(full_line + "\n")
     os.replace(tmp, summary_path)
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {n: timings[n] for n in comparable if n in timings},
+        "sf": sf,
+        "comparable_total": out["comparable_total"],
+        "breadth_total": round(
+            sum(v for k, v in timings.items() if k not in comparable), 3
+        ),
+        "n_queries": len(timings),
+        "full": "BENCH_SUMMARY.json",
+    }
+    if errors:
+        compact["incomplete"] = True
+        compact["errors"] = {
+            k: v[:80] for k, v in list(errors.items())[:3]
+        }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line {len(line)}B > tail budget"
     print(line)
 
 

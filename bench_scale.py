@@ -138,6 +138,9 @@ PROBE_KEYS = [
     "product_profit_by_nation",
     "decontaminate_incremental",
     "label_propagation_parts",
+    # round 10: merge-on-read deferred-delete gate (construction-timed:
+    # CREATE → O(keys) tombstone commit → three tagged reads + rewrite)
+    "lakehouse_deferred_delete",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

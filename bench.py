@@ -136,6 +136,16 @@ def main() -> None:
         "label_propagation_parts",
         "min_cost_supplier_parts",
         "returned_item_customers",
+        # round 10: deferred-delete gate (construction-timed: CREATE →
+        # tombstone commit → three reads + rewrite), contrastive
+        # hard-negative mining, nearest-centroid confusion matrix, and
+        # the 3-round BPE merge trainer (construction-timed: the
+        # word-freq table and per-round merges checkpoint during plan
+        # construction)
+        "lakehouse_deferred_delete",
+        "hard_negative_mining",
+        "nearest_centroid_classify",
+        "bpe_train_merges",
     ):
         if extra in queries:
             headline.append(extra)
@@ -161,7 +171,8 @@ def main() -> None:
                           "stream_cdc_apply", "stream_distinct_sketch",
                           "lakehouse_rename_read", "lakehouse_optimize_read",
                           "lakehouse_snapshot_cut", "stream_heavy_hitters",
-                          "decontaminate_incremental", "label_propagation_parts"}
+                          "decontaminate_incremental", "label_propagation_parts",
+                          "lakehouse_deferred_delete", "bpe_train_merges"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -139,8 +139,12 @@ PROBE_KEYS = [
     "decontaminate_incremental",
     "label_propagation_parts",
     # round 10: merge-on-read deferred-delete gate (construction-timed:
-    # CREATE → O(keys) tombstone commit → three tagged reads + rewrite)
+    # CREATE → O(keys) tombstone commit → three tagged reads + rewrite),
+    # plus the contrastive/classification/tokenizer-training trio
     "lakehouse_deferred_delete",
+    "hard_negative_mining",
+    "nearest_centroid_classify",
+    "bpe_train_merges",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

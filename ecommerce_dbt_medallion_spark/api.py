@@ -20,6 +20,7 @@ from ecommerce_dbt_medallion_spark.models import stats as mstats
 from ecommerce_dbt_medallion_spark.models import analytics as ana
 from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import basket as opbasket
+from ecommerce_dbt_medallion_spark.ops import bpe as opbpe
 from ecommerce_dbt_medallion_spark.ops import chunking as opchunk
 from ecommerce_dbt_medallion_spark.ops import cluster as opcluster
 from ecommerce_dbt_medallion_spark.ops import curation as opcur
@@ -135,7 +136,7 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # session-4 additions noted here — join that deferred head of the
 # round-9 window under the same rule.
 # No key's latest driver row should ever be more than two rounds
-# behind the code it runs on — with 175 keys and a 50-key window the
+# behind the code it runs on — with 178 keys and a 50-key window the
 # full rotation takes 4 rounds, so the realized bound is three rounds;
 # the rotation keeps every violation minimal and documented.
 #
@@ -161,12 +162,17 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # additions.
 #
 #
-# Round-10 rotation (this window): the round-10 addition
-# lakehouse_deferred_delete goes first (never-certified outranks
-# green; any LATER round-10 additions join this head under the same
-# rule and must be named here), then the full 24-key r6-latest block
+# Round-10 rotation (this window): the four round-10 additions go
+# first (never-certified outranks green) — lakehouse_deferred_delete,
+# hard_negative_mining, nearest_centroid_classify, bpe_train_merges;
+# any LATER round-10 additions join this head under the same rule and
+# must be named here — then the full 24-key r6-latest block
 # (the round-9 deferral list above), then the 25 OLDEST r7-certified
-# keys in api order. The 25 r7 keys that don't fit —
+# keys in api order (22 fit after the three extra round-10 keys
+# took their slots; shipping_delay_stats, vocab_coverage and
+# event_volume_anomaly join the deferral list). The r7 keys that
+# don't fit —
+# shipping_delay_stats, vocab_coverage, event_volume_anomaly,
 # event_ctr_daily, minhash_calibration, supplier_hhi,
 # part_price_quartiles, ann_recall_report, ivm_mart_refresh,
 # basket_size_distribution, returns_by_month, discount_band_analysis,
@@ -188,9 +194,12 @@ DRIVER_WINDOW_ROUND = 10
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
     # ================= ROUND-10 WINDOW =================
-    # Slot 1: the round-10 addition (never driver-certified;
+    # First 4 slots: the round-10 additions (never driver-certified;
     # locally parity-pinned at sf0.001+sf0.01+sf0.1).
     "lakehouse_deferred_delete",
+    "hard_negative_mining",
+    "nearest_centroid_classify",
+    "bpe_train_merges",
     # Next 24 slots: the r6-latest block deferred from round 9
     # (three rounds stale — the oldest certified class).
     "text_language_id",
@@ -217,8 +226,8 @@ DRIVER_WINDOW = [
     "semantic_dedup_clusters",
     "sketch_user_overlap",
     "funnel_windowed",
-    # Remaining 25 slots: the oldest r7-certified keys, api order
-    # (the other 25 r7 keys defer to round 11 — note above).
+    # Remaining 22 slots: the oldest r7-certified keys, api order
+    # (the other 28 r7 keys defer to round 11 — note above).
     "silver_payments",
     "gold_customer_summary",
     "gold_order_metrics",
@@ -241,9 +250,6 @@ DRIVER_WINDOW = [
     "doc_novelty_score",
     "source_length_profile",
     "pricing_summary",
-    "shipping_delay_stats",
-    "vocab_coverage",
-    "event_volume_anomaly",
 ]
 
 
@@ -420,6 +426,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "lakehouse_optimize_read": mcdf.lakehouse_optimize_read,
         "lakehouse_snapshot_cut": mcdf.lakehouse_snapshot_cut,
         "lakehouse_deferred_delete": mcdf.lakehouse_deferred_delete,
+        "hard_negative_mining": opsim.hard_negative_mining,
+        "nearest_centroid_classify": opcluster.nearest_centroid_classify,
+        "bpe_train_merges": opbpe.bpe_train_merges,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
         "min_cost_supplier_parts": ana.min_cost_supplier_parts,
         "returned_item_customers": ana.returned_item_customers,
@@ -681,8 +690,13 @@ def oracle_sql() -> dict[str, str]:
     # round 9: incremental OPTIMIZE consumer + consistent cross-table cut
     out["lakehouse_optimize_read"] = mcdf.oracle_lakehouse_optimize_read()
     out["lakehouse_snapshot_cut"] = mcdf.oracle_lakehouse_snapshot_cut()
-    # round 10: merge-on-read deferred deletes (the GDPR erasure path)
+    # round 10: merge-on-read deferred deletes (the GDPR erasure path),
+    # contrastive hard-negative mining, nearest-centroid classification,
+    # and BPE merge training
     out["lakehouse_deferred_delete"] = mcdf.oracle_lakehouse_deferred_delete()
+    out["hard_negative_mining"] = opsim.oracle_hard_negative_mining()
+    out["nearest_centroid_classify"] = opcluster.oracle_nearest_centroid_classify()
+    out["bpe_train_merges"] = opbpe.oracle_bpe_train_merges()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the
     # hash gate PROVES the Spark-side agg rewrite / decorrelation

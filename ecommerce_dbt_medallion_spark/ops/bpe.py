@@ -1,0 +1,222 @@
+"""BPE tokenizer training (round 10): learn byte-pair merges from the
+corpus word-frequency table — the tokenizer-TRAINING stage of an LLM
+data pipeline (vocab.py induces a word vocabulary; this learns the
+subword merges a BPE tokenizer is actually built from). Reference
+scope: the LLM-data-pipeline mandate; no reference-file counterpart —
+engine depth beyond it.
+
+Algorithm (textbook BPE, Sennrich et al. 2016, learned on word types
+weighted by frequency):
+
+1. word-frequency table: lowercased ``\\w+`` tokens (same tokenization
+   as ops/vocab.py) → (word, freq). This is the ONLY corpus-scale pass;
+   everything after runs on the vocabulary (word types ≪ tokens), which
+   is checkpointed once.
+2. per round r = 1..BPE_ROUNDS: count adjacent symbol pairs over all
+   word types, weighted by freq (overlapping occurrences count, the
+   standard adjacent-pair statistic); pick the most frequent pair
+   (ties → lexicographically smallest); merge it everywhere by
+   rewriting the pair to a fresh single-character sentinel chr(r).
+   Every symbol is always exactly ONE character, so "adjacent symbol
+   pair" stays a 2-char substring window in every round — no arrays,
+   no per-symbol explode after round 1.
+3. output: the learned merges (rendered back to plain text) with their
+   selection-time weighted counts, plus the post-merge top-BPE_TOPK
+   pair statistics — rendered via sentinel expansion in reverse merge
+   order (chr(3) → chr(2) → chr(1): a later merge's expansion may
+   contain earlier sentinels, never later ones).
+
+Determinism: pair counts are exact integer sums; selection ties break
+on the raw pair under binary collation (both engines compare UTF-8
+bytewise); ``replace`` is leftmost non-overlapping in both engines.
+The DuckDB oracle restates the identical construction round for round,
+so merge selection itself is under the value-hash gate.
+
+Scale shape (100 TB): one corpus-scale explode+agg builds the word
+table (map-side combinable; word-type cardinality ≪ corpus tokens);
+each round is a vocabulary-scale agg + a 1-row TakeOrdered + a
+broadcast scalar join. Driver never sees data — the selected pair
+stays a broadcast DataFrame, not a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.ops.text import WORD_RE
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+BPE_ROUNDS = 3
+BPE_TOPK = 10
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+def _pair_stats(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over (w, f) word types. Words
+    shorter than 2 symbols contribute nothing (the explicit filter
+    matters: Spark's sequence(1, 0) is a DESCENDING sequence, not
+    empty)."""
+    return (
+        words.where(F.char_length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_ROUNDS learned merges + post-merge top-BPE_TOPK pair stats.
+
+    Columns: stage ('merge' | 'final_topk'), rnk (merge round /
+    top-k rank), pair (RENDERED plain text), cnt (weighted count at
+    selection/report time).
+    """
+    words = _word_freqs(spark, sf_dir).localCheckpoint(eager=True)
+
+    merge_rows = []  # per-round 1-row DataFrames (raw pair + count)
+    for r in range(1, BPE_ROUNDS + 1):
+        best = (
+            _pair_stats(words)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(F.col("pair").alias(f"m{r}"), F.col("cnt").alias(f"c{r}"))
+        )
+        merge_rows.append(best)
+        words = words.crossJoin(F.broadcast(best)).select(
+            F.expr(f"replace(w, m{r}, char({r}))").alias("w"), "f"
+        )
+        # checkpoint per round: keeps every later round's plan flat and
+        # the vocabulary-scale frame from re-running prior rounds once
+        # per downstream consumer (merge row + final stats + render)
+        words = words.localCheckpoint(eager=True)
+
+    # one row carrying all merge scalars for rendering (broadcast only
+    # where it is actually a join side — a hint on a select-only frame
+    # is ignored with a HintErrorLogger warning)
+    merges = merge_rows[0]
+    for b in merge_rows[1:]:
+        merges = merges.crossJoin(b)
+
+    # the render expression as SQL text (nested replace): expand
+    # sentinels in reverse merge order — a later merge's raw pair may
+    # contain EARLIER sentinels, never later ones
+    def render_sql(inner: str) -> str:
+        out = inner
+        for r in range(BPE_ROUNDS, 0, -1):
+            out = f"replace({out}, char({r}), m{r})"
+        return out
+
+    mrows = None
+    for r in range(1, BPE_ROUNDS + 1):
+        row = merges.select(
+            F.lit("merge").alias("stage"),
+            F.lit(r).cast("long").alias("rnk"),
+            F.expr(render_sql(f"m{r}")).alias("pair"),
+            F.col(f"c{r}").cast("long").alias("cnt"),
+        )
+        mrows = row if mrows is None else mrows.unionByName(row)
+
+    # TakeOrderedAndProject FIRST (per-partition heaps, never a global
+    # sort), then the rank window runs over ≤ BPE_TOPK rows
+    wtop = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    final = (
+        _pair_stats(words)
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOPK)
+        .withColumn("rnk", F.row_number().over(wtop))
+        .crossJoin(F.broadcast(merges))
+        .select(
+            F.lit("final_topk").alias("stage"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.expr(render_sql("pair")).alias("pair"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    return mrows.unionByName(final)
+
+
+def oracle_bpe_train_merges() -> str:
+    parts = [
+        f"""w0 as (
+  select w, cast(count(*) as bigint) as f from (
+    select unnest(regexp_extract_all(lower(text), '{WORD_RE}')) as w
+    from documents
+  ) group by w
+)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""p{r} as (
+  select pair, sum(f) as cnt from (
+    select unnest(list_transform(range(1, length(w)),
+                                 i -> substr(w, i, 2))) as pair, f
+    from w{r - 1}
+  ) group by pair
+)"""
+        )
+        parts.append(
+            f"b{r} as (select pair, cnt from p{r} order by cnt desc, pair asc limit 1)"
+        )
+        parts.append(
+            f"""w{r} as (
+  select replace(w, (select pair from b{r}), chr({r})) as w, f from w{r - 1}
+)"""
+        )
+
+    def render_sql(inner: str) -> str:
+        out = inner
+        for r in range(BPE_ROUNDS, 0, -1):
+            out = f"replace({out}, chr({r}), (select pair from b{r}))"
+        return out
+
+    merge_selects = [
+        f"select 'merge' as stage, cast({r} as bigint) as rnk, "
+        f"{render_sql(f'(select pair from b{r})')} as pair, "
+        f"cast((select cnt from b{r}) as bigint) as cnt"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
+    parts.append(
+        f"""fin as (
+  select pair, cnt,
+         row_number() over (order by cnt desc, pair asc) as rnk
+  from (
+    select pair, sum(f) as cnt from (
+      select unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) as pair, f
+      from w{BPE_ROUNDS}
+    ) group by pair
+  )
+)"""
+    )
+    final_select = (
+        f"select 'final_topk' as stage, cast(rnk as bigint) as rnk, "
+        f"{render_sql('pair')} as pair, cast(cnt as bigint) as cnt "
+        f"from fin where rnk <= {BPE_TOPK}"
+    )
+    return (
+        "with "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nunion all\n".join(merge_selects + [final_select])
+    )

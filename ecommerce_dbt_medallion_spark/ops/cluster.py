@@ -330,3 +330,106 @@ select vec_id, {codes}, cast({dists} as bigint) as distortion
 from fm0 {joins}
 """
     )
+
+
+# ----------------------------------- nearest-centroid classification
+
+
+def nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: nearest-centroid (Rocchio) classification audit over
+    the labeled embeddings — the standard cheap probe of embedding
+    quality in an LLM data pipeline (are the labels linearly separable
+    in embedding space?), and the supervised sibling of
+    kmeans_embeddings. Returns the CONFUSION MATRIX
+    (true_label, predicted_label, n_vectors).
+
+    Same determinism discipline as the k-means family: components
+    quantize to scaled bigints, per-label centroid sums are exact
+    integer aggregation (order-free, map-side combinable),
+    floor(sum/n) is the single fp op, and squared-L2 argmin ties break
+    to the lowest label. Plan shape: ONE corpus pass against a
+    broadcast (|labels| × dim) centroid table, then a |labels|²-row
+    confusion agg — no corpus shuffle beyond the vec-grain argmin.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qexpr = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.lit(float(KM_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    vectors = (
+        e.select("vec_id", F.col("label").cast("int").alias("label"), qexpr.alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    centroids = (
+        vectors.select("label", F.posexplode("q").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("sv").cast("double") / F.col("n")).cast("long").alias("comp"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("pairs"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform(F.col("pairs"), lambda p: p["comp"]).alias("cq"),
+        )
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        F.struct(
+            _sqdist_int(F.col("q"), F.col("cq")).alias("dist"),
+            F.col("clabel").alias("clabel"),
+        ).alias("dc"),
+    )
+    pred = scored.groupBy("vec_id", "label").agg(F.min("dc").alias("m")).select(
+        "label", F.col("m.clabel").alias("predicted_label")
+    )
+    return (
+        pred.groupBy("label", "predicted_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.col("label").alias("true_label"),
+            F.col("predicted_label").cast("int").alias("predicted_label"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+        )
+        .orderBy("true_label", "predicted_label")
+    )
+
+
+def oracle_nearest_centroid_classify() -> str:
+    dist = (
+        "cast(list_aggregate(list_transform(range(1, %d), "
+        "i -> (v.q[i]-c.cq[i])*(v.q[i]-c.cq[i])), 'sum') as bigint)" % (KM_DIM + 1)
+    )
+    return f"""
+with q as (
+  select vec_id, cast(label as int) as label, list_transform(embedding,
+    v -> cast(floor(cast(v as double) * {KM_SCALE}.0 + 0.5) as bigint)) as q
+  from embeddings
+),
+cent as (
+  select label as clabel, list(comp order by dim) as cq from (
+    select q.label, t.range as dim,
+      cast(floor(cast(sum(q.q[t.range]) as double) / count(*)) as bigint) as comp
+    from q cross join range(1, {KM_DIM + 1}) t
+    group by q.label, t.range
+  ) group by label
+),
+pred as (
+  select vec_id, label, clabel as predicted_label from (
+    select v.vec_id, v.label, c.clabel,
+      row_number() over (partition by v.vec_id
+        order by {dist} asc, c.clabel asc) as rn
+    from q v cross join cent c
+  ) where rn = 1
+)
+select label as true_label, cast(predicted_label as int) as predicted_label,
+       cast(count(*) as bigint) as n_vectors
+from pred group by 1, 2 order by 1, 2
+"""

@@ -852,3 +852,86 @@ select query_id,
         / cast(sum(e_hit) as double) as recall
 from joined group by 1
 """
+
+
+# --------------------------------------------- hard-negative mining
+
+HARD_NEG_N_QUERIES = 32  # anchors mined per run (bounded broadcast)
+HARD_NEG_TOPK = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (round 10): for each anchor
+    vector, the HARD_NEG_TOPK most cosine-similar vectors whose
+    ``label`` DIFFERS from the anchor's — the "closest wrong answers" a
+    contrastive/embedding trainer mines for its negative pairs
+    (reference scope: the LLM-data-pipeline mandate; no reference-file
+    counterpart — engine depth beyond it).
+
+    Same scale shape as ann_cosine_topk: the bounded anchor set
+    (vec_id < HARD_NEG_N_QUERIES) broadcasts, the corpus streams
+    through ONE pass with no corpus shuffle, and only per-anchor top-k
+    rows exchange. At 100 TB the anchor batch size is the dial; the
+    label filter rides the same pass free. The LSH/IVF variants
+    (ann_topk_lsh / ann_topk_ivf) are the recall-traded scale path for
+    unbounded anchor sets.
+    """
+    e = _emb(spark, sf_dir)
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
+    q = F.broadcast(
+        e.where(F.col("vec_id") < HARD_NEG_N_QUERIES).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cos = _dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        corpus.crossJoin(q)
+        .where(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARD_NEG_TOPK)
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            F.col("rank").cast("long").alias("rank"),
+            "negative_id",
+            F.col("negative_label").cast("int").alias("negative_label"),
+            F.round("cosine", 6).alias("cosine_r6"),
+        )
+    )
+
+
+def oracle_hard_negative_mining() -> str:
+    na = _NORM_SQL.format(t="a")
+    nb = _NORM_SQL.format(t="b")
+    return f"""
+with scored as (
+    select a.vec_id as anchor_id, a.label as anchor_label,
+           b.vec_id as negative_id, b.label as negative_label,
+           {_DOT_SQL} / ({na} * {nb}) as cosine
+    from embeddings a join embeddings b on b.label <> a.label
+    where a.vec_id < {HARD_NEG_N_QUERIES}
+),
+ranked as (
+    select *, row_number() over (partition by anchor_id
+                                 order by cosine desc, negative_id asc) as rank
+    from scored
+)
+select anchor_id, cast(anchor_label as int) as anchor_label,
+       cast(rank as bigint) as rank, negative_id,
+       cast(negative_label as int) as negative_label,
+       round(cosine, 6) as cosine_r6
+from ranked where rank <= {HARD_NEG_TOPK}
+"""

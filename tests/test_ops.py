@@ -1520,3 +1520,94 @@ def test_stream_enrich_shuffled_dim_matches_broadcast(spark, duck):
         _dim_source_bytes(SF_SMOKE, "customer", "nation") * 4
         <= _broadcast_threshold_bytes(spark)
     )
+
+
+def test_hard_negative_mining_invariants(spark, duck):
+    """Round-10: (1) every mined negative's label differs from its
+    anchor's; (2) each anchor yields exactly HARD_NEG_TOPK rows ranked
+    1..k; (3) the best hard negative can never beat the best
+    UNCONSTRAINED neighbor (the label filter only removes candidates),
+    checked on the anchors the two ops share."""
+    from ecommerce_dbt_medallion_spark.config import ANN_N_QUERIES
+    from ecommerce_dbt_medallion_spark.ops.similarity import (
+        HARD_NEG_TOPK,
+        ann_cosine_topk,
+        hard_negative_mining,
+    )
+
+    rows = hard_negative_mining(spark, SF_SMOKE).collect()
+    by_anchor: dict = {}
+    for r in rows:
+        assert r["anchor_label"] != r["negative_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for anchor, rs in by_anchor.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, HARD_NEG_TOPK + 1))
+
+    ann_best = {
+        r["query_id"]: r["cosine_r6"]
+        for r in ann_cosine_topk(spark, SF_SMOKE).collect()
+        if r["rank"] == 1
+    }
+    for anchor, rs in by_anchor.items():
+        if anchor in ann_best:  # anchors < min(ANN_N_QUERIES, HARD_NEG_N_QUERIES)
+            best_neg = max(x["cosine_r6"] for x in rs)
+            assert best_neg <= ann_best[anchor] + 1e-9
+
+
+def test_nearest_centroid_perfect_on_separable_corpus(spark, tmp_path):
+    """Round-10: on a planted separable corpus (tight clusters, label =
+    cluster) nearest-centroid classification must be PERFECT — the
+    confusion matrix is diagonal and row sums equal class sizes. On the
+    driver corpus the matrix is value-oracled; this pins the semantics
+    with a known answer."""
+    import numpy as np
+
+    from ecommerce_dbt_medallion_spark.ops.cluster import nearest_centroid_classify
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(6, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(30):
+            v = centers[c] + 0.03 * rng.normal(size=64)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    d = tmp_path / "sep"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    got = nearest_centroid_classify(spark, str(d)).collect()
+    assert all(r["true_label"] == r["predicted_label"] for r in got), got
+    assert {(r["true_label"], r["n_vectors"]) for r in got} == {
+        (c, 30) for c in range(6)
+    }
+
+
+def test_bpe_train_merges_known_answer(spark, tmp_path):
+    """Round-10 known answer, hand-computed: corpus 'aaab aaab ab' →
+    word freqs {aaab: 2, ab: 1}. Round 1 pairs: aa=4 (overlapping
+    counts), ab=3 → merge 'aa' (4). Round 2 over {<1>ab×2, ab×1}:
+    ab=3, <1>a=2 → merge 'ab' (3). Round 3 over {<1><2>×2, <2>×1}:
+    <1><2>=2 → merge renders 'aaab' (2). After 3 merges every word is
+    a single symbol → final_topk is EMPTY."""
+    from ecommerce_dbt_medallion_spark.ops.bpe import bpe_train_merges
+
+    d = tmp_path / "bpe"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, "aaab aaab ab", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = sorted(
+        map(tuple, bpe_train_merges(spark, str(d)).collect())
+    )
+    assert got == [
+        ("merge", 1, "aa", 4),
+        ("merge", 2, "ab", 3),
+        ("merge", 3, "aaab", 2),
+    ], got

@@ -60,19 +60,27 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
         prop = edges.join(
             labels, edges.src == labels.doc_id, "inner"
         ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
-            labels.union(prop)
+        # The convergence signal rides the SAME aggregation that
+        # computes the new labels (round 10): tag the old-label rows,
+        # carry min(old) next to min(all) — `changed` is then a filter
+        # over the checkpoint just materialized. The previous separate
+        # new⋈old join re-shuffled BOTH label sets every round (the
+        # checkpoint scan reports unknown partitioning, so the planner
+        # added two exchanges + a sort-merge join per round purely to
+        # count changes).
+        merged = (
+            labels.select("doc_id", "label", F.lit(True).alias("is_old"))
+            .unionByName(prop.select("doc_id", "label", F.lit(False).alias("is_old")))
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one old row per doc (labels is doc-grain)
+                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.where(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("doc_id", "label")
         if changed == 0:
             return labels.select("doc_id", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")

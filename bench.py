@@ -146,6 +146,7 @@ def main() -> None:
         "hard_negative_mining",
         "nearest_centroid_classify",
         "bpe_train_merges",
+        "ann_topk_ivfpq",
     ):
         if extra in queries:
             headline.append(extra)
@@ -172,7 +173,8 @@ def main() -> None:
                           "lakehouse_rename_read", "lakehouse_optimize_read",
                           "lakehouse_snapshot_cut", "stream_heavy_hitters",
                           "decontaminate_incremental", "label_propagation_parts",
-                          "lakehouse_deferred_delete", "bpe_train_merges"}
+                          "lakehouse_deferred_delete", "bpe_train_merges",
+                          "ann_topk_ivfpq"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

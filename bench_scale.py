@@ -145,6 +145,7 @@ PROBE_KEYS = [
     "hard_negative_mining",
     "nearest_centroid_classify",
     "bpe_train_merges",
+    "ann_topk_ivfpq",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

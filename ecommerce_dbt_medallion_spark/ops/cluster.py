@@ -38,9 +38,10 @@ file lists, not a data path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ecommerce_dbt_medallion_spark.config import ANN_N_QUERIES, ANN_TOPK
 from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
 KM_K = 8  # clusters
@@ -433,3 +434,309 @@ select label as true_label, cast(predicted_label as int) as predicted_label,
        cast(count(*) as bigint) as n_vectors
 from pred group by 1, 2 order by 1, 2
 """
+
+
+# ------------------------------------------------ IVF-PQ ANN search
+
+IVFPQ_LISTS = 8  # coarse inverted lists
+IVFPQ_PROBE = 2  # lists probed per query
+
+
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: IVF-PQ asymmetric-distance ANN search — the
+    billion-vector memory shape (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): a coarse quantizer routes each
+    vector to one of IVFPQ_LISTS inverted lists; the RESIDUAL
+    (vector − list centroid) compresses to PQ_M 4-bit codes; a query
+    probes its IVFPQ_PROBE nearest lists and scores candidates by
+    ASYMMETRIC distance — exact query-residual-to-codeword distances
+    summed over sub-spaces via a per-(query, list) lookup table,
+    never touching the original vectors.
+
+    Everything runs in the k-means family's exact scaled-integer
+    arithmetic (quantize → bigint sums → floor(sum/n) centroids), so
+    codes, lookup tables, and ranks are partition-order free and the
+    DuckDB oracle replays the ENTIRE pipeline — training included —
+    value for value. Output distances are exact bigints.
+
+    Scale shape: train on a bounded sample (here the corpus — it IS
+    the sample at test SFs), ONE corpus pass to assign + encode
+    (broadcast centroids/codebooks), store codes clustered by list_id.
+    A query touches ~PROBE/LISTS of the code table and the LUT joins
+    are broadcast (Q × PROBE × M × K rows ≈ KBs); the 16-bit codes are
+    what makes 1e9+ vectors fit a cluster's RAM at 100 TB.
+    """
+    par = spark.sparkContext.defaultParallelism
+    vectors = (
+        _quantized(spark, sf_dir)
+        .repartition(par, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    coarse = _train(vectors, IVFPQ_LISTS, KM_ITERS)  # (cluster, cq)
+    coarse_b = F.broadcast(
+        coarse.select(F.col("cluster").alias("list_id"), F.col("cq").alias("lq"))
+    )
+
+    # corpus: coarse assign + residual (exact integer subtraction)
+    res = (
+        _assign(vectors, coarse)
+        .select("vec_id", F.col("cluster").alias("list_id"))
+        .join(vectors, "vec_id")
+        .join(coarse_b, "list_id")
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("q", "lq", lambda x, y: x - y).alias("r"),
+        )
+        .repartition(par, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+
+    # per-sub-space PQ codebooks trained on residuals + corpus codes
+    codes = res.select("vec_id", "list_id")
+    codebooks = []
+    for m in range(PQ_M):
+        sub = res.select(
+            "vec_id", F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("q")
+        ).localCheckpoint(eager=False)
+        cb = _train(sub, PQ_K, PQ_ITERS)  # (cluster, cq) — residual codewords
+        codebooks.append(cb)
+        codes = codes.join(
+            _assign(sub, cb).select(
+                "vec_id", F.col("cluster").alias(f"code{m}")
+            ),
+            "vec_id",
+        )
+    codes = codes.localCheckpoint(eager=False)
+
+    # queries: probe the IVFPQ_PROBE nearest lists, keep the residual
+    qprobe = (
+        vectors.where(F.col("vec_id") < ANN_N_QUERIES)
+        .crossJoin(coarse_b)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "list_id",
+            F.zip_with("q", "lq", lambda x, y: x - y).alias("qr"),
+            F.struct(
+                _sqdist_int(F.col("q"), F.col("lq")).alias("d"),
+                F.col("list_id").alias("l"),
+            ).alias("dl"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("dl.d"), F.asc("dl.l")
+                )
+            ),
+        )
+        .where(F.col("rn") <= IVFPQ_PROBE)
+        .select("query_id", "list_id", "qr")
+    )
+
+    # asymmetric-distance lookup tables: exact bigint distance from
+    # each probed query residual sub-vector to every codeword
+    luts = []
+    for m in range(PQ_M):
+        lut = (
+            qprobe.select(
+                "query_id",
+                "list_id",
+                F.slice("qr", m * PQ_SUB + 1, PQ_SUB).alias("qsub"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    codebooks[m].select(
+                        F.col("cluster").alias(f"code{m}"),
+                        F.col("cq").alias("cw"),
+                    )
+                )
+            )
+            .select(
+                "query_id",
+                "list_id",
+                f"code{m}",
+                _sqdist_int(F.col("qsub"), F.col("cw")).alias(f"d{m}"),
+            )
+        )
+        luts.append(F.broadcast(lut))
+
+    # candidates: codes in probed lists; adist = Σ_m LUT[m][code_m]
+    cand = codes.join(
+        F.broadcast(qprobe.select("query_id", "list_id")), "list_id"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    for m in range(PQ_M):
+        cand = cand.join(luts[m], ["query_id", "list_id", f"code{m}"])
+    adist = sum(F.col(f"d{m}") for m in range(PQ_M))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", adist.cast("bigint").alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adist",
+        )
+    )
+
+
+def oracle_ann_topk_ivfpq() -> str:
+    """DuckDB replay of the ENTIRE IVF-PQ pipeline — coarse k-means
+    training, residual PQ codebook training, encoding, probing, LUT
+    scoring — unrolled as chained CTEs. All-integer arithmetic, so
+    every code and rank matches Spark exactly."""
+    full_dist = (
+        "cast(list_aggregate(list_transform(range(1, %d), "
+        "i -> (v.q[i]-c.cq[i])*(v.q[i]-c.cq[i])), 'sum') as bigint)" % (KM_DIM + 1)
+    )
+    sub_dist = (
+        "cast(list_aggregate(list_transform(range(1, %d), "
+        "i -> (v.q[i]-c.cq[i])*(v.q[i]-c.cq[i])), 'sum') as bigint)" % (PQ_SUB + 1)
+    )
+    parts = [
+        f"""q as materialized (
+  select vec_id, list_transform(embedding,
+    v -> cast(floor(cast(v as double) * {KM_SCALE}.0 + 0.5) as bigint)) as q
+  from embeddings
+)""",
+        f"""qd as materialized (
+  select vec_id, t.range as dim, q.q[t.range] as v
+  from q cross join range(1, {KM_DIM + 1}) t
+)""",
+        f"c0 as (select vec_id as cluster, q as cq from q where vec_id < {IVFPQ_LISTS})",
+    ]
+    for i in range(KM_ITERS):
+        parts.append(
+            f"""a{i} as materialized (
+  select vec_id, cluster from (
+    select v.vec_id, c.cluster,
+      row_number() over (partition by v.vec_id
+        order by {full_dist} asc, c.cluster asc) as rn
+    from q v cross join c{i} c
+  ) where rn = 1
+)"""
+        )
+        parts.append(
+            f"""c{i + 1} as materialized (
+  select cluster, list(comp order by dim) as cq from (
+    select a.cluster, t.dim,
+      cast(floor(cast(sum(t.v) as double) / count(*)) as bigint) as comp
+    from a{i} a join qd t using (vec_id)
+    group by a.cluster, t.dim
+  ) group by cluster
+)"""
+        )
+    cz = f"c{KM_ITERS}"
+    parts.append(
+        f"""acorp as materialized (
+  select vec_id, cluster as list_id,
+    list_transform(range(1, {KM_DIM + 1}), i -> qv[i] - cqv[i]) as r
+  from (
+    select v.vec_id, c.cluster, v.q as qv, c.cq as cqv,
+      row_number() over (partition by v.vec_id
+        order by {full_dist} asc, c.cluster asc) as rn
+    from q v cross join {cz} c
+  ) where rn = 1
+)"""
+    )
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        parts.append(
+            f"rm{m} as materialized (select vec_id, r[{lo}:{hi}] as q from acorp)"
+        )
+        parts.append(
+            f"""rmd{m} as materialized (
+  select vec_id, t.range as dim, q.q[t.range] as v
+  from rm{m} q cross join range(1, {PQ_SUB + 1}) t
+)"""
+        )
+        parts.append(
+            f"pc{m}_0 as (select vec_id as cluster, q as cq from rm{m} "
+            f"where vec_id < {PQ_K})"
+        )
+        for i in range(PQ_ITERS):
+            parts.append(
+                f"""pa{m}_{i} as materialized (
+  select vec_id, cluster from (
+    select v.vec_id, c.cluster,
+      row_number() over (partition by v.vec_id
+        order by {sub_dist} asc, c.cluster asc) as rn
+    from rm{m} v cross join pc{m}_{i} c
+  ) where rn = 1
+)"""
+            )
+            parts.append(
+                f"""pc{m}_{i + 1} as materialized (
+  select cluster, list(comp order by dim) as cq from (
+    select a.cluster, t.dim,
+      cast(floor(cast(sum(t.v) as double) / count(*)) as bigint) as comp
+    from pa{m}_{i} a join rmd{m} t using (vec_id)
+    group by a.cluster, t.dim
+  ) group by cluster
+)"""
+            )
+        parts.append(
+            f"""pf{m} as materialized (
+  select vec_id, cluster as code{m} from (
+    select v.vec_id, c.cluster,
+      row_number() over (partition by v.vec_id
+        order by {sub_dist} asc, c.cluster asc) as rn
+    from rm{m} v cross join pc{m}_{PQ_ITERS} c
+  ) where rn = 1
+)"""
+        )
+    code_joins = " ".join(f"join pf{m} using (vec_id)" for m in range(PQ_M))
+    code_cols = ", ".join(f"code{m}" for m in range(PQ_M))
+    parts.append(
+        f"codes as materialized (select a.vec_id, a.list_id, {code_cols} "
+        f"from acorp a {code_joins})"
+    )
+    parts.append(
+        f"""qp as materialized (
+  select query_id, list_id, qr from (
+    select v.vec_id as query_id, c.cluster as list_id,
+      list_transform(range(1, {KM_DIM + 1}), i -> v.q[i] - c.cq[i]) as qr,
+      row_number() over (partition by v.vec_id
+        order by {full_dist} asc, c.cluster asc) as rn
+    from q v cross join {cz} c
+    where v.vec_id < {ANN_N_QUERIES}
+  ) where rn <= {IVFPQ_PROBE}
+)"""
+    )
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        d = (
+            "cast(list_aggregate(list_transform(range(1, %d), "
+            "i -> (v.qsub[i]-c.cq[i])*(v.qsub[i]-c.cq[i])), 'sum') as bigint)"
+            % (PQ_SUB + 1)
+        )
+        parts.append(
+            f"""lut{m} as materialized (
+  select v.query_id, v.list_id, c.cluster as code{m}, {d} as d{m}
+  from (select query_id, list_id, qr[{lo}:{hi}] as qsub from qp) v
+  cross join pc{m}_{PQ_ITERS} c
+)"""
+        )
+    lut_joins = " ".join(
+        f"join lut{m} using (query_id, list_id, code{m})" for m in range(PQ_M)
+    )
+    adist = " + ".join(f"d{m}" for m in range(PQ_M))
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f"""
+select query_id, cast(rank as bigint) as rank, vec_id as neighbor_id,
+       cast(adist as bigint) as adist
+from (
+  select query_id, vec_id, {adist} as adist,
+    row_number() over (partition by query_id
+      order by {adist} asc, vec_id asc) as rank
+  from codes
+  join (select query_id, list_id from qp) using (list_id)
+  {lut_joins}
+  where vec_id <> query_id
+) where rank <= {ANN_TOPK}
+"""
+    )

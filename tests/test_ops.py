@@ -1611,3 +1611,56 @@ def test_bpe_train_merges_known_answer(spark, tmp_path):
         ("merge", 2, "ab", 3),
         ("merge", 3, "aaab", 2),
     ], got
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark, tmp_path):
+    """Round-10: on a planted clustered corpus (the production embedding
+    shape) IVF-PQ must put mostly same-cluster points in each query's
+    top-5 — the coarse quantizer separates the clusters and the
+    residual codes order points within a probed list. Also pins the
+    structural contract: exactly ANN_TOPK rows per query, ranks 1..k,
+    no self-matches, non-negative exact distances."""
+    import numpy as np
+
+    from ecommerce_dbt_medallion_spark.config import ANN_N_QUERIES, ANN_TOPK
+    from ecommerce_dbt_medallion_spark.ops.cluster import ann_topk_ivfpq
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    # vec_ids 0..7 are one point per cluster (they seed the coarse
+    # quantizer AND are the queries), then 24 more points per cluster
+    for c in range(8):
+        v = centers[c] + 0.02 * rng.normal(size=64)
+        rows.append((vid, c, [float(x) for x in v]))
+        vid += 1
+    cluster_of = {i: i for i in range(8)}
+    for c in range(8):
+        for _ in range(24):
+            v = centers[c] + 0.02 * rng.normal(size=64)
+            rows.append((vid, c, [float(x) for x in v]))
+            cluster_of[vid] = c
+            vid += 1
+    d = tmp_path / "ivfpq"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    got = ann_topk_ivfpq(spark, str(d)).collect()
+    by_q: dict = {}
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["adist"] >= 0
+        by_q.setdefault(r["query_id"], []).append(r)
+    # queries are vec_id < ANN_N_QUERIES (vids 8-9 fall in cluster 0)
+    assert len(by_q) == ANN_N_QUERIES
+    hits = total = 0
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, ANN_TOPK + 1))
+        for x in rs:
+            total += 1
+            hits += cluster_of[x["neighbor_id"]] == cluster_of[q]
+    assert hits / total >= 0.9, f"same-cluster fraction {hits}/{total}"

@@ -125,6 +125,13 @@ def _fold_entry(state: dict, e: dict) -> dict:
         # entry carries one (CLONE carries the source's)
         state["mapping"] = dict(e.get("column_mapping") or {})
         state["retired"] = list(e.get("retired_physical") or [])
+        # a redefinition also resets PENDING TOMBSTONES (round-10
+        # review): only a tombstones_cleared commit reset them before,
+        # so a crash between a deferred delete and its materialization
+        # left stale tombstones MOR-filtering the REPLACED table's
+        # fresh rows forever. CLONE still carries the source's pending
+        # set — the extend below re-adds the entry's own tombstones.
+        state["tombstones"] = []
     if e.get("zorder_by"):
         state["zorder_by"] = list(e["zorder_by"])
     # RENAME/DROP COLUMN entries snapshot the full mapping (same

@@ -96,12 +96,26 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merge_rows = []  # per-round 1-row DataFrames (raw pair + count)
     for r in range(1, BPE_ROUNDS + 1):
+        # eager checkpoint (round-10 review): the 1-row best pair is
+        # consumed by this round's merge, the merge-row output, the
+        # render scalars AND final_topk — without it each union branch
+        # of the final plan re-runs the vocabulary-scale TakeOrdered
         best = (
             _pair_stats(words)
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
             .select(F.col("pair").alias(f"m{r}"), F.col("cnt").alias(f"c{r}"))
+            .localCheckpoint(eager=True)
         )
+        if not best.take(1):
+            # fewer learnable merges than BPE_ROUNDS: an empty best
+            # frame would crossJoin-ANNIHILATE the word table and the
+            # already-learned merges (silently empty output while the
+            # SQL oracle yields NULL-pair rows) — fail loudly instead
+            raise ValueError(
+                f"corpus exhausted adjacent pairs after {r - 1} of "
+                f"{BPE_ROUNDS} BPE merge rounds"
+            )
         merge_rows.append(best)
         words = words.crossJoin(F.broadcast(best)).select(
             F.expr(f"replace(w, m{r}, char({r}))").alias("w"), "f"

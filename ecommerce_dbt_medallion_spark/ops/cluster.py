@@ -69,6 +69,30 @@ def _sqdist_int(a, b):
     )
 
 
+def _group_mean_q(rows: DataFrame, group: str) -> DataFrame:
+    """(group, q) rows → (group, cq) integer mean vectors: exact bigint
+    per-dim sums (order-free, map-side combinable), floor(sum/n) as the
+    single fp op, dim-sorted reassembly. ONE definition of the
+    determinism contract every integer-k-means consumer shares —
+    _train, kmeans_embeddings and nearest_centroid_classify previously
+    carried three copies (round-10 review)."""
+    return (
+        rows.select(group, F.posexplode("q").alias("dim", "v"))
+        .groupBy(group, "dim")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+        .select(
+            group,
+            "dim",
+            F.floor(F.col("sv").cast("double") / F.col("n")).cast("long").alias(
+                "comp"
+            ),
+        )
+        .groupBy(group)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("pairs"))
+        .select(group, F.transform(F.col("pairs"), lambda p: p["comp"]).alias("cq"))
+    )
+
+
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cluster, dist): nearest centroid, ties to lowest cluster id.
 
@@ -100,32 +124,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint(eager=False)
     )
-    centroids = vectors.where(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cluster"), F.col("q").alias("cq")
-    )
-    for _ in range(KM_ITERS):
-        assigned = _assign(vectors, centroids)
-        # exact bigint component sums (order-free, combiner-friendly);
-        # floor(sum/n) is the single fp op, identical on both engines
-        centroids = (
-            assigned.join(vectors, "vec_id")
-            .select("cluster", F.posexplode("q").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
-            .select(
-                "cluster",
-                "dim",
-                F.floor(F.col("sv").cast("double") / F.col("n")).cast("long").alias(
-                    "comp"
-                ),
-            )
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("pairs"))
-            .select(
-                "cluster", F.transform(F.col("pairs"), lambda p: p["comp"]).alias("cq")
-            )
-        )
-    return _assign(vectors, centroids).orderBy("vec_id")
+    return _assign(vectors, _train(vectors, KM_K, KM_ITERS)).orderBy("vec_id")
 
 
 def oracle_kmeans_embeddings() -> str:
@@ -195,23 +194,8 @@ def _train(vectors: DataFrame, k: int, iters: int) -> DataFrame:
     )
     for _ in range(iters):
         assigned = _assign(vectors, centroids)
-        centroids = (
-            assigned.join(vectors, "vec_id")
-            .select("cluster", F.posexplode("q").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
-            .select(
-                "cluster",
-                "dim",
-                F.floor(F.col("sv").cast("double") / F.col("n")).cast("long").alias(
-                    "comp"
-                ),
-            )
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("pairs"))
-            .select(
-                "cluster", F.transform(F.col("pairs"), lambda p: p["comp"]).alias("cq")
-            )
+        centroids = _group_mean_q(
+            assigned.join(vectors, "vec_id").select("cluster", "q"), "cluster"
         )
     return centroids
 
@@ -364,21 +348,8 @@ def nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint(eager=False)
     )
-    centroids = (
-        vectors.select("label", F.posexplode("q").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
-        .select(
-            "label",
-            "dim",
-            F.floor(F.col("sv").cast("double") / F.col("n")).cast("long").alias("comp"),
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("pairs"))
-        .select(
-            F.col("label").alias("clabel"),
-            F.transform(F.col("pairs"), lambda p: p["comp"]).alias("cq"),
-        )
+    centroids = _group_mean_q(vectors.select("label", "q"), "label").select(
+        F.col("label").alias("clabel"), "cq"
     )
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         "vec_id",

@@ -261,6 +261,12 @@ def materialize_events_partitioned(spark: SparkSession, sf_dir: str, dest_dir: s
     out = os.path.join(dest_dir, EVENTS_PARTITIONED_DIRNAME)
     flat = os.path.join(sf_dir, "events.parquet")
     parted = os.path.join(sf_dir, EVENTS_PARTITIONED_DIRNAME)
+    # Fingerprint the flat source BEFORE reading it (round-10 review):
+    # stat-ing it after the (long) write would record a refresh that
+    # landed mid-materialization as fresh while the layout holds the
+    # OLD rows — fingerprint-first turns that race into a mismatch and
+    # the loader's safe flat fallback.
+    flat_fp = events_flat_fingerprint(flat) if os.path.exists(flat) else None
     if os.path.exists(flat):
         ev = normalize_event_ts(_read_events_static(spark, flat))
     elif os.path.isdir(parted):
@@ -287,18 +293,18 @@ def materialize_events_partitioned(spark: SparkSession, sf_dir: str, dest_dir: s
         .parquet(out)
     )
     # Freshness marker (round-9 review): record the flat source's
-    # fingerprint so load_events_table can detect a flat refresh that
-    # post-dates this layout and fall back instead of serving stale
-    # rows. Leading "_" keeps it out of Spark's file index. Written
-    # AFTER the parquet write so a failed materialization never leaves
-    # a fresh-looking marker over a half-written layout.
-    marker = {
-        "flat_fingerprint": (
-            events_flat_fingerprint(flat) if os.path.exists(flat) else None
-        ),
-    }
-    with open(os.path.join(out, EVENTS_SOURCE_FINGERPRINT), "w") as fh:
-        json.dump(marker, fh)
+    # pre-read fingerprint so load_events_table can detect a flat
+    # refresh that post-dates this layout and fall back instead of
+    # serving stale rows. Leading "_" keeps it out of Spark's file
+    # index. Written ATOMICALLY (tmp + rename — a crash-truncated
+    # marker must not exist) and AFTER the parquet write so a failed
+    # materialization never leaves a fresh-looking marker over a
+    # half-written layout.
+    marker_path = os.path.join(out, EVENTS_SOURCE_FINGERPRINT)
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"flat_fingerprint": flat_fp}, fh)
+    os.replace(tmp, marker_path)
     return out
 
 

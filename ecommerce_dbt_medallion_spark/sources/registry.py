@@ -103,12 +103,14 @@ EVENTS_PARTITIONED_DIRNAME = "events_partitioned"
 EVENTS_SOURCE_FINGERPRINT = "_source_fingerprint.json"
 
 
-def events_flat_fingerprint(path: str) -> list:
-    """``[file_count, total_bytes, max_mtime_ns]`` of the flat events
-    source (a single parquet file or a Spark-written directory). Cheap
-    (os.stat only, no data read) and changes whenever the source is
-    rewritten — exactly the freshness signal the partitioned-layout
-    preference needs."""
+def parquet_source_stats(path: str) -> list:
+    """``[file_count, total_bytes, max_mtime_ns]`` of a parquet source
+    (a single file or a Spark-written directory), skipping hidden
+    metadata (``_``/``.`` prefixes). Cheap (os.stat only, no data
+    read); shared by the events freshness fingerprint and the
+    stream-static broadcast size gate (round-10 review: two copies of
+    this walk drifted apart is exactly the bug class one helper
+    prevents)."""
     if os.path.isfile(path):
         st = os.stat(path)
         return [1, st.st_size, st.st_mtime_ns]
@@ -124,12 +126,21 @@ def events_flat_fingerprint(path: str) -> list:
     return [n, b, m]
 
 
+def events_flat_fingerprint(path: str) -> list:
+    """Freshness fingerprint of the flat events source — changes
+    whenever the source is rewritten, exactly the signal the
+    partitioned-layout preference needs."""
+    return parquet_source_stats(path)
+
+
 def _partitioned_layout_fresh(parted: str, flat: str) -> bool:
     """True when the partitioned layout's recorded source fingerprint
     matches the flat source NOW. A layout without a marker (written
     before the marker existed) is trusted — the materializer has
     written the marker since, so every refresh going forward carries
-    one."""
+    one. An UNREADABLE marker (crash-truncated write) fails toward the
+    flat source (round-10 review): evidence of a marker that cannot be
+    trusted must not read as trust."""
     import json
 
     marker = os.path.join(parted, EVENTS_SOURCE_FINGERPRINT)
@@ -139,7 +150,7 @@ def _partitioned_layout_fresh(parted: str, flat: str) -> bool:
         with open(marker) as fh:
             recorded = json.load(fh)
     except (OSError, ValueError):
-        return True  # unreadable marker: keep legacy preference
+        return False  # corrupt marker: prefer the flat source
     fp = recorded.get("flat_fingerprint")
     if fp is None:  # built from a partitioned-only source: no basis
         return True

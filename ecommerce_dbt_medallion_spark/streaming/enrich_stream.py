@@ -37,26 +37,26 @@ _PARQUET_EXPANSION = 4
 def _dim_source_bytes(sf_dir: str, *tables: str) -> int:
     """On-disk parquet bytes of the dim's source tables — an O(stat)
     upper-bound input for the broadcast size gate (the projected dim is
-    never bigger than its sources)."""
+    never bigger than its sources). Delegates the file walk to
+    registry.parquet_source_stats — ONE definition of what counts as a
+    data file (round-10 review)."""
+    from ecommerce_dbt_medallion_spark.sources.registry import parquet_source_stats
+
     total = 0
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isfile(p):
-            total += os.path.getsize(p)
-        elif os.path.isdir(p):
-            for root, _dirs, files in os.walk(p):
-                total += sum(
-                    os.path.getsize(os.path.join(root, f))
-                    for f in files
-                    if not f.startswith(("_", "."))
-                )
+        if os.path.exists(p):
+            total += parquet_source_stats(p)[1]
     return total
 
 
 def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     """spark.sql.autoBroadcastJoinThreshold as plain bytes (the conf
-    accepts suffixed forms like '10MB'; unparseable/disabled (-1) maps
-    to the 10 MiB default so the gate stays meaningful)."""
+    accepts suffixed forms like '10MB'). DISABLED (-1 / 0) returns 0 —
+    the gate must then NEVER pin a hint (round-10 review: mapping -1
+    to a fabricated 10 MiB budget re-introduced the pinned-hint class
+    on exactly the memory-tight clusters that disabled broadcasts).
+    Unparseable values fall back to the 10 MiB Spark default."""
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     ).strip().lower()
@@ -71,7 +71,7 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
         n = int(raw) * mult
     except ValueError:
         return 10 << 20
-    return n if n > 0 else 10 << 20
+    return max(n, 0)
 
 
 def stream_enrich_purchases(
@@ -100,9 +100,10 @@ def stream_enrich_purchases(
         .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
     )
     if broadcast_dim is None:
-        broadcast_dim = (
+        thresh = _broadcast_threshold_bytes(spark)
+        broadcast_dim = thresh > 0 and (
             _dim_source_bytes(sf_dir, "customer", "nation") * _PARQUET_EXPANSION
-            <= _broadcast_threshold_bytes(spark)
+            <= thresh
         )
     if broadcast_dim:
         dim = F.broadcast(dim)

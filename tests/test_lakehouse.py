@@ -3116,3 +3116,29 @@ def test_protected_columns_backslash_escaped_literals(spark, tmp_path):
     # 't' appears only inside the literal text — renames freely
     lh.rename_column(t, "t", "tee")
     assert "tee" in lh.read(spark, t).columns
+
+
+def test_create_or_replace_clears_pending_tombstones(spark, tmp_path):
+    """Round-10 review: pending tombstones previously survived CREATE OR
+    REPLACE (only a tombstones_cleared commit reset them), so a crash
+    between a deferred delete and its materialization wedged the table
+    forever — the stale tombstones MOR-filtered the REPLACED table's
+    fresh rows and every later deferred delete saw a polluted pending
+    list. A redefinition must reset them; a CLONE must still CARRY the
+    source's pending set."""
+    t = str(tmp_path / "replace_tombs")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    lh.create_or_replace(spark, t, df, key="id")
+    lh.delete_keys_deferred(spark, t, [1])
+    assert lh.pending_tombstones(t) == [1]
+    # crash-recovery path: redefine WITHOUT materializing first
+    lh.create_or_replace(spark, t, df, key="id")
+    assert lh.pending_tombstones(t) == []
+    assert {r["id"] for r in lh.read(spark, t).collect()} == {1, 2}
+    # CLONE still carries pending tombstones (the erasure must not
+    # resurrect on a branch)
+    lh.delete_keys_deferred(spark, t, [2])
+    c = str(tmp_path / "replace_tombs_clone")
+    lh.clone_table(t, c)
+    assert lh.pending_tombstones(c) == [2]
+    assert {r["id"] for r in lh.read(spark, c).collect()} == {1}

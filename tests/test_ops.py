@@ -1664,3 +1664,21 @@ def test_ivfpq_recall_on_clustered_corpus(spark, tmp_path):
             total += 1
             hits += cluster_of[x["neighbor_id"]] == cluster_of[q]
     assert hits / total >= 0.9, f"same-cluster fraction {hits}/{total}"
+
+
+def test_enrich_gate_never_broadcasts_when_disabled(spark):
+    """Round-10 review: autoBroadcastJoinThreshold = -1 is the standard
+    way to forbid broadcasts on a memory-tight cluster; the size gate
+    must map it to 'never hint', not to a fabricated 10 MiB budget."""
+    from ecommerce_dbt_medallion_spark.streaming.enrich_stream import (
+        _broadcast_threshold_bytes,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _broadcast_threshold_bytes(spark) == 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "25MB")
+        assert _broadcast_threshold_bytes(spark) == 25 << 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

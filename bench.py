@@ -147,6 +147,7 @@ def main() -> None:
         "nearest_centroid_classify",
         "bpe_train_merges",
         "ann_topk_ivfpq",
+        "bpe_encode_stats",
     ):
         if extra in queries:
             headline.append(extra)
@@ -174,7 +175,7 @@ def main() -> None:
                           "lakehouse_snapshot_cut", "stream_heavy_hitters",
                           "decontaminate_incremental", "label_propagation_parts",
                           "lakehouse_deferred_delete", "bpe_train_merges",
-                          "ann_topk_ivfpq"}
+                          "ann_topk_ivfpq", "bpe_encode_stats"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -146,6 +146,7 @@ PROBE_KEYS = [
     "nearest_centroid_classify",
     "bpe_train_merges",
     "ann_topk_ivfpq",
+    "bpe_encode_stats",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

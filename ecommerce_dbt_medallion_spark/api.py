@@ -136,7 +136,7 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # session-4 additions noted here — join that deferred head of the
 # round-9 window under the same rule.
 # No key's latest driver row should ever be more than two rounds
-# behind the code it runs on — with 179 keys and a 50-key window the
+# behind the code it runs on — with 180 keys and a 50-key window the
 # full rotation takes 4 rounds, so the realized bound is three rounds;
 # the rotation keeps every violation minimal and documented.
 #
@@ -162,18 +162,18 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # additions.
 #
 #
-# Round-10 rotation (this window): the five round-10 additions go
+# Round-10 rotation (this window): the six round-10 additions go
 # first (never-certified outranks green) — lakehouse_deferred_delete,
 # hard_negative_mining, nearest_centroid_classify, bpe_train_merges,
-# ann_topk_ivfpq;
+# ann_topk_ivfpq, bpe_encode_stats;
 # any LATER round-10 additions join this head under the same rule and
 # must be named here — then the full 24-key r6-latest block
 # (the round-9 deferral list above), then the 25 OLDEST r7-certified
-# keys in api order (21 fit after the four extra round-10 keys
-# took their slots; pricing_summary, shipping_delay_stats,
-# vocab_coverage and event_volume_anomaly join the deferral list).
-# The r7 keys that don't fit —
-# pricing_summary, shipping_delay_stats, vocab_coverage,
+# keys in api order (20 fit after the five extra round-10 keys
+# took their slots; source_length_profile, pricing_summary,
+# shipping_delay_stats, vocab_coverage and event_volume_anomaly join
+# the deferral list). The r7 keys that don't fit —
+# source_length_profile, pricing_summary, shipping_delay_stats, vocab_coverage,
 # event_volume_anomaly, event_ctr_daily, minhash_calibration, supplier_hhi,
 # part_price_quartiles, ann_recall_report, ivm_mart_refresh,
 # basket_size_distribution, returns_by_month, discount_band_analysis,
@@ -195,13 +195,14 @@ DRIVER_WINDOW_ROUND = 10
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
     # ================= ROUND-10 WINDOW =================
-    # First 5 slots: the round-10 additions (never driver-certified;
+    # First 6 slots: the round-10 additions (never driver-certified;
     # locally parity-pinned at sf0.001+sf0.01+sf0.1).
     "lakehouse_deferred_delete",
     "hard_negative_mining",
     "nearest_centroid_classify",
     "bpe_train_merges",
     "ann_topk_ivfpq",
+    "bpe_encode_stats",
     # Next 24 slots: the r6-latest block deferred from round 9
     # (three rounds stale — the oldest certified class).
     "text_language_id",
@@ -228,8 +229,8 @@ DRIVER_WINDOW = [
     "semantic_dedup_clusters",
     "sketch_user_overlap",
     "funnel_windowed",
-    # Remaining 21 slots: the oldest r7-certified keys, api order
-    # (the other 29 r7 keys defer to round 11 — note above).
+    # Remaining 20 slots: the oldest r7-certified keys, api order
+    # (the other 30 r7 keys defer to round 11 — note above).
     "silver_payments",
     "gold_customer_summary",
     "gold_order_metrics",
@@ -250,7 +251,6 @@ DRIVER_WINDOW = [
     "customer_interpurchase",
     "pareto_frontier_parts",
     "doc_novelty_score",
-    "source_length_profile",
 ]
 
 
@@ -431,6 +431,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "nearest_centroid_classify": opcluster.nearest_centroid_classify,
         "bpe_train_merges": opbpe.bpe_train_merges,
         "ann_topk_ivfpq": opcluster.ann_topk_ivfpq,
+        "bpe_encode_stats": opbpe.bpe_encode_stats,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
         "min_cost_supplier_parts": ana.min_cost_supplier_parts,
         "returned_item_customers": ana.returned_item_customers,
@@ -700,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
     out["nearest_centroid_classify"] = opcluster.oracle_nearest_centroid_classify()
     out["bpe_train_merges"] = opbpe.oracle_bpe_train_merges()
     out["ann_topk_ivfpq"] = opcluster.oracle_ann_topk_ivfpq()
+    out["bpe_encode_stats"] = opbpe.oracle_bpe_encode_stats()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the
     # hash gate PROVES the Spark-side agg rewrite / decorrelation

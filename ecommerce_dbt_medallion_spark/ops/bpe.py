@@ -1,9 +1,11 @@
-"""BPE tokenizer training (round 10): learn byte-pair merges from the
-corpus word-frequency table — the tokenizer-TRAINING stage of an LLM
-data pipeline (vocab.py induces a word vocabulary; this learns the
-subword merges a BPE tokenizer is actually built from). Reference
-scope: the LLM-data-pipeline mandate; no reference-file counterpart —
-engine depth beyond it.
+"""BPE tokenizer training + encoding (round 10): learn byte-pair
+merges from the corpus word-frequency table and report what applying
+them does to the corpus — the tokenizer-TRAINING stage of an LLM data
+pipeline (vocab.py induces a word vocabulary; this learns the subword
+merges a BPE tokenizer is actually built from, then measures the
+compression they buy per source). Reference scope: the
+LLM-data-pipeline mandate; no reference-file counterpart — engine
+depth beyond it.
 
 Algorithm (textbook BPE, Sennrich et al. 2016, learned on word types
 weighted by frequency):
@@ -20,23 +22,30 @@ weighted by frequency):
    Every symbol is always exactly ONE character, so "adjacent symbol
    pair" stays a 2-char substring window in every round — no arrays,
    no per-symbol explode after round 1.
-3. output: the learned merges (rendered back to plain text) with their
-   selection-time weighted counts, plus the post-merge top-BPE_TOPK
-   pair statistics — rendered via sentinel expansion in reverse merge
-   order (chr(3) → chr(2) → chr(1): a later merge's expansion may
-   contain earlier sentinels, never later ones).
+3. `bpe_train_merges` outputs the learned merges (rendered back to
+   plain text) with their selection-time weighted counts, plus the
+   post-merge top-BPE_TOPK pair statistics — rendered via sentinel
+   expansion in reverse merge order (chr(3) → chr(2) → chr(1): a later
+   merge's expansion may contain earlier sentinels, never later ones).
+   `bpe_encode_stats` APPLIES the learned merges: per source, symbols
+   per word before/after and the compression ratio — the fertility
+   report a tokenizer team actually reads.
 
 Determinism: pair counts are exact integer sums; selection ties break
 on the raw pair under binary collation (both engines compare UTF-8
-bytewise); ``replace`` is leftmost non-overlapping in both engines.
-The DuckDB oracle restates the identical construction round for round,
-so merge selection itself is under the value-hash gate.
+bytewise); ``replace`` is leftmost non-overlapping in both engines;
+the compression ratio is ONE IEEE division of exact integers (no
+round(): Spark and DuckDB disagree on half-way rounding). The DuckDB
+oracles restate the identical construction round for round, so merge
+selection AND application are under the value-hash gate.
 
 Scale shape (100 TB): one corpus-scale explode+agg builds the word
 table (map-side combinable; word-type cardinality ≪ corpus tokens);
 each round is a vocabulary-scale agg + a 1-row TakeOrdered + a
-broadcast scalar join. Driver never sees data — the selected pair
-stays a broadcast DataFrame, not a collect.
+broadcast scalar join. The encode report joins per-(source, word)
+counts (corpus-scale agg, map-side combinable) to the vocabulary-scale
+merged forms. Driver never sees data — the selected pair stays a
+broadcast DataFrame, not a collect.
 """
 
 from __future__ import annotations
@@ -85,16 +94,19 @@ def _pair_stats(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE_ROUNDS learned merges + post-merge top-BPE_TOPK pair stats.
-
-    Columns: stage ('merge' | 'final_topk'), rnk (merge round /
-    top-k rank), pair (RENDERED plain text), cnt (weighted count at
-    selection/report time).
-    """
-    words = _word_freqs(spark, sf_dir).localCheckpoint(eager=True)
-
-    merge_rows = []  # per-round 1-row DataFrames (raw pair + count)
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared training loop: returns (words, merge_rows) where
+    ``words`` is (worig, w, f) after all BPE_ROUNDS merges (worig = the
+    original word, the encode op's join key) and ``merge_rows`` is one
+    eagerly-checkpointed 1-row frame per round carrying (m{r}, c{r})."""
+    words = (
+        _word_freqs(spark, sf_dir)
+        .select(F.col("w").alias("worig"), "w", "f")
+        .localCheckpoint(eager=True)
+    )
+    merge_rows: list[DataFrame] = []
     for r in range(1, BPE_ROUNDS + 1):
         # eager checkpoint (round-10 review): the 1-row best pair is
         # consumed by this round's merge, the merge-row output, the
@@ -117,13 +129,35 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{BPE_ROUNDS} BPE merge rounds"
             )
         merge_rows.append(best)
-        words = words.crossJoin(F.broadcast(best)).select(
-            F.expr(f"replace(w, m{r}, char({r}))").alias("w"), "f"
-        )
         # checkpoint per round: keeps every later round's plan flat and
         # the vocabulary-scale frame from re-running prior rounds once
         # per downstream consumer (merge row + final stats + render)
-        words = words.localCheckpoint(eager=True)
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select("worig", F.expr(f"replace(w, m{r}, char({r}))").alias("w"), "f")
+            .localCheckpoint(eager=True)
+        )
+    return words, merge_rows
+
+
+def _render_sql(inner: str) -> str:
+    """Nested-replace render expression: expand sentinels in reverse
+    merge order — a later merge's raw pair may contain EARLIER
+    sentinels, never later ones."""
+    out = inner
+    for r in range(BPE_ROUNDS, 0, -1):
+        out = f"replace({out}, char({r}), m{r})"
+    return out
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_ROUNDS learned merges + post-merge top-BPE_TOPK pair stats.
+
+    Columns: stage ('merge' | 'final_topk'), rnk (merge round /
+    top-k rank), pair (RENDERED plain text), cnt (weighted count at
+    selection/report time).
+    """
+    words, merge_rows = _learn_merges(spark, sf_dir)
 
     # one row carrying all merge scalars for rendering (broadcast only
     # where it is actually a join side — a hint on a select-only frame
@@ -132,21 +166,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in merge_rows[1:]:
         merges = merges.crossJoin(b)
 
-    # the render expression as SQL text (nested replace): expand
-    # sentinels in reverse merge order — a later merge's raw pair may
-    # contain EARLIER sentinels, never later ones
-    def render_sql(inner: str) -> str:
-        out = inner
-        for r in range(BPE_ROUNDS, 0, -1):
-            out = f"replace({out}, char({r}), m{r})"
-        return out
-
     mrows = None
     for r in range(1, BPE_ROUNDS + 1):
         row = merges.select(
             F.lit("merge").alias("stage"),
             F.lit(r).cast("long").alias("rnk"),
-            F.expr(render_sql(f"m{r}")).alias("pair"),
+            F.expr(_render_sql(f"m{r}")).alias("pair"),
             F.col(f"c{r}").cast("long").alias("cnt"),
         )
         mrows = row if mrows is None else mrows.unionByName(row)
@@ -163,17 +188,70 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("final_topk").alias("stage"),
             F.col("rnk").cast("long").alias("rnk"),
-            F.expr(render_sql("pair")).alias("pair"),
+            F.expr(_render_sql("pair")).alias("pair"),
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
     return mrows.unionByName(final)
 
 
-def oracle_bpe_train_merges() -> str:
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges to the corpus: per ``source``, word
+    occurrences, total symbols before (characters — every pre-merge
+    symbol is one char) and after the BPE_ROUNDS merges, and the
+    compression ratio (symbols_after / symbols_before, one IEEE
+    division of exact integers). The fertility/compression report that
+    decides whether a merge budget is worth shipping.
+
+    Plan shape: per-(source, word) occurrence counts are one
+    corpus-scale map-side-combinable agg; the merged forms live at
+    vocabulary scale keyed by the ORIGINAL word, so the join + final
+    per-source agg never touch corpus-scale rows again.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+            ).alias("worig"),
+        )
+        .groupBy("source", "worig")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab, _ = _learn_merges(spark, sf_dir)
+    enc = per_sw.join(vocab.select("worig", "w"), "worig")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.char_length("worig")).cast("long").alias(
+                "symbols_before"
+            ),
+            F.sum(F.col("cnt") * F.char_length("w")).cast("long").alias(
+                "symbols_after"
+            ),
+        )
+        .select(
+            "source",
+            "n_words",
+            "symbols_before",
+            "symbols_after",
+            (
+                F.col("symbols_after").cast("double")
+                / F.col("symbols_before").cast("double")
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+def _merge_cte_parts() -> list[str]:
+    """The shared oracle CTE chain: w0 (word freqs, carrying worig) →
+    p{r}/b{r}/w{r} per merge round — restates _learn_merges exactly."""
     parts = [
         f"""w0 as (
-  select w, cast(count(*) as bigint) as f from (
+  select w as worig, w, cast(count(*) as bigint) as f from (
     select unnest(regexp_extract_all(lower(text), '{WORD_RE}')) as w
     from documents
   ) group by w
@@ -194,9 +272,15 @@ def oracle_bpe_train_merges() -> str:
         )
         parts.append(
             f"""w{r} as (
-  select replace(w, (select pair from b{r}), chr({r})) as w, f from w{r - 1}
+  select worig, replace(w, (select pair from b{r}), chr({r})) as w, f
+  from w{r - 1}
 )"""
         )
+    return parts
+
+
+def oracle_bpe_train_merges() -> str:
+    parts = _merge_cte_parts()
 
     def render_sql(inner: str) -> str:
         out = inner
@@ -233,4 +317,32 @@ def oracle_bpe_train_merges() -> str:
         + ",\n".join(parts)
         + "\n"
         + "\nunion all\n".join(merge_selects + [final_select])
+    )
+
+
+def oracle_bpe_encode_stats() -> str:
+    parts = _merge_cte_parts()
+    parts.append(
+        f"""sw as (
+  select source, worig, cast(count(*) as bigint) as cnt from (
+    select source,
+           unnest(regexp_extract_all(lower(text), '{WORD_RE}')) as worig
+    from documents
+  ) group by 1, 2
+)"""
+    )
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f"""
+select sw.source,
+  cast(sum(sw.cnt) as bigint) as n_words,
+  cast(sum(sw.cnt * length(v.worig)) as bigint) as symbols_before,
+  cast(sum(sw.cnt * length(v.w)) as bigint) as symbols_after,
+  cast(sum(sw.cnt * length(v.w)) as double)
+    / cast(sum(sw.cnt * length(v.worig)) as double) as compression
+from sw join w{BPE_ROUNDS} v using (worig)
+group by sw.source
+order by sw.source
+"""
     )

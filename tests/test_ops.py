@@ -1682,3 +1682,26 @@ def test_enrich_gate_never_broadcasts_when_disabled(spark):
         assert _broadcast_threshold_bytes(spark) == 25 << 20
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bpe_encode_stats_known_answer(spark, tmp_path):
+    """Round-10 known answer for the encode sibling, same corpus as the
+    trainer test: 'aaab aaab ab' in one source. After merges aa(r1),
+    ab(r2), <1><2>(r3): 'aaab' (4 chars) → 1 symbol, 'ab' (2 chars) →
+    1 symbol. Source s: 3 word occurrences, symbols_before = 2·4 + 2 =
+    10, symbols_after = 3, compression = 0.3."""
+    from ecommerce_dbt_medallion_spark.ops.bpe import bpe_encode_stats
+
+    d = tmp_path / "bpe_enc"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, "aaab aaab ab", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = bpe_encode_stats(spark, str(d)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["source"], r["n_words"], r["symbols_before"],
+            r["symbols_after"]) == ("s", 3, 10, 3)
+    assert abs(r["compression"] - 0.3) < 1e-12

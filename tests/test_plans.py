@@ -708,3 +708,43 @@ def test_round9_marts_plan_shapes(spark):
         "returnflag must reach the lineitem scan"
     )
     assert "TakeOrderedAndProject" in q10
+
+
+def test_round10_ops_plan_shapes(spark):
+    """Round-10 operators: the scale postures their docstrings claim
+    must be IN the plan. hard_negative_mining pushes the anchor-set
+    bound to the embeddings scan (a bounded broadcast side, not a
+    post-scan filter) and contains no unhinted cartesian product;
+    ann_topk_ivfpq is broadcast-joins + one corpus-grain argmin family
+    — no CartesianProduct node anywhere (its crossJoins are all
+    broadcast scalars/codebooks); nearest_centroid_classify carries no
+    Window (the argmin is the map-side-combinable min-struct agg)."""
+    from ecommerce_dbt_medallion_spark.ops.cluster import (
+        ann_topk_ivfpq,
+        nearest_centroid_classify,
+    )
+    from ecommerce_dbt_medallion_spark.ops.similarity import hard_negative_mining
+
+    hn = _formatted(hard_negative_mining(spark, SF_SMOKE))
+    pushed = [ln for ln in hn.splitlines() if "PushedFilters" in ln]
+    assert any("vec_id" in ln for ln in pushed), (
+        "anchor bound did not reach the embeddings scan:\n" + hn[:2000]
+    )
+    assert "CartesianProduct" not in hn
+
+    ivfpq = (
+        ann_topk_ivfpq(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in ivfpq
+
+    ncc = (
+        nearest_centroid_classify(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in ncc
+    assert "CartesianProduct" not in ncc

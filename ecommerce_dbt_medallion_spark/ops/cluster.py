@@ -411,6 +411,13 @@ from pred group by 1, 2 order by 1, 2
 
 IVFPQ_LISTS = 8  # coarse inverted lists
 IVFPQ_PROBE = 2  # lists probed per query
+# Deterministic TRAINING SAMPLE bound (vec_id < this): standard IVF-PQ
+# practice — quantizers train on a bounded sample (~256·k points), only
+# assignment/encoding touches the full corpus, so training cost stops
+# growing with corpus size. At the test SFs below the bound, the sample
+# IS the corpus (results unchanged there); the DuckDB oracle applies
+# the identical bound, so the sampled training stays hash-gated.
+IVFPQ_TRAIN_MAX = 1024
 
 
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,8 +437,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the ENTIRE pipeline — training included —
     value for value. Output distances are exact bigints.
 
-    Scale shape: train on a bounded sample (here the corpus — it IS
-    the sample at test SFs), ONE corpus pass to assign + encode
+    Scale shape: both quantizers train on the bounded deterministic
+    sample vec_id < IVFPQ_TRAIN_MAX (training cost is O(sample), never
+    O(corpus); at test SFs under the bound the sample IS the corpus),
+    then ONE corpus pass assigns + encodes everything
     (broadcast centroids/codebooks), store codes clustered by list_id.
     A query touches ~PROBE/LISTS of the code table and the LUT joins
     are broadcast (Q × PROBE × M × K rows ≈ KBs); the 16-bit codes are
@@ -443,7 +452,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, "vec_id")
         .localCheckpoint(eager=False)
     )
-    coarse = _train(vectors, IVFPQ_LISTS, KM_ITERS)  # (cluster, cq)
+    coarse = _train(
+        vectors.where(F.col("vec_id") < IVFPQ_TRAIN_MAX), IVFPQ_LISTS, KM_ITERS
+    )  # (cluster, cq)
     coarse_b = F.broadcast(
         coarse.select(F.col("cluster").alias("list_id"), F.col("cq").alias("lq"))
     )
@@ -470,7 +481,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub = res.select(
             "vec_id", F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("q")
         ).localCheckpoint(eager=False)
-        cb = _train(sub, PQ_K, PQ_ITERS)  # (cluster, cq) — residual codewords
+        cb = _train(  # residual codewords, trained on the sample only
+            sub.where(F.col("vec_id") < IVFPQ_TRAIN_MAX), PQ_K, PQ_ITERS
+        )
         codebooks.append(cb)
         codes = codes.join(
             _assign(sub, cb).select(
@@ -586,6 +599,7 @@ def oracle_ann_topk_ivfpq() -> str:
       row_number() over (partition by v.vec_id
         order by {full_dist} asc, c.cluster asc) as rn
     from q v cross join c{i} c
+    where v.vec_id < {IVFPQ_TRAIN_MAX}
   ) where rn = 1
 )"""
         )
@@ -635,6 +649,7 @@ def oracle_ann_topk_ivfpq() -> str:
       row_number() over (partition by v.vec_id
         order by {sub_dist} asc, c.cluster asc) as rn
     from rm{m} v cross join pc{m}_{i} c
+    where v.vec_id < {IVFPQ_TRAIN_MAX}
   ) where rn = 1
 )"""
             )

@@ -185,72 +185,99 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # lakehouse_schema_evolution, lakehouse_restore_read
 # — defer to the FRONT of the round-11 window together with any later
 # round-10 additions.
+#
+# Round-11 rotation (this window): the round-11 additions go first
+# (never-certified outranks green) — ann_index_maintain,
+# ann_topk_ivfpq_rerank, bpe_train_merges_batched, multimodal_dedup,
+# text_language_id_ngram; any LATER round-11 additions join this head
+# under the same rule and must be named here — then the full 30-key
+# r7-latest block (the round-10 deferral list above — three rounds
+# stale, the rotation's worst case, so this block is non-negotiable),
+# then the OLDEST r8-certified keys in api order fill the remaining
+# slots (15 fit with the five additions above; the window ships with
+# the 20 oldest r8 keys until the additions land, each addition
+# displacing the newest r8 key in the window into the deferral list).
+# The r8 keys that don't fit — ann_cosine_topk, dedup_clusters,
+# stream_event_rollup, stream_dedup_events, stream_session_window,
+# stream_join_view_purchase, stream_enrich_purchases, tfidf_top_terms,
+# inverted_index, bigram_lm, doc_lm_score, cms_user_counts,
+# histogram_quantiles, cohort_retention, copurchase_topk,
+# pagerank_parts, fuzzy_name_match, scd2_customer_orders,
+# repetition_stats, doc_chunking, pack_sequences, embedding_quantize,
+# vocab_top_words, doc_oov_rate, session_window_stats,
+# quantile_sketch_mergeable, stream_cluster_maintain,
+# stream_quantile_sketch, exact_substring_sampled,
+# quality_threshold_sweep, dedup_source_overlap,
+# watermark_lateness_audit, lakehouse_clone_read,
+# paragraph_dedup_rewrite, boilerplate_ngrams
+# — defer to the FRONT of the round-12 window together with any later
+# round-11 additions.
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
 # rotation test derives its expectations from the CORRECTNESS
 # artifacts of rounds STRICTLY BEFORE this one, so the test stays
 # green when the driver later drops this round's own artifact into
 # the repo root (the round-8 test computed state from ALL artifacts
 # and self-invalidated the moment CORRECTNESS_r08.json landed).
-DRIVER_WINDOW_ROUND = 10
+DRIVER_WINDOW_ROUND = 11
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
-    # ================= ROUND-10 WINDOW =================
-    # First 6 slots: the round-10 additions (never driver-certified;
-    # locally parity-pinned at sf0.001+sf0.01+sf0.1).
-    "lakehouse_deferred_delete",
-    "hard_negative_mining",
-    "nearest_centroid_classify",
-    "bpe_train_merges",
-    "ann_topk_ivfpq",
-    "bpe_encode_stats",
-    # Next 24 slots: the r6-latest block deferred from round 9
-    # (three rounds stale — the oldest certified class).
-    "text_language_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "doc_winnowing",
-    "corpus_curation",
-    "dedup_ngram_jaccard",
-    "text_pii_scrub",
-    "decontaminate",
-    "multimodal_frame_sample",
-    "dedup_embedding_lsh",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "lakehouse_cdf",
-    "dq_source_freshness",
-    "scd2_snapshot_build",
-    "kmeans_embeddings",
-    "bm25_topk",
-    "exact_substring_dedup",
-    "doc_containment",
-    "triangle_count_parts",
-    "corpus_mix_weights",
-    "semantic_dedup_clusters",
-    "sketch_user_overlap",
-    "funnel_windowed",
-    # Remaining 20 slots: the oldest r7-certified keys, api order
-    # (the other 30 r7 keys defer to round 11 — note above).
-    "silver_payments",
-    "gold_customer_summary",
-    "gold_order_metrics",
-    "gold_revenue_analysis",
-    "bronze_customers",
-    "bronze_orders",
-    "bronze_payments",
-    "silver_customers",
-    "silver_orders",
-    "dq_generic_tests",
-    "dq_singular_tests",
-    "association_rules",
-    "markov_transitions",
-    "attribution_position",
-    "revenue_trend",
-    "revenue_seasonality",
-    "winsorized_revenue_stats",
-    "customer_interpurchase",
-    "pareto_frontier_parts",
-    "doc_novelty_score",
+    # ================= ROUND-11 WINDOW =================
+    # Head: round-11 additions land here as they ship (never-certified
+    # outranks green), each displacing the newest r8 key at the tail.
+    # Next 30 slots: the full r7-latest block deferred from round 10
+    # (three rounds stale — the rotation's worst case; VERDICT r10 #1).
+    "source_length_profile",
+    "pricing_summary",
+    "shipping_delay_stats",
+    "vocab_coverage",
+    "event_volume_anomaly",
+    "event_ctr_daily",
+    "minhash_calibration",
+    "supplier_hhi",
+    "part_price_quartiles",
+    "ann_recall_report",
+    "ivm_mart_refresh",
+    "basket_size_distribution",
+    "returns_by_month",
+    "discount_band_analysis",
+    "trade_flows",
+    "late_order_priority",
+    "customer_decile_revenue",
+    "new_vs_returning_revenue",
+    "tokenizer_fertility",
+    "markov_dwell",
+    "kcore_parts",
+    "pq_quantize",
+    "wap_audited_ingest",
+    "skew_salted_revenue",
+    "stream_join_left_outer",
+    "stream_hopping_rollup",
+    "lakehouse_zorder_prune",
+    "stream_dedup_ingest",
+    "lakehouse_schema_evolution",
+    "lakehouse_restore_read",
+    # Remaining slots: the oldest r8-certified keys, api order
+    # (the r8 keys that don't fit defer to round 12 — note above).
+    "dq_failed_rows",
+    "attribution_linear",
+    "corpus_weighted_reservoir",
+    "asof_event_order",
+    "hypertable_rollup",
+    "multimodal_extract",
+    "dedup_minhash_md5",
+    "dedup_incremental",
+    "knn_graph",
+    "stream_sessionize",
+    "gold_customer_summary_bucketed",
+    "event_sessionization",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "dedup_clusters",
+    "stream_event_rollup",
+    "stream_dedup_events",
+    "stream_session_window",
 ]
 
 

@@ -183,6 +183,21 @@ def main() -> None:
     def run_group(names: list[str]) -> None:
         spark = get_spark("medallion-bench")
         spark.sparkContext.setLogLevel("ERROR")
+        # The localCheckpoint/ContextCleaner race logs benign
+        # "Failed to update accumulator ... non-existent accumulator"
+        # stacks at ERROR via DAGScheduler after a checkpointed RDD's
+        # accumulators are GC'd (rc stays 0, results unaffected). The
+        # driver tail-captures stdout+stderr, so a tail full of ERROR
+        # spam misreads as a broken run — silence that one logger to
+        # FATAL for the bench session only (round-10 VERDICT #3).
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.scheduler.DAGScheduler",
+                jvm.org.apache.logging.log4j.Level.FATAL,
+            )
+        except Exception:
+            pass  # logging backend moved: spam returns, bench still runs
         for name in names:
             best = float("inf")
             try:

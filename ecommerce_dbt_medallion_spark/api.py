@@ -41,6 +41,7 @@ from ecommerce_dbt_medallion_spark.ops import text as optext
 from ecommerce_dbt_medallion_spark.ops import vocab as opvocab
 from ecommerce_dbt_medallion_spark.quality import checks as dq
 from ecommerce_dbt_medallion_spark.quality import freshness as dqfresh
+from ecommerce_dbt_medallion_spark.streaming import ann_index_stream as strm_annidx
 from ecommerce_dbt_medallion_spark.streaming import enrich_stream as strm_enrich
 from ecommerce_dbt_medallion_spark.streaming import ingest_stream as strm_ingest
 from ecommerce_dbt_medallion_spark.streaming import events_stream as strm
@@ -222,6 +223,7 @@ DRIVER_WINDOW_ROUND = 11
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
     # ================= ROUND-11 WINDOW =================
+    "ann_index_maintain",
     # Head: round-11 additions land here as they ship (never-certified
     # outranks green), each displacing the newest r8 key at the tail.
     # Next 30 slots: the full r7-latest block deferred from round 10
@@ -277,7 +279,6 @@ DRIVER_WINDOW = [
     "dedup_clusters",
     "stream_event_rollup",
     "stream_dedup_events",
-    "stream_session_window",
 ]
 
 
@@ -458,6 +459,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "nearest_centroid_classify": opcluster.nearest_centroid_classify,
         "bpe_train_merges": opbpe.bpe_train_merges,
         "ann_topk_ivfpq": opcluster.ann_topk_ivfpq,
+        "ann_index_maintain": strm_annidx.ann_index_maintain,
         "bpe_encode_stats": opbpe.bpe_encode_stats,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
         "min_cost_supplier_parts": ana.min_cost_supplier_parts,
@@ -728,6 +730,10 @@ def oracle_sql() -> dict[str, str]:
     out["nearest_centroid_classify"] = opcluster.oracle_nearest_centroid_classify()
     out["bpe_train_merges"] = opbpe.oracle_bpe_train_merges()
     out["ann_topk_ivfpq"] = opcluster.oracle_ann_topk_ivfpq()
+    # round 11: persisted/streamed IVF-PQ index — frozen-codebook
+    # encoding is pointwise, so the maintained index equals the
+    # batch-built one and the key shares the batch oracle verbatim
+    out["ann_index_maintain"] = opcluster.oracle_ann_topk_ivfpq()
     out["bpe_encode_stats"] = opbpe.oracle_bpe_encode_stats()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the

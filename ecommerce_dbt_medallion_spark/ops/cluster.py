@@ -50,8 +50,11 @@ KM_SCALE = 1_000_000  # component quantization: floor(v * SCALE + 0.5)
 KM_DIM = 64
 
 
-def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+def _quantize_embeddings(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, q): the ONE quantization recipe
+    every integer-k-means consumer shares — batch loaders and the
+    streamed ann_index_maintain micro-batches must quantize identically
+    or stored codes drift from the batch-built index."""
     q = F.transform(
         F.col("embedding"),
         lambda v: F.floor(v.cast("double") * F.lit(float(KM_SCALE)) + F.lit(0.5)).cast(
@@ -59,6 +62,10 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return e.select("vec_id", q.alias("q"))
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
 def _sqdist_int(a, b):
@@ -420,47 +427,15 @@ IVFPQ_PROBE = 2  # lists probed per query
 IVFPQ_TRAIN_MAX = 1024
 
 
-def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round 10: IVF-PQ asymmetric-distance ANN search — the
-    billion-vector memory shape (Jégou et al., "Product Quantization
-    for Nearest Neighbor Search"): a coarse quantizer routes each
-    vector to one of IVFPQ_LISTS inverted lists; the RESIDUAL
-    (vector − list centroid) compresses to PQ_M 4-bit codes; a query
-    probes its IVFPQ_PROBE nearest lists and scores candidates by
-    ASYMMETRIC distance — exact query-residual-to-codeword distances
-    summed over sub-spaces via a per-(query, list) lookup table,
-    never touching the original vectors.
-
-    Everything runs in the k-means family's exact scaled-integer
-    arithmetic (quantize → bigint sums → floor(sum/n) centroids), so
-    codes, lookup tables, and ranks are partition-order free and the
-    DuckDB oracle replays the ENTIRE pipeline — training included —
-    value for value. Output distances are exact bigints.
-
-    Scale shape: both quantizers train on the bounded deterministic
-    sample vec_id < IVFPQ_TRAIN_MAX (training cost is O(sample), never
-    O(corpus); at test SFs under the bound the sample IS the corpus),
-    then ONE corpus pass assigns + encodes everything
-    (broadcast centroids/codebooks), store codes clustered by list_id.
-    A query touches ~PROBE/LISTS of the code table and the LUT joins
-    are broadcast (Q × PROBE × M × K rows ≈ KBs); the 16-bit codes are
-    what makes 1e9+ vectors fit a cluster's RAM at 100 TB.
-    """
-    par = spark.sparkContext.defaultParallelism
-    vectors = (
-        _quantized(spark, sf_dir)
-        .repartition(par, "vec_id")
-        .localCheckpoint(eager=False)
-    )
-    coarse = _train(
-        vectors.where(F.col("vec_id") < IVFPQ_TRAIN_MAX), IVFPQ_LISTS, KM_ITERS
-    )  # (cluster, cq)
+def _ivfpq_residuals(vectors: DataFrame, coarse: DataFrame) -> DataFrame:
+    """(vec_id, list_id, r): coarse-assign each vector and subtract its
+    list centroid — exact integer residuals, pointwise per vector, so
+    the result is independent of which batch a vector arrives in (the
+    property ann_index_maintain's streamed encoding relies on)."""
     coarse_b = F.broadcast(
         coarse.select(F.col("cluster").alias("list_id"), F.col("cq").alias("lq"))
     )
-
-    # corpus: coarse assign + residual (exact integer subtraction)
-    res = (
+    return (
         _assign(vectors, coarse)
         .select("vec_id", F.col("cluster").alias("list_id"))
         .join(vectors, "vec_id")
@@ -470,33 +445,64 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "list_id",
             F.zip_with("q", "lq", lambda x, y: x - y).alias("r"),
         )
-        .repartition(par, "vec_id")
-        .localCheckpoint(eager=False)
     )
 
-    # per-sub-space PQ codebooks trained on residuals + corpus codes
-    codes = res.select("vec_id", "list_id")
+
+def _ivfpq_train(vectors: DataFrame):
+    """Train the coarse quantizer + PQ_M residual codebooks on the
+    bounded deterministic sample vec_id < IVFPQ_TRAIN_MAX. Returns
+    (coarse, [codebook_0..codebook_{M-1}]), each (cluster, cq).
+    Training cost is O(sample) regardless of corpus size; the sample
+    residuals here equal the full-corpus residuals restricted to the
+    sample (residuals are pointwise), so training on a bootstrap slice
+    and training inside the one-shot batch pipeline yield byte-equal
+    codebooks — the invariant that lets ann_index_maintain share
+    oracle_ann_topk_ivfpq verbatim."""
+    sample = vectors.where(F.col("vec_id") < IVFPQ_TRAIN_MAX)
+    coarse = _train(sample, IVFPQ_LISTS, KM_ITERS).localCheckpoint(eager=False)
+    res_s = _ivfpq_residuals(sample, coarse).localCheckpoint(eager=False)
     codebooks = []
+    for m in range(PQ_M):
+        sub = res_s.select(
+            "vec_id", F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("q")
+        )
+        codebooks.append(
+            _train(sub, PQ_K, PQ_ITERS).localCheckpoint(eager=False)
+        )
+    return coarse, codebooks
+
+
+def _ivfpq_encode(
+    vectors: DataFrame, coarse: DataFrame, codebooks: list[DataFrame]
+) -> DataFrame:
+    """ONE corpus pass: coarse-assign + residual + per-sub-space PQ code
+    (vec_id, list_id, code0..code{M-1}) against FROZEN codebooks —
+    broadcast joins only, no shuffle wider than the corpus itself."""
+    res = _ivfpq_residuals(vectors, coarse).localCheckpoint(eager=False)
+    codes = res.select("vec_id", "list_id")
     for m in range(PQ_M):
         sub = res.select(
             "vec_id", F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("q")
-        ).localCheckpoint(eager=False)
-        cb = _train(  # residual codewords, trained on the sample only
-            sub.where(F.col("vec_id") < IVFPQ_TRAIN_MAX), PQ_K, PQ_ITERS
         )
-        codebooks.append(cb)
         codes = codes.join(
-            _assign(sub, cb).select(
+            _assign(sub, codebooks[m]).select(
                 "vec_id", F.col("cluster").alias(f"code{m}")
             ),
             "vec_id",
         )
-    codes = codes.localCheckpoint(eager=False)
+    return codes
 
-    # queries: probe the IVFPQ_PROBE nearest lists, keep the residual
-    qprobe = (
-        vectors.where(F.col("vec_id") < ANN_N_QUERIES)
-        .crossJoin(coarse_b)
+
+def _ivfpq_probe(queries: DataFrame, coarse: DataFrame) -> DataFrame:
+    """(query_id, list_id, qr): each query's IVFPQ_PROBE nearest lists
+    with its residual against each. Standalone so a stored-index search
+    can resolve WHICH lists it will touch (metadata-scale: queries ×
+    lists) and file-skip the code scan before reading any code row."""
+    coarse_b = F.broadcast(
+        coarse.select(F.col("cluster").alias("list_id"), F.col("cq").alias("lq"))
+    )
+    return (
+        queries.crossJoin(coarse_b)
         .select(
             F.col("vec_id").alias("query_id"),
             "list_id",
@@ -517,6 +523,18 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= IVFPQ_PROBE)
         .select("query_id", "list_id", "qr")
     )
+
+
+def _ivfpq_search(
+    queries: DataFrame, coarse: DataFrame, codebooks: list[DataFrame],
+    codes: DataFrame,
+) -> DataFrame:
+    """Probe each query's IVFPQ_PROBE nearest lists and rank candidates
+    by asymmetric distance (per-(query,list) LUTs over the codebooks,
+    summed across sub-spaces). ``codes`` may come from the in-plan
+    encoder or from a STORED lakehouse code table — the search never
+    touches original vectors."""
+    qprobe = _ivfpq_probe(queries, coarse)
 
     # asymmetric-distance lookup tables: exact bigint distance from
     # each probed query residual sub-vector to every codeword
@@ -563,6 +581,47 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             "adist",
         )
+    )
+
+
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: IVF-PQ asymmetric-distance ANN search — the
+    billion-vector memory shape (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): a coarse quantizer routes each
+    vector to one of IVFPQ_LISTS inverted lists; the RESIDUAL
+    (vector − list centroid) compresses to PQ_M 4-bit codes; a query
+    probes its IVFPQ_PROBE nearest lists and scores candidates by
+    ASYMMETRIC distance — exact query-residual-to-codeword distances
+    summed over sub-spaces via a per-(query, list) lookup table,
+    never touching the original vectors.
+
+    Everything runs in the k-means family's exact scaled-integer
+    arithmetic (quantize → bigint sums → floor(sum/n) centroids), so
+    codes, lookup tables, and ranks are partition-order free and the
+    DuckDB oracle replays the ENTIRE pipeline — training included —
+    value for value. Output distances are exact bigints.
+
+    Scale shape: both quantizers train on the bounded deterministic
+    sample vec_id < IVFPQ_TRAIN_MAX (training cost is O(sample), never
+    O(corpus); at test SFs under the bound the sample IS the corpus),
+    then ONE corpus pass assigns + encodes everything
+    (broadcast centroids/codebooks), store codes clustered by list_id.
+    A query touches ~PROBE/LISTS of the code table and the LUT joins
+    are broadcast (Q × PROBE × M × K rows ≈ KBs); the 16-bit codes are
+    what makes 1e9+ vectors fit a cluster's RAM at 100 TB.
+    """
+    par = spark.sparkContext.defaultParallelism
+    vectors = (
+        _quantized(spark, sf_dir)
+        .repartition(par, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    coarse, codebooks = _ivfpq_train(vectors)
+    codes = _ivfpq_encode(vectors, coarse, codebooks).localCheckpoint(
+        eager=False
+    )
+    return _ivfpq_search(
+        vectors.where(F.col("vec_id") < ANN_N_QUERIES), coarse, codebooks, codes
     )
 
 

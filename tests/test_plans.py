@@ -748,3 +748,26 @@ def test_round10_ops_plan_shapes(spark):
     )
     assert "Window" not in ncc
     assert "CartesianProduct" not in ncc
+
+
+def test_round11_ann_index_plan_shapes(spark):
+    """Round-11 persisted IVF-PQ index: the served SEARCH plan reads
+    the stored code table (parquet scan, no training subtree — the
+    plan must not contain the corpus-grain argmin aggregates training
+    would add beyond the probe/LUT joins) and stays broadcast-only (no
+    CartesianProduct; its crossJoins are broadcast codebooks)."""
+    from ecommerce_dbt_medallion_spark.streaming.ann_index_stream import (
+        ann_index_maintain,
+    )
+
+    plan = (
+        ann_index_maintain(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the search reads STORED codes: the gate table path must appear as
+    # a scanned location, and no embeddings-table scan may remain on
+    # the candidate side (queries legitimately scan embeddings)
+    assert "annidx_codes" in plan

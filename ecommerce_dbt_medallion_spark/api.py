@@ -224,6 +224,7 @@ DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
     # ================= ROUND-11 WINDOW =================
     "ann_index_maintain",
+    "ann_topk_ivfpq_rerank",
     # Head: round-11 additions land here as they ship (never-certified
     # outranks green), each displacing the newest r8 key at the tail.
     # Next 30 slots: the full r7-latest block deferred from round 10
@@ -278,7 +279,6 @@ DRIVER_WINDOW = [
     "ann_cosine_topk",
     "dedup_clusters",
     "stream_event_rollup",
-    "stream_dedup_events",
 ]
 
 
@@ -460,6 +460,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "bpe_train_merges": opbpe.bpe_train_merges,
         "ann_topk_ivfpq": opcluster.ann_topk_ivfpq,
         "ann_index_maintain": strm_annidx.ann_index_maintain,
+        "ann_topk_ivfpq_rerank": opcluster.ann_topk_ivfpq_rerank,
         "bpe_encode_stats": opbpe.bpe_encode_stats,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
         "min_cost_supplier_parts": ana.min_cost_supplier_parts,
@@ -734,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
     # encoding is pointwise, so the maintained index equals the
     # batch-built one and the key shares the batch oracle verbatim
     out["ann_index_maintain"] = opcluster.oracle_ann_topk_ivfpq()
+    out["ann_topk_ivfpq_rerank"] = opcluster.oracle_ann_topk_ivfpq_rerank()
     out["bpe_encode_stats"] = opbpe.oracle_bpe_encode_stats()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the

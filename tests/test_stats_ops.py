@@ -365,14 +365,20 @@ def test_ann_recall_report_consistency(spark):
     from ecommerce_dbt_medallion_spark.ops import similarity as opsim
 
     pdf = opsim.ann_recall_report(spark, SF_SMOKE).toPandas()
-    assert len(pdf) >= 5  # one row per query vector
+    assert set(pdf.index_name) == {"lsh", "ivfpq", "ivfpq_rerank"}
+    assert len(pdf) >= 15  # one row per (index, query vector)
     for r in pdf.itertuples(index=False):
-        assert r.n_hit <= min(r.n_exact, r.n_lsh)
+        assert r.n_hit <= min(r.n_exact, r.n_approx)
         assert 0 <= r.recall <= 1
-    # near-random corpus: recall tracks the ~6% candidate fraction
-    # (see ann_recall_report docstring) — pin the measured band so a
+    means = pdf.groupby("index_name")["recall"].mean()
+    # near-random corpus: recall tracks the candidate fraction
+    # (see ann_recall_report docstring) — pin the measured bands so a
     # silent candidate-generation regression (recall → 0) fails here
-    assert 0.02 <= pdf.recall.mean() <= 0.8
+    assert 0.02 <= means["lsh"] <= 0.8
+    assert 0.02 <= means["ivfpq"] <= 0.8
+    # exact rerank of the same pool must not lose ordering quality on
+    # average (measured 0.50 vs 0.18 at sf0.001)
+    assert means["ivfpq_rerank"] >= means["ivfpq"]
 
 
 # ------------------------------------------------- merchandising marts

@@ -225,6 +225,9 @@ DRIVER_WINDOW = [
     # ================= ROUND-11 WINDOW =================
     "ann_index_maintain",
     "ann_topk_ivfpq_rerank",
+    "bpe_train_merges_batched",
+    "multimodal_dedup",
+    "text_language_id_ngram",
     # Head: round-11 additions land here as they ship (never-certified
     # outranks green), each displacing the newest r8 key at the tail.
     # Next 30 slots: the full r7-latest block deferred from round 10
@@ -276,9 +279,6 @@ DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "dedup_clusters",
-    "stream_event_rollup",
 ]
 
 
@@ -462,6 +462,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "ann_index_maintain": strm_annidx.ann_index_maintain,
         "ann_topk_ivfpq_rerank": opcluster.ann_topk_ivfpq_rerank,
         "bpe_encode_stats": opbpe.bpe_encode_stats,
+        "bpe_train_merges_batched": opbpe.bpe_train_merges_batched,
+        "multimodal_dedup": opmm.multimodal_dedup,
+        "text_language_id_ngram": optext.text_language_id_ngram,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
         "min_cost_supplier_parts": ana.min_cost_supplier_parts,
         "returned_item_customers": ana.returned_item_customers,
@@ -737,6 +740,9 @@ def oracle_sql() -> dict[str, str]:
     out["ann_index_maintain"] = opcluster.oracle_ann_topk_ivfpq()
     out["ann_topk_ivfpq_rerank"] = opcluster.oracle_ann_topk_ivfpq_rerank()
     out["bpe_encode_stats"] = opbpe.oracle_bpe_encode_stats()
+    out["bpe_train_merges_batched"] = opbpe.oracle_bpe_train_merges_batched()
+    out["multimodal_dedup"] = opmm.oracle_multimodal_dedup()
+    out["text_language_id_ngram"] = optext.oracle_text_language_id_ngram()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the
     # hash gate PROVES the Spark-side agg rewrite / decorrelation

@@ -346,3 +346,324 @@ group by sw.source
 order by sw.source
 """
     )
+
+
+# ----------------------------------------------- batched BPE training
+
+# Round 11 (VERDICT r10 #3): the 1-merge-per-round trainer above is the
+# gate for merge SELECTION semantics, but a real tokenizer needs 32k
+# merges and one driver round per merge cannot scale. Standard batched
+# BPE (frequency-threshold batching): per round, take the top
+# BPE_BATCH candidate pairs and GREEDILY keep each candidate iff it
+# does not chain-overlap any already-kept pair in this round
+# (kept p, candidate c overlap iff c[0]==p[1] or c[1]==p[0] — the only
+# two ways 2-char windows can share a string position). Kept pairs are
+# mutually non-interacting, so applying them sequentially within the
+# round preserves every pair's selection-time count, and rounds grow
+# ~10 merges each: 8 driver rounds learn 80 merges on the sf0.001
+# corpus (measured) vs 3 before.
+#
+# Sentinels: merge (round r, slot j) rewrites to the FIXED codepoint
+# BPE_SENT_BASE + (r-1)*BPE_BATCH + (j-1) in the Private Use Area —
+# WORD_RE is ASCII \w+ in BOTH regex dialects, so corpus symbols are
+# [0-9_a-z] and PUA sentinels can never collide. (Spark's char() wraps
+# at 256, so sentinels are injected as Python/chr() literals, never
+# via SQL char().) Unfilled slots stay NULL and their replace runs
+# against chr(0) — a no-op, which also makes corpus exhaustion a
+# graceful no-op round instead of the unbatched trainer's ValueError.
+
+BPE_BATCH_ROUNDS = 8
+BPE_BATCH = 16
+BPE_SENT_BASE = 0xE000
+
+
+def _batched_conflict(a, b) -> "F.Column":
+    """Chain-overlap predicate between two pair columns (symmetric:
+    the two clauses cover both orderings)."""
+    return (
+        F.substring(a, 1, 1).eqNullSafe(F.substring(b, 2, 1))
+    ) | (F.substring(a, 2, 1).eqNullSafe(F.substring(b, 1, 1)))
+
+
+def _learn_merges_batched(spark: SparkSession, sf_dir: str):
+    """Returns (words, kept_frames, merges_row) where ``words`` is
+    (worig, w, f) after all rounds, ``kept_frames[r-1]`` holds round
+    r's kept merges (slot, pair, cnt — pair still sentinel-encoded)
+    and ``merges_row`` is ONE row with every m{r}x{j}/c{r}x{j} scalar
+    for rendering."""
+    words = (
+        _word_freqs(spark, sf_dir)
+        .select(F.col("w").alias("worig"), "w", "f")
+        .localCheckpoint(eager=True)
+    )
+    acc_t = "array<struct<negcnt:bigint,pair:string,cnt:bigint>>"
+    kept_frames: list[DataFrame] = []
+    for r in range(1, BPE_BATCH_ROUNDS + 1):
+        cands = (
+            _pair_stats(words)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(BPE_BATCH)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cnt")).alias("negcnt"),
+                            F.col("pair").alias("pair"),
+                            F.col("cnt").alias("cnt"),
+                        )
+                    )
+                ).alias("cands")
+            )
+        )
+        kept = (
+            cands.select(
+                F.aggregate(
+                    "cands",
+                    F.expr(f"cast(array() as {acc_t})"),
+                    lambda acc, c: F.when(
+                        F.exists(
+                            acc, lambda k: _batched_conflict(k["pair"], c["pair"])
+                        ),
+                        acc,
+                    ).otherwise(F.array_append(acc, c)),
+                ).alias("kept")
+            )
+            .select(F.posexplode("kept").alias("pos", "k"))
+            .select(
+                (F.col("pos") + 1).cast("long").alias("slot"),
+                F.col("k.pair").alias("pair"),
+                F.col("k.cnt").alias("cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        kept_frames.append(kept)
+        mrow = kept.agg(
+            *[
+                agg
+                for j in range(1, BPE_BATCH + 1)
+                for agg in (
+                    F.max(F.when(F.col("slot") == j, F.col("pair"))).alias(
+                        f"m{r}x{j}"
+                    ),
+                    F.max(F.when(F.col("slot") == j, F.col("cnt"))).alias(
+                        f"c{r}x{j}"
+                    ),
+                )
+            ]
+        ).localCheckpoint(eager=True)
+        w = F.col("w")
+        for j in range(1, BPE_BATCH + 1):
+            sent = BPE_SENT_BASE + (r - 1) * BPE_BATCH + (j - 1)
+            w = F.replace(
+                w,
+                F.coalesce(F.col(f"m{r}x{j}"), F.lit("\x00")),
+                F.lit(chr(sent)),
+            )
+        words = (
+            words.crossJoin(F.broadcast(mrow))
+            .select("worig", w.alias("w"), "f")
+            .localCheckpoint(eager=True)
+        )
+        if r == 1:
+            merges_row = mrow
+        else:
+            merges_row = merges_row.crossJoin(mrow)
+    return words, kept_frames, merges_row
+
+
+def _render_batched(inner) -> "F.Column":
+    """Expand sentinels back to text in REVERSE application order (a
+    later merge's pair may contain earlier sentinels, never later)."""
+    out = inner
+    for r in range(BPE_BATCH_ROUNDS, 0, -1):
+        for j in range(BPE_BATCH, 0, -1):
+            sent = BPE_SENT_BASE + (r - 1) * BPE_BATCH + (j - 1)
+            out = F.replace(
+                out,
+                F.lit(chr(sent)),
+                F.coalesce(F.col(f"m{r}x{j}"), F.lit("")),
+            )
+    return out
+
+
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training: BPE_BATCH_ROUNDS rounds × up to BPE_BATCH
+    greedily-compatible merges each (the scale path past the 1-merge
+    trainer), plus the post-merge top-BPE_TOPK pair stats.
+
+    Columns: stage ('merge' | 'final_topk'), rnk (global application
+    order / top-k rank), round (merge round; 0 for final_topk), pair
+    (RENDERED plain text), cnt (weighted count at selection/report
+    time). The DuckDB oracle replays the identical greedy selection as
+    an unrolled kept-accumulation CTE chain, so BATCH selection is
+    under the value hash, not just application.
+    """
+    words, kept_frames, merges_row = _learn_merges_batched(spark, sf_dir)
+    kept_all = None
+    for r, kf in enumerate(kept_frames, start=1):
+        t = kf.select(F.lit(r).cast("long").alias("round"), "slot", "pair", "cnt")
+        kept_all = t if kept_all is None else kept_all.unionByName(t)
+    worder = Window.orderBy(F.asc("round"), F.asc("slot"))
+    mrows = (
+        kept_all.withColumn("rnk", F.row_number().over(worder))
+        .crossJoin(F.broadcast(merges_row))
+        .select(
+            F.lit("merge").alias("stage"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "round",
+            _render_batched(F.col("pair")).alias("pair"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    wtop = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    final = (
+        _pair_stats(words)
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOPK)
+        .withColumn("rnk", F.row_number().over(wtop))
+        .crossJoin(F.broadcast(merges_row))
+        .select(
+            F.lit("final_topk").alias("stage"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.lit(0).cast("long").alias("round"),
+            _render_batched(F.col("pair")).alias("pair"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    return mrows.unionByName(final)
+
+
+def oracle_bpe_train_merges_batched() -> str:
+    """DuckDB replay of the batched trainer: the greedy compatible-set
+    selection unrolls as one kept-accumulation CTE pair per candidate
+    rank (no recursion — the candidate list is bounded at BPE_BATCH),
+    then the same fixed-slot sentinel application."""
+    conflict = (
+        "(substr(c.pair,1,1) = substr(p.pair,2,1) "
+        "or substr(c.pair,2,1) = substr(p.pair,1,1))"
+    )
+    parts = [
+        f"""bw0 as materialized (
+  select w as worig, w, cast(count(*) as bigint) as f from (
+    select unnest(regexp_extract_all(lower(text), '{WORD_RE}')) as w
+    from documents
+  ) group by w
+)"""
+    ]
+    for r in range(1, BPE_BATCH_ROUNDS + 1):
+        parts.append(
+            f"""bp{r} as materialized (
+  select pair, sum(f) as cnt from (
+    select unnest(list_transform(range(1, length(w)),
+                                 i -> substr(w, i, 2))) as pair, f
+    from bw{r - 1}
+  ) group by pair
+)"""
+        )
+        parts.append(
+            f"""bc{r} as materialized (
+  select pair, cnt, row_number() over (order by cnt desc, pair asc) as rn
+  from bp{r} order by cnt desc, pair asc limit {BPE_BATCH}
+)"""
+        )
+        # Each ku level is referenced TWICE (the NOT EXISTS probe and
+        # the union) — without `materialized` DuckDB inlines the chain
+        # into 2^BPE_BATCH subplans and the bind never finishes.
+        parts.append(
+            f"ku{r}_0 as materialized (select cast(null as varchar) as pair, "
+            f"cast(null as bigint) as cnt, 0 as rn where 1 = 0)"
+        )
+        for i in range(1, BPE_BATCH + 1):
+            parts.append(
+                f"""k{r}_{i} as (
+  select c.pair, c.cnt, c.rn from bc{r} c where c.rn = {i}
+    and not exists (select 1 from ku{r}_{i - 1} p where {conflict})
+)"""
+            )
+            parts.append(
+                f"ku{r}_{i} as materialized (select * from ku{r}_{i - 1} "
+                f"union all select * from k{r}_{i})"
+            )
+        parts.append(
+            f"""bk{r} as materialized (
+  select pair, cnt, row_number() over (order by rn asc) as slot
+  from ku{r}_{BPE_BATCH}
+)"""
+        )
+        mcols = ", ".join(
+            f"max(case when slot = {j} then pair end) as m{j}, "
+            f"max(case when slot = {j} then cnt end) as c{j}"
+            for j in range(1, BPE_BATCH + 1)
+        )
+        parts.append(f"bm{r} as materialized (select {mcols} from bk{r})")
+        expr = "w"
+        for j in range(1, BPE_BATCH + 1):
+            sent = BPE_SENT_BASE + (r - 1) * BPE_BATCH + (j - 1)
+            expr = (
+                f"replace({expr}, coalesce((select m{j} from bm{r}), chr(0)), "
+                f"chr({sent}))"
+            )
+        parts.append(
+            f"bw{r} as materialized (select worig, {expr} as w, f from bw{r - 1})"
+        )
+
+    merge_union = "\n    union all\n    ".join(
+        f"select {r} as round, slot, pair, cnt from bk{r}"
+        for r in range(1, BPE_BATCH_ROUNDS + 1)
+    )
+    parts.append(
+        f"""ball as materialized (
+  select round, slot, pair, cnt,
+         row_number() over (order by round asc, slot asc) as rnk
+  from (
+    {merge_union}
+  )
+)"""
+    )
+    parts.append(
+        f"""bfin as materialized (
+  select pair, cnt,
+         row_number() over (order by cnt desc, pair asc) as rnk
+  from (
+    select pair, sum(f) as cnt from (
+      select unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) as pair, f
+      from bw{BPE_BATCH_ROUNDS}
+    ) group by pair
+  )
+)"""
+    )
+    # Sentinel expansion, reverse application order. 128 nested
+    # replace() calls blow DuckDB's expression-binder recursion limit
+    # (max depth 128), so the render runs as one CTE LAYER PER ROUND —
+    # each layer nests only BPE_BATCH replaces — over the unified
+    # merge+final_topk relation.
+    parts.append(
+        f"""rr{BPE_BATCH_ROUNDS + 1} as (
+  select 'merge' as stage, rnk, round, pair, cnt from ball
+  union all
+  select 'final_topk' as stage, rnk, 0 as round, pair, cnt
+  from bfin where rnk <= {BPE_TOPK}
+)"""
+    )
+    for r in range(BPE_BATCH_ROUNDS, 0, -1):
+        expr = "pair"
+        for j in range(BPE_BATCH, 0, -1):
+            sent = BPE_SENT_BASE + (r - 1) * BPE_BATCH + (j - 1)
+            expr = (
+                f"replace({expr}, chr({sent}), "
+                f"coalesce((select m{j} from bm{r}), ''))"
+            )
+        parts.append(
+            f"rr{r} as (select stage, rnk, round, {expr} as pair, cnt "
+            f"from rr{r + 1})"
+        )
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f"""
+select stage, cast(rnk as bigint) as rnk, cast(round as bigint) as round,
+       pair, cast(cnt as bigint) as cnt
+from rr1
+"""
+    )

@@ -300,3 +300,140 @@ select
     {ejs}
 from b
 """
+
+
+# ------------------------------------------------------- signature dedup
+
+# Round 11 (VERDICT r10 #5): byte-exact + near-dup over the binary
+# media column — the image/audio dedup stage of a multimodal pipeline.
+# Features come off the SAME mapInPandas Arrow path as #26 (a real
+# deployment swaps the byte-math for perceptual hashes / decoded-pixel
+# features via the make_extract_batches decoder seam); dedup itself is
+# banded: exact groups hash-aggregate on the full payload hex, near-dup
+# candidates meet only inside a 32-bit nibble-signature bucket, never
+# all-pairs. Near-dup pairs INCLUDE byte-identical ones (dist 0) — a
+# near set that excludes exact is an availability trap when upstream
+# re-encodes byte-identical media.
+DEDUP_SIG_BYTES = 8  # bucket signature = high nibble of first 8 bytes
+DEDUP_NEAR_L1 = 64  # near threshold: L1 over the 8 signature bytes
+
+DEDUP_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("blob_hex", StringType()),
+        StructField("sig", StringType()),
+    ]
+    + [StructField(f"b{j}", LongType()) for j in range(DEDUP_SIG_BYTES)]
+)
+
+
+def _dedup_feat_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        blobs = [bytes(b) for b in pdf["media_blob"]]
+        hexes = [b.hex() for b in blobs]
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "blob_hex": hexes,
+            # high nibble of byte j is hex char 2j — the bucket key
+            "sig": [h[0 : 2 * DEDUP_SIG_BYTES : 2] for h in hexes],
+        }
+        for j in range(DEDUP_SIG_BYTES):
+            out[f"b{j}"] = [b[j] for b in blobs]
+        yield pd.DataFrame(out)
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#26c: media dedup over the binary column. Two stages in one
+    relation: 'exact' = one row per duplicated payload (groupBy the
+    full payload hex — map-side combinable, one shuffle), 'near' = one
+    row per candidate pair meeting in a signature bucket with L1
+    byte-distance <= DEDUP_NEAR_L1 (shuffle on the 8-nibble signature;
+    bucket occupancy bounds the pair fan-out, never all-pairs).
+
+    The 'exact' stage emits the full SURVIVOR REGISTRY — one row per
+    distinct payload, not only the n_docs > 1 groups — because the
+    deduplicated table (canonical doc + group size) IS a dedup stage's
+    output; duplicated payloads are the n_docs > 1 rows of it.
+
+    Columns: stage, doc_id (canonical / left), other_id (null / right),
+    grp (16-hex payload prefix / bucket signature), n_docs (exact group
+    size / null), dist (null / L1 over signature bytes).
+    """
+    feats = multimodal_docs(spark, sf_dir).mapInPandas(
+        _dedup_feat_batches, DEDUP_FEAT_SCHEMA
+    )
+    exact = (
+        feats.groupBy("blob_hex")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.lit("exact").alias("stage"),
+            "doc_id",
+            F.lit(None).cast("long").alias("other_id"),
+            F.substring("blob_hex", 1, 16).alias("grp"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("dist"),
+        )
+    )
+    a = feats.alias("a")
+    b = feats.alias("b")
+    l1 = None
+    for j in range(DEDUP_SIG_BYTES):
+        term = F.abs(F.col(f"a.b{j}") - F.col(f"b.b{j}"))
+        l1 = term if l1 is None else l1 + term
+    near = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(l1 <= DEDUP_NEAR_L1)
+        .select(
+            F.lit("near").alias("stage"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("other_id"),
+            F.col("a.sig").alias("grp"),
+            F.lit(None).cast("long").alias("n_docs"),
+            l1.cast("long").alias("dist"),
+        )
+    )
+    return exact.unionByName(near)
+
+
+def oracle_multimodal_dedup() -> str:
+    byte_cols = ",\n        ".join(
+        "cast(" + _BYTE.format(h="hexs", i=j + 1) + f" as bigint) as b{j}"
+        for j in range(DEDUP_SIG_BYTES)
+    )
+    sig = " || ".join(
+        f"substr(hexs, {2 * j + 1}, 1)" for j in range(DEDUP_SIG_BYTES)
+    )
+    l1 = " + ".join(f"abs(a.b{j} - b.b{j})" for j in range(DEDUP_SIG_BYTES))
+    return f"""
+with blobs as (
+    select doc_id,
+        md5(text || '#0') || md5(text || '#1') ||
+        md5(text || '#2') || md5(text || '#3') as hexs
+    from documents
+), f as materialized (
+    select doc_id, hexs, {sig} as sig,
+        {byte_cols}
+    from blobs
+)
+select 'exact' as stage, min(doc_id) as doc_id,
+    cast(null as bigint) as other_id,
+    substr(hexs, 1, 16) as grp,
+    cast(count(*) as bigint) as n_docs,
+    cast(null as bigint) as dist
+from f group by hexs
+union all
+select 'near' as stage, a.doc_id as doc_id, b.doc_id as other_id,
+    a.sig as grp, cast(null as bigint) as n_docs,
+    cast({l1} as bigint) as dist
+from f a join f b on a.sig = b.sig and a.doc_id < b.doc_id
+where {l1} <= {DEDUP_NEAR_L1}
+"""

@@ -200,6 +200,138 @@ from (
 """
 
 
+# Round 11 (VERDICT r10 #6): character-n-gram profile language ID.
+# Each language's profile is a literal list of characteristic character
+# n-grams (space-padded function words + signature letter clusters, all
+# ASCII so both engines count identically); a document's per-language
+# score is the exact INTEGER total of profile-gram occurrences, counted
+# with the replace-shrink formula (len(t) - len(replace(t, g, ''))) /
+# len(g) — no regex, so there is no dialect or overlap-semantics gap
+# between Spark and DuckDB. Detection takes the best-scoring language
+# (alphabetical tie-break) with an unknown class: a doc is 'unknown'
+# unless the best score reaches LANG_NGRAM_MIN_SCORE and beats the
+# runner-up by LANG_NGRAM_MIN_MARGIN. The 4-language stopword heuristic
+# (text_language_id above) rides along as a cross-check column.
+LANG_NGRAM_PROFILES = {
+    "de": [" der ", " und ", " die ", " ein", "icht", "sch"],
+    "en": [" the ", " and ", " of ", " to ", "ing ", "tion"],
+    "es": [" el ", " que ", " los ", " una ", "cion", " por "],
+    "fr": [" le ", " les ", " des ", " une ", " est ", " aux "],
+    "it": [" il ", " che ", " di ", " della ", "zione", " per "],
+    "pt": [" o ", " os ", " uma ", " dos ", " nao ", "cao "],
+}
+LANG_NGRAM_MIN_SCORE = 2
+LANG_NGRAM_MIN_MARGIN = 1
+
+
+def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#24b: character-n-gram profile language ID over 6 languages with
+    an ``unknown`` class and a confidence margin.
+
+    One projection over the corpus — every score is a handful of
+    replace/length expressions inside whole-stage codegen, no shuffle,
+    no UDF. (The synthetic corpus shares one vocabulary, so accuracy vs
+    the label column is not meaningful — operator semantics are; the
+    planted-language unit test covers real-language accuracy.)
+    """
+    langs = sorted(LANG_NGRAM_PROFILES)
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {}
+    for lang in langs:
+        s = None
+        for g in LANG_NGRAM_PROFILES[lang]:
+            occ = (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(g))))
+                / F.lit(len(g))
+            ).cast("long")
+            s = occ if s is None else s + occ
+        scores[lang] = s
+    sorted_desc = F.reverse(
+        F.array_sort(F.array(*[scores[lang] for lang in langs]))
+    )
+    best = sorted_desc[0]
+    margin = sorted_desc[0] - sorted_desc[1]
+    detected_raw = F.when(scores[langs[0]] == best, langs[0])
+    for lang in langs[1:]:
+        detected_raw = detected_raw.when(scores[lang] == best, lang)
+    detected = F.when(
+        (best >= LANG_NGRAM_MIN_SCORE) & (margin >= LANG_NGRAM_MIN_MARGIN),
+        detected_raw,
+    ).otherwise("unknown")
+    low = F.lower(F.col("text"))
+    hits = {k: F.regexp_count(low, F.lit(v)) for k, v in LANG_STOPWORDS.items()}
+    de, en, es, fr = hits["de"], hits["en"], hits["es"], hits["fr"]
+    stopword_lang = (
+        F.when((de >= en) & (de >= es) & (de >= fr), "de")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"{lang}_score") for lang in langs],
+        best.alias("best_score"),
+        margin.alias("margin"),
+        detected.alias("detected_lang"),
+        stopword_lang.alias("stopword_lang"),
+        (detected == stopword_lang).alias("agrees_stopword"),
+    )
+
+
+def oracle_text_language_id_ngram() -> str:
+    langs = sorted(LANG_NGRAM_PROFILES)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"cast((length(padded) - length(replace(padded, '{g}', '')))"
+            f" / {len(g)} as bigint)"
+            for g in LANG_NGRAM_PROFILES[lang]
+        )
+        score_exprs.append(f"({terms}) as {lang}_score")
+    arr = ", ".join(f"{lang}_score" for lang in langs)
+    detect_chain = " ".join(
+        f"when {lang}_score = best_score then '{lang}'" for lang in langs
+    )
+    pats = LANG_STOPWORDS
+    return f"""
+with p as (
+    select doc_id, lang, ' ' || lower(text) || ' ' as padded,
+        len(regexp_extract_all(lower(text), '{pats["de"]}')) as sde,
+        len(regexp_extract_all(lower(text), '{pats["en"]}')) as sen,
+        len(regexp_extract_all(lower(text), '{pats["es"]}')) as ses,
+        len(regexp_extract_all(lower(text), '{pats["fr"]}')) as sfr
+    from documents
+), s as (
+    select doc_id, lang, {", ".join(score_exprs)},
+        case when sde >= sen and sde >= ses and sde >= sfr then 'de'
+             when sen >= ses and sen >= sfr then 'en'
+             when ses >= sfr then 'es'
+             else 'fr' end as stopword_lang
+    from p
+), m as (
+    select *,
+        list_reverse(list_sort([{arr}]))[1] as best_score,
+        list_reverse(list_sort([{arr}]))[1]
+            - list_reverse(list_sort([{arr}]))[2] as margin
+    from s
+)
+select doc_id, lang, {arr},
+    cast(best_score as bigint) as best_score,
+    cast(margin as bigint) as margin,
+    case when best_score >= {LANG_NGRAM_MIN_SCORE}
+              and margin >= {LANG_NGRAM_MIN_MARGIN}
+         then (case {detect_chain} end)
+         else 'unknown' end as detected_lang,
+    stopword_lang,
+    (case when best_score >= {LANG_NGRAM_MIN_SCORE}
+               and margin >= {LANG_NGRAM_MIN_MARGIN}
+          then (case {detect_chain} end)
+          else 'unknown' end) = stopword_lang as agrees_stopword
+from m
+"""
+
+
 # ---------------------------------------------------------- fingerprints
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1706,3 +1706,110 @@ def test_bpe_encode_stats_known_answer(spark, tmp_path):
     assert (r["source"], r["n_words"], r["symbols_before"],
             r["symbols_after"]) == ("s", 3, 10, 3)
     assert abs(r["compression"] - 0.3) < 1e-12
+
+
+def test_bpe_train_merges_batched_known_answer(spark, tmp_path):
+    """Round-11 known answer exercising the greedy conflict rule, same
+    corpus as the unbatched test: 'aaab aaab ab' → freqs {aaab:2,ab:1}.
+    Round 1 candidates aa(4), ab(3): keep aa; ab is SKIPPED because
+    ab[0]='a' = aa[1] (chain overlap). Apply → {<s1>ab×2, ab×1}.
+    Round 2 candidates ab(3), <s1>a(2): keep ab; <s1>a skipped
+    (<s1>a[1]='a' = ab[0]). Round 3 keeps <s1><s2>(2) → renders
+    'aaab'. Rounds 4-8 find no pairs (every word one symbol) and no-op;
+    final_topk is empty. So batching with conflicts degrades to the
+    unbatched sequence here — the EXACT guarantee the greedy rule buys."""
+    from ecommerce_dbt_medallion_spark.ops.bpe import bpe_train_merges_batched
+
+    d = tmp_path / "bpe_batched"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, "aaab aaab ab", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = sorted(map(tuple, bpe_train_merges_batched(spark, str(d)).collect()))
+    assert got == [
+        ("merge", 1, 1, "aa", 4),
+        ("merge", 2, 2, "ab", 3),
+        ("merge", 3, 3, "aaab", 2),
+    ], got
+
+
+def test_bpe_batched_keeps_nonconflicting_pairs_same_round(spark, tmp_path):
+    """Round-11: the point of batching — two frequent pairs that do NOT
+    chain-overlap merge in the SAME round. Corpus 'ab ab ab cd cd':
+    round-1 candidates ab(3), cd(2) share no symbols → both kept
+    (slots 1 and 2, same round), so one driver round learns two merges."""
+    from ecommerce_dbt_medallion_spark.ops.bpe import bpe_train_merges_batched
+
+    d = tmp_path / "bpe_batched2"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, "ab ab ab cd cd", "en", "s", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = sorted(map(tuple, bpe_train_merges_batched(spark, str(d)).collect()))
+    assert got == [
+        ("merge", 1, 1, "ab", 3),
+        ("merge", 2, 1, "cd", 2),
+    ], got
+
+
+def test_text_language_id_ngram_planted(spark, tmp_path):
+    """Round-11 (VERDICT r10 #6): real-language sentences must classify
+    correctly across all six profiles, and gibberish must fall in the
+    'unknown' class via the min-score gate."""
+    from ecommerce_dbt_medallion_spark.ops.text import text_language_id_ngram
+
+    rows = [
+        (0, "der hund und die katze sind nicht ein problem", "de"),
+        (1, "the cat and the dog are running to the station", "en"),
+        (2, "el gato que vive con los perros es una maravilla por ahora", "es"),
+        (3, "le chat est dans les maisons des villes aux champs une fois", "fr"),
+        (4, "il cane che abita di fronte della casa per la stazione", "it"),
+        (5, "o gato e os gatos de uma casa dos livros nao falam", "pt"),
+        (6, "zzz qqq xxx yyy", "en"),
+    ]
+    d = tmp_path / "langid"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, t, l, "s", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in text_language_id_ngram(spark, str(d)).collect()}
+    for i, _, lang in rows[:6]:
+        assert got[i]["detected_lang"] == lang, (i, dict(got[i].asDict()))
+        assert got[i]["margin"] >= 1
+    assert got[6]["detected_lang"] == "unknown", dict(got[6].asDict())
+    assert got[6]["best_score"] == 0
+
+
+def test_multimodal_dedup_exact_and_near(spark, tmp_path):
+    """Round-11 (VERDICT r10 #5): byte-identical payloads collapse to
+    ONE survivor-registry row (canonical = min doc_id, n_docs = 2) AND
+    meet in their signature bucket as a dist-0 'near' pair; an
+    unrelated payload gets its own n_docs = 1 registry row and no
+    near pair (no shared bucket)."""
+    from ecommerce_dbt_medallion_spark.ops.multimodal import multimodal_dedup
+
+    d = tmp_path / "mmdedup"
+    d.mkdir()
+    spark.createDataFrame(
+        [
+            (0, "hello world", "en", "s", 11),
+            (1, "hello world", "en", "s", 11),
+            (2, "a completely different document", "en", "s", 31),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = multimodal_dedup(spark, str(d)).collect()
+    exact = sorted(
+        [(r["doc_id"], r["n_docs"]) for r in got if r["stage"] == "exact"]
+    )
+    near = [r for r in got if r["stage"] == "near"]
+    assert exact == [(0, 2), (2, 1)], got
+    assert len(near) == 1, got
+    assert (near[0]["doc_id"], near[0]["other_id"], near[0]["dist"]) == (0, 1, 0)

@@ -771,3 +771,36 @@ def test_round11_ann_index_plan_shapes(spark):
     # a scanned location, and no embeddings-table scan may remain on
     # the candidate side (queries legitimately scan embeddings)
     assert "annidx_codes" in plan
+
+
+def test_round11_new_ops_plan_shapes(spark):
+    """Round-11 operators: text_language_id_ngram is ONE projection —
+    no Exchange, no Window, no Python worker (every score is
+    replace/length arithmetic in whole-stage codegen);
+    multimodal_dedup's near stage is a bucket-keyed EQUI-join (no
+    CartesianProduct) and its exact stage a partial-aggregated groupBy;
+    bpe_train_merges_batched keeps the corpus to ONE scan per trained
+    state (the words table is checkpointed — the final plan reads the
+    checkpoint, not documents.parquet, corpus-scale work never re-runs
+    per round)."""
+    from ecommerce_dbt_medallion_spark.ops.multimodal import multimodal_dedup
+    from ecommerce_dbt_medallion_spark.ops.text import text_language_id_ngram
+
+    lid = (
+        text_language_id_ngram(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in lid
+    assert "Window" not in lid
+    assert "BatchEvalPython" not in lid and "ArrowEvalPython" not in lid
+
+    mmd = (
+        multimodal_dedup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in mmd
+    assert "partial_count" in mmd or "HashAggregate" in mmd

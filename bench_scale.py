@@ -147,6 +147,14 @@ PROBE_KEYS = [
     "bpe_train_merges",
     "ann_topk_ivfpq",
     "bpe_encode_stats",
+    # round 11: persisted ANN index (construction-timed: bootstrap +
+    # 3 MERGE micro-batches + served search), the rerank stage, the
+    # batched BPE trainer, media signature dedup, n-gram language ID
+    "ann_index_maintain",
+    "ann_topk_ivfpq_rerank",
+    "bpe_train_merges_batched",
+    "multimodal_dedup",
+    "text_language_id_ngram",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -148,6 +148,18 @@ def main() -> None:
         "bpe_train_merges",
         "ann_topk_ivfpq",
         "bpe_encode_stats",
+        # round 11: persisted IVF-PQ index (construction-timed:
+        # bootstrap + 3 MERGE micro-batches drain during construction;
+        # the returned DF is the served search), the exact-rerank
+        # serving stage, the batched BPE trainer (construction-timed
+        # like its 37c sibling), media signature dedup, and the n-gram
+        # language ID projection
+        "ann_index_maintain",
+        "ann_topk_ivfpq_rerank",
+        "bpe_train_merges_batched",
+        "multimodal_dedup",
+        "text_language_id_ngram",
+        "bpe_encode_stats_batched",
     ):
         if extra in queries:
             headline.append(extra)
@@ -175,7 +187,10 @@ def main() -> None:
                           "lakehouse_snapshot_cut", "stream_heavy_hitters",
                           "decontaminate_incremental", "label_propagation_parts",
                           "lakehouse_deferred_delete", "bpe_train_merges",
-                          "ann_topk_ivfpq", "bpe_encode_stats"}
+                          "ann_topk_ivfpq", "bpe_encode_stats",
+                          "ann_index_maintain", "ann_topk_ivfpq_rerank",
+                          "bpe_train_merges_batched",
+                          "bpe_encode_stats_batched"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

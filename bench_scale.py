@@ -155,6 +155,7 @@ PROBE_KEYS = [
     "bpe_train_merges_batched",
     "multimodal_dedup",
     "text_language_id_ngram",
+    "bpe_encode_stats_batched",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

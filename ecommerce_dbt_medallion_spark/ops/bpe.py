@@ -533,11 +533,13 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mrows.unionByName(final)
 
 
-def oracle_bpe_train_merges_batched() -> str:
-    """DuckDB replay of the batched trainer: the greedy compatible-set
-    selection unrolls as one kept-accumulation CTE pair per candidate
-    rank (no recursion — the candidate list is bounded at BPE_BATCH),
-    then the same fixed-slot sentinel application."""
+def _batched_cte_parts() -> list[str]:
+    """The shared batched-trainer oracle CTE chain: bw0 (word freqs,
+    carrying worig) → per round r: bp{r} pair counts → bc{r} ranked
+    candidates → the materialized ku kept-accumulation chain → bk{r}
+    kept slots → bm{r} slot scalars → bw{r} sentinel-applied words.
+    Shared by the trainer and the encode report so the two replays
+    cannot drift."""
     conflict = (
         "(substr(c.pair,1,1) = substr(p.pair,2,1) "
         "or substr(c.pair,2,1) = substr(p.pair,1,1))"
@@ -606,6 +608,15 @@ def oracle_bpe_train_merges_batched() -> str:
         parts.append(
             f"bw{r} as materialized (select worig, {expr} as w, f from bw{r - 1})"
         )
+    return parts
+
+
+def oracle_bpe_train_merges_batched() -> str:
+    """DuckDB replay of the batched trainer: the greedy compatible-set
+    selection unrolls as one kept-accumulation CTE pair per candidate
+    rank (no recursion — the candidate list is bounded at BPE_BATCH),
+    then the same fixed-slot sentinel application."""
+    parts = _batched_cte_parts()
 
     merge_union = "\n    union all\n    ".join(
         f"select {r} as round, slot, pair, cnt from bk{r}"
@@ -665,5 +676,88 @@ def oracle_bpe_train_merges_batched() -> str:
 select stage, cast(rnk as bigint) as rnk, cast(round as bigint) as round,
        pair, cast(cnt as bigint) as cnt
 from rr1
+"""
+    )
+
+
+def bpe_encode_stats_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the BATCHED trainer's merges (80 learned on the sf0.001
+    corpus vs bpe_encode_stats' 3) to the corpus: per ``source``, word
+    occurrences, total symbols before/after and the compression ratio —
+    the report that shows the deeper merge budget actually buying
+    compression (sentinels are single BMP codepoints, so symbol count =
+    char_length in both engines).
+
+    Plan shape identical to bpe_encode_stats: per-(source, word) counts
+    are one corpus-scale map-side-combinable agg; merged forms join at
+    vocabulary scale keyed by the original word.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+            ).alias("worig"),
+        )
+        .groupBy("source", "worig")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab, _, _ = _learn_merges_batched(spark, sf_dir)
+    enc = per_sw.join(vocab.select("worig", "w"), "worig")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.char_length("worig")).cast("long").alias(
+                "symbols_before"
+            ),
+            F.sum(F.col("cnt") * F.char_length("w")).cast("long").alias(
+                "symbols_after"
+            ),
+        )
+        .select(
+            "source",
+            "n_words",
+            "symbols_before",
+            "symbols_after",
+            (
+                F.col("symbols_after").cast("double")
+                / F.col("symbols_before").cast("double")
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_bpe_encode_stats_batched() -> str:
+    """Shares the batched training CTE chain verbatim, then joins the
+    merged vocabulary back to per-(source, word) occurrence counts."""
+    parts = _batched_cte_parts()
+    parts.append(
+        f"""besw as materialized (
+  select source, w as worig, cast(count(*) as bigint) as cnt from (
+    select source,
+        unnest(regexp_extract_all(lower(text), '{WORD_RE}')) as w
+    from documents
+  ) group by source, w
+)"""
+    )
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f"""
+select source,
+    cast(sum(cnt) as bigint) as n_words,
+    cast(sum(cnt * length(worig)) as bigint) as symbols_before,
+    cast(sum(cnt * length(w)) as bigint) as symbols_after,
+    cast(sum(cnt * length(w)) as double)
+        / cast(sum(cnt * length(worig)) as double) as compression
+from (
+    select s.source, s.cnt, s.worig, v.w
+    from besw s join bw{BPE_BATCH_ROUNDS} v on s.worig = v.worig
+)
+group by source
+order by source
 """
     )

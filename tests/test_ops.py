@@ -1813,3 +1813,26 @@ def test_multimodal_dedup_exact_and_near(spark, tmp_path):
     assert exact == [(0, 2), (2, 1)], got
     assert len(near) == 1, got
     assert (near[0]["doc_id"], near[0]["other_id"], near[0]["dist"]) == (0, 1, 0)
+
+
+def test_bpe_encode_stats_batched_known_answer(spark, tmp_path):
+    """Round-11 known answer, same corpus as the batched trainer test:
+    'aaab aaab ab'. The batched trainer degrades to merges aa, ab,
+    aaab there (conflicts serialize them), so the encode report matches
+    the unbatched sibling's: 3 words, 10 symbols before, 3 after,
+    compression 0.3."""
+    from ecommerce_dbt_medallion_spark.ops.bpe import bpe_encode_stats_batched
+
+    d = tmp_path / "bpe_enc_batched"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, "aaab aaab ab", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = bpe_encode_stats_batched(spark, str(d)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["source"], r["n_words"], r["symbols_before"],
+            r["symbols_after"]) == ("s", 3, 10, 3)
+    assert abs(r["compression"] - 0.3) < 1e-12

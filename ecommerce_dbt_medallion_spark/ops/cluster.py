@@ -821,6 +821,20 @@ def ann_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic stays exact bigint, so the DuckDB oracle replays
     training + encode + probe + rerank value for value.
     """
+    vectors, queries, pool = _ivfpq_family(spark, sf_dir)
+    return _ivfpq_rerank(
+        vectors, queries, pool.select("query_id", "neighbor_id")
+    )
+
+
+def _ivfpq_family(spark: SparkSession, sf_dir: str):
+    """ONE train + encode + top-C probe shared by every IVF-PQ
+    consumer: returns (vectors, queries, pool) where ``pool`` is the
+    PQ-approximate top-IVFPQ_RERANK_C candidate frame (rank included —
+    its rank <= ANN_TOPK prefix IS the raw PQ top-k, same ordering).
+    ann_topk_ivfpq_rerank and similarity.ann_recall_report both build
+    from this, so the served index and the calibration report can
+    never train or probe differently (round-11 review)."""
     par = spark.sparkContext.defaultParallelism
     vectors = (
         _quantized(spark, sf_dir)
@@ -834,8 +848,8 @@ def ann_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vectors.where(F.col("vec_id") < ANN_N_QUERIES)
     pool = _ivfpq_search(
         queries, coarse, codebooks, codes, topk=IVFPQ_RERANK_C
-    ).select("query_id", "neighbor_id")
-    return _ivfpq_rerank(vectors, queries, pool)
+    ).localCheckpoint(eager=False)
+    return vectors, queries, pool
 
 
 def _ivfpq_rerank(

@@ -361,9 +361,14 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp (16-hex payload prefix / bucket signature), n_docs (exact group
     size / null), dist (null / L1 over signature bytes).
     """
+    # lazy checkpoint (round-11 review): feats is consumed THREE times
+    # (exact agg + both sides of the near self-join) — without it each
+    # consumer re-runs the corpus scan, the blob synthesis, and the
+    # Arrow/Python round-trip; lazy keeps the materialization inside
+    # the first action (the write-only bench timer stays honest)
     feats = multimodal_docs(spark, sf_dir).mapInPandas(
         _dedup_feat_batches, DEDUP_FEAT_SCHEMA
-    )
+    ).localCheckpoint(eager=False)
     exact = (
         feats.groupBy("blob_hex")
         .agg(

@@ -811,23 +811,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     lsh = ann_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
 
-    # IVF-PQ family: train/encode ONCE, derive both the raw PQ top-k
-    # (the rank<=k prefix of the rerank pool - same ordering) and the
-    # exact-reranked top-k from one shared candidate pool
-    par = spark.sparkContext.defaultParallelism
-    vectors = (
-        _cl._quantized(spark, sf_dir)
-        .repartition(par, "vec_id")
-        .localCheckpoint(eager=False)
-    )
-    coarse, codebooks = _cl._ivfpq_train(vectors)
-    codes = _cl._ivfpq_encode(vectors, coarse, codebooks).localCheckpoint(
-        eager=False
-    )
-    queries = vectors.where(F.col("vec_id") < ANN_N_QUERIES)
-    pool = _cl._ivfpq_search(
-        queries, coarse, codebooks, codes, topk=_cl.IVFPQ_RERANK_C
-    ).localCheckpoint(eager=False)
+    # IVF-PQ family: the SHARED _ivfpq_family builder (one train +
+    # encode + top-C probe — the same frames the gated rerank key
+    # serves from, so this report cannot audit a different index);
+    # the raw PQ top-k is the rank<=k prefix of the rerank pool
+    # (same ordering), the reranked top-k reuses the same pool
+    vectors, queries, pool = _cl._ivfpq_family(spark, sf_dir)
     ivfpq = pool.where(F.col("rank") <= ANN_TOPK).select(
         "query_id", "neighbor_id"
     )

@@ -777,9 +777,9 @@ select vec_id, neighbor_id, rank, round(cosine, 6) as cosine_r6 from (
 
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(index, query) recall@k of every approximate index family —
-    hyperplane LSH, raw IVF-PQ, and exact-reranked IVF-PQ (round 11:
-    VERDICT r10 #4 extended this beyond LSH) — against brute-force
-    cosine ground truth. The calibration report for the index dials
+    hyperplane LSH, exact-cosine IVF, raw IVF-PQ, and exact-reranked
+    IVF-PQ (round 11: VERDICT r10 #4 extended this beyond LSH) —
+    against brute-force cosine ground truth. The calibration report for the index dials
     (minhash_calibration's sibling for the embedding side). At 100 TB
     ground truth is only affordable on a query SAMPLE; this is that
     sample audit, and a recall drop here means the index is silently
@@ -810,6 +810,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     lsh = ann_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
 
     # IVF-PQ family: the SHARED _ivfpq_family builder (one train +
     # encode + top-C probe — the same frames the gated rerank key
@@ -825,7 +826,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
 
     tagged = [
-        ("lsh", lsh), ("ivfpq", ivfpq), ("ivfpq_rerank", rerank)
+        ("lsh", lsh), ("ivf", ivf),
+        ("ivfpq", ivfpq), ("ivfpq_rerank", rerank),
     ]
     approx = None
     for name, df in tagged:
@@ -880,10 +882,13 @@ def oracle_ann_recall_report() -> str:
     return f"""
 with exact as ({oracle_ann_cosine_topk()}),
 a_lsh as ({oracle_ann_topk_lsh()}),
+a_ivf as ({oracle_ann_topk_ivf()}),
 a_pq as ({oracle_ann_topk_ivfpq()}),
 a_rr as ({oracle_ann_topk_ivfpq_rerank()}),
 approx as (
     select 'lsh' as index_name, query_id, neighbor_id from a_lsh
+    union all
+    select 'ivf' as index_name, query_id, neighbor_id from a_ivf
     union all
     select 'ivfpq' as index_name, query_id, neighbor_id from a_pq
     union all
@@ -892,7 +897,8 @@ approx as (
 exact3 as (
     select i.index_name, e.query_id, e.neighbor_id
     from exact e
-    cross join (values ('lsh'), ('ivfpq'), ('ivfpq_rerank')) i(index_name)
+    cross join (values ('lsh'), ('ivf'), ('ivfpq'), ('ivfpq_rerank'))
+        i(index_name)
 ),
 joined as (
     select coalesce(e.index_name, a.index_name) as index_name,

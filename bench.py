@@ -160,6 +160,8 @@ def main() -> None:
         "multimodal_dedup",
         "text_language_id_ngram",
         "bpe_encode_stats_batched",
+        # round 11: the export-stage global shuffle + shard manifest
+        "corpus_shuffle_shard",
     ):
         if extra in queries:
             headline.append(extra)

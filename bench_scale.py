@@ -156,6 +156,7 @@ PROBE_KEYS = [
     "multimodal_dedup",
     "text_language_id_ngram",
     "bpe_encode_stats_batched",
+    "corpus_shuffle_shard",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):

@@ -190,16 +190,18 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # Round-11 rotation (this window): the round-11 additions go first
 # (never-certified outranks green) — ann_index_maintain,
 # ann_topk_ivfpq_rerank, bpe_train_merges_batched, multimodal_dedup,
-# text_language_id_ngram, bpe_encode_stats_batched; any LATER round-11
+# text_language_id_ngram, bpe_encode_stats_batched,
+# corpus_shuffle_shard; any LATER round-11
 # additions join this head
 # under the same rule and must be named here — then the full 30-key
 # r7-latest block (the round-10 deferral list above — three rounds
 # stale, the rotation's worst case, so this block is non-negotiable),
 # then the OLDEST r8-certified keys in api order fill the remaining
-# slots (14 fit with the six additions above; the window ships with
+# slots (13 fit with the seven additions above; the window ships with
 # the 20 oldest r8 keys until the additions land, each addition
 # displacing the newest r8 key in the window into the deferral list).
-# The r8 keys that don't fit — dedup_embedding_cosine,
+# The r8 keys that don't fit — dedup_simhash,
+# dedup_embedding_cosine,
 # ann_cosine_topk, dedup_clusters,
 # stream_event_rollup, stream_dedup_events, stream_session_window,
 # stream_join_view_purchase, stream_enrich_purchases, tfidf_top_terms,
@@ -231,6 +233,7 @@ DRIVER_WINDOW = [
     "multimodal_dedup",
     "text_language_id_ngram",
     "bpe_encode_stats_batched",
+    "corpus_shuffle_shard",
     # Head: round-11 additions land here as they ship (never-certified
     # outranks green), each displacing the newest r8 key at the tail.
     # Next 30 slots: the full r7-latest block deferred from round 10
@@ -280,7 +283,6 @@ DRIVER_WINDOW = [
     "gold_customer_summary_bucketed",
     "event_sessionization",
     "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
 
 
@@ -466,6 +468,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "bpe_encode_stats": opbpe.bpe_encode_stats,
         "bpe_train_merges_batched": opbpe.bpe_train_merges_batched,
         "bpe_encode_stats_batched": opbpe.bpe_encode_stats_batched,
+        "corpus_shuffle_shard": opsample.corpus_shuffle_shard,
         "multimodal_dedup": opmm.multimodal_dedup,
         "text_language_id_ngram": optext.text_language_id_ngram,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
@@ -745,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
     out["bpe_encode_stats"] = opbpe.oracle_bpe_encode_stats()
     out["bpe_train_merges_batched"] = opbpe.oracle_bpe_train_merges_batched()
     out["bpe_encode_stats_batched"] = opbpe.oracle_bpe_encode_stats_batched()
+    out["corpus_shuffle_shard"] = opsample.oracle_corpus_shuffle_shard()
     out["multimodal_dedup"] = opmm.oracle_multimodal_dedup()
     out["text_language_id_ngram"] = optext.oracle_text_language_id_ngram()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook

@@ -16,7 +16,7 @@ linearly: nothing here materializes a stratum in one place.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.ops.topk import top_k_per_group
@@ -377,4 +377,95 @@ select doc_id, lang, quality_score, cast(weight as bigint) as weight, priority,
     cast(row_number() over (order by priority desc, doc_id) as bigint) as sample_rank
 from prio
 qualify sample_rank <= {RESERVOIR_K}
+"""
+
+
+# -------------------------------------------- global shuffle + shards
+
+# Round 11: the EXPORT stage of a training-data pipeline — a
+# reproducible global shuffle of the corpus plus balanced shard
+# assignment (the order a trainer will stream, and the file manifest
+# it streams from). Randomness is the same md5 trick as the samplers;
+# the global permutation is computed DISTRIBUTED as (shard, position
+# within shard): shards are the 16 value-buckets of the key's first
+# hex digit, so shard boundaries are ORDER-PRESERVING prefixes of the
+# key space and (shard_id asc, skey asc) IS the global key order —
+# each shard sorts independently (one shuffle on shard_id, ~n/16 rows
+# per partition), and the global position adds a 16-row cumulative
+# offset. No global single-partition sort anywhere; at 100 TB this is
+# exactly Spark's range-partitioned sort shape with md5 as the range
+# key.
+SHUFFLE_SALT = "#shuffle:42"  # the reproducibility seed — the one dial
+N_SHARDS = 16
+
+
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard manifest: every doc
+    gets (shard_id, pos_in_shard, global_pos) under the seeded md5
+    permutation. global_pos is a bijection 1..N in key order, equal on
+    both engines; re-running with the same seed reproduces it exactly
+    (the property a resumable training run needs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT))
+        ).alias("skey"),
+    ).withColumn(
+        "shard_id",
+        F.conv(F.substring("skey", 1, 1), 16, 10).cast("long"),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.asc("skey"), F.asc("doc_id"))
+    pos = keyed.withColumn(
+        "pos_in_shard", F.row_number().over(w).cast("long")
+    )
+    # 16-row shard-count frame → cumulative offsets (metadata-scale
+    # single-partition window, the gold-daily-window exemption)
+    woff = Window.orderBy("shard_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(woff), F.lit(0)))
+        .select("shard_id", "off")
+    )
+    return pos.join(F.broadcast(offsets), "shard_id").select(
+        "doc_id",
+        "skey",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "pos_in_shard",
+        (F.col("pos_in_shard") + F.col("off")).cast("long").alias("global_pos"),
+    )
+
+
+def oracle_corpus_shuffle_shard() -> str:
+    return f"""
+with k as (
+    select doc_id,
+        md5(cast(doc_id as varchar) || '{SHUFFLE_SALT}') as skey
+    from documents
+), s as (
+    select doc_id, skey,
+        cast(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 as bigint)
+            as shard_id
+    from k
+), p as (
+    select doc_id, skey, shard_id,
+        cast(row_number() over (
+            partition by shard_id order by skey asc, doc_id asc
+        ) as bigint) as pos_in_shard
+    from s
+), offs as (
+    select shard_id,
+        coalesce(sum(n) over (
+            order by shard_id
+            rows between unbounded preceding and 1 preceding
+        ), 0) as off
+    from (select shard_id, count(*) as n from s group by shard_id)
+)
+select p.doc_id, p.skey, p.shard_id, p.pos_in_shard,
+    cast(p.pos_in_shard + o.off as bigint) as global_pos
+from p join offs o on p.shard_id = o.shard_id
 """

@@ -1836,3 +1836,23 @@ def test_bpe_encode_stats_batched_known_answer(spark, tmp_path):
     assert (r["source"], r["n_words"], r["symbols_before"],
             r["symbols_after"]) == ("s", 3, 10, 3)
     assert abs(r["compression"] - 0.3) < 1e-12
+
+
+def test_corpus_shuffle_shard_bijection_and_determinism(spark):
+    """Round-11 export stage: global_pos must be a bijection 1..N in
+    key order (shard prefix buckets preserve the global md5-key order),
+    pos_in_shard must be contiguous per shard, and re-running the same
+    seed must reproduce the permutation exactly (resumable training)."""
+    from ecommerce_dbt_medallion_spark.ops.sampling import corpus_shuffle_shard
+
+    pdf = corpus_shuffle_shard(spark, SF_SMOKE).toPandas()
+    n = len(pdf)
+    assert sorted(pdf.global_pos) == list(range(1, n + 1))
+    srt = pdf.sort_values("global_pos")
+    assert list(srt.skey) == sorted(pdf.skey), "global_pos must follow key order"
+    for _, grp in pdf.groupby("shard_id"):
+        assert sorted(grp.pos_in_shard) == list(range(1, len(grp) + 1))
+    again = corpus_shuffle_shard(spark, SF_SMOKE).toPandas()
+    assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )

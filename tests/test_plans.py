@@ -804,3 +804,19 @@ def test_round11_new_ops_plan_shapes(spark):
     )
     assert "CartesianProduct" not in mmd
     assert "partial_count" in mmd or "HashAggregate" in mmd
+
+
+def test_corpus_shuffle_shard_no_global_sort(spark):
+    """Round-11 export stage: the corpus-grain row_number must run
+    PARTITIONED by shard_id (the distributed range-sort shape) — the
+    only unpartitioned window allowed is the 16-row offsets frame."""
+    from ecommerce_dbt_medallion_spark.ops.sampling import corpus_shuffle_shard
+
+    plan = (
+        corpus_shuffle_shard(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(shard_id" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

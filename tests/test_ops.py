@@ -1856,3 +1856,87 @@ def test_corpus_shuffle_shard_bijection_and_determinism(spark):
     assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
         again.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_bpe_batched_matches_pure_python_reference(spark, tmp_path):
+    """Round-11 cross-implementation property: the Spark batched
+    trainer (and, transitively, its DuckDB oracle — parity-gated
+    elsewhere) must equal an independent pure-Python implementation of
+    the same spec — candidate ranking (cnt desc, pair asc), greedy
+    chain-overlap keep, fixed per-(round,slot) sentinels, leftmost
+    non-overlapping replace, reverse-order render — on seeded random
+    corpora, where hand-computing the answer is infeasible."""
+    import random as _random
+
+    from ecommerce_dbt_medallion_spark.ops.bpe import (
+        BPE_BATCH,
+        BPE_BATCH_ROUNDS,
+        BPE_SENT_BASE,
+        bpe_train_merges_batched,
+    )
+
+    def reference(words: dict) -> list:
+        sym = dict(words)  # word -> current symbol string
+        forms = {w: w for w in words}
+        stored = {}  # (r, j) -> stored (possibly sentinel-bearing) pair
+        out = []
+        for r in range(1, BPE_BATCH_ROUNDS + 1):
+            cnt: dict = {}
+            for w, f in words.items():
+                s = forms[w]
+                for i in range(len(s) - 1):
+                    p = s[i : i + 2]
+                    cnt[p] = cnt.get(p, 0) + f
+            cands = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            cands = cands[:BPE_BATCH]
+            kept = []
+            for pair, c in cands:
+                if any(
+                    pair[0] == p[1] or pair[1] == p[0] for p, _ in kept
+                ):
+                    continue
+                kept.append((pair, c))
+            for j, (pair, c) in enumerate(kept, 1):
+                sent = chr(BPE_SENT_BASE + (r - 1) * BPE_BATCH + (j - 1))
+                stored[(r, j)] = pair
+                out.append((r, j, pair, c))
+                for w in forms:
+                    forms[w] = forms[w].replace(pair, sent)
+        def render(s: str) -> str:
+            for r in range(BPE_BATCH_ROUNDS, 0, -1):
+                for j in range(BPE_BATCH, 0, -1):
+                    sent = chr(BPE_SENT_BASE + (r - 1) * BPE_BATCH + (j - 1))
+                    s = s.replace(sent, stored.get((r, j), ""))
+            return s
+        return [
+            (rnk, r, render(pair), c)
+            for rnk, (r, j, pair, c) in enumerate(out, 1)
+        ]
+
+    for seed in (7, 23):
+        rng = _random.Random(seed)
+        vocab = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(2, 7)))
+            for _ in range(60)
+        ]
+        words: dict = {}
+        for w in vocab:
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        text = " ".join(w for w, f in sorted(words.items()) for _ in range(f))
+
+        d = tmp_path / f"bpe_prop_{seed}"
+        d.mkdir()
+        spark.createDataFrame(
+            [(0, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(d / "documents.parquet")
+        )
+
+        got = sorted(
+            (r["rnk"], r["round"], r["pair"], r["cnt"])
+            for r in bpe_train_merges_batched(spark, str(d)).collect()
+            if r["stage"] == "merge"
+        )
+        want = sorted(reference(words))
+        assert got == want, f"seed {seed}: {got[:6]} != {want[:6]}"

@@ -1940,3 +1940,33 @@ def test_bpe_batched_matches_pure_python_reference(spark, tmp_path):
         )
         want = sorted(reference(words))
         assert got == want, f"seed {seed}: {got[:6]} != {want[:6]}"
+
+
+def test_corpus_shuffle_shard_matches_pure_python(spark):
+    """Round-11 cross-implementation pin: the whole permutation —
+    key derivation, prefix-bucket shard, per-shard rank, offset-summed
+    global position — recomputed independently with hashlib must equal
+    the Spark/oracle construction row for row."""
+    import hashlib
+
+    from ecommerce_dbt_medallion_spark.ops.sampling import (
+        SHUFFLE_SALT,
+        corpus_shuffle_shard,
+    )
+
+    pdf = corpus_shuffle_shard(spark, SF_SMOKE).toPandas()
+    docs = sorted(pdf.doc_id)
+    keyed = sorted(
+        (hashlib.md5(f"{d}{SHUFFLE_SALT}".encode()).hexdigest(), d)
+        for d in docs
+    )
+    want = {}
+    shard_pos: dict = {}
+    for gpos, (skey, d) in enumerate(keyed, 1):
+        shard = int(skey[0], 16)
+        shard_pos[shard] = shard_pos.get(shard, 0) + 1
+        want[d] = (skey, shard, shard_pos[shard], gpos)
+    for r in pdf.itertuples(index=False):
+        assert want[r.doc_id] == (
+            r.skey, r.shard_id, r.pos_in_shard, r.global_pos
+        ), r

@@ -162,6 +162,14 @@ def main() -> None:
         "bpe_encode_stats_batched",
         # round 11: the export-stage global shuffle + shard manifest
         "corpus_shuffle_shard",
+        # round 11 session 2: time-decay attribution, document-lift
+        # collocations, the integer Gram matrix (Arrow-batched partial
+        # fold), and the BPE merge-usage prune report (construction-
+        # timed: shares the batched trainer's checkpointing loop)
+        "attribution_time_decay",
+        "word_cooccurrence_lift",
+        "embedding_gram_matrix",
+        "bpe_merge_usage",
     ):
         if extra in queries:
             headline.append(extra)

@@ -23,6 +23,7 @@ from ecommerce_dbt_medallion_spark.ops import basket as opbasket
 from ecommerce_dbt_medallion_spark.ops import bpe as opbpe
 from ecommerce_dbt_medallion_spark.ops import chunking as opchunk
 from ecommerce_dbt_medallion_spark.ops import cluster as opcluster
+from ecommerce_dbt_medallion_spark.ops import colloc as opcolloc
 from ecommerce_dbt_medallion_spark.ops import curation as opcur
 from ecommerce_dbt_medallion_spark.ops import dedup as opdedup
 from ecommerce_dbt_medallion_spark.ops import fuzzy as opfuzzy
@@ -197,9 +198,15 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # r7-latest block (the round-10 deferral list above — three rounds
 # stale, the rotation's worst case, so this block is non-negotiable),
 # then the OLDEST r8-certified keys in api order fill the remaining
-# slots (13 fit with the seven additions above; the window ships with
+# slots (9 fit with the eleven additions above — the seven from the
+# round's first session plus the second session's
+# attribution_time_decay, word_cooccurrence_lift,
+# embedding_gram_matrix and bpe_merge_usage; the window ships with
 # the 20 oldest r8 keys until the additions land, each addition
-# displacing the newest r8 key in the window into the deferral list).
+# displacing the newest r8 key in the window into the deferral list —
+# the second session displaced stream_sessionize,
+# gold_customer_summary_bucketed, event_sessionization and
+# dedup_minhash_lsh).
 # The r8 keys that don't fit — dedup_simhash,
 # dedup_embedding_cosine,
 # ann_cosine_topk, dedup_clusters,
@@ -214,7 +221,9 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # stream_quantile_sketch, exact_substring_sampled,
 # quality_threshold_sweep, dedup_source_overlap,
 # watermark_lateness_audit, lakehouse_clone_read,
-# paragraph_dedup_rewrite, boilerplate_ngrams
+# paragraph_dedup_rewrite, boilerplate_ngrams,
+# stream_sessionize, gold_customer_summary_bucketed,
+# event_sessionization, dedup_minhash_lsh
 # — defer to the FRONT of the round-12 window together with any later
 # round-11 additions.
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
@@ -234,6 +243,10 @@ DRIVER_WINDOW = [
     "text_language_id_ngram",
     "bpe_encode_stats_batched",
     "corpus_shuffle_shard",
+    "attribution_time_decay",
+    "word_cooccurrence_lift",
+    "embedding_gram_matrix",
+    "bpe_merge_usage",
     # Head: round-11 additions land here as they ship (never-certified
     # outranks green), each displacing the newest r8 key at the tail.
     # Next 30 slots: the full r7-latest block deferred from round 10
@@ -279,10 +292,6 @@ DRIVER_WINDOW = [
     "dedup_minhash_md5",
     "dedup_incremental",
     "knn_graph",
-    "stream_sessionize",
-    "gold_customer_summary_bucketed",
-    "event_sessionization",
-    "dedup_minhash_lsh",
 ]
 
 
@@ -469,6 +478,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "bpe_train_merges_batched": opbpe.bpe_train_merges_batched,
         "bpe_encode_stats_batched": opbpe.bpe_encode_stats_batched,
         "corpus_shuffle_shard": opsample.corpus_shuffle_shard,
+        "attribution_time_decay": ev.attribution_time_decay,
+        "word_cooccurrence_lift": opcolloc.word_cooccurrence_lift,
+        "embedding_gram_matrix": opquant.embedding_gram_matrix,
+        "bpe_merge_usage": opbpe.bpe_merge_usage,
         "multimodal_dedup": opmm.multimodal_dedup,
         "text_language_id_ngram": optext.text_language_id_ngram,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
@@ -751,6 +764,13 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_shuffle_shard"] = opsample.oracle_corpus_shuffle_shard()
     out["multimodal_dedup"] = opmm.oracle_multimodal_dedup()
     out["text_language_id_ngram"] = optext.oracle_text_language_id_ngram()
+    # round 11 (session 2): time-decay attribution (exact power-of-two
+    # integer weights), document-lift collocations, the integer Gram
+    # matrix (PCA/whitening input), and the BPE merge-usage prune report
+    out["attribution_time_decay"] = ev.ORACLE_ATTRIBUTION_TIME_DECAY
+    out["word_cooccurrence_lift"] = opcolloc.oracle_word_cooccurrence_lift()
+    out["embedding_gram_matrix"] = opquant.oracle_embedding_gram_matrix()
+    out["bpe_merge_usage"] = opbpe.oracle_bpe_merge_usage()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the
     # hash gate PROVES the Spark-side agg rewrite / decorrelation

@@ -1470,6 +1470,103 @@ group by 1, 2, 3
 """
 
 
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (half-life = 1 day) — the
+    third member of the attribution family: a purchase's value is split
+    across its window touches proportionally to 2^-(age_days), so a
+    touch the day before the purchase earns twice the credit of one two
+    days before. No touches → 'direct', like the linear/position keys.
+
+    Same plan skeleton as attribution_linear (the shared ONE-equi-join
+    pairing from _attr_purchase_touch_pairs; the 7-day window is a
+    residual predicate). Decay weights are exact INTEGER units —
+    w = 1 << (ATTR_WINDOW_DAYS - age_days) ∈ {1..128} — so the
+    per-purchase weight total is an order-independent bigint window
+    sum and each share is bigint floor division of micro-units; the
+    single final division is the only float, the family's fixed-point
+    discipline. (A float 2^-age would also be exact, but SUMS of mixed
+    exponents round once totals exceed the mantissa — at 100 TB the
+    integer units are the safe form.)
+    """
+    pairs = _attr_purchase_touch_pairs(spark, sf_dir)
+    w_units = F.when(F.col("t_id").isNull(), F.lit(0)).otherwise(
+        F.expr(
+            "shiftleft(cast(1 as bigint), "
+            f"cast({ATTR_WINDOW_DAYS} - (p_us - t_us) div 86400000000 as int))"
+        )
+    )
+    tagged = pairs.select(
+        "p_id",
+        F.coalesce(F.col("t_type"), F.lit("direct")).alias("touch_type"),
+        F.coalesce(F.col("t_date"), F.col("p_date")).alias("touch_date"),
+        "t_id",
+        (F.col("value_cents") * 10000).alias("value_micros"),
+        w_units.cast("bigint").alias("w_units"),
+    )
+    sum_w = F.sum("w_units").over(Window.partitionBy("p_id"))
+    attributed = tagged.withColumn("sum_w", sum_w).select(
+        "p_id",
+        "touch_type",
+        "touch_date",
+        "t_id",
+        F.when(F.col("t_id").isNull(), F.col("value_micros"))
+        .otherwise(F.expr("(value_micros * w_units) div sum_w"))
+        .alias("share_micros"),
+    )
+    return attributed.groupBy("touch_type", "touch_date").agg(
+        F.count("t_id").alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        (F.sum("share_micros").cast("double") / F.lit(1000000.0)).alias(
+            "attributed_revenue"
+        ),
+    )
+
+
+ORACLE_ATTRIBUTION_TIME_DECAY = f"""
+with purchases as (
+    select event_id as p_id, user_id as p_user,
+        epoch_us(ts) as p_us, cast(ts as date) as p_date,
+        cast(cast(value as decimal(18,2)) * 100 as bigint) as value_cents
+    from events where event_type = 'purchase'
+),
+touches as (
+    select event_id as t_id, user_id as t_user, event_type as t_type,
+        epoch_us(ts) as t_us, cast(ts as date) as t_date
+    from events where event_type in ('view', 'click')
+),
+tagged as (
+    select p.p_id,
+        coalesce(t.t_type, 'direct') as touch_type,
+        coalesce(t.t_date, p.p_date) as touch_date,
+        t.t_id,
+        p.value_cents * 10000 as value_micros,
+        case when t.t_id is null then 0
+             else cast(1 as bigint)
+                  << ({ATTR_WINDOW_DAYS} - (p.p_us - t.t_us) // 86400000000)
+        end as w_units
+    from purchases p
+    left join touches t
+      on p.p_user = t.t_user
+     and t.t_us < p.p_us
+     and t.t_us >= p.p_us - {ATTR_WINDOW_DAYS * 86400 * 1_000_000}
+),
+shared as (
+    select touch_type, touch_date, t_id, p_id,
+        case when t_id is null then value_micros
+             else (value_micros * w_units)
+                  // sum(w_units) over (partition by p_id)
+        end as share_micros
+    from tagged
+)
+select touch_type, touch_date,
+    count(t_id) as n_touches,
+    count(distinct p_id) as n_purchases,
+    cast(sum(share_micros) as double) / 1000000.0 as attributed_revenue
+from shared
+group by 1, 2
+"""
+
+
 ANOMALY_MAD_K = 3
 
 

@@ -761,3 +761,156 @@ group by source
 order by source
 """
     )
+
+
+# ------------------------------------------------- merge-usage pruning
+
+BPE_SENT_COUNT = BPE_BATCH_ROUNDS * BPE_BATCH
+
+
+def bpe_merge_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-merge USAGE report over the batched trainer's vocabulary —
+    the pruning step of the tokenizer lifecycle (train → encode →
+    prune): for every learned merge, how many corpus tokens its symbol
+    survives as in the FINAL segmentation, across how many word types,
+    and whether it is prunable (zero surviving uses: the merge's output
+    was wholly consumed by later merges, a dead vocab entry that wastes
+    an embedding row in the trained model).
+
+    Counting runs on the sentinel-encoded vocabulary: merge (r, j)'s
+    applications survive as occurrences of its single-codepoint
+    sentinel, so usage = Σ_word f · occ(sentinel, w_final) — exact
+    bigint, order-free. occ is char_length(w) − char_length(replace(w,
+    sent, '')) (sentinels are 1 char by construction).
+
+    Scale shape (100 TB): the corpus was already reduced to the
+    word-frequency vocabulary by the shared training loop (the ONE
+    corpus-scale pass); this report is a vocabulary × 128-merge
+    broadcast cross join — vocabulary-scale work, no new corpus pass,
+    no shuffle beyond one (≤128-group) aggregate. usage_share is ONE
+    IEEE division of exact integers.
+    """
+    words, kept_frames, merges_row = _learn_merges_batched(spark, sf_dir)
+    kept_all = None
+    for r, kf in enumerate(kept_frames, start=1):
+        t = kf.select(F.lit(r).cast("long").alias("round"), "slot", "pair", "cnt")
+        kept_all = t if kept_all is None else kept_all.unionByName(t)
+    sent_lut = F.array(
+        *[F.lit(chr(BPE_SENT_BASE + i)) for i in range(BPE_SENT_COUNT)]
+    )
+    tagged = kept_all.withColumn(
+        "sent",
+        F.element_at(
+            sent_lut,
+            ((F.col("round") - 1) * BPE_BATCH + F.col("slot")).cast("int"),
+        ),
+    )
+    occ = F.char_length("w") - F.char_length(F.replace(F.col("w"), F.col("sent")))
+    usage = (
+        words.crossJoin(F.broadcast(tagged))
+        .select(
+            "round", "slot", "pair", "cnt",
+            (F.col("f") * occ).alias("wocc"),
+            F.when(occ > 0, 1).otherwise(0).alias("touched"),
+        )
+        .groupBy("round", "slot", "pair", "cnt")
+        .agg(
+            F.sum("wocc").alias("used_tokens"),
+            F.sum("touched").alias("word_types"),
+        )
+    )
+    totals = words.agg(
+        F.sum(F.col("f") * F.char_length("w")).alias("total_symbols")
+    )
+    worder = Window.orderBy(F.asc("round"), F.asc("slot"))
+    return (
+        usage.crossJoin(F.broadcast(totals))
+        .withColumn("rnk", F.row_number().over(worder))
+        .crossJoin(F.broadcast(merges_row))
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "round",
+            F.col("slot").cast("long").alias("slot"),
+            _render_batched(F.col("pair")).alias("pair"),
+            F.col("cnt").cast("long").alias("trained_cnt"),
+            F.col("used_tokens").cast("long").alias("used_tokens"),
+            F.col("word_types").cast("long").alias("word_types"),
+            (
+                F.col("used_tokens").cast("double")
+                / F.col("total_symbols").cast("double")
+            ).alias("usage_share"),
+            F.when(F.col("used_tokens") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("prunable"),
+        )
+    )
+
+
+def oracle_bpe_merge_usage() -> str:
+    """Shares the batched training CTE chain verbatim, then counts each
+    merge's surviving sentinel occurrences over the final vocabulary."""
+    parts = _batched_cte_parts()
+    merge_union = "\n    union all\n    ".join(
+        f"select {r} as round, slot, pair, cnt from bk{r}"
+        for r in range(1, BPE_BATCH_ROUNDS + 1)
+    )
+    parts.append(
+        f"""ball as materialized (
+  select round, slot, pair, cnt,
+         row_number() over (order by round asc, slot asc) as rnk
+  from (
+    {merge_union}
+  )
+)"""
+    )
+    parts.append(
+        f"""btot as (
+  select sum(f * length(w)) as total_symbols from bw{BPE_BATCH_ROUNDS}
+)"""
+    )
+    parts.append(
+        f"""busage as (
+  select m.rnk, m.round, m.slot, m.pair, m.cnt,
+      sum(v.f * (length(v.w) - length(replace(v.w,
+          chr(cast({BPE_SENT_BASE} + (m.round - 1) * {BPE_BATCH} + m.slot - 1 as integer)),
+          '')))) as used_tokens,
+      sum(case when length(v.w) > length(replace(v.w,
+          chr(cast({BPE_SENT_BASE} + (m.round - 1) * {BPE_BATCH} + m.slot - 1 as integer)),
+          '')) then 1 else 0 end) as word_types
+  from ball m cross join bw{BPE_BATCH_ROUNDS} v
+  group by 1, 2, 3, 4, 5
+)"""
+    )
+    parts.append(
+        f"""uu{BPE_BATCH_ROUNDS + 1} as (
+  select rnk, round, slot, pair, cnt, used_tokens, word_types from busage
+)"""
+    )
+    for r in range(BPE_BATCH_ROUNDS, 0, -1):
+        expr = "pair"
+        for j in range(BPE_BATCH, 0, -1):
+            sent = BPE_SENT_BASE + (r - 1) * BPE_BATCH + (j - 1)
+            expr = (
+                f"replace({expr}, chr({sent}), "
+                f"coalesce((select m{j} from bm{r}), ''))"
+            )
+        parts.append(
+            f"uu{r} as (select rnk, round, slot, {expr} as pair, cnt, "
+            f"used_tokens, word_types from uu{r + 1})"
+        )
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f"""
+select cast(rnk as bigint) as rnk, cast(round as bigint) as round,
+    cast(slot as bigint) as slot, pair,
+    cast(cnt as bigint) as trained_cnt,
+    cast(used_tokens as bigint) as used_tokens,
+    cast(word_types as bigint) as word_types,
+    cast(used_tokens as double) / cast(total_symbols as double)
+        as usage_share,
+    cast(case when used_tokens = 0 then 1 else 0 end as bigint) as prunable
+from uu1 cross join btot
+"""
+    )

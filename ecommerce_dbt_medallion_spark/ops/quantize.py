@@ -111,3 +111,115 @@ select vec_id,
 from q
 """
 
+
+# ---------------------------------------------------- Gram / covariance
+
+GRAM_DIM = 64  # embeddings table dimensionality (cluster.KM_DIM)
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram-matrix accumulation over the quantized
+    embedding corpus — the input every PCA / whitening / covariance-
+    conditioning stage of an embedding pipeline starts from. Output is
+    the upper triangle (dim_a ≤ dim_b, 1-based): raw second-moment
+    sums plus the per-dimension first-moment sums needed to form the
+    covariance downstream, and second_moment = sum_ab / n as the one
+    analytic double.
+
+    Scale shape (100 TB): the d×d Gram of an N×d matrix is the
+    textbook map-side-combinable aggregate — each partition reduces its
+    rows to ONE d×d partial (here via an Arrow-batched mapInPandas
+    doing an int64 matmul per batch: O(b·d²) work emitting d²/2 rows,
+    NEVER the N·d² exploded self-join, which at 100 TB would shuffle
+    2080× the corpus), then a (d²/2)-row groupBy folds partials. The
+    only shuffle carries ≤ batches × d²/2 partial rows.
+
+    Determinism / oracle notes: components share cluster.py's ONE
+    quantization recipe (floor(v·1e6 + 0.5), exact in both engines);
+    every sum is bigint — associative, commutative, partition-order
+    free (|q| ≤ 5.8e5 on unit-normalized inputs ⇒ q² ≤ 3.4e11: int64
+    holds the corpus sum through ~10M vectors; a 100 TB deployment
+    re-scales KM_SCALE or splits the fold). The DuckDB oracle restates
+    the same sums from an N·d² flatten-join — affordable at oracle SF,
+    value-identical by exactness. second_moment is ONE IEEE division
+    of exact integers (sum_ab < 2^53 at oracle SFs).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
+
+    q = _quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu_a, iu_b = np.triu_indices(GRAM_DIM)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            G = Q.T @ Q
+            s = Q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "dim_a": iu_a + 1,
+                    "dim_b": iu_b + 1,
+                    "n_part": np.int64(len(Q)),
+                    "sab_part": G[iu_a, iu_b],
+                    "sa_part": s[iu_a],
+                    "sb_part": s[iu_b],
+                }
+            )
+
+    partials = q.mapInPandas(
+        gram_partials,
+        schema=(
+            "dim_a int, dim_b int, n_part bigint, sab_part bigint,"
+            " sa_part bigint, sb_part bigint"
+        ),
+    )
+    return (
+        partials.groupBy("dim_a", "dim_b")
+        .agg(
+            F.sum("n_part").alias("n_vecs"),
+            F.sum("sab_part").alias("sum_ab"),
+            F.sum("sa_part").alias("sum_a"),
+            F.sum("sb_part").alias("sum_b"),
+        )
+        .select(
+            F.col("dim_a").cast("long").alias("dim_a"),
+            F.col("dim_b").cast("long").alias("dim_b"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("sum_ab").cast("long").alias("sum_ab"),
+            F.col("sum_a").cast("long").alias("sum_a"),
+            F.col("sum_b").cast("long").alias("sum_b"),
+            (
+                F.col("sum_ab").cast("double") / F.col("n_vecs").cast("double")
+            ).alias("second_moment"),
+        )
+    )
+
+
+def oracle_embedding_gram_matrix() -> str:
+    from ecommerce_dbt_medallion_spark.ops.cluster import KM_SCALE
+
+    return f"""
+with q as (
+    select vec_id, list_transform(embedding,
+        v -> cast(floor(cast(v as double) * {KM_SCALE}.0 + 0.5) as bigint)) as q
+    from embeddings
+), flat as (
+    select vec_id, t.range as dim, q.q[t.range] as v
+    from q cross join range(1, {GRAM_DIM} + 1) t
+)
+select a.dim as dim_a, b.dim as dim_b,
+    cast(count(*) as bigint) as n_vecs,
+    cast(sum(a.v * b.v) as bigint) as sum_ab,
+    cast(sum(a.v) as bigint) as sum_a,
+    cast(sum(b.v) as bigint) as sum_b,
+    cast(sum(a.v * b.v) as double) / cast(count(*) as double) as second_moment
+from flat a join flat b
+  on a.vec_id = b.vec_id and a.dim <= b.dim
+group by 1, 2
+"""

@@ -1970,3 +1970,100 @@ def test_corpus_shuffle_shard_matches_pure_python(spark):
         assert want[r.doc_id] == (
             r.skey, r.shard_id, r.pos_in_shard, r.global_pos
         ), r
+
+
+# ---------------------------------------------------- collocation mining
+
+
+def test_word_cooccurrence_lift_planted(spark, tmp_path):
+    """Planted corpus: 'alpha beta' co-occur in 2 of 4 docs (each df=2)
+    → lift = 2·4/(2·2) = 2.0 and it is the only pair with support ≥ 2."""
+    from ecommerce_dbt_medallion_spark.ops.colloc import word_cooccurrence_lift
+
+    d = tmp_path / "colloc"
+    d.mkdir()
+    rows = [
+        (0, "alpha beta x0", "en", "s", 13),
+        (1, "alpha beta y0", "en", "s", 13),
+        (2, "gamma x1", "en", "s", 8),
+        (3, "gamma y1", "en", "s", 8),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = word_cooccurrence_lift(spark, str(d)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.w1, r.w2, r.pair_docs, r.df1, r.df2, r.rank) == (
+        "alpha", "beta", 2, 2, 2, 1
+    )
+    assert r.lift == 2.0
+
+
+def test_word_cooccurrence_no_cartesian(spark):
+    from ecommerce_dbt_medallion_spark.ops.colloc import word_cooccurrence_lift
+
+    plan = word_cooccurrence_lift(spark, SF_SMOKE)._jdf.queryExecution().explainString(
+        word_cooccurrence_lift(spark, SF_SMOKE).sparkSession._jvm.org.apache.spark.sql
+        .execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ Gram matrix
+
+
+def test_embedding_gram_matrix_matches_numpy(spark):
+    """The distributed partial-Gram fold must equal a direct numpy
+    recomputation from the raw parquet (same quantization recipe)."""
+    import numpy as np
+
+    from ecommerce_dbt_medallion_spark.ops.quantize import (
+        GRAM_DIM,
+        embedding_gram_matrix,
+    )
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "embedding"
+    ).toPandas()
+    Q = np.floor(
+        np.array([np.asarray(v, dtype=np.float64) for v in raw["embedding"]])
+        * 1_000_000
+        + 0.5
+    ).astype(np.int64)
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    out = embedding_gram_matrix(spark, SF_SMOKE).toPandas()
+    assert len(out) == GRAM_DIM * (GRAM_DIM + 1) // 2
+    for row in out.itertuples():
+        a, b = int(row.dim_a) - 1, int(row.dim_b) - 1
+        assert a <= b
+        assert row.n_vecs == len(Q)
+        assert row.sum_ab == G[a, b], (a, b)
+        assert row.sum_a == s[a] and row.sum_b == s[b]
+        assert row.second_moment == G[a, b] / len(Q)
+
+
+# ------------------------------------------------------ BPE merge usage
+
+
+def test_bpe_merge_usage_known_answer(spark, tmp_path):
+    """Corpus 'aaab aaab ab' (the 37c known-answer corpus) under the
+    batched trainer learns aa, ab, aaab; the final vocabulary is
+    {<aaab>: 2, <ab>: 1}, so merge 'aa' survives NOWHERE (consumed by
+    'aaab' → prunable), 'ab' survives once, 'aaab' twice; the final
+    corpus is 3 symbols."""
+    from ecommerce_dbt_medallion_spark.ops.bpe import bpe_merge_usage
+
+    d = tmp_path / "bpeuse"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, "aaab aaab ab", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = sorted(map(tuple, bpe_merge_usage(spark, str(d)).collect()))
+    assert got == [
+        (1, 1, 1, "aa", 4, 0, 0, 0.0, 1),
+        (2, 2, 1, "ab", 3, 1, 1, 1.0 / 3.0, 0),
+        (3, 3, 1, "aaab", 2, 2, 1, 2.0 / 3.0, 0),
+    ], got

@@ -584,3 +584,50 @@ def test_label_propagation_separates_planted_communities(spark, tmp_path):
     assert got[20] == (1, 7) and got[21] == (1, 7), (got[20], got[21])
     assert all(got[n] == (1, 7) for n in c1)
     assert all(got[n] == (10, 5) for n in c2)
+
+
+# ------------------------------------------------- time-decay attribution
+
+
+def test_attribution_time_decay_conserves_value(spark):
+    """The decay model must attribute the same grand total as the
+    linear model (same pairing, same micro-unit floor-loss bound) and
+    never lose more than n_touches micro-units to floor division."""
+    dec = ev.attribution_time_decay(spark, SF_SMOKE).toPandas()
+    lin = ev.attribution_linear(spark, SF_SMOKE).toPandas()
+    assert math.isclose(
+        dec.attributed_revenue.sum(), lin.attributed_revenue.sum(), rel_tol=1e-6
+    )
+    assert set(dec.columns) == set(lin.columns)
+
+
+def test_attribution_time_decay_weights_recent_touches(spark, tmp_path):
+    """Planted: one purchase (value 100) with a touch 1 day before and
+    a touch 3 days before → weights 2^6 : 2^4 = 4 : 1 → shares 80/20."""
+    import datetime as dt
+
+    d = tmp_path / "decay"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "purchase", 100.0, "{}"),
+        (2, t0 - dt.timedelta(days=1), 7, "click", 0.0, "{}"),
+        (3, t0 - dt.timedelta(days=3), 7, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    out = ev.attribution_time_decay(spark, str(d)).toPandas()
+    by_type = dict(zip(out.touch_type, out.attributed_revenue))
+    assert math.isclose(by_type["click"], 80.0, rel_tol=1e-9)
+    assert math.isclose(by_type["view"], 20.0, rel_tol=1e-9)
+
+
+def test_attribution_time_decay_single_touch_join(spark):
+    """Like the position model: the weight window and the share must
+    ride ONE purchases⋈touches join."""
+    plan = _formatted(ev.attribution_time_decay(spark, SF_SMOKE))
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
+    assert "CartesianProduct" not in plan

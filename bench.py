@@ -170,6 +170,16 @@ def main() -> None:
         "word_cooccurrence_lift",
         "embedding_gram_matrix",
         "bpe_merge_usage",
+        # round 11 session 2 (continued): retention VACUUM gate
+        # (construction-timed: CREATE → DELETE → vacuum → reads) and
+        # per-label centroid drift monitoring
+        "lakehouse_vacuum_read",
+        "embedding_centroid_drift",
+        # round 11 session 2 (continued): streamed Gram maintenance
+        # (construction-timed: 3-batch availableNow drain + state
+        # MERGE) and per-source Simpson bigram diversity
+        "stream_gram_maintain",
+        "source_char_diversity",
     ):
         if extra in queries:
             headline.append(extra)

@@ -198,15 +198,18 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # r7-latest block (the round-10 deferral list above — three rounds
 # stale, the rotation's worst case, so this block is non-negotiable),
 # then the OLDEST r8-certified keys in api order fill the remaining
-# slots (9 fit with the eleven additions above — the seven from the
+# slots (5 fit with the fifteen additions above — the seven from the
 # round's first session plus the second session's
 # attribution_time_decay, word_cooccurrence_lift,
-# embedding_gram_matrix and bpe_merge_usage; the window ships with
+# embedding_gram_matrix, bpe_merge_usage, lakehouse_vacuum_read,
+# embedding_centroid_drift, stream_gram_maintain and
+# source_char_diversity; the window ships with
 # the 20 oldest r8 keys until the additions land, each addition
 # displacing the newest r8 key in the window into the deferral list —
 # the second session displaced stream_sessionize,
-# gold_customer_summary_bucketed, event_sessionization and
-# dedup_minhash_lsh).
+# gold_customer_summary_bucketed, event_sessionization,
+# dedup_minhash_lsh, dedup_incremental, knn_graph,
+# multimodal_extract and dedup_minhash_md5).
 # The r8 keys that don't fit — dedup_simhash,
 # dedup_embedding_cosine,
 # ann_cosine_topk, dedup_clusters,
@@ -223,7 +226,8 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # watermark_lateness_audit, lakehouse_clone_read,
 # paragraph_dedup_rewrite, boilerplate_ngrams,
 # stream_sessionize, gold_customer_summary_bucketed,
-# event_sessionization, dedup_minhash_lsh
+# event_sessionization, dedup_minhash_lsh, dedup_incremental,
+# knn_graph, multimodal_extract, dedup_minhash_md5
 # — defer to the FRONT of the round-12 window together with any later
 # round-11 additions.
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
@@ -247,6 +251,10 @@ DRIVER_WINDOW = [
     "word_cooccurrence_lift",
     "embedding_gram_matrix",
     "bpe_merge_usage",
+    "lakehouse_vacuum_read",
+    "embedding_centroid_drift",
+    "stream_gram_maintain",
+    "source_char_diversity",
     # Head: round-11 additions land here as they ship (never-certified
     # outranks green), each displacing the newest r8 key at the tail.
     # Next 30 slots: the full r7-latest block deferred from round 10
@@ -288,10 +296,6 @@ DRIVER_WINDOW = [
     "corpus_weighted_reservoir",
     "asof_event_order",
     "hypertable_rollup",
-    "multimodal_extract",
-    "dedup_minhash_md5",
-    "dedup_incremental",
-    "knn_graph",
 ]
 
 
@@ -482,6 +486,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "word_cooccurrence_lift": opcolloc.word_cooccurrence_lift,
         "embedding_gram_matrix": opquant.embedding_gram_matrix,
         "bpe_merge_usage": opbpe.bpe_merge_usage,
+        "lakehouse_vacuum_read": mcdf.lakehouse_vacuum_read,
+        "embedding_centroid_drift": opquant.embedding_centroid_drift,
+        "stream_gram_maintain": strm_sketch.stream_gram_maintain,
+        "source_char_diversity": optext.source_char_diversity,
         "multimodal_dedup": opmm.multimodal_dedup,
         "text_language_id_ngram": optext.text_language_id_ngram,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
@@ -771,6 +779,17 @@ def oracle_sql() -> dict[str, str]:
     out["word_cooccurrence_lift"] = opcolloc.oracle_word_cooccurrence_lift()
     out["embedding_gram_matrix"] = opquant.oracle_embedding_gram_matrix()
     out["bpe_merge_usage"] = opbpe.oracle_bpe_merge_usage()
+    # round 11 (session 2): retention VACUUM under the gate (reclaim
+    # proof + restore-refusal at construction, head reads pre/post
+    # vacuum under one hash) and per-label centroid drift monitoring
+    out["lakehouse_vacuum_read"] = mcdf.oracle_lakehouse_vacuum_read()
+    out["embedding_centroid_drift"] = opquant.oracle_embedding_centroid_drift()
+    # round 11 (session 2): streamed Gram maintenance — exact-bigint
+    # cell commutativity makes the streamed state equal the batch
+    # computation, so the key shares the batch oracle verbatim (the
+    # stream_quantile_sketch contract); per-source Simpson diversity
+    out["stream_gram_maintain"] = opquant.oracle_embedding_gram_matrix()
+    out["source_char_diversity"] = optext.oracle_source_char_diversity()
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the
     # hash gate PROVES the Spark-side agg rewrite / decorrelation

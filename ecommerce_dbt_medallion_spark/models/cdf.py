@@ -875,3 +875,80 @@ select 'final' as state, cast(order_id as bigint) as order_id,
     order_status, amount from kept
 """,
     )
+
+
+def lakehouse_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory #32o (round 11, session 2): retention-bounded VACUUM
+    under the hash gate — the storage-reclaim half of the table
+    lifecycle (OPTIMIZE compacts, VACUUM reclaims what time travel past
+    the horizon no longer needs; Delta's VACUUM RETAIN trade).
+
+    Construction: v0 CREATE (full order facts, keyed); v1 DELETE WHERE
+    order_id % 5 = 1 (rewrites every touched file, so v0's originals
+    leave the live set but stay on disk for time travel);
+    ``vacuum_retain(retain_last=1)`` then reclaims every file reachable
+    ONLY from v0. Contracts enforced at construction (the zorder-gate
+    raise pattern):
+
+    - the vacuum MUST reclaim at least one file (a no-op vacuum means
+      the delete never rewrote anything — the gate is vacuous);
+    - RESTORE to the vacuumed v0 MUST refuse with the vacuumed-file
+      error (history stays auditable, data is gone — a restore that
+      "succeeds" onto missing files would wedge every reader);
+    - the HEAD read is taken BOTH before and after the vacuum and both
+      are unioned under the value hash — a vacuum that touches a live
+      file hash-mismatches (the reclaim-a-needed-file bug is the one
+      that corrupts production tables).
+
+    Scale shape: vacuum is metadata-only driver work (log replay to
+    build the keep-set + file unlinks) — O(versions × files) names,
+    never a data scan; the gated reads are ordinary pruned scans.
+    """
+    table = _gate_path(sf_dir, "vacuum_gate")
+
+    facts = _facts(spark, sf_dir)
+    lakehouse.create_or_replace(spark, table, facts, key="order_id")
+    lakehouse.delete_where(spark, table, "order_id % 5 = 1")
+
+    def _tagged(df: DataFrame, state: str) -> DataFrame:
+        return df.select(
+            F.lit(state).alias("state"),
+            F.col("order_id").cast("long").alias("order_id"),
+            "order_status",
+            F.col("amount").cast("double").alias("amount"),
+        )
+
+    head = _tagged(lakehouse.read(spark, table), "head")
+
+    n_reclaimed = lakehouse.vacuum_retain(table, retain_last=1)
+    if n_reclaimed < 1:
+        raise AssertionError("vacuum reclaimed nothing; the gate is vacuous")
+    try:
+        lakehouse.restore(table, 0)
+    except FileNotFoundError:
+        pass
+    else:
+        raise AssertionError("restore onto vacuumed v0 did not refuse")
+
+    post = _tagged(lakehouse.read(spark, table), "post_vacuum")
+    return head.unionByName(post)
+
+
+def oracle_lakehouse_vacuum_read() -> str:
+    from ecommerce_dbt_medallion_spark.oracle import assemble
+
+    return assemble(
+        "silver_orders",
+        final_select="""
+, kept as (
+    select order_id, order_status,
+           cast(cast(order_amount as decimal(18,2)) as double) as amount
+    from silver_orders where order_id % 5 <> 1
+)
+select 'head' as state, cast(order_id as bigint) as order_id,
+    order_status, amount from kept
+union all
+select 'post_vacuum' as state, cast(order_id as bigint) as order_id,
+    order_status, amount from kept
+""",
+    )

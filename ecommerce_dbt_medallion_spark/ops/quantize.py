@@ -144,13 +144,21 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-identical by exactness. second_moment is ONE IEEE division
     of exact integers (sum_ab < 2^53 at oracle SFs).
     """
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
-
     from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
 
     q = _quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return gram_finalize(gram_partial_sums(q))
 
-    def gram_partials(batches):
+
+def gram_partial_sums(q: DataFrame) -> DataFrame:
+    """(vec_id, q) → one (dim_a, dim_b, n_part, sab_part, sa_part,
+    sb_part) row per upper-triangle cell, folded across the frame: the
+    ONE partial-Gram definition the batch key and the streaming
+    maintenance share (exact bigint cells — associative, commutative,
+    so ANY regrouping of rows, partitions or micro-batches sums to the
+    same state)."""
+
+    def _partials(batches):
         import numpy as np
         import pandas as pd
 
@@ -173,14 +181,25 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     partials = q.mapInPandas(
-        gram_partials,
+        _partials,
         schema=(
             "dim_a int, dim_b int, n_part bigint, sab_part bigint,"
             " sa_part bigint, sb_part bigint"
         ),
     )
+    return partials.groupBy("dim_a", "dim_b").agg(
+        F.sum("n_part").alias("n_part"),
+        F.sum("sab_part").alias("sab_part"),
+        F.sum("sa_part").alias("sa_part"),
+        F.sum("sb_part").alias("sb_part"),
+    )
+
+
+def gram_finalize(state: DataFrame) -> DataFrame:
+    """Partial-sum state rows → the published Gram report (merging
+    across whatever tags the state still carries)."""
     return (
-        partials.groupBy("dim_a", "dim_b")
+        state.groupBy("dim_a", "dim_b")
         .agg(
             F.sum("n_part").alias("n_vecs"),
             F.sum("sab_part").alias("sum_ab"),
@@ -222,4 +241,105 @@ select a.dim as dim_a, b.dim as dim_b,
 from flat a join flat b
   on a.vec_id = b.vec_id and a.dim <= b.dim
 group by 1, 2
+"""
+
+
+# ------------------------------------------------- per-label centroid drift
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-distribution drift — the corpus-monitoring
+    report an embedding pipeline runs per ingest slice (does segment X
+    sit where the corpus sits, or has its distribution moved?): for
+    every ``label``, squared L2 distance between the label centroid and
+    the GLOBAL centroid, plus the label centroid's squared norm.
+
+    Determinism: per-(label, dim) sums are exact bigints over
+    cluster.py's ONE quantization recipe (map-side combinable,
+    partition-order free); each centroid component is ONE exact-integer
+    IEEE division; the two d-term squared sums fold in FIXED dim order
+    (array_sort + left fold ⇔ DuckDB list(… order by dim) +
+    list_aggregate 'sum' — the playbook-verified bit-identical pair
+    embedding_quantize already relies on).
+
+    Scale shape (100 TB): one narrow posexplode pass → (labels × d)-row
+    aggregate with map-side combine; the global centroid derives from
+    the SAME aggregate (no second corpus pass); everything after runs
+    at (labels × d) metadata scale. Drift values are in quantized
+    units² (KM_SCALE² × cosine-space units) — comparisons across labels
+    and across runs are what the report is for.
+    """
+    from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _quantize_embeddings(e).join(e.select("vec_id", "label"), "vec_id")
+    per_ld = (
+        q.select("label", F.posexplode("q").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+    )
+    per_d = per_ld.groupBy("dim").agg(
+        F.sum("sv").alias("gsv"), F.sum("n").alias("gn")
+    )
+    diffs = per_ld.join(per_d, "dim").select(
+        "label",
+        "dim",
+        "n",
+        (F.col("sv").cast("double") / F.col("n").cast("double")).alias("m_l"),
+        (F.col("gsv").cast("double") / F.col("gn").cast("double")).alias("m_g"),
+    )
+    folded = (
+        diffs.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim").alias("dim"),
+                        ((F.col("m_l") - F.col("m_g")) * (F.col("m_l") - F.col("m_g"))).alias("d2"),
+                        (F.col("m_l") * F.col("m_l")).alias("c2"),
+                    )
+                )
+            ).alias("terms"),
+        )
+    )
+    zero = F.lit(0.0).cast("double")
+    return folded.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.aggregate("terms", zero, lambda a, t: a + t["d2"]).alias("drift_sq"),
+        F.aggregate("terms", zero, lambda a, t: a + t["c2"]).alias(
+            "centroid_norm_sq"
+        ),
+    )
+
+
+def oracle_embedding_centroid_drift() -> str:
+    from ecommerce_dbt_medallion_spark.ops.cluster import KM_SCALE
+
+    return f"""
+with q as (
+    select vec_id, label, list_transform(embedding,
+        v -> cast(floor(cast(v as double) * {KM_SCALE}.0 + 0.5) as bigint)) as q
+    from embeddings
+), flat as (
+    select label, t.range as dim, q.q[t.range] as v
+    from q cross join range(1, {GRAM_DIM} + 1) t
+), per_ld as (
+    select label, dim, sum(v) as sv, count(*) as n
+    from flat group by label, dim
+), per_d as (
+    select dim, sum(sv) as gsv, sum(n) as gn from per_ld group by dim
+), diffs as (
+    select label, per_ld.dim, n,
+        cast(sv as double) / cast(n as double) as m_l,
+        cast(gsv as double) / cast(gn as double) as m_g
+    from per_ld join per_d using (dim)
+)
+select cast(label as bigint) as label,
+    cast(max(n) as bigint) as n_vecs,
+    list_aggregate(list((m_l - m_g) * (m_l - m_g) order by dim), 'sum')
+        as drift_sq,
+    list_aggregate(list(m_l * m_l order by dim), 'sum') as centroid_norm_sq
+from diffs
+group by label
 """

@@ -1165,3 +1165,84 @@ from g group by 1
 order by n_docs desc, n_occurrences desc, ngram
 limit {BOILER_K}
 """
+
+
+# ------------------------------------------- per-source char diversity
+
+
+def source_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-bigram Simpson concentration — the
+    corpus-slice diversity profile (a boilerplate-heavy or
+    single-template source concentrates its bigram mass; a diverse
+    source spreads it): simpson = Σ nᵢ(nᵢ−1) / (N(N−1)), the
+    probability two random bigram draws from the source collide.
+    Higher = more repetitive. Complements repetition_stats (per-DOC
+    repeated n-gram share) at the per-SOURCE grain where mixing
+    decisions (corpus_mix_weights) are made.
+
+    Scale shape (100 TB): one corpus-scale explode → (source, bigram)
+    counts with map-side combine (bigram cardinality is alphabet²-
+    bounded, so the shuffle is tiny regardless of corpus size) → a
+    per-source rollup. All counts exact bigints; Σ nᵢ(nᵢ−1) ≤ N·max nᵢ
+    stays in int64 through ~1e9 bigrams per source (beyond that, the
+    rollup moves to decimal(38,0) — same note as the Gram fold);
+    simpson is ONE IEEE division of exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.where(F.char_length("text") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(lower(text)) - 1),"
+                " i -> substring(lower(text), i, 2))"
+            )
+        ).alias("bigram"),
+    )
+    counts = grams.groupBy("source", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("distinct_bigrams"),
+            F.sum(F.col("n") * (F.col("n") - 1)).alias("coll"),
+        )
+        .select(
+            "source",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("distinct_bigrams").cast("long").alias("distinct_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 1,
+                F.col("coll").cast("double")
+                / (F.col("n_bigrams") * (F.col("n_bigrams") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("simpson"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_source_char_diversity() -> str:
+    return """
+with g as (
+    select source,
+        unnest(list_transform(range(1, length(lower(text))),
+                              i -> substr(lower(text), i, 2))) as bigram
+    from documents where length(text) >= 2
+), c as (
+    select source, bigram, cast(count(*) as bigint) as n
+    from g group by source, bigram
+)
+select source,
+    cast(sum(n) as bigint) as n_bigrams,
+    cast(count(*) as bigint) as distinct_bigrams,
+    case when sum(n) > 1
+         then cast(sum(n * (n - 1)) as double)
+              / cast(sum(n) * (sum(n) - 1) as double)
+         else 0.0 end as simpson
+from c
+group by source
+order by source
+"""

@@ -490,3 +490,92 @@ from est
 order by est_count desc, user_id
 limit {HH_TOPK}
 """
+
+
+# -------------------------------------- streaming Gram-matrix maintenance
+
+
+def stream_gram_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_table: str,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Drain raw-embedding micro-batches into a batch-tagged partial-
+    Gram state table (2080 integer cells per batch after the in-batch
+    fold). Same algebra story as the quantile sketch: the cells are
+    exact bigints, so any chop of the corpus into micro-batches sums to
+    the same state; same replay guard (batch-tagged anti-join)."""
+    from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
+    from ecommerce_dbt_medallion_spark.ops.quantize import gram_partial_sums
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bstate = gram_partial_sums(
+            _quantize_embeddings(batch_df)
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        bstate = bstate.localCheckpoint(eager=True)
+        if not lakehouse.versions(state_table):
+            lakehouse.create_or_replace(spark, state_table, bstate)
+            return
+        seen = lakehouse.read(spark, state_table).select("batch_id").distinct()
+        fresh = bstate.join(seen, "batch_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if not fresh.isEmpty():
+            lakehouse.append(spark, state_table, fresh)
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", _ckpt_dir(state_table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = lakehouse.versions(state_table)
+    return vs[-1] if vs else -1
+
+
+def stream_gram_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated key (#34f4): STREAMING maintenance of the integer Gram
+    matrix — the incremental-covariance shape a 100 TB embedding
+    pipeline actually runs (each ingest slice folds its d×d partial
+    into stored state; PCA/whitening consumers read the state, never
+    the corpus). The embeddings table splits into 3 deterministic
+    micro-batches (vec_id % 3, mtime-ordered files); each batch's
+    2080-cell partial lands batch-tagged in a lakehouse state table;
+    the published report merges across tags. Exact-bigint
+    commutativity makes the streamed state EQUAL the batch
+    computation, so the key shares ``oracle_embedding_gram_matrix``
+    verbatim (the stream_quantile_sketch contract)."""
+    import re as _re
+    import shutil as _sh
+
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+    from ecommerce_dbt_medallion_spark.ops.quantize import gram_finalize
+    from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    src = os.path.normpath(os.path.join(_GATE_ROOT, f"gramstream_src_{tag}"))
+    state_table = os.path.normpath(
+        os.path.join(_GATE_ROOT, f"gramstream_state_{tag}")
+    )
+    for p in (src, state_table, _ckpt_dir(state_table)):
+        _sh.rmtree(p, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stage_microbatch_files(
+        src, [emb.where(F.col("vec_id") % 3 == k) for k in range(3)]
+    )
+    stream_gram_ingest(spark, src, state_table)
+    return gram_finalize(
+        lakehouse.read(spark, state_table).drop("batch_id")
+    )

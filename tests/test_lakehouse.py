@@ -3219,3 +3219,64 @@ def test_ann_index_maintain_replay_and_equals_batch(spark, tmp_path):
     live = lh.live_files(codes_t)
     one_list = lh.pruned_files(codes_t, {"list_id": (0, 0)})
     assert len(one_list) < len(live)
+
+
+def test_stream_gram_maintain_replay_and_equals_batch(spark, tmp_path):
+    """The Gram state is additive — the classic replay hazard. The
+    batch-tagged anti-join guard must make a checkpoint-loss replay a
+    no-op, and the merged streamed state must equal the single-pass
+    batch Gram over the union of the batches."""
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
+    from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stream_gram_ingest,
+        stage_microbatch_files,
+    )
+    from ecommerce_dbt_medallion_spark.ops.quantize import (
+        GRAM_DIM,
+        gram_finalize,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(scale=0.3, size=GRAM_DIM)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = tmp_path / "gram_src"
+    src.mkdir()
+    stage_microbatch_files(
+        str(src), [df.where(F.col("vec_id") % 2 == k) for k in range(2)]
+    )
+
+    state = str(tmp_path / "gram_state")
+    stream_gram_ingest(spark, str(src), state)
+    first = sorted(
+        map(tuple, gram_finalize(lh.read(spark, state)).collect())
+    )
+    v_first = lh.versions(state)[-1]
+
+    # checkpoint loss: full-source replay must not change the state
+    shutil.rmtree(_ckpt_dir(state), ignore_errors=True)
+    stream_gram_ingest(spark, str(src), state)
+    again = sorted(
+        map(tuple, gram_finalize(lh.read(spark, state)).collect())
+    )
+    assert again == first
+    assert lh.versions(state)[-1] == v_first
+
+    # streamed state == one-pass batch Gram over the union
+    from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
+    from ecommerce_dbt_medallion_spark.ops.quantize import gram_partial_sums
+
+    batch = sorted(
+        map(
+            tuple,
+            gram_finalize(gram_partial_sums(_quantize_embeddings(df))).collect(),
+        )
+    )
+    assert batch == first

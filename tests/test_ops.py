@@ -2067,3 +2067,60 @@ def test_bpe_merge_usage_known_answer(spark, tmp_path):
         (2, 2, 1, "ab", 3, 1, 1, 1.0 / 3.0, 0),
         (3, 3, 1, "aaab", 2, 2, 1, 2.0 / 3.0, 0),
     ], got
+
+
+# ------------------------------------------------- centroid drift
+
+
+def test_embedding_centroid_drift_planted_shift(spark, tmp_path):
+    """Two labels, label 1 shifted by +delta on every dim: each label
+    centroid sits delta/2 (per dim, in quantized units) from the global
+    centroid → drift_sq = d · (delta·SCALE/2)² for BOTH labels."""
+    import numpy as np
+
+    from ecommerce_dbt_medallion_spark.ops.cluster import KM_SCALE
+    from ecommerce_dbt_medallion_spark.ops.quantize import (
+        GRAM_DIM,
+        embedding_centroid_drift,
+    )
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    base = [0.125] * GRAM_DIM  # exactly representable; quantizes cleanly
+    delta = 0.25
+    rows = []
+    for i in range(10):
+        rows.append((i, [float(x) for x in base], 0))
+    for i in range(10, 20):
+        rows.append((i, [float(x + delta) for x in base], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = embedding_centroid_drift(spark, str(d)).toPandas().set_index("label")
+    expect = GRAM_DIM * (delta * KM_SCALE / 2) ** 2
+    assert set(out.index) == {0, 1}
+    assert all(out.n_vecs == 10)
+    for lbl in (0, 1):
+        assert out.loc[lbl, "drift_sq"] == expect, (lbl, out.loc[lbl, "drift_sq"])
+
+
+def test_source_char_diversity_planted(spark, tmp_path):
+    """'aaaa' is all-collision (simpson = 1); 'abcd' has no repeated
+    bigram (simpson = 0)."""
+    from ecommerce_dbt_medallion_spark.ops.text import source_char_diversity
+
+    d = tmp_path / "div"
+    d.mkdir()
+    rows = [
+        (0, "aaaa", "en", "mono", 4),
+        (1, "abcd", "en", "poly", 4),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = source_char_diversity(spark, str(d)).toPandas().set_index("source")
+    assert out.loc["mono", "n_bigrams"] == 3
+    assert out.loc["mono", "distinct_bigrams"] == 1
+    assert out.loc["mono", "simpson"] == 1.0
+    assert out.loc["poly", "distinct_bigrams"] == 3
+    assert out.loc["poly", "simpson"] == 0.0

@@ -486,6 +486,19 @@ def _render_batched(inner) -> "F.Column":
     return out
 
 
+def _ranked_kept(kept_frames) -> DataFrame:
+    """Union the per-round kept frames into (round, slot, pair, cnt,
+    rnk) with the global application order — ONE definition shared by
+    the trainer report and the merge-usage report (the round-7
+    'one definition ends the copy' rule)."""
+    kept_all = None
+    for r, kf in enumerate(kept_frames, start=1):
+        t = kf.select(F.lit(r).cast("long").alias("round"), "slot", "pair", "cnt")
+        kept_all = t if kept_all is None else kept_all.unionByName(t)
+    worder = Window.orderBy(F.asc("round"), F.asc("slot"))
+    return kept_all.withColumn("rnk", F.row_number().over(worder))
+
+
 def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BPE training: BPE_BATCH_ROUNDS rounds × up to BPE_BATCH
     greedily-compatible merges each (the scale path past the 1-merge
@@ -499,13 +512,8 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the value hash, not just application.
     """
     words, kept_frames, merges_row = _learn_merges_batched(spark, sf_dir)
-    kept_all = None
-    for r, kf in enumerate(kept_frames, start=1):
-        t = kf.select(F.lit(r).cast("long").alias("round"), "slot", "pair", "cnt")
-        kept_all = t if kept_all is None else kept_all.unionByName(t)
-    worder = Window.orderBy(F.asc("round"), F.asc("slot"))
     mrows = (
-        kept_all.withColumn("rnk", F.row_number().over(worder))
+        _ranked_kept(kept_frames)
         .crossJoin(F.broadcast(merges_row))
         .select(
             F.lit("merge").alias("stage"),
@@ -791,10 +799,7 @@ def bpe_merge_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division of exact integers.
     """
     words, kept_frames, merges_row = _learn_merges_batched(spark, sf_dir)
-    kept_all = None
-    for r, kf in enumerate(kept_frames, start=1):
-        t = kf.select(F.lit(r).cast("long").alias("round"), "slot", "pair", "cnt")
-        kept_all = t if kept_all is None else kept_all.unionByName(t)
+    kept_all = _ranked_kept(kept_frames)
     sent_lut = F.array(
         *[F.lit(chr(BPE_SENT_BASE + i)) for i in range(BPE_SENT_COUNT)]
     )
@@ -809,11 +814,11 @@ def bpe_merge_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     usage = (
         words.crossJoin(F.broadcast(tagged))
         .select(
-            "round", "slot", "pair", "cnt",
+            "rnk", "round", "slot", "pair", "cnt",
             (F.col("f") * occ).alias("wocc"),
             F.when(occ > 0, 1).otherwise(0).alias("touched"),
         )
-        .groupBy("round", "slot", "pair", "cnt")
+        .groupBy("rnk", "round", "slot", "pair", "cnt")
         .agg(
             F.sum("wocc").alias("used_tokens"),
             F.sum("touched").alias("word_types"),
@@ -822,10 +827,8 @@ def bpe_merge_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = words.agg(
         F.sum(F.col("f") * F.char_length("w")).alias("total_symbols")
     )
-    worder = Window.orderBy(F.asc("round"), F.asc("slot"))
     return (
         usage.crossJoin(F.broadcast(totals))
-        .withColumn("rnk", F.row_number().over(worder))
         .crossJoin(F.broadcast(merges_row))
         .select(
             F.col("rnk").cast("long").alias("rnk"),

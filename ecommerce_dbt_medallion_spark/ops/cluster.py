@@ -50,18 +50,21 @@ KM_SCALE = 1_000_000  # component quantization: floor(v * SCALE + 0.5)
 KM_DIM = 64
 
 
-def _quantize_embeddings(e: DataFrame) -> DataFrame:
-    """(vec_id, embedding) → (vec_id, q): the ONE quantization recipe
-    every integer-k-means consumer shares — batch loaders and the
-    streamed ann_index_maintain micro-batches must quantize identically
-    or stored codes drift from the batch-built index."""
+def _quantize_embeddings(e: DataFrame, *extra: str) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, *extra, q): the ONE quantization
+    recipe every integer-k-means consumer shares — batch loaders and
+    the streamed ann_index_maintain micro-batches must quantize
+    identically or stored codes drift from the batch-built index.
+    ``extra`` carries source columns (e.g. label) through the SAME
+    projection so consumers never re-scan or self-join to recover
+    them."""
     q = F.transform(
         F.col("embedding"),
         lambda v: F.floor(v.cast("double") * F.lit(float(KM_SCALE)) + F.lit(0.5)).cast(
             "long"
         ),
     )
-    return e.select("vec_id", q.alias("q"))
+    return e.select("vec_id", *extra, q.alias("q"))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:

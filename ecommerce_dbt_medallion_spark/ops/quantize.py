@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# ONE dimensionality constant with the k-means family, or the
+# mapInPandas matmul and the oracle flattens silently drift when the
+# embeddings dimensionality changes
+from ecommerce_dbt_medallion_spark.ops.cluster import KM_DIM as GRAM_DIM
 from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
 QBITS_MAX = 127  # int8 symmetric range
@@ -114,7 +118,6 @@ from q
 
 # ---------------------------------------------------- Gram / covariance
 
-GRAM_DIM = 64  # embeddings table dimensionality (cluster.KM_DIM)
 
 
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,7 +274,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = _quantize_embeddings(e).join(e.select("vec_id", "label"), "vec_id")
+    q = _quantize_embeddings(e, "label")
     per_ld = (
         q.select("label", F.posexplode("q").alias("dim", "v"))
         .groupBy("label", "dim")

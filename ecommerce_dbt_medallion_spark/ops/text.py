@@ -1189,14 +1189,22 @@ def source_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     simpson is ONE IEEE division of exact integers.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.where(F.char_length("text") >= 2).select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, char_length(lower(text)) - 1),"
-                " i -> substring(lower(text), i, 2))"
-            )
-        ).alias("bigram"),
+    # project lower(text) ONCE before the HOF: lambda bodies are
+    # interpreted with no CSE, so referencing lower(text) inside the
+    # transform re-lowers the document per element — O(len²) per doc
+    # (the boilerplate_ngrams lesson, ops/text.py §34s)
+    grams = (
+        docs.where(F.char_length("text") >= 2)
+        .select("source", F.lower(F.col("text")).alias("lt"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(lt) - 1),"
+                    " i -> substring(lt, i, 2))"
+                )
+            ).alias("bigram"),
+        )
     )
     counts = grams.groupBy("source", "bigram").agg(
         F.count(F.lit(1)).alias("n")

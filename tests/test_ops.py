@@ -2003,9 +2003,11 @@ def test_word_cooccurrence_lift_planted(spark, tmp_path):
 def test_word_cooccurrence_no_cartesian(spark):
     from ecommerce_dbt_medallion_spark.ops.colloc import word_cooccurrence_lift
 
-    plan = word_cooccurrence_lift(spark, SF_SMOKE)._jdf.queryExecution().explainString(
-        word_cooccurrence_lift(spark, SF_SMOKE).sparkSession._jvm.org.apache.spark.sql
-        .execution.ExplainMode.fromString("formatted")
+    df = word_cooccurrence_lift(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
     )
     assert "CartesianProduct" not in plan
 

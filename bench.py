@@ -180,6 +180,10 @@ def main() -> None:
         # MERGE) and per-source Simpson bigram diversity
         "stream_gram_maintain",
         "source_char_diversity",
+        # round 11 session 2 (continued): simhash hamming→Jaccard
+        # calibration and the first-touch conversion-lag report
+        "simhash_calibration",
+        "conversion_lag_distribution",
     ):
         if extra in queries:
             headline.append(extra)

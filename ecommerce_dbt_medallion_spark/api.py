@@ -198,18 +198,20 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # r7-latest block (the round-10 deferral list above — three rounds
 # stale, the rotation's worst case, so this block is non-negotiable),
 # then the OLDEST r8-certified keys in api order fill the remaining
-# slots (5 fit with the fifteen additions above — the seven from the
+# slots (3 fit with the seventeen additions above — the seven from the
 # round's first session plus the second session's
 # attribution_time_decay, word_cooccurrence_lift,
 # embedding_gram_matrix, bpe_merge_usage, lakehouse_vacuum_read,
-# embedding_centroid_drift, stream_gram_maintain and
-# source_char_diversity; the window ships with
+# embedding_centroid_drift, stream_gram_maintain,
+# source_char_diversity, simhash_calibration and
+# conversion_lag_distribution; the window ships with
 # the 20 oldest r8 keys until the additions land, each addition
 # displacing the newest r8 key in the window into the deferral list —
 # the second session displaced stream_sessionize,
 # gold_customer_summary_bucketed, event_sessionization,
 # dedup_minhash_lsh, dedup_incremental, knn_graph,
-# multimodal_extract and dedup_minhash_md5).
+# multimodal_extract, dedup_minhash_md5, asof_event_order and
+# hypertable_rollup).
 # The r8 keys that don't fit — dedup_simhash,
 # dedup_embedding_cosine,
 # ann_cosine_topk, dedup_clusters,
@@ -227,7 +229,8 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # paragraph_dedup_rewrite, boilerplate_ngrams,
 # stream_sessionize, gold_customer_summary_bucketed,
 # event_sessionization, dedup_minhash_lsh, dedup_incremental,
-# knn_graph, multimodal_extract, dedup_minhash_md5
+# knn_graph, multimodal_extract, dedup_minhash_md5, asof_event_order,
+# hypertable_rollup
 # — defer to the FRONT of the round-12 window together with any later
 # round-11 additions.
 # DRIVER_WINDOW_ROUND pins which round this window was built FOR. The
@@ -255,6 +258,8 @@ DRIVER_WINDOW = [
     "embedding_centroid_drift",
     "stream_gram_maintain",
     "source_char_diversity",
+    "simhash_calibration",
+    "conversion_lag_distribution",
     # Head: round-11 additions land here as they ship (never-certified
     # outranks green), each displacing the newest r8 key at the tail.
     # Next 30 slots: the full r7-latest block deferred from round 10
@@ -294,8 +299,6 @@ DRIVER_WINDOW = [
     "dq_failed_rows",
     "attribution_linear",
     "corpus_weighted_reservoir",
-    "asof_event_order",
-    "hypertable_rollup",
 ]
 
 
@@ -490,6 +493,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "embedding_centroid_drift": opquant.embedding_centroid_drift,
         "stream_gram_maintain": strm_sketch.stream_gram_maintain,
         "source_char_diversity": optext.source_char_diversity,
+        "simhash_calibration": opdedup.simhash_calibration,
+        "conversion_lag_distribution": ev.conversion_lag_distribution,
         "multimodal_dedup": opmm.multimodal_dedup,
         "text_language_id_ngram": optext.text_language_id_ngram,
         "waiting_supplier_ranking": ana.waiting_supplier_ranking,
@@ -790,6 +795,11 @@ def oracle_sql() -> dict[str, str]:
     # stream_quantile_sketch contract); per-source Simpson diversity
     out["stream_gram_maintain"] = opquant.oracle_embedding_gram_matrix()
     out["source_char_diversity"] = optext.oracle_source_char_diversity()
+    # round 11 (session 2): simhash hamming→Jaccard calibration (the
+    # minhash_calibration twin, blocking replayed in the oracle) and
+    # the first-touch conversion-lag report off the shared pairing
+    out["simhash_calibration"] = opdedup.oracle_simhash_calibration()
+    out["conversion_lag_distribution"] = ev.ORACLE_CONVERSION_LAG_DISTRIBUTION
     # round 9: Q21/Q2/Q10-shape marts — the oracles keep the textbook
     # correlated EXISTS / NOT EXISTS and correlated-min forms, so the
     # hash gate PROVES the Spark-side agg rewrite / decorrelation

@@ -1567,6 +1567,76 @@ group by 1, 2
 """
 
 
+def conversion_lag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag distribution — the fourth read off the shared
+    attribution pairing: for purchases WITH window touches, the
+    whole-day lag from the FIRST touch to the purchase, rolled up per
+    (first-touch channel, lag_days) with purchase counts and exact-cent
+    revenue. This is the report that sets the attribution window
+    itself (a mass at lag 6–7 says the 7-day cut is clipping real
+    journeys) — the natural companion to the three credit models.
+
+    Same single user-equi-join skeleton (_attr_purchase_touch_pairs);
+    the first touch is one row_number over the per-purchase window
+    (bounded fan-in), lag is exact integer epoch-day division, revenue
+    sums cents — one final double division, the family's fixed-point
+    discipline.
+    """
+    pairs = _attr_purchase_touch_pairs(spark, sf_dir).where(
+        F.col("t_id").isNotNull()
+    )
+    w_asc = Window.partitionBy("p_id").orderBy("t_us", "t_id")
+    first = (
+        pairs.withColumn("rk", F.row_number().over(w_asc))
+        .where(F.col("rk") == 1)
+        .select(
+            "p_id",
+            F.col("t_type").alias("first_touch_type"),
+            F.expr("(p_us - t_us) div 86400000000").alias("lag_days"),
+            "value_cents",
+        )
+    )
+    return first.groupBy("first_touch_type", "lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        (F.sum("value_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+ORACLE_CONVERSION_LAG_DISTRIBUTION = f"""
+with purchases as (
+    select event_id as p_id, user_id as p_user,
+        epoch_us(ts) as p_us,
+        cast(cast(value as decimal(18,2)) * 100 as bigint) as value_cents
+    from events where event_type = 'purchase'
+),
+touches as (
+    select event_id as t_id, user_id as t_user, event_type as t_type,
+        epoch_us(ts) as t_us
+    from events where event_type in ('view', 'click')
+),
+first_touch as (
+    select p_id, t_type as first_touch_type,
+        (p_us - t_us) // 86400000000 as lag_days,
+        value_cents
+    from (
+        select p.p_id, p.p_us, p.value_cents, t.t_type, t.t_us,
+            row_number() over (partition by p.p_id
+                               order by t.t_us, t.t_id) as rk
+        from purchases p
+        join touches t
+          on p.p_user = t.t_user
+         and t.t_us < p.p_us
+         and t.t_us >= p.p_us - {ATTR_WINDOW_DAYS * 86400 * 1_000_000}
+    ) where rk = 1
+)
+select first_touch_type, lag_days,
+    cast(count(*) as bigint) as n_purchases,
+    cast(sum(value_cents) as double) / 100.0 as revenue
+from first_touch
+group by 1, 2
+"""
+
+
 ANOMALY_MAD_K = 3
 
 

@@ -1080,3 +1080,222 @@ def signature_verdicts(
             ),
         )
     )
+
+
+# ------------------------------------------------ simhash calibration
+
+SIMHASH_CAL_MAX = 16  # calibration hamming horizon (>> the dedup cap of 3)
+
+
+def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration report for the simhash family — the
+    hamming-distance twin of minhash_calibration: for every 4-segment
+    blocking candidate with Hamming ≤ SIMHASH_CAL_MAX, the POOLED
+    (micro-averaged) exact shingle Jaccard per hamming bucket
+    (Σ|A∩B| / Σ|A∪B| — exact bigint sums, ONE division; a per-pair
+    mean would sum doubles in partition order). This table is how the
+    SIMHASH_MAX_HAMMING dedup threshold is set with evidence instead
+    of folklore — at 100 TB only the hamming test is affordable, so
+    its mapping to true Jaccard must be measured.
+
+    Plan: signatures in one pass (64 codegen'd vote sums), candidates
+    via the same segment-blocking join as dedup_simhash (bounded by
+    16-bit-key occupancy, never all-pairs), hamming filter FIRST so the
+    exact-Jaccard shingle join runs only on the near-dup-sized
+    survivors. Candidate recall past hamming 3 is whatever the 4
+    segments give (pigeonhole-lossless only to 3) — the oracle replays
+    the SAME blocking, so the report is calibrated on exactly the pair
+    population the production screen sees.
+    """
+    seg_len = 64 // SIMHASH_SEGMENTS
+    sh = shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    h = sh.select("doc_id", F.md5("shingle").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(_md5_bit_expr(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sigs = votes.select(
+        "doc_id",
+        F.array(
+            *[F.when(F.col(f"b{b}") >= 0, 1).otherwise(0) for b in range(64)]
+        ).alias("simhash_bits"),
+    )
+    segs = sigs.select(
+        "doc_id",
+        "simhash_bits",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        *[
+                            F.element_at(
+                                F.col("simhash_bits"), s * seg_len + r + 1
+                            ).cast("string")
+                            for r in range(seg_len)
+                        ],
+                    )
+                    for s in range(SIMHASH_SEGMENTS)
+                ]
+            )
+        ).alias("seg_id", "seg_key"),
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    candidates = (
+        segs.alias("a")
+        .join(
+            segs.alias("b"),
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_key") == F.col("b.seg_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash_bits").alias("bits_a"),
+            F.col("b.simhash_bits").alias("bits_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= SIMHASH_CAL_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        candidates.select("doc_a", "doc_b")
+        .join(sh.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            sh.alias("gb"),
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.shingle") == F.col("gb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    paired = (
+        candidates.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "hamming",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("n_common"), F.lit(0))).alias(
+                "n_union"
+            ),
+        )
+    )
+    return (
+        paired.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_common").alias("sum_common"),
+            F.sum("n_union").alias("sum_union"),
+        )
+        .select(
+            "hamming",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("sum_common").cast("long").alias("sum_common"),
+            F.col("sum_union").cast("long").alias("sum_union"),
+            (
+                F.col("sum_common").cast("double")
+                / F.col("sum_union").cast("double")
+            ).alias("pooled_jaccard"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def oracle_simhash_calibration() -> str:
+    """Replays signatures AND the 4-segment blocking (the Spark
+    candidate population, not an all-pairs idealization), then the
+    pooled-Jaccard rollup per hamming bucket."""
+    from ecommerce_dbt_medallion_spark.ops.text import WS_RE
+
+    seg_len = 64 // SIMHASH_SEGMENTS
+    return f"""
+with tok as (
+    select doc_id, string_split_regex(lower(trim(text)), '{WS_RE}') as t
+    from documents
+),
+grams as (
+    select doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - {NGRAM_N - 2}, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) as gram
+    from tok
+),
+gram_bits as (
+    select doc_id, b.range as bit_idx,
+        ((strpos('0123456789abcdef', substr(md5(gram), cast(b.range // 4 + 1 as int), 1)) - 1)
+          >> cast(b.range % 4 as int)) & 1 as bit
+    from grams cross join range(64) b
+),
+votes as (
+    select doc_id, bit_idx,
+        case when sum(case when bit = 1 then 1 else -1 end) >= 0 then 1 else 0 end as sbit
+    from gram_bits group by doc_id, bit_idx
+),
+bstr as (
+    select doc_id, string_agg(cast(sbit as varchar), '' order by bit_idx) as bits
+    from votes group by doc_id
+),
+segs as (
+    select doc_id, s.range as seg_id,
+        substr(bits, cast(s.range * {seg_len} + 1 as int), {seg_len}) as seg_key
+    from bstr cross join range({SIMHASH_SEGMENTS}) s
+),
+cand as (
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from segs a join segs b
+      on a.seg_id = b.seg_id and a.seg_key = b.seg_key
+     and a.doc_id < b.doc_id
+),
+hams as (
+    select c.doc_a, c.doc_b,
+        cast(sum(abs(va.sbit - vb.sbit)) as bigint) as hamming
+    from cand c
+    join votes va on va.doc_id = c.doc_a
+    join votes vb on vb.doc_id = c.doc_b and vb.bit_idx = va.bit_idx
+    group by c.doc_a, c.doc_b
+    having sum(abs(va.sbit - vb.sbit)) <= {SIMHASH_CAL_MAX}
+),
+sizes as (
+    select doc_id, cast(count(*) as bigint) as n_grams from grams group by doc_id
+),
+inter as (
+    select h.doc_a, h.doc_b, cast(count(*) as bigint) as n_common
+    from hams h
+    join grams ga on ga.doc_id = h.doc_a
+    join grams gb on gb.doc_id = h.doc_b and gb.gram = ga.gram
+    group by h.doc_a, h.doc_b
+),
+paired as (
+    select h.hamming,
+        coalesce(i.n_common, 0) as n_common,
+        sa.n_grams + sb.n_grams - coalesce(i.n_common, 0) as n_union
+    from hams h
+    left join inter i on i.doc_a = h.doc_a and i.doc_b = h.doc_b
+    join sizes sa on sa.doc_id = h.doc_a
+    join sizes sb on sb.doc_id = h.doc_b
+)
+select hamming,
+    cast(count(*) as bigint) as n_pairs,
+    cast(sum(n_common) as bigint) as sum_common,
+    cast(sum(n_union) as bigint) as sum_union,
+    cast(sum(n_common) as double) / cast(sum(n_union) as double)
+        as pooled_jaccard
+from paired
+group by hamming
+order by hamming
+"""

@@ -2126,3 +2126,22 @@ def test_source_char_diversity_planted(spark, tmp_path):
     assert out.loc["mono", "simpson"] == 1.0
     assert out.loc["poly", "distinct_bigrams"] == 3
     assert out.loc["poly", "simpson"] == 0.0
+
+
+def test_simhash_calibration_covers_dedup_pairs(spark):
+    """The calibration population (hamming ≤ 16 on the same blocking)
+    must be a superset of the dedup screen's pairs (hamming ≤ 3), and
+    every bucket must be internally consistent."""
+    from ecommerce_dbt_medallion_spark.ops.dedup import (
+        SIMHASH_CAL_MAX,
+        dedup_simhash,
+        simhash_calibration,
+    )
+
+    cal = simhash_calibration(spark, SF_SMOKE).toPandas()
+    assert cal.hamming.between(0, SIMHASH_CAL_MAX).all()
+    assert (cal.sum_common <= cal.sum_union).all()
+    assert ((cal.pooled_jaccard >= 0) & (cal.pooled_jaccard <= 1)).all()
+    n_dedup = dedup_simhash(spark, SF_SMOKE).count()
+    n_cal_low = int(cal[cal.hamming <= 3].n_pairs.sum())
+    assert n_cal_low == n_dedup

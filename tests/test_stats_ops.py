@@ -631,3 +631,29 @@ def test_attribution_time_decay_single_touch_join(spark):
     plan = _formatted(ev.attribution_time_decay(spark, SF_SMOKE))
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_conversion_lag_first_touch_planted(spark, tmp_path):
+    """Purchase with a click 1 day before and a view 3 days before:
+    the FIRST touch is the view (earliest), lag 3 days, full revenue."""
+    import datetime as dt
+
+    d = tmp_path / "lag"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "purchase", 100.0, "{}"),
+        (2, t0 - dt.timedelta(days=1), 7, "click", 0.0, "{}"),
+        (3, t0 - dt.timedelta(days=3), 7, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    out = ev.conversion_lag_distribution(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.first_touch_type, r.lag_days, r.n_purchases, r.revenue) == (
+        "view", 3, 1, 100.0
+    )

@@ -62,7 +62,11 @@ def _doc_word_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-COOC_TOPK word pairs by document-level lift over the
     top-COOC_V df vocabulary (support ≥ COOC_MIN_PAIR_DOCS)."""
-    dw = _doc_word_distinct(spark, sf_dir)
+    # one materialized distinct pass, reused by the df count and BOTH
+    # self-join sides — without the checkpoint the plan recomputes the
+    # corpus-scale explode+distinct three times (the dedup family's
+    # checkpointed-shingles discipline)
+    dw = _doc_word_distinct(spark, sf_dir).localCheckpoint(eager=True)
     dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfreq.orderBy(F.desc("df"), F.asc("word")).limit(COOC_V)
     dv = dw.join(F.broadcast(vocab), "word").select("doc_id", "word", "df")

@@ -820,3 +820,45 @@ def test_corpus_shuffle_shard_no_global_sort(spark):
     )
     assert "windowspecdefinition(shard_id" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_round11_s2_keys_no_cartesian(spark):
+    """Round-11 session-2 batch: every new key's plan must be free of
+    unhinted cartesian products (the 1-row scalar broadcasts surface as
+    BroadcastNestedLoopJoin, which is the allowed shape)."""
+    from ecommerce_dbt_medallion_spark.models import events as ev
+    from ecommerce_dbt_medallion_spark.models.cdf import lakehouse_vacuum_read
+    from ecommerce_dbt_medallion_spark.ops.colloc import word_cooccurrence_lift
+    from ecommerce_dbt_medallion_spark.ops.dedup import simhash_calibration
+    from ecommerce_dbt_medallion_spark.ops.quantize import (
+        embedding_centroid_drift,
+        embedding_gram_matrix,
+    )
+    from ecommerce_dbt_medallion_spark.ops.text import source_char_diversity
+
+    for fn in (
+        ev.attribution_time_decay,
+        ev.conversion_lag_distribution,
+        word_cooccurrence_lift,
+        embedding_gram_matrix,
+        embedding_centroid_drift,
+        source_char_diversity,
+        simhash_calibration,
+    ):
+        plan = _formatted(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, fn.__name__
+    # vacuum gate: construction executes table DDL; plan-check the
+    # returned union read
+    plan = _formatted(lakehouse_vacuum_read(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_gram_matrix_single_state_exchange(spark):
+    """The Gram fold's only shuffle must carry partial-cell rows (the
+    map-side-combined Arrow partials), never corpus rows: the plan has
+    no join at all and at most the aggregate exchange pair."""
+    from ecommerce_dbt_medallion_spark.ops.quantize import embedding_gram_matrix
+
+    plan = _formatted(embedding_gram_matrix(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2

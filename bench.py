@@ -214,7 +214,15 @@ def main() -> None:
                           "ann_topk_ivfpq", "bpe_encode_stats",
                           "ann_index_maintain", "ann_topk_ivfpq_rerank",
                           "bpe_train_merges_batched",
-                          "bpe_encode_stats_batched"}
+                          "bpe_encode_stats_batched",
+                          # round 11 session 2: vacuum gate DDL, the
+                          # 3-batch gram drain, the trainer-sharing
+                          # usage report, and the eagerly-checkpointed
+                          # collocation distinct pass all run at
+                          # construction — write-only timing would
+                          # under-report them 5-60x
+                          "lakehouse_vacuum_read", "stream_gram_maintain",
+                          "bpe_merge_usage", "word_cooccurrence_lift"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -550,3 +550,85 @@ def test_quantile_sketch_merge_associative(spark, vals, split):
         e = est[num / 100.0]
         assert e <= true, (num, e, true)
         assert true < max(10, e + (e // 10) + 1) or true <= 9, (num, e, true)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),              # user_id
+            st.integers(min_value=0, max_value=12 * 86400),     # offset seconds
+            st.sampled_from(["purchase", "view", "click", "error"]),
+            st.integers(min_value=0, max_value=500_00),         # value cents
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_attribution_models_conserve_value(spark, tmp_path_factory, events):
+    """On ANY event stream the three credit models attribute the same
+    grand total (total purchase value, up to bounded floor loss) —
+    linear, position and time-decay shares all partition the same
+    micro-units."""
+    from ecommerce_dbt_medallion_spark.models.events import (
+        attribution_linear,
+        attribution_position,
+        attribution_time_decay,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, uid, base + datetime.timedelta(seconds=off), etype, cents / 100.0, "{}")
+        for i, (uid, off, etype, cents) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("attr")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    totals = []
+    n_rows_max = 0
+    for fn in (attribution_linear, attribution_position, attribution_time_decay):
+        pdf = fn(spark, str(d)).toPandas()
+        totals.append(float(pdf.attributed_revenue.sum()) if len(pdf) else 0.0)
+        n_rows_max = max(n_rows_max, int(pdf.n_touches.sum()) if len(pdf) else 0)
+    purchase_total = sum(c for (_, _, t, c) in events if t == "purchase") / 100.0
+    slack = 3e-6 * (n_rows_max + 1)
+    for t in totals:
+        assert purchase_total >= t > purchase_total - slack - 1e-9, (
+            totals, purchase_total)
+
+
+@given(
+    vecs=st.lists(
+        # integers mapped to floats: st.floats' IEEE self-checks fail
+        # under the FTZ processor state a loaded native lib (Arrow /
+        # the JVM) sets, environment-dependently
+        st.lists(
+            st.integers(min_value=-600_000, max_value=600_000),
+            min_size=64, max_size=64,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_gram_matrix_partition_invariance(spark, tmp_path_factory, vecs):
+    """The Gram fold must be partition-count invariant on ANY input —
+    the exact-bigint commutativity claim, tested rather than asserted."""
+    from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
+    from ecommerce_dbt_medallion_spark.ops.quantize import (
+        gram_finalize,
+        gram_partial_sums,
+    )
+
+    rows = [(i, [x / 1_000_000.0 for x in v], 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    one = sorted(map(tuple, gram_finalize(
+        gram_partial_sums(_quantize_embeddings(df.coalesce(1)))).collect()))
+    many = sorted(map(tuple, gram_finalize(
+        gram_partial_sums(_quantize_embeddings(df.repartition(7)))).collect()))
+    assert one == many

@@ -222,7 +222,12 @@ def main() -> None:
                           # construction — write-only timing would
                           # under-report them 5-60x
                           "lakehouse_vacuum_read", "stream_gram_maintain",
-                          "bpe_merge_usage", "word_cooccurrence_lift"}
+                          "bpe_merge_usage", "word_cooccurrence_lift",
+                          # eagerly checkpoints the corpus shingle pass
+                          # at construction (its twin minhash_calibration
+                          # predates the construction-timed discipline
+                          # and keeps its historical write-only basis)
+                          "simhash_calibration"}
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -178,14 +178,19 @@ def _md5_bit_expr(b: int) -> Column:
     return F.shiftright(digit_val, j).bitwiseAND(F.lit(1))
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_signatures(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """doc_id → 64-element 0/1 bit array: sign of per-bit ±1 votes over
     each shingle's md5-derived bits — 64 codegen'd sum-aggregates, one
     pass. md5 (not xxhash64) so the DuckDB oracle reproduces the exact
-    signatures."""
-    h = shingle_rows(spark, sf_dir).select(
-        "doc_id", F.md5("shingle").alias("h")
-    )
+    signatures. ``sh`` lets a caller pass precomputed (checkpointed)
+    shingle rows — the minhash_signatures reuse shape; ONE signature
+    definition keeps the calibration report measuring exactly what the
+    dedup screen computes."""
+    if sh is None:
+        sh = shingle_rows(spark, sf_dir)
+    h = sh.select("doc_id", F.md5("shingle").alias("h"))
     votes = h.groupBy("doc_id").agg(
         *[
             F.sum(F.when(_md5_bit_expr(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
@@ -198,14 +203,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", bits.alias("simhash_bits"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#17: 64-bit simhash, 4-segment pigeonhole blocking (any pair with
-    Hamming distance <= 3 shares at least one identical 16-bit segment),
-    exact Hamming verify on candidates.
-    """
+def _simhash_hamming_pairs(sigs: DataFrame) -> DataFrame:
+    """Signatures → (doc_a, doc_b, hamming) over the 4-segment
+    pigeonhole-blocked candidate pairs — the ONE blocking + exact
+    Hamming definition shared by the dedup screen and the calibration
+    report (a drifted copy would decalibrate the report against the
+    screen it claims to calibrate)."""
     seg_len = 64 // SIMHASH_SEGMENTS
-    sigs = simhash_signatures(spark, sf_dir)
-
     segs = sigs.select(
         "doc_id",
         "simhash_bits",
@@ -247,10 +251,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda a, x: a + x,
     )
-    return (
-        candidates.withColumn("hamming", hamming.cast("long"))
-        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+    return candidates.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#17: 64-bit simhash, 4-segment pigeonhole blocking (any pair with
+    Hamming distance <= 3 shares at least one identical 16-bit segment),
+    exact Hamming verify on candidates.
+    """
+    return _simhash_hamming_pairs(simhash_signatures(spark, sf_dir)).where(
+        F.col("hamming") <= SIMHASH_MAX_HAMMING
     )
 
 
@@ -1107,65 +1119,10 @@ def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME blocking, so the report is calibrated on exactly the pair
     population the production screen sees.
     """
-    seg_len = 64 // SIMHASH_SEGMENTS
     sh = shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
-    h = sh.select("doc_id", F.md5("shingle").alias("h"))
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(_md5_bit_expr(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
-            for b in range(64)
-        ]
-    )
-    sigs = votes.select(
-        "doc_id",
-        F.array(
-            *[F.when(F.col(f"b{b}") >= 0, 1).otherwise(0) for b in range(64)]
-        ).alias("simhash_bits"),
-    )
-    segs = sigs.select(
-        "doc_id",
-        "simhash_bits",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "",
-                        *[
-                            F.element_at(
-                                F.col("simhash_bits"), s * seg_len + r + 1
-                            ).cast("string")
-                            for r in range(seg_len)
-                        ],
-                    )
-                    for s in range(SIMHASH_SEGMENTS)
-                ]
-            )
-        ).alias("seg_id", "seg_key"),
-    )
-    hamming = F.aggregate(
-        F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda a, x: a + x,
-    )
-    candidates = (
-        segs.alias("a")
-        .join(
-            segs.alias("b"),
-            (F.col("a.seg_id") == F.col("b.seg_id"))
-            & (F.col("a.seg_key") == F.col("b.seg_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash_bits").alias("bits_a"),
-            F.col("b.simhash_bits").alias("bits_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", hamming.cast("long"))
-        .where(F.col("hamming") <= SIMHASH_CAL_MAX)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    candidates = _simhash_hamming_pairs(
+        simhash_signatures(spark, sf_dir, sh=sh)
+    ).where(F.col("hamming") <= SIMHASH_CAL_MAX)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     inter = (
         candidates.select("doc_a", "doc_b")

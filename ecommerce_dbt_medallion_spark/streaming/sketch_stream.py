@@ -63,6 +63,29 @@ def stage_microbatch_files(src_dir: str, slices) -> None:
         os.utime(dst, (base + k * 10, base + k * 10))
 
 
+def _gate_scratch(sf_dir: str, *names: str) -> list[str]:
+    """Fresh streaming-gate scratch paths under the gitignored gate
+    root — ONE sanitization recipe with models/cdf._gate_path (the
+    round-7 'inline copies drift' review; this module had grown four
+    verbatim copies). Each path AND its streaming-checkpoint sibling
+    is reset; callers mkdir their source dir."""
+    import re as _re
+    import shutil as _sh
+
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+
+    tag = _re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir))
+    )
+    out = []
+    for n in names:
+        path = os.path.normpath(os.path.join(_GATE_ROOT, f"{n}_{tag}"))
+        for q in (path, _ckpt_dir(path)):
+            _sh.rmtree(q, ignore_errors=True)
+        out.append(path)
+    return out
+
+
 def stream_quantile_sketch_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -136,20 +159,12 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     result equal the batch computation over all orders, so the key
     shares the batch oracle verbatim — the strongest possible
     state-maintenance gate."""
-    import re as _re
-    import shutil as _sh
-    import time as _time
 
-    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
     from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    src = os.path.normpath(os.path.join(_GATE_ROOT, f"qsketchstream_src_{tag}"))
-    state_table = os.path.normpath(
-        os.path.join(_GATE_ROOT, f"qsketchstream_state_{tag}")
+    src, state_table = _gate_scratch(
+        sf_dir, "qsketchstream_src", "qsketchstream_state"
     )
-    for p in (src, state_table, _ckpt_dir(state_table)):
-        _sh.rmtree(p, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -258,20 +273,12 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the batch estimator column-for-column (the oracle is the
     batch oracle minus its exact-count column, which would need
     corpus-scale state to maintain online)."""
-    import re as _re
-    import shutil as _sh
-    import time as _time
 
-    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
     from ecommerce_dbt_medallion_spark.models.events import load_events
 
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    src = os.path.normpath(os.path.join(_GATE_ROOT, f"hllstream_src_{tag}"))
-    state_table = os.path.normpath(
-        os.path.join(_GATE_ROOT, f"hllstream_state_{tag}")
+    src, state_table = _gate_scratch(
+        sf_dir, "hllstream_src", "hllstream_state"
     )
-    for p in (src, state_table, _ckpt_dir(state_table)):
-        _sh.rmtree(p, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
 
     ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id")
@@ -418,19 +425,12 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch deterministic top-M candidates + global CMS estimates —
     in pure SQL, so candidate selection, cell maintenance, and the min
     estimator are all under the value hash."""
-    import re as _re
-    import shutil as _sh
-    import time as _time
 
-    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
     from ecommerce_dbt_medallion_spark.models.events import load_events
 
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    src = os.path.normpath(os.path.join(_GATE_ROOT, f"hhstream_src_{tag}"))
-    cms_table = os.path.normpath(os.path.join(_GATE_ROOT, f"hhstream_cms_{tag}"))
-    cand_table = os.path.normpath(os.path.join(_GATE_ROOT, f"hhstream_cand_{tag}"))
-    for p in (src, cms_table, cand_table, _ckpt_dir(cms_table)):
-        _sh.rmtree(p, ignore_errors=True)
+    src, cms_table, cand_table = _gate_scratch(
+        sf_dir, "hhstream_src", "hhstream_cms", "hhstream_cand"
+    )
     os.makedirs(src, exist_ok=True)
 
     ev = load_events(spark, sf_dir).select("event_id", "user_id")
@@ -555,20 +555,13 @@ def stream_gram_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutativity makes the streamed state EQUAL the batch
     computation, so the key shares ``oracle_embedding_gram_matrix``
     verbatim (the stream_quantile_sketch contract)."""
-    import re as _re
-    import shutil as _sh
 
-    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
     from ecommerce_dbt_medallion_spark.ops.quantize import gram_finalize
     from ecommerce_dbt_medallion_spark.sources.registry import load_table
 
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    src = os.path.normpath(os.path.join(_GATE_ROOT, f"gramstream_src_{tag}"))
-    state_table = os.path.normpath(
-        os.path.join(_GATE_ROOT, f"gramstream_state_{tag}")
+    src, state_table = _gate_scratch(
+        sf_dir, "gramstream_src", "gramstream_state"
     )
-    for p in (src, state_table, _ckpt_dir(state_table)):
-        _sh.rmtree(p, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

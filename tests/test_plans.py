@@ -836,6 +836,11 @@ def test_round11_s2_keys_no_cartesian(spark):
     )
     from ecommerce_dbt_medallion_spark.ops.text import source_char_diversity
 
+    from ecommerce_dbt_medallion_spark.ops.bpe import bpe_merge_usage
+    from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stream_gram_maintain,
+    )
+
     for fn in (
         ev.attribution_time_decay,
         ev.conversion_lag_distribution,
@@ -844,13 +849,16 @@ def test_round11_s2_keys_no_cartesian(spark):
         embedding_centroid_drift,
         source_char_diversity,
         simhash_calibration,
+        # the crossJoins in the usage report must stay broadcast-hinted
+        bpe_merge_usage,
     ):
         plan = _formatted(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, fn.__name__
-    # vacuum gate: construction executes table DDL; plan-check the
-    # returned union read
-    plan = _formatted(lakehouse_vacuum_read(spark, SF_SMOKE))
-    assert "CartesianProduct" not in plan
+    # gate keys whose construction executes table DDL / stream drains:
+    # plan-check the returned read
+    for fn in (lakehouse_vacuum_read, stream_gram_maintain):
+        plan = _formatted(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, fn.__name__
 
 
 def test_gram_matrix_single_state_exchange(spark):

@@ -22,6 +22,7 @@ from ecommerce_dbt_medallion_spark.oracle import assemble, oracle_sql_medallion
 from ecommerce_dbt_medallion_spark.ops import basket as opbasket
 from ecommerce_dbt_medallion_spark.ops import bpe as opbpe
 from ecommerce_dbt_medallion_spark.ops import chunking as opchunk
+from ecommerce_dbt_medallion_spark.ops import classify as opcls
 from ecommerce_dbt_medallion_spark.ops import cluster as opcluster
 from ecommerce_dbt_medallion_spark.ops import colloc as opcolloc
 from ecommerce_dbt_medallion_spark.ops import curation as opcur
@@ -239,66 +240,94 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # green when the driver later drops this round's own artifact into
 # the repo root (the round-8 test computed state from ALL artifacts
 # and self-invalidated the moment CORRECTNESS_r08.json landed).
-DRIVER_WINDOW_ROUND = 11
+# Round-12 rotation (this window): the three round-12 additions go
+# first (never-certified outranks green) — doc_quality_classify,
+# lm_score_source_mix, pack_sequences_bfd; any LATER round-12 additions
+# would join this head under the same rule and must be named here —
+# then the FULL 47-key r8-latest block (the round-11 deferral list
+# above, including the rows-only dedup_minhash_lsh; three rounds stale,
+# the rotation's worst case — VERDICT r11 #1 made this block
+# non-negotiable), in api order. 3 + 47 = 50: the window is exactly
+# full, no r9 key fits, and after this round no key's latest driver row
+# is older than r9.
+# The entire 50-key r9-latest block therefore defers to the FRONT of
+# the round-13 window together with any later round-12 additions —
+# gold_rfm_segmentation, churn_risk_score, event_daily_stats,
+# event_funnel, event_path_topk, active_users_rolling,
+# corpus_weighted_sample, sketch_distinct_users, sales_by_region,
+# supplier_part_revenue, customer_order_percentiles,
+# range_join_promo_revenue, sales_rollup, payment_method_pivot,
+# revenue_anomaly_zscore, customer_ltv_running, revenue_date_spine,
+# top_parts_per_region, corpus_stratified_sample, dataset_split,
+# dataset_split_stats, dedup_keep_best, curation_funnel,
+# corpus_sample_per_stratum, text_token_stats, text_quality_score,
+# decontaminate_incremental, label_propagation_parts, cdc_latest_state,
+# stream_cdc_apply, shipping_priority_topk, large_volume_customers,
+# local_supplier_volume, promo_revenue_share,
+# customer_order_distribution, small_quantity_revenue,
+# idle_high_balance_customers, top_supplier_revenue,
+# stream_distinct_sketch, stream_heavy_hitters, part_supplier_diversity,
+# disjunctive_band_revenue, lakehouse_rename_read,
+# lakehouse_optimize_read, lakehouse_snapshot_cut,
+# waiting_supplier_ranking, min_cost_supplier_parts,
+# returned_item_customers, nation_market_share,
+# product_profit_by_nation.
+DRIVER_WINDOW_ROUND = 12
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
-    # ================= ROUND-11 WINDOW =================
-    "ann_index_maintain",
-    "ann_topk_ivfpq_rerank",
-    "bpe_train_merges_batched",
-    "multimodal_dedup",
-    "text_language_id_ngram",
-    "bpe_encode_stats_batched",
-    "corpus_shuffle_shard",
-    "attribution_time_decay",
-    "word_cooccurrence_lift",
-    "embedding_gram_matrix",
-    "bpe_merge_usage",
-    "lakehouse_vacuum_read",
-    "embedding_centroid_drift",
-    "stream_gram_maintain",
-    "source_char_diversity",
-    "simhash_calibration",
-    "conversion_lag_distribution",
-    # Head: round-11 additions land here as they ship (never-certified
-    # outranks green), each displacing the newest r8 key at the tail.
-    # Next 30 slots: the full r7-latest block deferred from round 10
-    # (three rounds stale — the rotation's worst case; VERDICT r10 #1).
-    "source_length_profile",
-    "pricing_summary",
-    "shipping_delay_stats",
-    "vocab_coverage",
-    "event_volume_anomaly",
-    "event_ctr_daily",
-    "minhash_calibration",
-    "supplier_hhi",
-    "part_price_quartiles",
-    "ann_recall_report",
-    "ivm_mart_refresh",
-    "basket_size_distribution",
-    "returns_by_month",
-    "discount_band_analysis",
-    "trade_flows",
-    "late_order_priority",
-    "customer_decile_revenue",
-    "new_vs_returning_revenue",
-    "tokenizer_fertility",
-    "markov_dwell",
-    "kcore_parts",
-    "pq_quantize",
-    "wap_audited_ingest",
-    "skew_salted_revenue",
-    "stream_join_left_outer",
-    "stream_hopping_rollup",
-    "lakehouse_zorder_prune",
-    "stream_dedup_ingest",
-    "lakehouse_schema_evolution",
-    "lakehouse_restore_read",
-    # Remaining slots: the oldest r8-certified keys, api order
-    # (the r8 keys that don't fit defer to round 12 — note above).
-    "dq_failed_rows",
-    "attribution_linear",
-    "corpus_weighted_reservoir",
+    # ================= ROUND-12 WINDOW =================
+    # Head: round-12 additions (never-certified outranks green).
+    "doc_quality_classify",
+    "lm_score_source_mix",
+    "pack_sequences_bfd",
+    # Remaining 47 slots: the FULL r8-latest block, api order.
+    "asof_event_order",
+    "hypertable_rollup",
+    "multimodal_extract",
+    "dedup_minhash_md5",
+    "dedup_incremental",
+    "knn_graph",
+    "stream_sessionize",
+    "gold_customer_summary_bucketed",
+    "event_sessionization",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "dedup_clusters",
+    "stream_event_rollup",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_join_view_purchase",
+    "stream_enrich_purchases",
+    "tfidf_top_terms",
+    "inverted_index",
+    "bigram_lm",
+    "doc_lm_score",
+    "cms_user_counts",
+    "histogram_quantiles",
+    "cohort_retention",
+    "copurchase_topk",
+    "pagerank_parts",
+    "fuzzy_name_match",
+    "scd2_customer_orders",
+    "repetition_stats",
+    "doc_chunking",
+    "pack_sequences",
+    "embedding_quantize",
+    "vocab_top_words",
+    "doc_oov_rate",
+    "session_window_stats",
+    "quantile_sketch_mergeable",
+    "stream_cluster_maintain",
+    "stream_quantile_sketch",
+    "exact_substring_sampled",
+    "quality_threshold_sweep",
+    "dedup_source_overlap",
+    "watermark_lateness_audit",
+    "lakehouse_clone_read",
+    "paragraph_dedup_rewrite",
+    "boilerplate_ngrams",
 ]
 
 
@@ -502,6 +531,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "returned_item_customers": ana.returned_item_customers,
         "nation_market_share": ana.nation_market_share,
         "product_profit_by_nation": ana.product_profit_by_nation,
+        "doc_quality_classify": opcls.doc_quality_classify,
+        "lm_score_source_mix": oplm.lm_score_source_mix,
+        "pack_sequences_bfd": opchunk.pack_sequences_bfd,
     }
 
 
@@ -705,6 +737,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["bigram_lm"] = oplm.oracle_bigram_lm()
     out["doc_lm_score"] = oplm.oracle_doc_lm_score()
+    # round 12: curation-ladder depth (classifier / mix report / packer)
+    out["doc_quality_classify"] = opcls.oracle_doc_quality_classify()
+    out["lm_score_source_mix"] = oplm.oracle_lm_score_source_mix()
+    out["pack_sequences_bfd"] = opchunk.oracle_pack_sequences_bfd()
     out["cms_user_counts"] = opsketch.oracle_cms_user_counts()
     out["churn_risk_score"] = assemble(
         "gold_customer_summary", final_select=gold.oracle_churn_final()

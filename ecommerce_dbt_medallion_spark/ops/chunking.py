@@ -165,3 +165,214 @@ select
 from binned
 group by shard, bin_id
 """
+
+
+# ------------------------------------------- best-fit-decreasing packing
+
+def _pack_shard_pdf(pdf):
+    """Exact-integer shard-local packing comparison (pure function of
+    the shard's (doc_id, n_tokens) rows — deterministic, replayable).
+
+    NF  = next-fit in doc_id order (the naive streaming packer:
+          close the current bin when the doc doesn't fit).
+    BFD = best-fit-decreasing: docs by (n_tokens desc, doc_id), each
+          into the open bin with the SMALLEST remaining capacity that
+          fits (tie → lowest bin id), else a new bin. A bin whose
+          remaining < the shard's smallest eligible doc can never
+          receive another doc — it is retired to a counter, so live
+          state stays bounded (NOT "remaining < current doc": sizes
+          DECREASE, so a bin that missed a large doc can still take a
+          smaller one later).
+    Docs never span bins; empty docs and docs over PACK_BUDGET are
+    excluded and counted (production splits oversize via doc_chunking).
+    """
+    import pandas as pd
+
+    shard = int(pdf["shard"].iloc[0])
+    toks = pdf["n_tokens"].astype("int64")
+    ids = pdf["doc_id"].astype("int64")
+    n_docs = len(pdf)
+    elig = [
+        (int(t), int(i))
+        for t, i in zip(toks, ids)
+        if 1 <= t <= PACK_BUDGET
+    ]
+    n_empty = int((toks == 0).sum())
+    n_oversize = int((toks > PACK_BUDGET).sum())
+    packed_tokens = sum(t for t, _ in elig)
+
+    # next-fit, doc_id order
+    nf_bins, rem = 0, 0
+    for t, _ in sorted(elig, key=lambda p: p[1]):
+        if t <= rem:
+            rem -= t
+        else:
+            nf_bins += 1
+            rem = PACK_BUDGET - t
+    # best-fit-decreasing
+    min_t = min((t for t, _ in elig), default=0)
+    open_bins: list[tuple[int, int]] = []  # (remaining, bin_id)
+    retired = 0
+    next_bin = 0
+    for t, _ in sorted(elig, key=lambda p: (-p[0], p[1])):
+        live = [b for b in open_bins if b[0] >= min_t]
+        retired += len(open_bins) - len(live)
+        open_bins = live
+        fits = [b for b in open_bins if b[0] >= t]
+        if fits:
+            best = min(fits, key=lambda b: (b[0], b[1]))
+            open_bins[open_bins.index(best)] = (best[0] - t, best[1])
+        else:
+            open_bins.append((PACK_BUDGET - t, next_bin))
+            next_bin += 1
+    bfd_bins = retired + len(open_bins)
+    return pd.DataFrame(
+        [
+            {
+                "shard": shard,
+                "n_docs": n_docs,
+                "n_empty": n_empty,
+                "n_oversize": n_oversize,
+                "packed_tokens": packed_tokens,
+                "nf_bins": nf_bins,
+                "nf_waste": nf_bins * PACK_BUDGET - packed_tokens,
+                "bfd_bins": bfd_bins,
+                "bfd_waste": bfd_bins * PACK_BUDGET - packed_tokens,
+            }
+        ]
+    )
+
+
+def pack_sequences_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#36c: best-fit-decreasing packing vs the naive next-fit packer,
+    per shard — the padding-waste report that justifies a packing
+    strategy before a training run (``pack_sequences`` is the
+    contiguous manifest; this key measures how much padding a real
+    packer saves).
+
+    Spark shape: token counts are computed JVM-side (one projection);
+    Python sees only (shard, doc_id, n_tokens) triplets through ONE
+    Arrow ``applyInPandas`` over the shard groups — the packing
+    recurrence is inherently sequential per shard, which is exactly the
+    applyInPandas seam the build brief reserves for non-SQL-expressible
+    state. At 100 TB the dial is N_SHARDS (raise with cluster size):
+    state per task = live bins only (retired bins are counters), and
+    the shuffle carries 3 small ints per doc, never text.
+
+    Determinism / oracle: every quantity is an exact integer; the
+    DuckDB oracle replays BOTH recurrences as recursive CTEs over the
+    same (n_tokens desc, doc_id) / (doc_id) orders, and the final
+    waste-saved ratio is ONE rounded IEEE division done OUTSIDE the
+    Python worker (Spark F.round ⇔ DuckDB round parity; Python's
+    half-even round would mismatch).
+    """
+    docs = _docs_with_words(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size("__words").alias("n_tokens"),
+    )
+    out = docs.groupBy("shard").applyInPandas(
+        _pack_shard_pdf,
+        schema=(
+            "shard long, n_docs long, n_empty long, n_oversize long, "
+            "packed_tokens long, nf_bins long, nf_waste long, "
+            "bfd_bins long, bfd_waste long"
+        ),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("nf_waste") > 0,
+            F.round(
+                (F.col("nf_waste") - F.col("bfd_waste")).cast("double")
+                / F.col("nf_waste").cast("double"),
+                6,
+            ),
+        ).alias("waste_saved_r6"),
+    )
+
+
+def oracle_pack_sequences_bfd() -> str:
+    return f"""
+with toks as materialized (
+    select doc_id, doc_id % {N_SHARDS} as shard,
+        len(regexp_extract_all(lower(text), '{WORD_RE}')) as n_tokens
+    from documents
+),
+elig as (select * from toks where n_tokens >= 1 and n_tokens <= {PACK_BUDGET}),
+ord_b as materialized (
+    select shard, doc_id, n_tokens,
+        row_number() over (partition by shard order by n_tokens desc, doc_id)
+            as i,
+        count(*) over (partition by shard) as m
+    from elig
+),
+shards as materialized (select shard, max(m) as m from ord_b group by shard),
+bfd as (
+    with recursive s(shard, i, m, rems) as (
+        select shard, 0, m, cast([] as bigint[]) from shards
+        union all
+        select s.shard, s.i + 1, s.m,
+            case when list_min(list_filter(s.rems, r -> r >= o.n_tokens))
+                     is null
+                 then list_append(s.rems, {PACK_BUDGET} - o.n_tokens)
+                 else list_transform(range(1, len(s.rems) + 1),
+                        j -> case when j = list_position(s.rems,
+                                list_min(list_filter(s.rems,
+                                                     r -> r >= o.n_tokens)))
+                                  then s.rems[j] - o.n_tokens
+                                  else s.rems[j] end)
+            end
+        from s join ord_b o on o.shard = s.shard and o.i = s.i + 1
+        where s.i < s.m
+    )
+    select shard, cast(len(rems) as bigint) as bfd_bins from s where i = m
+),
+ord_n as materialized (
+    select shard, doc_id, n_tokens,
+        row_number() over (partition by shard order by doc_id) as i,
+        count(*) over (partition by shard) as m
+    from elig
+),
+nf as (
+    with recursive s(shard, i, m, bins, rem) as (
+        select shard, 0, m, cast(0 as bigint), cast(0 as bigint) from shards
+        union all
+        select s.shard, s.i + 1, s.m,
+            case when o.n_tokens <= s.rem then s.bins else s.bins + 1 end,
+            case when o.n_tokens <= s.rem then s.rem - o.n_tokens
+                 else {PACK_BUDGET} - o.n_tokens end
+        from s join ord_n o on o.shard = s.shard and o.i = s.i + 1
+        where s.i < s.m
+    )
+    select shard, bins as nf_bins from s where i = m
+),
+agg as (
+    select shard,
+        cast(count(*) as bigint) as n_docs,
+        cast(sum(case when n_tokens = 0 then 1 else 0 end) as bigint)
+            as n_empty,
+        cast(sum(case when n_tokens > {PACK_BUDGET} then 1 else 0 end)
+             as bigint) as n_oversize,
+        cast(sum(case when n_tokens >= 1 and n_tokens <= {PACK_BUDGET}
+                 then n_tokens else 0 end) as bigint) as packed_tokens
+    from toks group by shard
+)
+select cast(a.shard as bigint) as shard,
+    a.n_docs, a.n_empty, a.n_oversize, a.packed_tokens,
+    coalesce(nf.nf_bins, 0) as nf_bins,
+    coalesce(nf.nf_bins, 0) * {PACK_BUDGET} - a.packed_tokens as nf_waste,
+    coalesce(b.bfd_bins, 0) as bfd_bins,
+    coalesce(b.bfd_bins, 0) * {PACK_BUDGET} - a.packed_tokens as bfd_waste,
+    case when coalesce(nf.nf_bins, 0) * {PACK_BUDGET} - a.packed_tokens > 0
+         then round(
+            cast((coalesce(nf.nf_bins, 0) * {PACK_BUDGET} - a.packed_tokens)
+                 - (coalesce(b.bfd_bins, 0) * {PACK_BUDGET} - a.packed_tokens)
+                 as double)
+            / cast(coalesce(nf.nf_bins, 0) * {PACK_BUDGET} - a.packed_tokens
+                   as double), 6)
+    end as waste_saved_r6
+from agg a
+left join bfd b using (shard)
+left join nf using (shard)
+"""

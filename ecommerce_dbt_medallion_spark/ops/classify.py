@@ -1,0 +1,186 @@
+"""Hashed-n-gram linear quality classifier over ``documents`` — the
+model-based quality-filter stage of an LLM data pipeline (fastText-style
+linear inference via the hashing trick), the rung of the curation ladder
+above the heuristic ``text_quality_score`` and the statistical
+``doc_lm_score``. Reference scope: the LLM-data-pipeline mandate; no
+reference-file counterpart — engine depth beyond it.
+
+Model: features are word unigrams + bigrams hashed into a fixed
+256-bucket space (md5 2-hex-prefix — the repo's engine-portable hash
+family); the weight vector is a fixed (pretend-trained) integer table in
+centi-units derived from a seed lexicon of clean-prose vs junk/spam
+grams, so collisions behave exactly like production feature hashing.
+The score is the classic linear margin
+
+    margin = intercept + weight_sum / (n_grams · SCALE)
+
+with ``weight_sum`` an exact bigint fold — inference is SQL-native model
+scoring fused into the corpus scan, the same design as
+``churn_risk_score`` (models/gold.py) on the mart side.
+
+Scale shape (100 TB): ONE projection — tokenize, hash, fold the literal
+weight map, divide. Zero shuffle, zero Python, whole-stage codegen; the
+weight table rides in the expression (a create_map literal), never a
+join. At production vocabulary sizes the map literal grows with the
+BUCKET count (fixed), not the lexicon or the corpus.
+
+Determinism / oracle notes: bucket ids are md5 hex strings (no hex→int
+conversion); weight sums are exact integers (commutative — fold order
+free); the margin is ONE IEEE division plus one addition written
+identically in both engines. The DuckDB oracle scores by explode + join
+against the same generated bucket-weight VALUES table — value-identical
+because the integer sums agree exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dbt_medallion_spark.ops.text import WORD_RE
+from ecommerce_dbt_medallion_spark.sources.registry import load_table
+
+CLS_SALT = "#cls1"
+CLS_SCALE = 100  # weights are integer centi-units
+CLS_INTERCEPT = 0.002
+
+# Seed lexicon (pretend-trained): positive weights = clean-prose signal
+# grams, negative = junk/spam signal grams. Centi-unit integers.
+CLS_LEXICON: dict[str, int] = {
+    "the": 10,
+    "a": 5,
+    "and": 25,
+    "of": 20,
+    "is": 20,
+    "table": 40,
+    "query": 30,
+    "data": 30,
+    "join": 20,
+    "the table": 15,
+    "the line": 10,
+    "slow": -40,
+    "junk": -60,
+    "spam": -80,
+    "click": -50,
+    "buy": -40,
+    "free": -50,
+    "xxx": -90,
+    "zzz": -90,
+    "a a": -25,
+    "slow slow": -50,
+    "big big": -30,
+}
+
+
+def cls_bucket_weights() -> dict[str, int]:
+    """Lexicon folded into the hashed bucket space: bucket (2-hex md5
+    prefix) → summed integer weight. Deterministic; shared verbatim by
+    the Spark literal map and the oracle VALUES table."""
+    bw: dict[str, int] = {}
+    for gram, w in CLS_LEXICON.items():
+        b = hashlib.md5((gram + CLS_SALT).encode()).hexdigest()[:2]
+        bw[b] = bw.get(b, 0) + w
+    return dict(sorted(bw.items()))
+
+
+def _gram_bucket(g: Column) -> Column:
+    return F.substring(F.md5(F.concat(g, F.lit(CLS_SALT))), 1, 2)
+
+
+def doc_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#36a: hashed-n-gram linear quality classification per document.
+
+    Unigrams + bigrams → 256 hash buckets → literal-map weight lookup →
+    exact-integer margin numerator → one division + intercept → label.
+    Pure projection (plan-pinned: no Exchange, no Python worker).
+    """
+    bw = cls_bucket_weights()
+    wmap = F.create_map(
+        *[c for k, v in bw.items() for c in (F.lit(k), F.lit(v))]
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)).alias(
+            "__t"
+        ),
+    )
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> concat(__t[i-1], ' ', __t[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(F.col("__t"), bigrams)
+    weight_sum = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.coalesce(F.element_at(wmap, _gram_bucket(g)), F.lit(0)).cast("long"),
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(grams).cast("long").alias("n_grams"),
+        weight_sum.alias("weight_sum"),
+    )
+    margin = F.lit(CLS_INTERCEPT) + F.col("weight_sum").cast("double") / (
+        F.col("n_grams") * CLS_SCALE
+    ).cast("double")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_grams",
+        "weight_sum",
+        F.when(F.col("n_grams") > 0, F.round(margin, 6)).alias("quality_margin_r6"),
+        F.when(F.col("n_grams") == 0, F.lit("empty"))
+        .when(margin > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("quality_label"),
+    )
+
+
+def oracle_doc_quality_classify() -> str:
+    bw = cls_bucket_weights()
+    vals = ", ".join(f"('{k}', {v})" for k, v in bw.items())
+    margin = (
+        f"cast({CLS_INTERCEPT} as double) "
+        f"+ cast(coalesce(s.weight_sum, 0) as double) "
+        f"/ cast(len(gs) * {CLS_SCALE} as double)"
+    )
+    return f"""
+with t as (
+    select doc_id, lang, source,
+        regexp_extract_all(lower(text), '{WORD_RE}') as t
+    from documents
+),
+g as materialized (
+    select doc_id, lang, source,
+        list_concat(t, case when len(t) >= 2
+            then list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            else cast([] as varchar[]) end) as gs
+    from t
+),
+w(bucket, wt) as (select * from (values {vals}) v(bucket, wt)),
+ex as (select doc_id, unnest(gs) as g from g),
+gw as (select doc_id, substr(md5(g || '{CLS_SALT}'), 1, 2) as bucket from ex),
+s as (
+    select gw.doc_id, cast(sum(coalesce(w.wt, 0)) as bigint) as weight_sum
+    from gw left join w using (bucket)
+    group by 1
+)
+select g.doc_id, g.lang, g.source,
+    cast(len(gs) as bigint) as n_grams,
+    cast(coalesce(s.weight_sum, 0) as bigint) as weight_sum,
+    case when len(gs) > 0 then round({margin}, 6) end as quality_margin_r6,
+    case when len(gs) = 0 then 'empty'
+         when ({margin}) > 0 then 'keep'
+         else 'drop' end as quality_label
+from g left join s using (doc_id)
+"""

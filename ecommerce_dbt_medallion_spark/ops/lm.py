@@ -22,7 +22,7 @@ length (docs are bounded; the collect_list is per doc, never per corpus).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecommerce_dbt_medallion_spark.ops.text import WORD_RE
@@ -133,6 +133,138 @@ from bc join pc using (w1)
     )
 
 
+# ------------------------------------------------- per-source mix report
+
+LMMIX_BUCKETS = 64
+LMMIX_DECILES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def lm_decile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated global decile boundaries of ``doc_lm_score`` via the
+    equi-width-histogram walk (ops/sketch.py ``histogram_quantiles``
+    shape — NEVER ntile's global sort): for each p, target rank =
+    ceil(p·n), first cumulative bucket reaching it, linear interpolation
+    inside. Split out so tests can pin the one-bucket-width error bound
+    against exact percentiles."""
+    return _decile_bounds_from(doc_lm_score(spark, sf_dir).localCheckpoint(eager=False))
+
+
+def _decile_bounds_from(scores: DataFrame) -> DataFrame:
+    rng = F.broadcast(
+        scores.agg(
+            F.min("lm_score").alias("lo"),
+            F.max("lm_score").alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+    b = F.lit(LMMIX_BUCKETS)
+    idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            b - 1,
+            F.floor(
+                (F.col("lm_score") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * b
+            ),
+        )
+    )
+    hist = (
+        scores.crossJoin(rng)
+        .groupBy(idx.cast("long").alias("bucket"), "lo", "hi", "n")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in LMMIX_DECILES])).alias("p")
+    hits = (
+        hist.select("*", ps)
+        .withColumn("target", F.ceil(F.col("p") * F.col("n")))
+        .where(F.col("cum") >= F.col("target"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("p").orderBy("bucket"))
+        )
+        .where(F.col("rn") == 1)
+    )
+    width = (F.col("hi") - F.col("lo")) / b
+    return hits.select(
+        F.col("p").alias("decile_p"),
+        (
+            F.col("lo")
+            + (
+                F.col("bucket")
+                + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+            )
+            * width
+        ).alias("est_bound"),
+    )
+
+
+def lm_score_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#36b: per-source LM-score decile mix — the perplexity-binned
+    mixing report a pretraining pipeline reads before setting
+    ``corpus_mix_weights`` (which sources contribute which quality
+    deciles, by doc and token mass).
+
+    Composes two certified keys: ``doc_lm_score`` supplies the per-doc
+    statistical quality signal; the decile boundaries come from the
+    histogram path (:func:`lm_decile_bounds`), never a global sort.
+    Decile assignment is a 9-value broadcast array filter (pure
+    expression); the report grain is (source × decile) ≤ sources·10.
+
+    Scale shape (100 TB): corpus-scale work is doc_lm_score's two count
+    shuffles + one doc-grain source join; the histogram is a ≤64-row
+    agg, boundaries a 1-row broadcast, and the final groupBy is
+    map-side combinable into a tiny frame (the share window runs over
+    the AGGREGATED frame, dataset_split_stats-style).
+
+    Determinism: lm_score doubles are bit-identical by doc_lm_score's
+    ordered-fold discipline; boundary arithmetic is written identically
+    in both engines (exact-int targets, IEEE interpolation); counts and
+    token sums are exact bigints; doc_share is ONE division.
+    """
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        doc_lm_score(spark, sf_dir)
+        .join(src, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    barr = F.broadcast(
+        _decile_bounds_from(scored).agg(
+            F.sort_array(F.collect_list("est_bound")).alias("barr")
+        )
+    )
+    assigned = scored.crossJoin(barr).select(
+        "source",
+        F.size(
+            F.filter(F.col("barr"), lambda bnd: F.col("lm_score") > bnd)
+        ).cast("long").alias("decile"),
+        "n_bigrams",
+        "lm_score",
+    )
+    g = assigned.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.min("lm_score").alias("min_lm_score"),
+        F.max("lm_score").alias("max_lm_score"),
+    )
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(
+        Window.partitionBy("source")
+    ).cast("double")
+    return g.select(
+        "source",
+        "decile",
+        "n_docs",
+        "n_bigrams",
+        F.round(share, 6).alias("doc_share_r6"),
+        "min_lm_score",
+        "max_lm_score",
+    )
+
+
 def oracle_doc_lm_score() -> str:
     return (
         _ORACLE_BIGRAM_BASE
@@ -149,5 +281,87 @@ select doc_id, count(*) as n_bigrams,
     list_aggregate(list(prob order by pos), 'sum') / count(*) as lm_score
 from joined
 group by doc_id
+"""
+    )
+
+
+def oracle_lm_score_source_mix() -> str:
+    b = LMMIX_BUCKETS
+    ps = ", ".join(f"cast({p} as double)" for p in LMMIX_DECILES)
+    return (
+        _ORACLE_BIGRAM_BASE
+        + f""",
+lm as (
+    select bc.w1, bc.w2, cast(bc.n_pair as double) / pc.n_prefix as prob
+    from bc join pc using (w1)
+),
+joined as (
+    select b.doc_id, b.pos, lm.prob
+    from bi b join lm on lm.w1 = b.w1 and lm.w2 = b.w2
+),
+per as (
+    select doc_id, count(*) as n_bigrams,
+        list_aggregate(list(prob order by pos), 'sum') / count(*) as lm_score
+    from joined
+    group by doc_id
+),
+scored as materialized (
+    select per.doc_id, d.source, per.n_bigrams, per.lm_score
+    from per join documents d using (doc_id)
+),
+rng as (
+    select min(lm_score) as lo, max(lm_score) as hi, count(*) as n from scored
+),
+hist as (
+    select
+        cast(case when r.hi = r.lo then 0
+             else least({b} - 1,
+                        floor((s.lm_score - r.lo) / (r.hi - r.lo) * {b}))
+        end as bigint) as bucket,
+        r.lo, r.hi, r.n, count(*) as cnt
+    from scored s cross join rng r
+    group by 1, 2, 3, 4
+),
+cum as (
+    select *, sum(cnt) over (
+        order by bucket rows between unbounded preceding and current row
+    ) as cum
+    from hist
+),
+ps as (select unnest([{ps}]) as p),
+hits as (
+    select p, bucket, lo, hi, n, cnt, cum,
+        cast(ceil(p * n) as bigint) as target,
+        row_number() over (partition by p order by bucket) as rn
+    from cum cross join ps
+    where cum >= ceil(p * n)
+),
+bounds as (
+    select p,
+        lo + (bucket + (target - (cum - cnt)) / cnt) * ((hi - lo) / {b}) as est
+    from hits where rn = 1
+),
+barr as (select list(est order by est) as barr from bounds),
+assigned as (
+    select s.source,
+        cast(len(list_filter(ba.barr, x -> s.lm_score > x)) as bigint) as decile,
+        s.n_bigrams, s.lm_score
+    from scored s cross join barr ba
+),
+g as (
+    select source, decile,
+        cast(count(*) as bigint) as n_docs,
+        cast(sum(n_bigrams) as bigint) as n_bigrams,
+        min(lm_score) as min_lm_score,
+        max(lm_score) as max_lm_score
+    from assigned
+    group by 1, 2
+)
+select source, decile, n_docs, n_bigrams,
+    round(cast(n_docs as double)
+          / cast(sum(n_docs) over (partition by source) as double), 6)
+        as doc_share_r6,
+    min_lm_score, max_lm_score
+from g
 """
     )

@@ -870,3 +870,39 @@ def test_gram_matrix_single_state_exchange(spark):
     plan = _formatted(embedding_gram_matrix(spark, SF_SMOKE))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_round12_curation_ops_plan_shapes(spark):
+    """Round-12 operators: doc_quality_classify is ONE projection (the
+    weight table rides the expression — no Exchange, no Window, no
+    Python worker); lm_score_source_mix's only joins are broadcasts
+    (no CartesianProduct — the 1-row bounds/range frames surface as
+    BroadcastNestedLoopJoin, the allowed shape); pack_sequences_bfd
+    ships exactly ONE shard-hash exchange into ONE Arrow grouped-map
+    worker (the shuffle carries 3 ints per doc, never text)."""
+    from ecommerce_dbt_medallion_spark.ops.chunking import pack_sequences_bfd
+    from ecommerce_dbt_medallion_spark.ops.classify import doc_quality_classify
+    from ecommerce_dbt_medallion_spark.ops.lm import lm_score_source_mix
+
+    cls = (
+        doc_quality_classify(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in cls
+    assert "Window" not in cls
+    assert "BatchEvalPython" not in cls and "ArrowEvalPython" not in cls
+
+    mix = _formatted(lm_score_source_mix(spark, SF_SMOKE))
+    assert "CartesianProduct" not in mix
+
+    bfd = (
+        pack_sequences_bfd(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in bfd
+    assert bfd.count("Exchange") == 1, bfd
+    assert "hashpartitioning(shard" in bfd

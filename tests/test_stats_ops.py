@@ -657,3 +657,113 @@ def test_conversion_lag_first_touch_planted(spark, tmp_path):
     assert (r.first_touch_type, r.lag_days, r.n_purchases, r.revenue) == (
         "view", 3, 1, 100.0
     )
+
+
+# ------------------------------------------- round-12 curation-ladder ops
+
+
+def test_quality_classifier_separates_planted_docs(spark, tmp_path):
+    """Planted high/low-quality docs land on the right side of the
+    margin, and the weight_sum matches a pure-Python replay of the
+    hashing trick (collisions included) — known-answer, engine-free."""
+    import hashlib
+
+    from ecommerce_dbt_medallion_spark.ops import classify as opcls
+
+    clean = "the table and of is data query join " * 6
+    junk = "xxx zzz spam click buy free slow " * 6
+    rows = [
+        (0, clean.strip(), "en", "s", len(clean)),
+        (1, junk.strip(), "en", "s", len(junk)),
+        (2, "", "en", "s", 0),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in opcls.doc_quality_classify(spark, d).collect()}
+    assert out[0].quality_label == "keep" and out[0].quality_margin_r6 > 0
+    assert out[1].quality_label == "drop" and out[1].quality_margin_r6 < 0
+    assert out[2].quality_label == "empty" and out[2].quality_margin_r6 is None
+    assert out[2].n_grams == 0 and out[2].weight_sum == 0
+
+    # pure-Python replay of doc 0: unigrams + bigrams → bucket → weight
+    bw = opcls.cls_bucket_weights()
+    toks = clean.strip().split()
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    expect = sum(
+        bw.get(
+            hashlib.md5((g + opcls.CLS_SALT).encode()).hexdigest()[:2], 0
+        )
+        for g in grams
+    )
+    assert out[0].weight_sum == expect
+    assert out[0].n_grams == len(grams)
+
+
+def test_lm_decile_bounds_within_one_bucket_of_exact(spark):
+    """The histogram-walk decile estimates must sit within one bucket
+    width of the exact rank-target percentile (the estimator's error
+    bound: the target rank's true value lives in the same cumulative
+    bucket the walk interpolates in)."""
+    from ecommerce_dbt_medallion_spark.ops import lm as oplm
+
+    scores = sorted(
+        r.lm_score for r in oplm.doc_lm_score(spark, SF_SMOKE).collect()
+    )
+    n = len(scores)
+    lo, hi = scores[0], scores[-1]
+    width = (hi - lo) / oplm.LMMIX_BUCKETS
+    bounds = {
+        round(r.decile_p, 3): r.est_bound
+        for r in oplm.lm_decile_bounds(spark, SF_SMOKE).collect()
+    }
+    assert len(bounds) == len(oplm.LMMIX_DECILES)
+    for p in oplm.LMMIX_DECILES:
+        exact = scores[math.ceil(p * n) - 1]  # value at rank ceil(p*n)
+        assert abs(bounds[round(p, 3)] - exact) <= width * (1 + 1e-9), (
+            p, bounds[round(p, 3)], exact, width
+        )
+
+
+def test_lm_source_mix_accounts_for_every_scored_doc(spark):
+    from ecommerce_dbt_medallion_spark.ops import lm as oplm
+
+    n_scored = oplm.doc_lm_score(spark, SF_SMOKE).count()
+    rows = oplm.lm_score_source_mix(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == n_scored
+    assert all(0 <= r.decile <= 9 for r in rows)
+    # per-source shares sum to 1 (tiny aggregated frame)
+    per_src: dict = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0.0) + r.doc_share_r6
+    assert all(abs(s - 1.0) < 1e-4 for s in per_src.values()), per_src
+
+
+def test_bfd_packing_beats_next_fit_and_accounts_exactly(spark, tmp_path):
+    """BFD strictly beats NF on a corpus built to fragment next-fit
+    (sizes 1100/1000 alternating: NF opens a bin per doc, BFD pairs the
+    two 1000s), waste identities hold exactly, and on the gate corpus
+    BFD's waste never exceeds NF's (the VERDICT r11 #4 pin)."""
+    from ecommerce_dbt_medallion_spark.ops import chunking as opchunk
+
+    mk = lambda n: ("w " * n).strip()
+    rows = [  # all doc_id ≡ 0 (mod 8): one shard
+        (0, mk(1100), "en", "s", 0),
+        (8, mk(1000), "en", "s", 0),
+        (16, mk(1100), "en", "s", 0),
+        (24, mk(1000), "en", "s", 0),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = opchunk.pack_sequences_bfd(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.nf_bins, r.bfd_bins) == (4, 3)
+    assert r.packed_tokens == 4200
+    assert r.nf_waste == 4 * opchunk.PACK_BUDGET - 4200
+    assert r.bfd_waste == 3 * opchunk.PACK_BUDGET - 4200
+    assert r.waste_saved_r6 is not None and r.waste_saved_r6 > 0
+
+    for g in opchunk.pack_sequences_bfd(spark, SF_SMOKE).collect():
+        assert g.bfd_waste <= g.nf_waste, g
+        assert g.nf_waste == g.nf_bins * opchunk.PACK_BUDGET - g.packed_tokens
+        assert g.bfd_waste == g.bfd_bins * opchunk.PACK_BUDGET - g.packed_tokens
+        # lower bound: no packer beats ceil(tokens / budget)
+        assert g.bfd_bins >= -(-g.packed_tokens // opchunk.PACK_BUDGET)

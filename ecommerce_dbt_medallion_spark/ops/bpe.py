@@ -60,8 +60,30 @@ BPE_ROUNDS = 3
 BPE_TOPK = 10
 
 
+# Codepoints the trainers reserve as merge sentinels: chr(1..8) in the
+# unbatched loop, U+E000..U+E07F (BPE_SENT_BASE + round*batch slots) in
+# the batched one. ASCII \w+ can't match either range today, but the
+# reliance is a data contract, not a structural guarantee (switching
+# WORD_RE to unicode classes would silently corrupt merge counts) — so
+# the precondition is CHECKED once here, at vocabulary scale, for every
+# trainer that consumes word frequencies.
+_BPE_RESERVED_RE = "[\x01-\x08-]"
+
+
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    guarded = F.when(
+        F.col("w").rlike(_BPE_RESERVED_RE),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "BPE: corpus word contains a codepoint reserved as a "
+                    "merge sentinel (chr(1..8) / U+E000..U+E07F): "
+                ),
+                F.col("w"),
+            )
+        ).cast("string"),
+    ).otherwise(F.col("w"))
     return (
         docs.select(
             F.explode(
@@ -70,6 +92,7 @@ def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
+        .select(guarded.alias("w"), "f")
     )
 
 

@@ -198,9 +198,36 @@ def gram_partial_sums(q: DataFrame) -> DataFrame:
     )
 
 
+# Documented int64-safety bound for the Gram fold: |q| ≤ ~5.8e5 on
+# unit-normalized inputs ⇒ q² ≤ 3.4e11, and 1e7 vectors × 3.4e11 ≈
+# 3.4e18 < 2^63 ≈ 9.2e18 (headroom ~2.7×). Beyond this, Spark's
+# non-ANSI bigint sum would wrap SILENTLY (DuckDB's hugeint would not)
+# — so the bound is enforced loudly at publish time, not just noted.
+GRAM_SAFE_N_VECS = 10_000_000
+
+
 def gram_finalize(state: DataFrame) -> DataFrame:
     """Partial-sum state rows → the published Gram report (merging
-    across whatever tags the state still carries)."""
+    across whatever tags the state still carries).
+
+    Publishing raises (row-level ``raise_error``, stays distributed and
+    lazy) if the accumulated vector count exceeds ``GRAM_SAFE_N_VECS``:
+    past the documented bound the bigint cells could have wrapped, and
+    a wrapped covariance must fail the pipeline, not feed PCA."""
+    n_guarded = F.when(
+        F.col("n_vecs") > GRAM_SAFE_N_VECS,
+        F.raise_error(
+            F.concat(
+                F.lit("gram_finalize: "),
+                F.col("n_vecs").cast("string"),
+                F.lit(
+                    " vectors exceeds the int64-safe bound "
+                    f"{GRAM_SAFE_N_VECS} — re-scale KM_SCALE or shard "
+                    "the Gram state before publishing"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_vecs"))
     return (
         state.groupBy("dim_a", "dim_b")
         .agg(
@@ -212,7 +239,7 @@ def gram_finalize(state: DataFrame) -> DataFrame:
         .select(
             F.col("dim_a").cast("long").alias("dim_a"),
             F.col("dim_b").cast("long").alias("dim_b"),
-            F.col("n_vecs").cast("long").alias("n_vecs"),
+            n_guarded.cast("long").alias("n_vecs"),
             F.col("sum_ab").cast("long").alias("sum_ab"),
             F.col("sum_a").cast("long").alias("sum_a"),
             F.col("sum_b").cast("long").alias("sum_b"),

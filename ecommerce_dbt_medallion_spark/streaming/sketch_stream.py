@@ -500,17 +500,26 @@ def stream_gram_ingest(
     source_dir: str,
     state_table: str,
     max_files_per_trigger: int = 1,
+    schema=None,
 ) -> int:
     """Drain raw-embedding micro-batches into a batch-tagged partial-
     Gram state table (2080 integer cells per batch after the in-batch
     fold). Same algebra story as the quantile sketch: the cells are
     exact bigints, so any chop of the corpus into micro-batches sums to
-    the same state; same replay guard (batch-tagged anti-join)."""
+    the same state; same replay guard (batch-tagged anti-join).
+
+    ``schema`` defaults to the staged files' OWN parquet schema (one
+    footer read, metadata-scale) — the source contract permits
+    array<float> OR array<double> embeddings, and a hardcoded float
+    schema would break the vectorized reader on a double-encoded
+    dataset (double→float is not an allowed parquet upcast)."""
     from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
     from ecommerce_dbt_medallion_spark.ops.quantize import gram_partial_sums
 
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
     stream = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )

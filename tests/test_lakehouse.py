@@ -3280,3 +3280,73 @@ def test_stream_gram_maintain_replay_and_equals_batch(spark, tmp_path):
         )
     )
     assert batch == first
+
+
+def test_gram_stream_accepts_double_embeddings(spark, tmp_path):
+    """ADVICE r11 #1: the gram ingest stream must derive its schema
+    from the staged files, not hardcode array<float> — a double-encoded
+    embeddings dataset (allowed by the source contract) would fail the
+    vectorized parquet reader under the old hardcoded schema
+    (double→float is not an allowed upcast)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
+    from ecommerce_dbt_medallion_spark.ops.quantize import (
+        GRAM_DIM,
+        gram_finalize,
+        gram_partial_sums,
+    )
+    from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stage_microbatch_files,
+        stream_gram_ingest,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(scale=0.3, size=GRAM_DIM)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = tmp_path / "gram_src_dbl"
+    src.mkdir()
+    stage_microbatch_files(
+        str(src), [df.where(F.col("vec_id") % 2 == k) for k in range(2)]
+    )
+    state = str(tmp_path / "gram_state_dbl")
+    stream_gram_ingest(spark, str(src), state)
+    streamed = sorted(
+        map(tuple, gram_finalize(lh.read(spark, state)).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            gram_finalize(gram_partial_sums(_quantize_embeddings(df))).collect(),
+        )
+    )
+    assert streamed == batch
+
+
+def test_gram_finalize_raises_past_int64_safe_bound(spark):
+    """ADVICE r11 #2: past GRAM_SAFE_N_VECS the bigint cells could have
+    wrapped silently — publishing must fail loudly, naming the bound."""
+    import pytest as _pytest
+
+    from ecommerce_dbt_medallion_spark.ops.quantize import (
+        GRAM_SAFE_N_VECS,
+        gram_finalize,
+    )
+
+    st = spark.createDataFrame(
+        [(1, 1, GRAM_SAFE_N_VECS + 1, 10, 1, 1)],
+        "dim_a int, dim_b int, n_part bigint, sab_part bigint,"
+        " sa_part bigint, sb_part bigint",
+    )
+    with _pytest.raises(Exception, match="int64-safe bound"):
+        gram_finalize(st).collect()
+    ok = spark.createDataFrame(
+        [(1, 1, GRAM_SAFE_N_VECS, 10, 1, 1)],
+        "dim_a int, dim_b int, n_part bigint, sab_part bigint,"
+        " sa_part bigint, sb_part bigint",
+    )
+    assert gram_finalize(ok).collect()[0]["n_vecs"] == GRAM_SAFE_N_VECS

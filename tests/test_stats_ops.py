@@ -767,3 +767,27 @@ def test_bfd_packing_beats_next_fit_and_accounts_exactly(spark, tmp_path):
         assert g.bfd_waste == g.bfd_bins * opchunk.PACK_BUDGET - g.packed_tokens
         # lower bound: no packer beats ceil(tokens / budget)
         assert g.bfd_bins >= -(-g.packed_tokens // opchunk.PACK_BUDGET)
+
+
+def test_bpe_word_freqs_rejects_reserved_sentinel_codepoints(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 #3: the BPE trainers reserve chr(1..8) and
+    U+E000..U+E07F as merge sentinels. ASCII \\w+ can't extract them
+    today, but the reliance is a data contract — if the tokenizer regex
+    ever admits them, word-frequency building must fail loudly instead
+    of silently corrupting merge counts."""
+    import pytest as _pytest
+
+    from ecommerce_dbt_medallion_spark.ops import bpe as opbpe
+
+    rows = [(0, "hello world hello", "en", "s", 20)]
+    d = _write_docs(spark, tmp_path, rows)
+    # today's ASCII \w+ never extracts the PUA char: guard stays quiet
+    assert {r.w for r in opbpe._word_freqs(spark, d).collect()} == {
+        "hello", "world"
+    }
+    # a unicode-word regex admits it: the guard must fire
+    monkeypatch.setattr(opbpe, "WORD_RE", r"[\w-]+")
+    with _pytest.raises(Exception, match="reserved as a"):
+        opbpe._word_freqs(spark, d).collect()

@@ -292,6 +292,41 @@ def main() -> None:
     run_group(comparable)
     run_group([n for n in headline if n not in comparable])
 
+    # VERDICT r11 #5: measure, don't argue — one instrumented pass per
+    # construction-timed streaming-dedup entry, emitting per-batch
+    # per-phase wall clock (signature build vs verdict MERGE vs label
+    # maintenance vs novel APPEND) so "maintenance is churn-
+    # proportional" is a recorded number. Full artifact only (the
+    # compact stdout line keeps its tail budget).
+    maintenance_split: dict = {}
+    try:
+        from ecommerce_dbt_medallion_spark.streaming import (
+            ingest_stream as _ing,
+        )
+
+        spark = get_spark("medallion-bench-split")
+        spark.sparkContext.setLogLevel("ERROR")
+        for key, fn in (
+            ("stream_dedup_ingest", _ing.stream_dedup_ingest),
+            ("stream_cluster_maintain", _ing.stream_cluster_maintain),
+        ):
+            log: list = []
+            fn(spark, sf_dir, phase_log=log).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            totals: dict = {}
+            for row in log:
+                totals[row["phase"]] = round(
+                    totals.get(row["phase"], 0.0) + row["sec"], 3
+                )
+            maintenance_split[key] = {
+                "per_batch": log,
+                "phase_totals": totals,
+            }
+        spark.stop()
+    except Exception as exc:  # noqa: BLE001 — diagnostics must not kill
+        maintenance_split["error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -316,6 +351,9 @@ def main() -> None:
             "plan construction (iterative/foreachBatch state builds)",
             "construction_timed": sorted(construction_timed),
         },
+        # per-batch phase split for the two streaming-dedup pipelines
+        # (one extra instrumented run, own session, not in any total)
+        "maintenance_split": maintenance_split,
     }
     if errors:
         # A partial total must not be comparable against a full one — a

@@ -188,6 +188,7 @@ def stream_ingest_dedup(
     labels_table: str | None = None,
     compact_every: int | None = None,
     compact_target_rows: int = 1_000_000,
+    phase_log: list | None = None,
 ) -> tuple[int, int]:
     """Streaming corpus curation end-to-end: each micro-batch of raw
     documents is deduped against the STORED corpus signatures, its
@@ -231,8 +232,18 @@ def stream_ingest_dedup(
     arrivals chains a within-batch pass (``dedup_minhash_md5`` shape)
     before this ingest; cross-batch near-dups are always caught.
 
+    ``phase_log`` (optional, VERDICT r11 #5): a caller-owned list that
+    receives one ``{"batch", "phase", "sec"}`` row per pipeline stage
+    per micro-batch — signature build vs verdict+MERGE vs label
+    maintenance vs novel APPEND vs compaction — so the bench artifact
+    can MEASURE that maintenance cost is churn-proportional instead of
+    arguing it from the code. Phase boundaries sit at materialization
+    points (eager checkpoints / commits), so the wall-clock split is
+    real work, not lazy-plan bookkeeping.
+
     Returns (final sig_table version, final verdict_table version).
     """
+    import time as _time
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -247,12 +258,23 @@ def stream_ingest_dedup(
         .parquet(source_dir)
     )
 
+    def _mark(batch_id: int, phase: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        if phase_log is not None:
+            phase_log.append(
+                {"batch": int(batch_id), "phase": phase,
+                 "sec": round(t1 - t0, 3)}
+            )
+        return t1
+
     def _batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        t = _time.perf_counter()
         bsig = doc_signatures(batch_df, id_col, text_col).localCheckpoint(
             eager=True
         )
+        t = _mark(batch_id, "signature_build", t)
         corpus_all = (
             lakehouse.read(spark, sig_table)
             if lakehouse.versions(sig_table)
@@ -272,6 +294,7 @@ def stream_ingest_dedup(
         # merge_into/append fall back to CREATE themselves on a
         # version-less table — no exists-branching here
         lakehouse.merge_into(spark, verdict_table, verd, id_col)
+        t = _mark(batch_id, "verdict_merge", t)
         if labels_table is not None:
             # round 8: incremental CLUSTER maintenance — this batch's
             # dup edges union-merge into the stored labels at churn
@@ -286,6 +309,7 @@ def stream_ingest_dedup(
                 F.col("match_id").alias("doc_b"),
             )
             maintain_cluster_labels(spark, labels_table, edges, id_col)
+            t = _mark(batch_id, "label_maintain", t)
         novel = bsig.join(
             verd.where(F.col("verdict") == "novel").select(id_col),
             id_col,
@@ -305,6 +329,7 @@ def stream_ingest_dedup(
         novel = novel.localCheckpoint(eager=True)
         if not novel.isEmpty():
             lakehouse.append(spark, sig_table, novel, key=id_col)
+        t = _mark(batch_id, "novel_append", t)
         # the small-files problem IS the operational cost of streaming
         # ingestion: every batch adds O(batch) files to both state
         # tables and scan latency degrades with file count, not data
@@ -316,11 +341,12 @@ def stream_ingest_dedup(
         # ~one file per cluster value — its layout is maintained by the
         # churn-scale MERGEs in maintain_cluster_labels instead.)
         if compact_every and (int(batch_id) + 1) % compact_every == 0:
-            for t in (sig_table, verdict_table):
-                if lakehouse.versions(t):
+            for tbl in (sig_table, verdict_table):
+                if lakehouse.versions(tbl):
                     lakehouse.optimize(
-                        spark, t, target_rows=compact_target_rows
+                        spark, tbl, target_rows=compact_target_rows
                     )
+            _mark(batch_id, "compact", t)
 
     q = (
         stream.writeStream.foreachBatch(_batch)
@@ -386,7 +412,9 @@ def _gate_three_batch_tables(spark: SparkSession, sf_dir: str, prefix: str):
     return src, sig_table, verdict_table, labels_table
 
 
-def stream_dedup_ingest(spark: SparkSession, sf_dir: str):
+def stream_dedup_ingest(
+    spark: SparkSession, sf_dir: str, phase_log: list | None = None
+):
     """Gated key (SURVEY §2 #14f, round 7): the STREAMING corpus-dedup
     pipeline end-to-end under the driver's hash oracle. The documents
     table splits into three deterministic micro-batches (doc_id % 3,
@@ -413,6 +441,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str):
     stream_ingest_dedup(
         spark, src, sig_table, verdict_table,
         schema="doc_id long, text string",
+        phase_log=phase_log,
     )
     return lakehouse.read(spark, verdict_table).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -423,7 +452,9 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str):
     )
 
 
-def stream_cluster_maintain(spark: SparkSession, sf_dir: str):
+def stream_cluster_maintain(
+    spark: SparkSession, sf_dir: str, phase_log: list | None = None
+):
     """Gated key (SURVEY §2 #14g, round 8): streaming INCREMENTAL
     cluster maintenance. The same 3-batch corpus-dedup pipeline as
     ``stream_dedup_ingest``, but each micro-batch's dup edges
@@ -446,6 +477,7 @@ def stream_cluster_maintain(spark: SparkSession, sf_dir: str):
         spark, src, sig_table, verdict_table,
         schema="doc_id long, text string",
         labels_table=labels_table,
+        phase_log=phase_log,
     )
     labels = lakehouse.read(spark, labels_table)
     sizes = labels.groupBy("cluster_id").agg(

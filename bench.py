@@ -184,6 +184,12 @@ def main() -> None:
         # calibration and the first-touch conversion-lag report
         "simhash_calibration",
         "conversion_lag_distribution",
+        # round 12: hashed-n-gram classifier projection, LM-score decile
+        # mix (rides the bigram pipeline), and the BFD packing report
+        # (one grouped-map pass over 3-int triplets)
+        "doc_quality_classify",
+        "lm_score_source_mix",
+        "pack_sequences_bfd",
     ):
         if extra in queries:
             headline.append(extra)

@@ -312,24 +312,26 @@ def main() -> None:
 
         spark = get_spark("medallion-bench-split")
         spark.sparkContext.setLogLevel("ERROR")
-        for key, fn in (
-            ("stream_dedup_ingest", _ing.stream_dedup_ingest),
-            ("stream_cluster_maintain", _ing.stream_cluster_maintain),
-        ):
-            log: list = []
-            fn(spark, sf_dir, phase_log=log).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            totals: dict = {}
-            for row in log:
-                totals[row["phase"]] = round(
-                    totals.get(row["phase"], 0.0) + row["sec"], 3
-                )
-            maintenance_split[key] = {
-                "per_batch": log,
-                "phase_totals": totals,
-            }
-        spark.stop()
+        try:
+            for key, fn in (
+                ("stream_dedup_ingest", _ing.stream_dedup_ingest),
+                ("stream_cluster_maintain", _ing.stream_cluster_maintain),
+            ):
+                log: list = []
+                fn(spark, sf_dir, phase_log=log).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                totals: dict = {}
+                for row in log:
+                    totals[row["phase"]] = round(
+                        totals.get(row["phase"], 0.0) + row["sec"], 3
+                    )
+                maintenance_split[key] = {
+                    "per_batch": log,
+                    "phase_totals": totals,
+                }
+        finally:
+            spark.stop()
     except Exception as exc:  # noqa: BLE001 — diagnostics must not kill
         maintenance_split["error"] = f"{type(exc).__name__}: {exc}"[:200]
 

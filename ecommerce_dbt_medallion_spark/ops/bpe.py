@@ -67,7 +67,7 @@ BPE_TOPK = 10
 # WORD_RE to unicode classes would silently corrupt merge counts) — so
 # the precondition is CHECKED once here, at vocabulary scale, for every
 # trainer that consumes word frequencies.
-_BPE_RESERVED_RE = "[\x01-\x08-]"
+_BPE_RESERVED_RE = "[\x01-\x08\uE000-\uE07F]"
 
 
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,57 +150,13 @@ def lm_decile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decile_bounds_from(scores: DataFrame) -> DataFrame:
-    rng = F.broadcast(
-        scores.agg(
-            F.min("lm_score").alias("lo"),
-            F.max("lm_score").alias("hi"),
-            F.count("*").alias("n"),
-        )
-    )
-    b = F.lit(LMMIX_BUCKETS)
-    idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            b - 1,
-            F.floor(
-                (F.col("lm_score") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))
-                * b
-            ),
-        )
-    )
-    hist = (
-        scores.crossJoin(rng)
-        .groupBy(idx.cast("long").alias("bucket"), "lo", "hi", "n")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "cum",
-            F.sum("cnt").over(
-                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-    )
-    ps = F.explode(F.array(*[F.lit(p) for p in LMMIX_DECILES])).alias("p")
-    hits = (
-        hist.select("*", ps)
-        .withColumn("target", F.ceil(F.col("p") * F.col("n")))
-        .where(F.col("cum") >= F.col("target"))
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("p").orderBy("bucket"))
-        )
-        .where(F.col("rn") == 1)
-    )
-    width = (F.col("hi") - F.col("lo")) / b
-    return hits.select(
-        F.col("p").alias("decile_p"),
-        (
-            F.col("lo")
-            + (
-                F.col("bucket")
-                + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
-            )
-            * width
-        ).alias("est_bound"),
-    )
+    from ecommerce_dbt_medallion_spark.ops.sketch import hist_quantile_estimates
+
+    return hist_quantile_estimates(
+        scores.select(F.col("lm_score").alias("x")),
+        LMMIX_DECILES,
+        LMMIX_BUCKETS,
+    ).select(F.col("p").alias("decile_p"), F.col("est").alias("est_bound"))
 
 
 def lm_score_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

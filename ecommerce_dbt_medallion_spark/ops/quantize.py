@@ -210,24 +210,27 @@ def gram_finalize(state: DataFrame) -> DataFrame:
     """Partial-sum state rows → the published Gram report (merging
     across whatever tags the state still carries).
 
-    Publishing raises (row-level ``raise_error``, stays distributed and
-    lazy) if the accumulated vector count exceeds ``GRAM_SAFE_N_VECS``:
-    past the documented bound the bigint cells could have wrapped, and
-    a wrapped covariance must fail the pipeline, not feed PCA."""
-    n_guarded = F.when(
-        F.col("n_vecs") > GRAM_SAFE_N_VECS,
-        F.raise_error(
-            F.concat(
-                F.lit("gram_finalize: "),
-                F.col("n_vecs").cast("string"),
-                F.lit(
-                    " vectors exceeds the int64-safe bound "
-                    f"{GRAM_SAFE_N_VECS} — re-scale KM_SCALE or shard "
-                    "the Gram state before publishing"
-                ),
-            )
-        ).cast("long"),
-    ).otherwise(F.col("n_vecs"))
+    Publishing raises if the accumulated vector count exceeds
+    ``GRAM_SAFE_N_VECS``: past the documented bound the bigint cells
+    could have wrapped, and a wrapped covariance must fail the
+    pipeline, not feed PCA. The check is an EAGER driver-side
+    validation over the state frame (cells × batch-tags rows —
+    metadata-scale), not a row-level expression on an output column:
+    a column-attached guard would be silently removed by Catalyst
+    column pruning for any consumer that projects it away (the
+    round-12 review catch)."""
+    mx = (
+        state.groupBy("dim_a", "dim_b")
+        .agg(F.sum("n_part").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if mx is not None and mx > GRAM_SAFE_N_VECS:
+        raise ValueError(
+            f"gram_finalize: {mx} vectors exceeds the int64-safe bound "
+            f"{GRAM_SAFE_N_VECS} — re-scale KM_SCALE or shard the Gram "
+            "state before publishing"
+        )
     return (
         state.groupBy("dim_a", "dim_b")
         .agg(
@@ -239,7 +242,7 @@ def gram_finalize(state: DataFrame) -> DataFrame:
         .select(
             F.col("dim_a").cast("long").alias("dim_a"),
             F.col("dim_b").cast("long").alias("dim_b"),
-            n_guarded.cast("long").alias("n_vecs"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
             F.col("sum_ab").cast("long").alias("sum_ab"),
             F.col("sum_a").cast("long").alias("sum_a"),
             F.col("sum_b").cast("long").alias("sum_b"),

@@ -116,30 +116,26 @@ from est
 """
 
 
-def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width-histogram quantile estimates over payment amounts.
+def hist_quantile_estimates(
+    values: DataFrame, quantiles, n_buckets: int
+) -> DataFrame:
+    """THE equi-width-histogram quantile estimator (one column ``x`` in;
+    rows (p, n, est) out): for each p, target rank = ceil(p·n); walk
+    the cumulative histogram to the first bucket reaching it; linearly
+    interpolate inside. Error is bounded by one bucket width — the
+    right trade at scale, where exact percentile means a global sort.
 
-    For each p: target rank = ceil(p * n); walk the cumulative histogram
-    to the first bucket reaching it; linearly interpolate inside the
-    bucket. Error is bounded by one bucket width — the right trade at
-    scale, where exact percentile means a global sort.
-    """
-    from ecommerce_dbt_medallion_spark.models.silver import silver_payments_for_agg
-
-    # id-free payments path: the histogram only reads amounts, so skip
-    # the payment_key row_number window over the biggest fact
-    # (value-identical for amount columns; same trick as the gold marts)
-    amt = (
-        silver_payments_for_agg(spark, sf_dir)
-        .select(F.col("payment_amount").cast("double").alias("x"))
-        .localCheckpoint(eager=False)
-    )
+    ONE definition on purpose: the interpolation's expression ORDER is
+    load-bearing for Spark/DuckDB bit-identity (the repo's float
+    discipline), and two keys consume it — ``histogram_quantiles``
+    (payments) and ``ops.lm.lm_score_source_mix`` (decile boundaries).
+    A future parity fix lands here once, for both."""
     rng = F.broadcast(
-        amt.agg(
+        values.agg(
             F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
         )
     )
-    b = F.lit(HIST_BUCKETS)
+    b = F.lit(n_buckets)
     idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
         F.least(
             b - 1,
@@ -147,7 +143,7 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hist = (
-        amt.crossJoin(rng)
+        values.crossJoin(rng)
         .groupBy(idx.cast("long").alias("bucket"), "lo", "hi", "n")
         .agg(F.count("*").alias("cnt"))
         .withColumn(
@@ -157,7 +153,7 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ps = F.explode(F.array(*[F.lit(p) for p in HIST_QUANTILES])).alias("p")
+    ps = F.explode(F.array(*[F.lit(p) for p in quantiles])).alias("p")
     hits = (
         hist.select("*", ps)
         .withColumn("target", F.ceil(F.col("p") * F.col("n")))
@@ -172,8 +168,8 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (F.col("hi") - F.col("lo")) / b
     return hits.select(
-        F.col("p").alias("quantile"),
-        F.col("n").alias("n_rows"),
+        "p",
+        "n",
         (
             F.col("lo")
             + (
@@ -181,7 +177,27 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
             )
             * width
-        ).alias("est_value"),
+        ).alias("est"),
+    )
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile estimates over payment amounts
+    (:func:`hist_quantile_estimates` — the shared estimator)."""
+    from ecommerce_dbt_medallion_spark.models.silver import silver_payments_for_agg
+
+    # id-free payments path: the histogram only reads amounts, so skip
+    # the payment_key row_number window over the biggest fact
+    # (value-identical for amount columns; same trick as the gold marts)
+    amt = (
+        silver_payments_for_agg(spark, sf_dir)
+        .select(F.col("payment_amount").cast("double").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    return hist_quantile_estimates(amt, HIST_QUANTILES, HIST_BUCKETS).select(
+        F.col("p").alias("quantile"),
+        F.col("n").alias("n_rows"),
+        F.col("est").alias("est_value"),
     )
 
 

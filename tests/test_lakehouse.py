@@ -3344,6 +3344,11 @@ def test_gram_finalize_raises_past_int64_safe_bound(spark):
     )
     with _pytest.raises(Exception, match="int64-safe bound"):
         gram_finalize(st).collect()
+    # the guard must survive projection pruning (the round-12 review
+    # catch: a column-attached raise_error vanishes for consumers that
+    # never select n_vecs) — eager validation fires regardless
+    with _pytest.raises(Exception, match="int64-safe bound"):
+        gram_finalize(st).select("second_moment").collect()
     ok = spark.createDataFrame(
         [(1, 1, GRAM_SAFE_N_VECS, 10, 1, 1)],
         "dim_a int, dim_b int, n_part bigint, sab_part bigint,"

@@ -781,13 +781,13 @@ def test_bpe_word_freqs_rejects_reserved_sentinel_codepoints(
 
     from ecommerce_dbt_medallion_spark.ops import bpe as opbpe
 
-    rows = [(0, "hello world hello", "en", "s", 20)]
+    rows = [(0, "hello \ue001world hello", "en", "s", 20)]
     d = _write_docs(spark, tmp_path, rows)
     # today's ASCII \w+ never extracts the PUA char: guard stays quiet
     assert {r.w for r in opbpe._word_freqs(spark, d).collect()} == {
         "hello", "world"
     }
     # a unicode-word regex admits it: the guard must fire
-    monkeypatch.setattr(opbpe, "WORD_RE", r"[\w-]+")
+    monkeypatch.setattr(opbpe, "WORD_RE", r"[\w\uE000-\uE07F]+")
     with _pytest.raises(Exception, match="reserved as a"):
         opbpe._word_freqs(spark, d).collect()

@@ -636,3 +636,137 @@ def test_gram_matrix_partition_invariance(spark, tmp_path_factory, vecs):
     many = sorted(map(tuple, gram_finalize(
         gram_partial_sums(_quantize_embeddings(df.repartition(7)))).collect()))
     assert one == many
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=3000), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_bfd_pruned_state_matches_full_state_reference(toks):
+    """The shard packer's retirement prune (drop bins below the shard's
+    min eligible doc) must be LOSSLESS: for any token multiset the bin
+    count equals a reference BFD that never retires, and both packers
+    respect the ceil(tokens/budget) lower bound. Pure driver math — no
+    Spark round trip, so the example budget can be generous."""
+    import math
+
+    import pandas as pd
+
+    from ecommerce_dbt_medallion_spark.ops.chunking import (
+        PACK_BUDGET,
+        _pack_shard_pdf,
+    )
+
+    pdf = pd.DataFrame(
+        {"shard": 0, "doc_id": range(len(toks)), "n_tokens": toks}
+    )
+    out = _pack_shard_pdf(pdf).iloc[0]
+
+    elig = [(t, i) for i, t in enumerate(toks) if 1 <= t <= PACK_BUDGET]
+    rems: list = []  # reference BFD: full state, no retirement
+    for t, i in sorted(elig, key=lambda p: (-p[0], p[1])):
+        fits = [(r, j) for j, r in enumerate(rems) if r >= t]
+        if fits:
+            r, j = min(fits)
+            rems[j] = r - t
+        else:
+            rems.append(PACK_BUDGET - t)
+    assert out["bfd_bins"] == len(rems)
+    packed = sum(t for t, _ in elig)
+    assert out["packed_tokens"] == packed
+    assert out["n_oversize"] == sum(1 for t in toks if t > PACK_BUDGET)
+    assert out["n_empty"] == sum(1 for t in toks if t == 0)
+    if packed:
+        floor_bins = math.ceil(packed / PACK_BUDGET)
+        assert out["bfd_bins"] >= floor_bins
+        assert out["nf_bins"] >= floor_bins
+    else:
+        assert out["bfd_bins"] == 0 and out["nf_bins"] == 0
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, width=64
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**_SETTINGS)
+def test_hist_quantile_estimates_error_bound(spark, vals):
+    """The shared equi-width estimator's defining property on ANY
+    multiset: each estimate sits within one bucket width of the exact
+    rank-target value (the target's true value lives in the cumulative
+    bucket the walk interpolates in). Degenerate all-equal inputs give
+    width 0 and the exact answer."""
+    import math
+
+    from ecommerce_dbt_medallion_spark.ops.sketch import (
+        hist_quantile_estimates,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = {
+        round(r.p, 3): r.est
+        for r in hist_quantile_estimates(df, [0.1, 0.5, 0.9], 16).collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    width = (s[-1] - s[0]) / 16
+    for p in (0.1, 0.5, 0.9):
+        exact = s[math.ceil(p * n) - 1]
+        assert abs(out[round(p, 3)] - exact) <= width * (1 + 1e-9) + 1e-9, (
+            p, out[round(p, 3)], exact, width
+        )
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii"), max_size=60
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_quality_classifier_total_and_replayable(
+    spark, tmp_path_factory, texts
+):
+    """For ANY ascii corpus: every doc gets exactly one label from the
+    closed domain, n_grams == 0 iff 'empty', and the engine's exact-
+    integer weight_sum equals a pure-Python replay of the hashing trick
+    (ASCII \\w tokenization — the Java/RE2 \\w class)."""
+    import hashlib
+    import re
+
+    from ecommerce_dbt_medallion_spark.ops import classify as opcls
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    d = tmp_path_factory.mktemp("clsprop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in opcls.doc_quality_classify(spark, str(d)).collect()
+    }
+    bw = opcls.cls_bucket_weights()
+    for i, t in enumerate(texts):
+        r = out[i]
+        assert r.quality_label in {"keep", "drop", "empty"}
+        toks = re.findall(r"\w+", t.lower(), flags=re.ASCII)
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert r.n_grams == len(grams)
+        assert (r.quality_label == "empty") == (len(grams) == 0)
+        assert (r.quality_margin_r6 is None) == (len(grams) == 0)
+        expect = sum(
+            bw.get(
+                hashlib.md5((g + opcls.CLS_SALT).encode()).hexdigest()[:2], 0
+            )
+            for g in grams
+        )
+        assert r.weight_sum == expect

@@ -272,62 +272,98 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # waiting_supplier_ranking, min_cost_supplier_parts,
 # returned_item_customers, nation_market_share,
 # product_profit_by_nation.
-DRIVER_WINDOW_ROUND = 12
+#
+# Round-13 rotation (this window): the 200-key inventory reached the
+# 4-round steady state in round 12 (staleness classes r12/r11/r10/r9 =
+# 50/50/50/49+1; dedup_minhash_lsh's r12 row is the rows-only check, a
+# driver row all the same). Round 13 adds ZERO new gated keys — at
+# 50 slots x 4 rounds = 200 keys the window has exactly zero spare
+# capacity, and any addition would push an r9 key to 5 rounds stale
+# (worse than the worst case VERDICT r11 #1 called non-negotiable).
+# The window is therefore EXACTLY the 50-key r9-latest block (the
+# round-12 deferral list above), in api order. Round-13 engine work
+# that would normally mint keys (pack_manifest_bfd,
+# doc_quality_calibration) is implemented + locally tested but NOT
+# registered in queries(); those keys join the HEAD of the round-14
+# window when registered (never-certified outranks green).
+# The entire 50-key r10-latest block therefore defers to the FRONT of
+# the round-14 window together with the round-14 registrations —
+# text_language_id, doc_fingerprint, dedup_exact, doc_winnowing,
+# corpus_curation, dedup_ngram_jaccard, text_pii_scrub, decontaminate,
+# multimodal_frame_sample, dedup_embedding_lsh, ann_topk_lsh,
+# ann_topk_ivf, silver_payments, gold_customer_summary,
+# gold_order_metrics, gold_revenue_analysis, bronze_customers,
+# bronze_orders, bronze_payments, silver_customers, silver_orders,
+# dq_generic_tests, dq_singular_tests, lakehouse_cdf,
+# dq_source_freshness, scd2_snapshot_build, kmeans_embeddings,
+# bm25_topk, exact_substring_dedup, doc_containment,
+# triangle_count_parts, corpus_mix_weights, semantic_dedup_clusters,
+# sketch_user_overlap, funnel_windowed, association_rules,
+# markov_transitions, attribution_position, revenue_trend,
+# revenue_seasonality, winsorized_revenue_stats,
+# customer_interpurchase, pareto_frontier_parts, doc_novelty_score,
+# lakehouse_deferred_delete, hard_negative_mining,
+# nearest_centroid_classify, bpe_train_merges, ann_topk_ivfpq,
+# bpe_encode_stats — 50 keys: two round-14 registrations displace the
+# two newest-certified of that block to round 15 (documented trade;
+# the displaced keys would be 5 rounds stale at their r15 row, which
+# is why round 14 must register AT MOST what it can justify).
+DRIVER_WINDOW_ROUND = 13
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
-    # ================= ROUND-12 WINDOW =================
-    # Head: round-12 additions (never-certified outranks green).
-    "doc_quality_classify",
-    "lm_score_source_mix",
-    "pack_sequences_bfd",
-    # Remaining 47 slots: the FULL r8-latest block, api order.
-    "asof_event_order",
-    "hypertable_rollup",
-    "multimodal_extract",
-    "dedup_minhash_md5",
-    "dedup_incremental",
-    "knn_graph",
-    "stream_sessionize",
-    "gold_customer_summary_bucketed",
-    "event_sessionization",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "dedup_clusters",
-    "stream_event_rollup",
-    "stream_dedup_events",
-    "stream_session_window",
-    "stream_join_view_purchase",
-    "stream_enrich_purchases",
-    "tfidf_top_terms",
-    "inverted_index",
-    "bigram_lm",
-    "doc_lm_score",
-    "cms_user_counts",
-    "histogram_quantiles",
-    "cohort_retention",
-    "copurchase_topk",
-    "pagerank_parts",
-    "fuzzy_name_match",
-    "scd2_customer_orders",
-    "repetition_stats",
-    "doc_chunking",
-    "pack_sequences",
-    "embedding_quantize",
-    "vocab_top_words",
-    "doc_oov_rate",
-    "session_window_stats",
-    "quantile_sketch_mergeable",
-    "stream_cluster_maintain",
-    "stream_quantile_sketch",
-    "exact_substring_sampled",
-    "quality_threshold_sweep",
-    "dedup_source_overlap",
-    "watermark_lateness_audit",
-    "lakehouse_clone_read",
-    "paragraph_dedup_rewrite",
-    "boilerplate_ngrams",
+    # ================= ROUND-13 WINDOW =================
+    # The FULL 50-key r9-latest block, api order. No head: round 13
+    # registers no new keys (steady-state capacity is exactly zero).
+    "gold_rfm_segmentation",
+    "churn_risk_score",
+    "event_daily_stats",
+    "event_funnel",
+    "event_path_topk",
+    "active_users_rolling",
+    "corpus_weighted_sample",
+    "sketch_distinct_users",
+    "sales_by_region",
+    "supplier_part_revenue",
+    "customer_order_percentiles",
+    "range_join_promo_revenue",
+    "sales_rollup",
+    "payment_method_pivot",
+    "revenue_anomaly_zscore",
+    "customer_ltv_running",
+    "revenue_date_spine",
+    "top_parts_per_region",
+    "corpus_stratified_sample",
+    "dataset_split",
+    "dataset_split_stats",
+    "dedup_keep_best",
+    "curation_funnel",
+    "corpus_sample_per_stratum",
+    "text_token_stats",
+    "text_quality_score",
+    "decontaminate_incremental",
+    "label_propagation_parts",
+    "cdc_latest_state",
+    "stream_cdc_apply",
+    "shipping_priority_topk",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "idle_high_balance_customers",
+    "top_supplier_revenue",
+    "stream_distinct_sketch",
+    "stream_heavy_hitters",
+    "part_supplier_diversity",
+    "disjunctive_band_revenue",
+    "lakehouse_rename_read",
+    "lakehouse_optimize_read",
+    "lakehouse_snapshot_cut",
+    "waiting_supplier_ranking",
+    "min_cost_supplier_parts",
+    "returned_item_customers",
+    "nation_market_share",
+    "product_profit_by_nation",
 ]
 
 

@@ -169,20 +169,55 @@ group by shard, bin_id
 
 # ------------------------------------------- best-fit-decreasing packing
 
+def _bfd_assign(elig_desc, budget, min_t):
+    """Best-fit-decreasing core over one shard's eligible docs.
+
+    ``elig_desc`` is ``[(n_tokens, doc_id)]`` already sorted by
+    (n_tokens desc, doc_id). Each doc goes into the open bin with the
+    SMALLEST remaining capacity that fits (tie → lowest bin id), else a
+    new bin. Returns ``(assignments, n_bins)`` where assignments is
+    ``[(doc_id, n_tokens, bin_id)]`` in assignment order.
+
+    Live-bin structure: a bisect-sorted list of (remaining, bin_id).
+    ``bisect_left(live, (t, -1))`` lands on the smallest remaining >= t
+    and, among equal remainings, the lowest bin_id — exactly the
+    best-fit tie-break, in O(log B) compare work per doc (the pop/insort
+    memmove is C-speed). A bin whose remaining drops below ``min_t``
+    (the shard's smallest eligible doc — NOT the current doc: sizes
+    DECREASE, so a bin that missed a large doc can still take a smaller
+    one later) can never receive another doc and is simply not
+    re-inserted, so the live list only shrinks-or-holds under pruning.
+    Unlike the pre-round-13 linear rescan, the per-doc cost no longer
+    degrades to O(live bins) when nothing retires (min_t = 1): the
+    worst case is pinned by tests/test_text_ops.py's 1-token-min shard.
+    """
+    from bisect import bisect_left, insort
+
+    live: list[tuple[int, int]] = []  # sorted (remaining, bin_id)
+    out: list[tuple[int, int, int]] = []
+    next_bin = 0
+    for t, i in elig_desc:
+        j = bisect_left(live, (t, -1))
+        if j < len(live):
+            rem, b = live.pop(j)
+            rem -= t
+        else:
+            rem, b = budget - t, next_bin
+            next_bin += 1
+        if rem >= min_t:
+            insort(live, (rem, b))
+        out.append((i, t, b))
+    return out, next_bin
+
+
 def _pack_shard_pdf(pdf):
     """Exact-integer shard-local packing comparison (pure function of
     the shard's (doc_id, n_tokens) rows — deterministic, replayable).
 
     NF  = next-fit in doc_id order (the naive streaming packer:
           close the current bin when the doc doesn't fit).
-    BFD = best-fit-decreasing: docs by (n_tokens desc, doc_id), each
-          into the open bin with the SMALLEST remaining capacity that
-          fits (tie → lowest bin id), else a new bin. A bin whose
-          remaining < the shard's smallest eligible doc can never
-          receive another doc — it is retired to a counter, so live
-          state stays bounded (NOT "remaining < current doc": sizes
-          DECREASE, so a bin that missed a large doc can still take a
-          smaller one later).
+    BFD = best-fit-decreasing via ``_bfd_assign`` (bisect-sorted live
+          bins; see its docstring for the pruning invariant).
     Docs never span bins; empty docs and docs over PACK_BUDGET are
     excluded and counted (production splits oversize via doc_chunking).
     """
@@ -211,21 +246,9 @@ def _pack_shard_pdf(pdf):
             rem = PACK_BUDGET - t
     # best-fit-decreasing
     min_t = min((t for t, _ in elig), default=0)
-    open_bins: list[tuple[int, int]] = []  # (remaining, bin_id)
-    retired = 0
-    next_bin = 0
-    for t, _ in sorted(elig, key=lambda p: (-p[0], p[1])):
-        live = [b for b in open_bins if b[0] >= min_t]
-        retired += len(open_bins) - len(live)
-        open_bins = live
-        fits = [b for b in open_bins if b[0] >= t]
-        if fits:
-            best = min(fits, key=lambda b: (b[0], b[1]))
-            open_bins[open_bins.index(best)] = (best[0] - t, best[1])
-        else:
-            open_bins.append((PACK_BUDGET - t, next_bin))
-            next_bin += 1
-    bfd_bins = retired + len(open_bins)
+    _, bfd_bins = _bfd_assign(
+        sorted(elig, key=lambda p: (-p[0], p[1])), PACK_BUDGET, min_t
+    )
     return pd.DataFrame(
         [
             {

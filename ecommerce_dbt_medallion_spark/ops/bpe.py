@@ -71,19 +71,33 @@ _BPE_RESERVED_RE = "[\x01-\x08\uE000-\uE07F]"
 
 
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, f) word types with the reserved-sentinel precondition CHECKED.
+
+    The guard is attached to BOTH output columns (r12 ADVICE): a
+    column-attached check on ``w`` alone would be pruned away by
+    Catalyst for a consumer that only reads ``f`` — guarding each
+    column means whichever column survives pruning still carries the
+    check (a consumer reading NEITHER column consumes no values the
+    sentinels could corrupt). Vocabulary-scale, so the doubled rlike is
+    noise; no eager job at plan-construction time."""
     docs = load_table(spark, sf_dir, "documents")
-    guarded = F.when(
-        F.col("w").rlike(_BPE_RESERVED_RE),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "BPE: corpus word contains a codepoint reserved as a "
-                    "merge sentinel (chr(1..8) / U+E000..U+E07F): "
-                ),
-                F.col("w"),
+
+    def _guarded(out_col, out_type):
+        return F.when(
+            F.col("w").rlike(_BPE_RESERVED_RE),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "BPE: corpus word contains a codepoint reserved as a "
+                        "merge sentinel (chr(1..8) / U+E000..U+E07F): "
+                    ),
+                    F.col("w"),
+                )
             )
-        ).cast("string"),
-    ).otherwise(F.col("w"))
+            .cast("string")
+            .cast(out_type),
+        ).otherwise(out_col)
+
     return (
         docs.select(
             F.explode(
@@ -92,7 +106,10 @@ def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
-        .select(guarded.alias("w"), "f")
+        .select(
+            _guarded(F.col("w"), "string").alias("w"),
+            _guarded(F.col("f"), "long").alias("f"),
+        )
     )
 
 

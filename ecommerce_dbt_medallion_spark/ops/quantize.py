@@ -218,20 +218,16 @@ def gram_finalize(state: DataFrame) -> DataFrame:
     metadata-scale), not a row-level expression on an output column:
     a column-attached guard would be silently removed by Catalyst
     column pruning for any consumer that projects it away (the
-    round-12 review catch)."""
-    mx = (
-        state.groupBy("dim_a", "dim_b")
-        .agg(F.sum("n_part").alias("n"))
-        .agg(F.max("n").alias("mx"))
-        .collect()[0]["mx"]
-    )
-    if mx is not None and mx > GRAM_SAFE_N_VECS:
-        raise ValueError(
-            f"gram_finalize: {mx} vectors exceeds the int64-safe bound "
-            f"{GRAM_SAFE_N_VECS} — re-scale KM_SCALE or shard the Gram "
-            "state before publishing"
-        )
-    return (
+    round-12 review catch).
+
+    The merged (dim_a, dim_b) sums are localCheckpoint(eager)'d ONCE:
+    the guard's max-n scan and the published select both read the
+    checkpointed cells, so the upstream partial-sum computation runs a
+    single time (the round-12 version recomputed it — ~2× compute per
+    publish). The checkpoint is executor-memory-resident, which is fine
+    for this frame: post-merge state is exactly GRAM_DIM(GRAM_DIM+1)/2
+    cells regardless of corpus size."""
+    merged = (
         state.groupBy("dim_a", "dim_b")
         .agg(
             F.sum("n_part").alias("n_vecs"),
@@ -239,6 +235,17 @@ def gram_finalize(state: DataFrame) -> DataFrame:
             F.sum("sa_part").alias("sum_a"),
             F.sum("sb_part").alias("sum_b"),
         )
+        .localCheckpoint(eager=True)
+    )
+    mx = merged.agg(F.max("n_vecs").alias("mx")).collect()[0]["mx"]
+    if mx is not None and mx > GRAM_SAFE_N_VECS:
+        raise ValueError(
+            f"gram_finalize: {mx} vectors exceeds the int64-safe bound "
+            f"{GRAM_SAFE_N_VECS} — re-scale KM_SCALE or shard the Gram "
+            "state before publishing"
+        )
+    return (
+        merged
         .select(
             F.col("dim_a").cast("long").alias("dim_a"),
             F.col("dim_b").cast("long").alias("dim_b"),

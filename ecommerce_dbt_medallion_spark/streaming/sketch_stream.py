@@ -512,12 +512,23 @@ def stream_gram_ingest(
     footer read, metadata-scale) — the source contract permits
     array<float> OR array<double> embeddings, and a hardcoded float
     schema would break the vectorized reader on a double-encoded
-    dataset (double→float is not an allowed parquet upcast)."""
+    dataset (double→float is not an allowed parquet upcast). When the
+    source directory has no parquet footers YET (the start-the-stream-
+    before-files-arrive pattern), inference is impossible, so the
+    documented default ``vec_id bigint, embedding array<float>``
+    applies — a later double-encoded producer must pass ``schema``
+    explicitly in that pattern."""
+    from pyspark.errors import AnalysisException
+
     from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
     from ecommerce_dbt_medallion_spark.ops.quantize import gram_partial_sums
 
     if schema is None:
-        schema = spark.read.parquet(source_dir).schema
+        try:
+            schema = spark.read.parquet(source_dir).schema
+        except AnalysisException:
+            # Empty dir: no footers to infer from (r12 ADVICE).
+            schema = "vec_id bigint, embedding array<float>"
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -3327,6 +3327,54 @@ def test_gram_stream_accepts_double_embeddings(spark, tmp_path):
     assert streamed == batch
 
 
+def test_gram_stream_starts_on_empty_source_dir(spark, tmp_path):
+    """ADVICE r12 #1: the start-the-stream-before-files-arrive pattern.
+    With no parquet footers to infer from, stream_gram_ingest must fall
+    back to the documented default schema instead of raising 'unable to
+    infer schema' at startup — and a later float-encoded drop into the
+    same directory must then drain normally."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.cluster import _quantize_embeddings
+    from ecommerce_dbt_medallion_spark.ops.quantize import (
+        GRAM_DIM,
+        gram_finalize,
+        gram_partial_sums,
+    )
+    from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stage_microbatch_files,
+        stream_gram_ingest,
+    )
+
+    src = tmp_path / "gram_src_empty"
+    src.mkdir()
+    state = str(tmp_path / "gram_state_empty")
+    # Empty directory: must start (and drain zero batches), not raise.
+    assert stream_gram_ingest(spark, str(src), state) == -1
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, [float(x) for x in rng.normal(scale=0.3, size=GRAM_DIM)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stage_microbatch_files(
+        str(src), [df.where(F.col("vec_id") % 2 == k) for k in range(2)]
+    )
+    stream_gram_ingest(spark, str(src), state)
+    streamed = sorted(
+        map(tuple, gram_finalize(lh.read(spark, state)).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            gram_finalize(gram_partial_sums(_quantize_embeddings(df))).collect(),
+        )
+    )
+    assert streamed == batch
+
+
 def test_gram_finalize_raises_past_int64_safe_bound(spark):
     """ADVICE r11 #2: past GRAM_SAFE_N_VECS the bigint cells could have
     wrapped silently — publishing must fail loudly, naming the bound."""

@@ -791,3 +791,7 @@ def test_bpe_word_freqs_rejects_reserved_sentinel_codepoints(
     monkeypatch.setattr(opbpe, "WORD_RE", r"[\w\uE000-\uE07F]+")
     with _pytest.raises(Exception, match="reserved as a"):
         opbpe._word_freqs(spark, d).collect()
+    # ADVICE r12 #3: the guard must survive column pruning \u2014 a consumer
+    # that projects away w (reads only f) still has to fail loudly
+    with _pytest.raises(Exception, match="reserved as a"):
+        opbpe._word_freqs(spark, d).select("f").collect()

@@ -304,36 +304,50 @@ def main() -> None:
     # maintenance vs novel APPEND) so "maintenance is churn-
     # proportional" is a recorded number. Full artifact only (the
     # compact stdout line keeps its tail budget).
+    # VERDICT r12 #2 adds a third instrumented run: the SAME cluster
+    # pipeline batched by contiguous doc_id terciles (the production
+    # time-ordered layout) so the relabel-pruning claim is measured
+    # against the gate's adversarial mod-3 layout, per batch.
+    # ADVICE r12 #4: the whole instrumented pass (~60 s at sf0.1) is
+    # gated behind SPARK_GRAFT_MAINT_SPLIT (default on, so driver runs
+    # keep recording it); set =0 for targeted bench iterations.
     maintenance_split: dict = {}
-    try:
-        from ecommerce_dbt_medallion_spark.streaming import (
-            ingest_stream as _ing,
-        )
-
-        spark = get_spark("medallion-bench-split")
-        spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SPARK_GRAFT_MAINT_SPLIT", "1") != "0":
         try:
-            for key, fn in (
-                ("stream_dedup_ingest", _ing.stream_dedup_ingest),
-                ("stream_cluster_maintain", _ing.stream_cluster_maintain),
-            ):
-                log: list = []
-                fn(spark, sf_dir, phase_log=log).write.mode(
-                    "overwrite"
-                ).format("noop").save()
-                totals: dict = {}
-                for row in log:
-                    totals[row["phase"]] = round(
-                        totals.get(row["phase"], 0.0) + row["sec"], 3
-                    )
-                maintenance_split[key] = {
-                    "per_batch": log,
-                    "phase_totals": totals,
-                }
-        finally:
-            spark.stop()
-    except Exception as exc:  # noqa: BLE001 — diagnostics must not kill
-        maintenance_split["error"] = f"{type(exc).__name__}: {exc}"[:200]
+            from ecommerce_dbt_medallion_spark.streaming import (
+                ingest_stream as _ing,
+            )
+
+            spark = get_spark("medallion-bench-split")
+            spark.sparkContext.setLogLevel("ERROR")
+            try:
+                for key, fn in (
+                    ("stream_dedup_ingest", _ing.stream_dedup_ingest),
+                    ("stream_cluster_maintain", _ing.stream_cluster_maintain),
+                    (
+                        "stream_cluster_maintain_contiguous",
+                        _ing.stream_cluster_maintain_contiguous,
+                    ),
+                ):
+                    log: list = []
+                    fn(spark, sf_dir, phase_log=log).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    totals: dict = {}
+                    for row in log:
+                        totals[row["phase"]] = round(
+                            totals.get(row["phase"], 0.0) + row["sec"], 3
+                        )
+                    maintenance_split[key] = {
+                        "per_batch": log,
+                        "phase_totals": totals,
+                    }
+            finally:
+                spark.stop()
+        except Exception as exc:  # noqa: BLE001 — diagnostics must not kill
+            maintenance_split["error"] = f"{type(exc).__name__}: {exc}"[:200]
+    else:
+        maintenance_split["skipped"] = "SPARK_GRAFT_MAINT_SPLIT=0"
 
     total = round(sum(timings.values()), 3)
     out = {

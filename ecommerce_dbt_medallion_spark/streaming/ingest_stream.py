@@ -310,6 +310,14 @@ def stream_ingest_dedup(
             )
             maintain_cluster_labels(spark, labels_table, edges, id_col)
             t = _mark(batch_id, "label_maintain", t)
+            if phase_log is not None:
+                # churn next to wall clock (VERDICT r12 #2): sec alone
+                # reads as "grows per batch" when the real relation is
+                # per-EDGE cost — edges grow because later batches match
+                # against a larger corpus. verd is checkpointed, so the
+                # count is a cheap local scan, and only diagnostic runs
+                # pay it.
+                phase_log[-1]["n_edges"] = edges.count()
         novel = bsig.join(
             verd.where(F.col("verdict") == "novel").select(id_col),
             id_col,
@@ -365,12 +373,24 @@ def stream_ingest_dedup(
     )
 
 
-def _gate_three_batch_tables(spark: SparkSession, sf_dir: str, prefix: str):
+def _gate_three_batch_tables(
+    spark: SparkSession, sf_dir: str, prefix: str, batch_mode: str = "mod"
+):
     """Shared gate setup: split documents into three deterministic
-    micro-batch files (doc_id % 3, mtime+name ordered so
-    FileStreamSource processes them in order) and return fresh
-    (src, sig_table, verdict_table, labels_table) paths under the gate
-    root, pre-cleaned."""
+    micro-batch files (mtime+name ordered so FileStreamSource processes
+    them in order) and return fresh (src, sig_table, verdict_table,
+    labels_table) paths under the gate root, pre-cleaned.
+
+    ``batch_mode``:
+      - ``"mod"`` (the gated keys): batch k = doc_id % 3 == k. This is
+        deliberately ADVERSARIAL for stored-state maintenance — every
+        batch spans the table's full id range, so stats-based file
+        pruning on the labels table admits almost everything.
+      - ``"contiguous"`` (bench diagnostics, VERDICT r12 #2): batch k =
+        the k-th contiguous doc_id tercile — the layout a production
+        time-ordered feed actually has (new ids arrive after old ids),
+        where relabel reads should prune to the churn's id range.
+    """
     import re as _re
     import shutil as _sh
     import time as _time
@@ -395,10 +415,24 @@ def _gate_three_batch_tables(spark: SparkSession, sf_dir: str, prefix: str):
     os.makedirs(src, exist_ok=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if batch_mode == "contiguous":
+        # tercile boundaries from min/max: deterministic, one cheap
+        # stats-style scan, no global sort. Id gaps just skew batch
+        # sizes a little, which the diagnostic doesn't care about.
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        span = max(int(hi) - int(lo) + 1, 1)
+        batch_of = F.least(
+            F.lit(2),
+            F.floor(((F.col("doc_id") - int(lo)) * 3) / span).cast("int"),
+        )
+    elif batch_mode == "mod":
+        batch_of = (F.col("doc_id") % 3).cast("int")
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown batch_mode: {batch_mode!r}")
     base = _time.time()
     for k in range(3):
         staging = os.path.join(src, f"_stage{k}")
-        docs.where(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+        docs.where(batch_of == k).coalesce(1).write.mode(
             "overwrite"
         ).parquet(staging)
         (part,) = [
@@ -472,6 +506,56 @@ def stream_cluster_maintain(
 
     src, sig_table, verdict_table, labels_table = _gate_three_batch_tables(
         spark, sf_dir, "clusterstream"
+    )
+    stream_ingest_dedup(
+        spark, src, sig_table, verdict_table,
+        schema="doc_id long, text string",
+        labels_table=labels_table,
+        phase_log=phase_log,
+    )
+    labels = lakehouse.read(spark, labels_table)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def stream_cluster_maintain_contiguous(
+    spark: SparkSession, sf_dir: str, phase_log: list | None = None
+):
+    """UNGATED bench/diagnostic variant of ``stream_cluster_maintain``
+    (VERDICT r12 #2): the same 3-batch pipeline, batched by CONTIGUOUS
+    doc_id terciles — the production time-ordered feed layout — instead
+    of the gate's adversarial doc_id % 3 (which spans every batch
+    across the table's full id range, defeating stats pruning on the
+    labels table by construction). bench.py's maintenance_split runs
+    this next to the gated layout so "relabel reads prune under a
+    time-ordered feed" is a recorded per-batch number, not an argument.
+
+    NOT registered in api.queries(): the 200-key / 50-slot rotation has
+    zero spare capacity (round-13 rotation note in api.py), and as a
+    measurement twin of an already-gated key it earns its keep in
+    BENCH_SUMMARY.maintenance_split, not in the certification window.
+    Correctness is still pinned: the maintained labels must equal a
+    from-scratch CC over this layout's own verdict edges
+    (tests/test_lakehouse.py::test_stream_cluster_maintain_contiguous_
+    matches_scratch) — note the edge SET itself may legitimately differ
+    from the mod-3 layout's (near-dup pairs co-arriving in one batch
+    both verdict novel; which pairs co-arrive depends on the layout).
+    """
+    from pyspark.sql import functions as F
+
+    src, sig_table, verdict_table, labels_table = _gate_three_batch_tables(
+        spark, sf_dir, "clusterstreamc", batch_mode="contiguous"
     )
     stream_ingest_dedup(
         spark, src, sig_table, verdict_table,

@@ -1648,6 +1648,57 @@ def test_stream_cluster_maintain_matches_scratch(spark):
     assert got == want
 
 
+def test_stream_cluster_maintain_contiguous_matches_scratch(spark):
+    """VERDICT r12 #2 companion: the contiguous-tercile bench variant
+    must satisfy the same maintenance invariant as the gated mod-3 key
+    — maintained labels equal a from-scratch CC over the edges ITS OWN
+    layout produced (the edge set may differ from mod-3's: near-dup
+    pairs co-arriving in one batch both verdict novel, and co-arrival
+    depends on the layout)."""
+    from ecommerce_dbt_medallion_spark.models.cdf import _GATE_ROOT
+    from ecommerce_dbt_medallion_spark.ops.graph import connected_components
+    from ecommerce_dbt_medallion_spark.streaming.ingest_stream import (
+        stream_cluster_maintain_contiguous,
+    )
+
+    got = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_representative"])
+        for r in stream_cluster_maintain_contiguous(spark, SF_SMOKE).collect()
+    }
+    assert got, "no clusters found at sf0.001 (seeded dups exist)"
+    import os
+    tag = os.path.basename(os.path.normpath(SF_SMOKE)).replace(".", "_")
+    verd = lh.read(
+        spark, os.path.join(_GATE_ROOT, f"clusterstreamc_verdicts_{tag}")
+    )
+    edges = verd.where(F.col("match_id").isNotNull()).select(
+        F.col("doc_id").alias("doc_a"), F.col("match_id").alias("doc_b")
+    )
+    labels = connected_components(edges)
+    sizes = {
+        r["cluster_id"]: r["cnt"]
+        for r in labels.groupBy("cluster_id").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"], sizes[r["cluster_id"]],
+         r["doc_id"] == r["cluster_id"])
+        for r in labels.collect()
+    }
+    assert got == want
+    # layout sanity: batches really are contiguous terciles — every
+    # batch-0 doc id precedes every batch-1 id, etc.
+    spans = {
+        r["batch_id"]: (r["lo"], r["hi"])
+        for r in verd.groupBy("batch_id")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    }
+    for b in sorted(spans)[:-1]:
+        assert spans[b][1] < spans[b + 1][0], spans
+
+
 def test_read_keys_point_lookup_prunes_and_is_exact(spark, table):
     """read_keys must return exactly the requested keys' rows while
     reading only bloom/stats-admitted files (round 8: the point-lookup

@@ -315,6 +315,137 @@ def pack_sequences_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ BFD manifest (round-14 queue)
+
+def _pack_manifest_pdf(pdf):
+    """One shard's BFD bin manifest: (shard, doc_id, bin_id, slot,
+    n_tokens) per eligible doc — the trainer-consumable assignment
+    (``_pack_shard_pdf`` reports the waste comparison; this emits WHERE
+    each doc goes). Same ``_bfd_assign`` core, so the bin count always
+    agrees with ``pack_sequences_bfd``'s bfd_bins."""
+    import pandas as pd
+
+    shard = int(pdf["shard"].iloc[0])
+    elig = [
+        (int(t), int(i))
+        for t, i in zip(
+            pdf["n_tokens"].astype("int64"), pdf["doc_id"].astype("int64")
+        )
+        if 1 <= t <= PACK_BUDGET
+    ]
+    min_t = min((t for t, _ in elig), default=0)
+    out, _ = _bfd_assign(
+        sorted(elig, key=lambda p: (-p[0], p[1])), PACK_BUDGET, min_t
+    )
+    slots: dict[int, int] = {}
+    ids, toks, bins, slot_l = [], [], [], []
+    for i, t, b in out:
+        s = slots.get(b, 0)
+        slots[b] = s + 1
+        ids.append(i)
+        toks.append(t)
+        bins.append(b)
+        slot_l.append(s)
+    return pd.DataFrame(
+        {
+            "shard": pd.Series([shard] * len(ids), dtype="int64"),
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "bin_id": pd.Series(bins, dtype="int64"),
+            "slot": pd.Series(slot_l, dtype="int64"),
+            "n_tokens": pd.Series(toks, dtype="int64"),
+        }
+    )
+
+
+def pack_manifest_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-14 QUEUE (VERDICT r12 #4a; NOT registered in api.queries()
+    this round — the round-13 rotation has zero spare slots, see
+    api.py's rotation note): the best-fit-decreasing bin MANIFEST —
+    one row per eligible doc giving (shard, bin_id, slot) — the
+    artifact a training loader actually consumes (``pack_sequences_bfd``
+    only reports how much padding BFD saves; this says which doc goes
+    in which bin, in which order).
+
+    Spark shape: identical to the report key — token counts JVM-side,
+    ONE Arrow ``applyInPandas`` over shard groups carrying 3 ints per
+    doc; output is doc-grain (the manifest IS per-doc data, so output
+    size ∝ input rows, not state). N_SHARDS is the parallelism dial.
+
+    Determinism / oracle: the assignment is a pure function of the
+    shard's (n_tokens desc, doc_id) order with the smallest-remaining /
+    lowest-bin-id tie-break; the DuckDB oracle replays the recurrence
+    as a recursive CTE that carries the per-step assignment (bins are
+    never removed from the oracle's rems list, so list position ==
+    creation order == bin_id), and slot falls out as a row_number over
+    (shard, bin_id) in step order. Every output is an exact integer.
+    """
+    docs = _docs_with_words(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size("__words").alias("n_tokens"),
+    )
+    return docs.groupBy("shard").applyInPandas(
+        _pack_manifest_pdf,
+        schema="shard long, doc_id long, bin_id long, slot long, n_tokens long",
+    )
+
+
+def oracle_pack_manifest_bfd() -> str:
+    return f"""
+with toks as materialized (
+    select doc_id, doc_id % {N_SHARDS} as shard,
+        len(regexp_extract_all(lower(text), '{WORD_RE}')) as n_tokens
+    from documents
+),
+elig as (select * from toks where n_tokens >= 1 and n_tokens <= {PACK_BUDGET}),
+ord_b as materialized (
+    select shard, doc_id, n_tokens,
+        row_number() over (partition by shard order by n_tokens desc, doc_id)
+            as i,
+        count(*) over (partition by shard) as m
+    from elig
+),
+shards as materialized (select shard, max(m) as m from ord_b group by shard),
+asg as (
+    with recursive s(shard, i, m, rems, doc_id, n_tokens, bin_id) as (
+        select shard, 0, m, cast([] as bigint[]),
+            cast(null as bigint), cast(null as bigint), cast(null as bigint)
+        from shards
+        union all
+        select s.shard, s.i + 1, s.m,
+            case when list_min(list_filter(s.rems, r -> r >= o.n_tokens))
+                     is null
+                 then list_append(s.rems, {PACK_BUDGET} - o.n_tokens)
+                 else list_transform(range(1, len(s.rems) + 1),
+                        j -> case when j = list_position(s.rems,
+                                list_min(list_filter(s.rems,
+                                                     r -> r >= o.n_tokens)))
+                                  then s.rems[j] - o.n_tokens
+                                  else s.rems[j] end)
+            end,
+            o.doc_id, o.n_tokens,
+            case when list_min(list_filter(s.rems, r -> r >= o.n_tokens))
+                     is null
+                 then cast(len(s.rems) as bigint)
+                 else cast(list_position(s.rems,
+                        list_min(list_filter(s.rems, r -> r >= o.n_tokens)))
+                        - 1 as bigint)
+            end
+        from s join ord_b o on o.shard = s.shard and o.i = s.i + 1
+        where s.i < s.m
+    )
+    select shard, i, doc_id, n_tokens, bin_id from s where i >= 1
+)
+select cast(shard as bigint) as shard,
+    doc_id,
+    bin_id,
+    cast(row_number() over (partition by shard, bin_id order by i) - 1
+         as bigint) as slot,
+    cast(n_tokens as bigint) as n_tokens
+from asg
+"""
+
+
 def oracle_pack_sequences_bfd() -> str:
     return f"""
 with toks as materialized (

@@ -146,6 +146,218 @@ def doc_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- calibration (round-14 queue)
+
+CAL_BUCKETS = 64
+CAL_DECILES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def junk_unigrams() -> list[str]:
+    """The planted-junk reference label's vocabulary: the LEXICON's
+    negative-weight unigrams (the generator's word pool includes them,
+    so their presence is the planted ground-truth signal). Shared
+    verbatim by the Spark literal array and the oracle list."""
+    return sorted(g for g, w in CLS_LEXICON.items() if w < 0 and " " not in g)
+
+
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-14 QUEUE (VERDICT r12 #4b; NOT registered in api.queries()
+    this round — the round-13 rotation has zero spare slots, see api.py):
+    the classifier-calibration report for ``doc_quality_classify`` —
+    margin deciles vs the planted junk label, the operating-point sweep
+    a deployment reads before picking a filter threshold (which decile
+    of the margin actually separates planted junk from clean prose, and
+    what keep-share each operating point implies).
+
+    Reference label: ``planted_junk`` = the doc's token stream contains
+    at least one negative-lexicon unigram (:func:`junk_unigrams`) — a
+    label INDEPENDENT of the hashing trick, so bucket collisions and
+    the bigram features are what the calibration measures.
+
+    Scale shape (100 TB): ONE corpus projection computes margin AND the
+    planted flag (no doc-grain join-back); decile boundaries come from
+    the shared equi-width-histogram estimator (ops/sketch.py — never
+    ntile's global sort); assignment is a 9-value broadcast array
+    filter; the report grain is ≤10 rows.
+
+    Determinism: deciles cut on the ROUNDED ``quality_margin_r6`` basis
+    (the value the certified classifier key publishes); boundary
+    arithmetic is the shared estimator, bit-identical by the
+    lm_score_source_mix precedent; rates are ONE division each, rounded.
+    """
+    from ecommerce_dbt_medallion_spark.ops.sketch import hist_quantile_estimates
+
+    bw = cls_bucket_weights()
+    wmap = F.create_map(
+        *[c for k, v in bw.items() for c in (F.lit(k), F.lit(v))]
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)).alias(
+            "__t"
+        ),
+    )
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> concat(__t[i-1], ' ', __t[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(F.col("__t"), bigrams)
+    weight_sum = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.coalesce(F.element_at(wmap, _gram_bucket(g)), F.lit(0)).cast("long"),
+    )
+    junk_arr = F.array(*[F.lit(t) for t in junk_unigrams()])
+    margin = F.round(
+        F.lit(CLS_INTERCEPT)
+        + F.col("weight_sum").cast("double")
+        / (F.col("n_grams") * CLS_SCALE).cast("double"),
+        6,
+    )
+    scored = (
+        docs.select(
+            "doc_id",
+            F.size(grams).cast("long").alias("n_grams"),
+            weight_sum.alias("weight_sum"),
+            F.arrays_overlap("__t", junk_arr).alias("planted_junk"),
+        )
+        .where(F.col("n_grams") > 0)  # unscoreable docs have no margin
+        .select(margin.alias("m"), "planted_junk")
+        .localCheckpoint(eager=False)
+    )
+    barr = F.broadcast(
+        hist_quantile_estimates(
+            scored.select(F.col("m").alias("x")), CAL_DECILES, CAL_BUCKETS
+        ).agg(F.sort_array(F.collect_list("est")).alias("barr"))
+    )
+    assigned = scored.crossJoin(barr).select(
+        F.size(F.filter(F.col("barr"), lambda bnd: F.col("m") > bnd))
+        .cast("long")
+        .alias("decile"),
+        "m",
+        "planted_junk",
+    )
+    g = assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("planted_junk"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_planted"),
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("long").alias("__keep"),
+        F.min("m").alias("min_margin"),
+        F.max("m").alias("max_margin"),
+    )
+    return g.select(
+        "decile",
+        "n_docs",
+        "n_planted",
+        F.round(
+            F.col("n_planted").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("junk_rate_r6"),
+        F.round(
+            F.col("__keep").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("keep_share_r6"),
+        "min_margin",
+        "max_margin",
+    )
+
+
+def oracle_doc_quality_calibration() -> str:
+    bw = cls_bucket_weights()
+    vals = ", ".join(f"('{k}', {v})" for k, v in bw.items())
+    junk = ", ".join(f"'{t}'" for t in junk_unigrams())
+    b = CAL_BUCKETS
+    ps = ", ".join(f"cast({p} as double)" for p in CAL_DECILES)
+    margin = (
+        f"round(cast({CLS_INTERCEPT} as double) "
+        f"+ cast(coalesce(s.weight_sum, 0) as double) "
+        f"/ cast(len(g.gs) * {CLS_SCALE} as double), 6)"
+    )
+    return f"""
+with t as (
+    select doc_id, regexp_extract_all(lower(text), '{WORD_RE}') as t
+    from documents
+),
+g as materialized (
+    select doc_id, t,
+        list_concat(t, case when len(t) >= 2
+            then list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            else cast([] as varchar[]) end) as gs
+    from t
+),
+w(bucket, wt) as (select * from (values {vals}) v(bucket, wt)),
+ex as (select doc_id, unnest(gs) as gm from g),
+gw as (select doc_id, substr(md5(gm || '{CLS_SALT}'), 1, 2) as bucket from ex),
+s as (
+    select gw.doc_id, cast(sum(coalesce(w.wt, 0)) as bigint) as weight_sum
+    from gw left join w using (bucket)
+    group by 1
+),
+scored as materialized (
+    select {margin} as m,
+        list_has_any(g.t, [{junk}]) as planted_junk
+    from g left join s using (doc_id)
+    where len(g.gs) > 0
+),
+rng as (select min(m) as lo, max(m) as hi, count(*) as n from scored),
+hist as (
+    select
+        cast(case when r.hi = r.lo then 0
+             else least({b} - 1, floor((sc.m - r.lo) / (r.hi - r.lo) * {b}))
+        end as bigint) as bucket,
+        r.lo, r.hi, r.n, count(*) as cnt
+    from scored sc cross join rng r
+    group by 1, 2, 3, 4
+),
+cum as (
+    select *, sum(cnt) over (
+        order by bucket rows between unbounded preceding and current row
+    ) as cum
+    from hist
+),
+ps as (select unnest([{ps}]) as p),
+hits as (
+    select p, bucket, lo, hi, n, cnt, cum,
+        cast(ceil(p * n) as bigint) as target,
+        row_number() over (partition by p order by bucket) as rn
+    from cum cross join ps
+    where cum >= ceil(p * n)
+),
+bounds as (
+    select p,
+        lo + (bucket + (target - (cum - cnt)) / cnt) * ((hi - lo) / {b}) as est
+    from hits where rn = 1
+),
+barr as (select list(est order by est) as barr from bounds),
+assigned as (
+    select cast(len(list_filter(ba.barr, x -> sc.m > x)) as bigint) as decile,
+        sc.m, sc.planted_junk
+    from scored sc cross join barr ba
+),
+gg as (
+    select decile,
+        cast(count(*) as bigint) as n_docs,
+        cast(sum(case when planted_junk then 1 else 0 end) as bigint)
+            as n_planted,
+        cast(sum(case when m > 0 then 1 else 0 end) as bigint) as keepn,
+        min(m) as min_margin,
+        max(m) as max_margin
+    from assigned
+    group by 1
+)
+select decile, n_docs, n_planted,
+    round(cast(n_planted as double) / cast(n_docs as double), 6)
+        as junk_rate_r6,
+    round(cast(keepn as double) / cast(n_docs as double), 6)
+        as keep_share_r6,
+    min_margin, max_margin
+from gg
+"""
+
+
 def oracle_doc_quality_classify() -> str:
     bw = cls_bucket_weights()
     vals = ", ".join(f"('{k}', {v})" for k, v in bw.items())

@@ -906,3 +906,36 @@ def test_round12_curation_ops_plan_shapes(spark):
     assert "FlatMapGroupsInPandas" in bfd
     assert bfd.count("Exchange") == 1, bfd
     assert "hashpartitioning(shard" in bfd
+
+
+def test_round14_queue_plan_shapes(spark):
+    """Round-14 QUEUE ops (implemented in round 13, unregistered):
+    pack_manifest_bfd mirrors the report key's shape — exactly ONE
+    shard-hash exchange into ONE Arrow grouped-map worker;
+    doc_quality_calibration scores and labels in one corpus projection
+    (no doc-grain join-back → no SortMergeJoin), joins only broadcasts
+    (no CartesianProduct), and keeps Python out of the plan."""
+    from ecommerce_dbt_medallion_spark.ops.chunking import pack_manifest_bfd
+    from ecommerce_dbt_medallion_spark.ops.classify import (
+        doc_quality_calibration,
+    )
+
+    man = (
+        pack_manifest_bfd(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in man
+    assert man.count("Exchange") == 1, man
+    assert "hashpartitioning(shard" in man
+
+    cal = (
+        doc_quality_calibration(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in cal
+    assert "SortMergeJoin" not in cal
+    assert "BatchEvalPython" not in cal and "ArrowEvalPython" not in cal

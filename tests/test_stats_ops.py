@@ -769,6 +769,77 @@ def test_bfd_packing_beats_next_fit_and_accounts_exactly(spark, tmp_path):
         assert g.bfd_bins >= -(-g.packed_tokens // opchunk.PACK_BUDGET)
 
 
+def test_pack_manifest_bfd_consistent_with_report(spark):
+    """Round-14 queue: the manifest and the waste report share
+    _bfd_assign, so they must agree exactly — per shard, the manifest's
+    bin count equals bfd_bins, its doc count equals the eligible count,
+    every bin's token sum fits the budget, and slots are contiguous
+    from 0 in assignment order."""
+    import pandas as pd
+
+    from ecommerce_dbt_medallion_spark.ops import chunking as opchunk
+
+    man = opchunk.pack_manifest_bfd(spark, SF_SMOKE).toPandas()
+    rep = opchunk.pack_sequences_bfd(spark, SF_SMOKE).toPandas().set_index("shard")
+    assert len(man), "empty manifest at sf0.001"
+    for shard, g in man.groupby("shard"):
+        r = rep.loc[shard]
+        assert g["bin_id"].nunique() == r["bfd_bins"], shard
+        assert len(g) == r["n_docs"] - r["n_empty"] - r["n_oversize"], shard
+        assert int(g["n_tokens"].sum()) == r["packed_tokens"], shard
+        for _, bg in g.groupby("bin_id"):
+            assert bg["n_tokens"].sum() <= opchunk.PACK_BUDGET
+            assert sorted(bg["slot"]) == list(range(len(bg)))
+    # doc_ids are unique across the whole manifest (each doc packed once)
+    assert man["doc_id"].is_unique
+
+
+def test_doc_quality_calibration_sanity(spark):
+    """Round-14 queue: calibration totals must reconcile with the
+    certified classifier key — same scoreable-doc count, same overall
+    planted-junk mass — and deciles live in 0..9 with margins ordered
+    within each decile band."""
+    from pyspark.sql import functions as F_
+
+    from ecommerce_dbt_medallion_spark.ops import classify as opcls
+
+    cal = opcls.doc_quality_calibration(spark, SF_SMOKE).toPandas()
+    cls = opcls.doc_quality_classify(spark, SF_SMOKE)
+    n_scoreable = cls.where(F_.col("n_grams") > 0).count()
+    assert int(cal["n_docs"].sum()) == n_scoreable
+    assert set(cal["decile"]) <= set(range(10))
+    assert (cal["n_planted"] <= cal["n_docs"]).all()
+    # decile bands don't interleave: sorted by decile, min_margin of a
+    # later band is >= an earlier band's min (boundaries are monotone)
+    cal = cal.sort_values("decile")
+    assert cal["min_margin"].is_monotonic_increasing
+    # the planted-junk mass reconciles with a direct corpus scan over
+    # the classifier's own scoreable set
+    junk = opcls.junk_unigrams()
+    planted_direct = (
+        cls.where(F_.col("n_grams") > 0)
+        .join(
+            spark.read.parquet(
+                f"{SF_SMOKE}/documents.parquet"
+            ).select("doc_id", "text"),
+            "doc_id",
+        )
+        .select(
+            F_.arrays_overlap(
+                F_.regexp_extract_all(
+                    F_.lower(F_.col("text")),
+                    F_.lit(opcls.WORD_RE),
+                    F_.lit(0),
+                ),
+                F_.array(*[F_.lit(t) for t in junk]),
+            ).alias("p")
+        )
+        .where("p")
+        .count()
+    )
+    assert int(cal["n_planted"].sum()) == planted_direct
+
+
 def test_bpe_word_freqs_rejects_reserved_sentinel_codepoints(
     spark, tmp_path, monkeypatch
 ):

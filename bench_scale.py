@@ -157,10 +157,28 @@ PROBE_KEYS = [
     "text_language_id_ngram",
     "bpe_encode_stats_batched",
     "corpus_shuffle_shard",
+    # round 13: the round-14 QUEUE ops (implemented + oracled this
+    # round, unregistered — resolved via _resolve below until their
+    # round-14 api registration makes queries() find them)
+    "pack_manifest_bfd",
+    "doc_quality_calibration",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
     PROBE_KEYS = os.environ["SPARK_GRAFT_PROBE_KEYS"].split(",")
+
+
+def _resolve(queries: dict, name: str):
+    """queries() first; falls back to the round-14 queue (ops built a
+    round before their rotation slot exists — SURVEY §2 39a/39b)."""
+    if name in queries:
+        return queries[name]
+    from ecommerce_dbt_medallion_spark.ops import chunking, classify
+
+    return {
+        "pack_manifest_bfd": chunking.pack_manifest_bfd,
+        "doc_quality_calibration": classify.doc_quality_calibration,
+    }[name]
 
 
 def build_scale_dir(spark) -> None:
@@ -256,7 +274,7 @@ def main() -> None:
             try:
                 for _ in range(2):
                     t = time.perf_counter()
-                    df = queries[name](spark, sf_dir)
+                    df = _resolve(queries, name)(spark, sf_dir)
                     df.write.mode("overwrite").format("noop").save()
                     best = min(best, time.perf_counter() - t)
                 row[label] = round(best, 2)

@@ -189,7 +189,8 @@ def _bfd_assign(elig_desc, budget, min_t):
     re-inserted, so the live list only shrinks-or-holds under pruning.
     Unlike the pre-round-13 linear rescan, the per-doc cost no longer
     degrades to O(live bins) when nothing retires (min_t = 1): the
-    worst case is pinned by tests/test_text_ops.py's 1-token-min shard.
+    worst case is pinned by tests/test_properties.py::
+    test_bfd_worst_case_no_retirement_stays_fast.
     """
     from bisect import bisect_left, insort
 

@@ -39,6 +39,44 @@ MAX_CC_ROUNDS = 25
 # back to a distributed scan-join against the stored labels
 MAINT_LOOKUP_MAX_KEYS = 100_000
 
+# maintain_cluster_labels: up to this many contraction-surviving edges,
+# run the mini-CC as a driver-side union-find instead of the iterative
+# distributed propagation — the contracted mini-graph is churn-scale
+# (≤ batch edges, one super-node per affected component), so at any
+# batch size the distributed path's fixed per-round job overhead
+# (~2-3 s × O(diameter) rounds, measured in BENCH_SUMMARY's
+# maintenance_split) dwarfs a linear in-memory pass; the distributed
+# path remains the fallback above the dial
+MAINT_MINI_CC_MAX_EDGES = 100_000
+
+
+def _uf_min_labels(pairs) -> dict:
+    """Union-find over (a, b) edge tuples → {node: min node id in its
+    component}. Roots are kept at the component minimum during union,
+    so the final find IS the min-label — the same convention as
+    :func:`connected_components` (label = min node id)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # root stays the component min
+    return {x: find(x) for x in parent}
+
 
 def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
@@ -269,10 +307,24 @@ def maintain_cluster_labels(
         .where(F.col("sa") != F.col("sb"))
         .select(F.col("sa").alias("doc_a"), F.col("sb").alias("doc_b"))
     )
-    # mini-CC over super-nodes: label = new min doc id per merged group
-    mini = connected_components(sup_edges).select(
-        F.col("doc_id").alias("sup"), F.col("cluster_id").alias("new_label")
-    )
+    # mini-CC over super-nodes: label = new min doc id per merged group.
+    # The contracted graph is churn-scale (≤ batch edges), so below the
+    # dial the CC runs as a driver-side union-find — one collect of
+    # 2-int rows — instead of paying the distributed propagation's
+    # fixed per-round job overhead; above it, the distributed path.
+    sup_edges = sup_edges.localCheckpoint(eager=True)
+    sup_dtype = dict(node_sup.dtypes)["sup"]
+    if sup_edges.count() <= MAINT_MINI_CC_MAX_EDGES:
+        labels_map = _uf_min_labels(
+            (r["doc_a"], r["doc_b"]) for r in sup_edges.collect()
+        )
+        mini = spark.createDataFrame(
+            list(labels_map.items()), f"sup {sup_dtype}, new_label {sup_dtype}"
+        )
+    else:
+        mini = connected_components(sup_edges).select(
+            F.col("doc_id").alias("sup"), F.col("cluster_id").alias("new_label")
+        )
     # also map super-nodes untouched by contraction-surviving edges
     # (e.g. an edge internal to one existing cluster): label unchanged
     mini = (

@@ -1613,6 +1613,53 @@ def test_maintain_cluster_labels_matches_scratch_every_batch(spark, tmp_path):
         assert got == want, f"diverged after batch {i}: {got ^ want}"
 
 
+def test_maintain_mini_cc_paths_agree(spark, tmp_path, monkeypatch):
+    """The driver-side union-find fast path (round 13) and the
+    distributed propagation fallback must maintain identical labels
+    batch for batch — run the same batch sequence through both (the
+    fallback forced by a zero dial) and compare the stored tables."""
+    from ecommerce_dbt_medallion_spark.ops import graph
+
+    batches = [
+        [(5, 6), (1, 2), (3, 4)],
+        [(2, 3), (10, 11)],        # merge two stored components
+        [(4, 10)],                 # chain across both prior merges
+        [(4, 10)],                 # replay: no-op either way
+    ]
+    tables = {}
+    for name, dial in (("fast", graph.MAINT_MINI_CC_MAX_EDGES), ("dist", 0)):
+        monkeypatch.setattr(graph, "MAINT_MINI_CC_MAX_EDGES", dial)
+        tbl = str(tmp_path / f"labels_{name}")
+        for b in batches:
+            graph.maintain_cluster_labels(
+                spark, tbl, spark.createDataFrame(b, "doc_a long, doc_b long")
+            )
+        tables[name] = {
+            (r["doc_id"], r["cluster_id"])
+            for r in lh.read(spark, tbl).collect()
+        }
+    assert tables["fast"] == tables["dist"]
+
+
+def test_uf_min_labels_matches_cc(spark):
+    """_uf_min_labels (the fast-path core) equals connected_components
+    on a graph with chains, cliques, and singleton-free components."""
+    from ecommerce_dbt_medallion_spark.ops.graph import (
+        _uf_min_labels,
+        connected_components,
+    )
+
+    edges = [(9, 1), (1, 5), (5, 9), (2, 7), (7, 4), (20, 30), (30, 10)]
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            spark.createDataFrame(edges, "doc_a long, doc_b long")
+        ).collect()
+    }
+    got = set(_uf_min_labels(edges).items())
+    assert got == want
+
+
 def test_stream_cluster_maintain_matches_scratch(spark):
     """End-to-end: the streaming pipeline's maintained labels equal a
     from-scratch CC over the final verdict tables' dup edges."""

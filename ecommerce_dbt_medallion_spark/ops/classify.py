@@ -212,11 +212,10 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.element_at(wmap, _gram_bucket(g)), F.lit(0)).cast("long"),
     )
     junk_arr = F.array(*[F.lit(t) for t in junk_unigrams()])
-    margin = F.round(
+    raw_margin = (
         F.lit(CLS_INTERCEPT)
         + F.col("weight_sum").cast("double")
-        / (F.col("n_grams") * CLS_SCALE).cast("double"),
-        6,
+        / (F.col("n_grams") * CLS_SCALE).cast("double")
     )
     scored = (
         docs.select(
@@ -226,7 +225,16 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.arrays_overlap("__t", junk_arr).alias("planted_junk"),
         )
         .where(F.col("n_grams") > 0)  # unscoreable docs have no margin
-        .select(margin.alias("m"), "planted_junk")
+        # keep must be decided on the UNROUNDED margin — the certified
+        # classifier's quality_label is `margin > 0` pre-rounding, and a
+        # keep_share computed on the rounded basis would disagree with
+        # the classifier's actual decisions at the rounding boundary.
+        # Deciles still cut on the rounded published value.
+        .select(
+            F.round(raw_margin, 6).alias("m"),
+            (raw_margin > 0).alias("keep"),
+            "planted_junk",
+        )
         .localCheckpoint(eager=False)
     )
     barr = F.broadcast(
@@ -239,6 +247,7 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decile"),
         "m",
+        "keep",
         "planted_junk",
     )
     g = assigned.groupBy("decile").agg(
@@ -246,7 +255,7 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("planted_junk"), 1).otherwise(0))
         .cast("long")
         .alias("n_planted"),
-        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("long").alias("__keep"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("__keep"),
         F.min("m").alias("min_margin"),
         F.max("m").alias("max_margin"),
     )
@@ -271,11 +280,12 @@ def oracle_doc_quality_calibration() -> str:
     junk = ", ".join(f"'{t}'" for t in junk_unigrams())
     b = CAL_BUCKETS
     ps = ", ".join(f"cast({p} as double)" for p in CAL_DECILES)
-    margin = (
-        f"round(cast({CLS_INTERCEPT} as double) "
+    raw_margin = (
+        f"(cast({CLS_INTERCEPT} as double) "
         f"+ cast(coalesce(s.weight_sum, 0) as double) "
-        f"/ cast(len(g.gs) * {CLS_SCALE} as double), 6)"
+        f"/ cast(len(g.gs) * {CLS_SCALE} as double))"
     )
+    margin = f"round({raw_margin}, 6)"
     return f"""
 with t as (
     select doc_id, regexp_extract_all(lower(text), '{WORD_RE}') as t
@@ -298,6 +308,7 @@ s as (
 ),
 scored as materialized (
     select {margin} as m,
+        {raw_margin} > 0 as keep,
         list_has_any(g.t, [{junk}]) as planted_junk
     from g left join s using (doc_id)
     where len(g.gs) > 0
@@ -334,7 +345,7 @@ bounds as (
 barr as (select list(est order by est) as barr from bounds),
 assigned as (
     select cast(len(list_filter(ba.barr, x -> sc.m > x)) as bigint) as decile,
-        sc.m, sc.planted_junk
+        sc.m, sc.keep, sc.planted_junk
     from scored sc cross join barr ba
 ),
 gg as (
@@ -342,7 +353,7 @@ gg as (
         cast(count(*) as bigint) as n_docs,
         cast(sum(case when planted_junk then 1 else 0 end) as bigint)
             as n_planted,
-        cast(sum(case when m > 0 then 1 else 0 end) as bigint) as keepn,
+        cast(sum(case when keep then 1 else 0 end) as bigint) as keepn,
         min(m) as min_margin,
         max(m) as max_margin
     from assigned

@@ -316,8 +316,11 @@ def stream_ingest_dedup(
                 # per-EDGE cost — edges grow because later batches match
                 # against a larger corpus. verd is checkpointed, so the
                 # count is a cheap local scan, and only diagnostic runs
-                # pay it.
+                # pay it. Reset the timer afterwards so the count's own
+                # wall time is charged to NEITHER adjacent phase (it was
+                # silently inflating novel_append in the split artifact).
                 phase_log[-1]["n_edges"] = edges.count()
+                t = _time.perf_counter()
         novel = bsig.join(
             verd.where(F.col("verdict") == "novel").select(id_col),
             id_col,
@@ -420,11 +423,17 @@ def _gate_three_batch_tables(
         # stats-style scan, no global sort. Id gaps just skew batch
         # sizes a little, which the diagnostic doesn't care about.
         lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-        span = max(int(hi) - int(lo) + 1, 1)
-        batch_of = F.least(
-            F.lit(2),
-            F.floor(((F.col("doc_id") - int(lo)) * 3) / span).cast("int"),
-        )
+        if lo is None:
+            # empty documents table: no terciles to cut — write three
+            # empty batches, mirroring the mod path's graceful behavior
+            # (int(None) would otherwise raise an opaque TypeError)
+            batch_of = F.lit(0).cast("int")
+        else:
+            span = max(int(hi) - int(lo) + 1, 1)
+            batch_of = F.least(
+                F.lit(2),
+                F.floor(((F.col("doc_id") - int(lo)) * 3) / span).cast("int"),
+            )
     elif batch_mode == "mod":
         batch_of = (F.col("doc_id") % 3).cast("int")
     else:  # pragma: no cover - caller bug
@@ -502,10 +511,27 @@ def stream_cluster_maintain(
     all edges so far — pinned by
     tests/test_lakehouse.py::test_stream_cluster_maintain_matches_scratch)
     makes equal to the incremental construction."""
+    return _run_cluster_maintain(
+        spark, sf_dir, "clusterstream", "mod", phase_log
+    )
+
+
+def _run_cluster_maintain(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    batch_mode: str,
+    phase_log: list | None,
+):
+    """Shared body of the gated ``stream_cluster_maintain`` and its
+    contiguous-layout bench twin: gate setup under ``prefix`` with the
+    given ``batch_mode``, the 3-batch dedup+maintenance drain, then the
+    maintained labels joined to cluster sizes. One implementation so a
+    future output-shape change cannot silently diverge the twins."""
     from pyspark.sql import functions as F
 
     src, sig_table, verdict_table, labels_table = _gate_three_batch_tables(
-        spark, sf_dir, "clusterstream"
+        spark, sf_dir, prefix, batch_mode=batch_mode
     )
     stream_ingest_dedup(
         spark, src, sig_table, verdict_table,
@@ -552,30 +578,8 @@ def stream_cluster_maintain_contiguous(
     from the mod-3 layout's (near-dup pairs co-arriving in one batch
     both verdict novel; which pairs co-arrive depends on the layout).
     """
-    from pyspark.sql import functions as F
-
-    src, sig_table, verdict_table, labels_table = _gate_three_batch_tables(
-        spark, sf_dir, "clusterstreamc", batch_mode="contiguous"
-    )
-    stream_ingest_dedup(
-        spark, src, sig_table, verdict_table,
-        schema="doc_id long, text string",
-        labels_table=labels_table,
-        phase_log=phase_log,
-    )
-    labels = lakehouse.read(spark, labels_table)
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        labels.join(sizes, "cluster_id")
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
-        )
-        .orderBy("doc_id")
+    return _run_cluster_maintain(
+        spark, sf_dir, "clusterstreamc", "contiguous", phase_log
     )
 
 

@@ -801,3 +801,48 @@ def test_quality_classifier_total_and_replayable(
             for g in grams
         )
         assert r.weight_sum == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        max_size=120,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_uf_min_labels_matches_bruteforce_components(edges):
+    """For ANY edge multiset (self-loops, duplicates, reversed pairs):
+    _uf_min_labels — the maintain_cluster_labels mini-CC fast path —
+    assigns every touched node the MINIMUM node id of its connected
+    component, matching a brute-force BFS reference. Pure driver math,
+    no Spark (the Spark-equivalence twin is
+    tests/test_lakehouse.py::test_uf_min_labels_matches_cc)."""
+    from ecommerce_dbt_medallion_spark.ops.graph import _uf_min_labels
+
+    got = _uf_min_labels(iter(edges))
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        lbl = min(comp)
+        for x in comp:
+            expect[x] = lbl
+    assert got == expect

@@ -49,6 +49,12 @@ MAINT_LOOKUP_MAX_KEYS = 100_000
 # path remains the fallback above the dial
 MAINT_MINI_CC_MAX_EDGES = 100_000
 
+# connected_components: up to this many RAW edge rows the full CC runs
+# as the same driver-side union-find (see MAINT_MINI_CC_MAX_EDGES for
+# the pattern's rationale); above it, the distributed min-label
+# propagation. Separate dial so tests can force each path independently.
+CC_DRIVER_UF_MAX_EDGES = 100_000
+
 
 def _uf_min_labels(pairs) -> dict:
     """Union-find over (a, b) edge tuples → {node: min node id in its
@@ -81,10 +87,33 @@ def _uf_min_labels(pairs) -> dict:
 def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
     cluster_id = min node id in the component. Only nodes appearing in
-    at least one edge are labeled (singletons aren't duplicates)."""
+    at least one edge are labeled (singletons aren't duplicates).
+
+    Up to ``CC_DRIVER_UF_MAX_EDGES`` raw edge rows the CC runs as a
+    driver-side union-find (one collect of 2-int rows) — the same
+    approved collect-behind-a-size-dial pattern as the maintenance
+    mini-CC, generalized here because EVERY caller (dedup_clusters,
+    semantic_dedup_clusters, the maintenance fallback) pays the
+    distributed loop's fixed per-round job overhead (~10 rounds of
+    shuffle+checkpoint) even when the dup-edge set is thousands of
+    rows. Near-dup edge sets grow with the corpus, so at 100 TB the
+    count exceeds the dial and the distributed min-label propagation
+    below — unchanged — is the path taken; both paths are pinned equal
+    by tests (planted-graph parametrized over the dial, the union-find
+    brute-force property test, and the maintenance both-paths test)."""
+    raw = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    if raw.count() <= CC_DRIVER_UF_MAX_EDGES:
+        labels_map = _uf_min_labels(
+            (r["src"], r["dst"]) for r in raw.collect()
+        )
+        dtype = dict(raw.dtypes)["src"]
+        return raw.sparkSession.createDataFrame(
+            list(labels_map.items()), f"doc_id {dtype}, cluster_id {dtype}"
+        )
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        raw.union(raw.select(F.col("dst"), F.col("src")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -1629,6 +1629,10 @@ def test_maintain_mini_cc_paths_agree(spark, tmp_path, monkeypatch):
     tables = {}
     for name, dial in (("fast", graph.MAINT_MINI_CC_MAX_EDGES), ("dist", 0)):
         monkeypatch.setattr(graph, "MAINT_MINI_CC_MAX_EDGES", dial)
+        # zero BOTH dials on the dist leg: connected_components gained
+        # its own union-find fast path (round 13), which would otherwise
+        # silently take over and this test would compare UF vs UF
+        monkeypatch.setattr(graph, "CC_DRIVER_UF_MAX_EDGES", dial)
         tbl = str(tmp_path / f"labels_{name}")
         for b in batches:
             graph.maintain_cluster_labels(
@@ -1641,14 +1645,18 @@ def test_maintain_mini_cc_paths_agree(spark, tmp_path, monkeypatch):
     assert tables["fast"] == tables["dist"]
 
 
-def test_uf_min_labels_matches_cc(spark):
+def test_uf_min_labels_matches_cc(spark, monkeypatch):
     """_uf_min_labels (the fast-path core) equals connected_components
-    on a graph with chains, cliques, and singleton-free components."""
+    on a graph with chains, cliques, and singleton-free components.
+    The CC side is forced onto the DISTRIBUTED propagation (zero UF
+    dial) — otherwise this would compare the union-find to itself."""
+    from ecommerce_dbt_medallion_spark.ops import graph
     from ecommerce_dbt_medallion_spark.ops.graph import (
         _uf_min_labels,
         connected_components,
     )
 
+    monkeypatch.setattr(graph, "CC_DRIVER_UF_MAX_EDGES", 0)
     edges = [(9, 1), (1, 5), (5, 9), (2, 7), (7, 4), (20, 30), (30, 10)]
     want = {
         (r["doc_id"], r["cluster_id"])

@@ -393,11 +393,16 @@ def test_stratified_sample_is_shuffle_free(spark):
     assert "Exchange" not in executed, executed[:800]
 
 
-def test_connected_components_planted_graph(spark):
+@pytest.mark.parametrize("uf_dial", [100_000, 0], ids=["uf_fast", "distributed"])
+def test_connected_components_planted_graph(spark, monkeypatch, uf_dial):
     """Chain 1-2-3-4, clique {10,11,12}, isolated edge {20,21}: labels
-    must be the component-min ids and converge in <= diameter+1 rounds."""
+    must be the component-min ids and converge in <= diameter+1 rounds.
+    Parametrized over CC_DRIVER_UF_MAX_EDGES so BOTH the round-13
+    union-find fast path and the distributed propagation stay covered."""
+    from ecommerce_dbt_medallion_spark.ops import graph
     from ecommerce_dbt_medallion_spark.ops.graph import connected_components
 
+    monkeypatch.setattr(graph, "CC_DRIVER_UF_MAX_EDGES", uf_dial)
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
         "doc_a long, doc_b long",

@@ -101,15 +101,30 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     below — unchanged — is the path taken; both paths are pinned equal
     by tests (planted-graph parametrized over the dial, the union-find
     brute-force property test, and the maintenance both-paths test)."""
-    raw = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).localCheckpoint(eager=True)
-    if raw.count() <= CC_DRIVER_UF_MAX_EDGES:
+    raw = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Path decision via a BOUNDED probe (ADVICE r13): checkpoint only
+    # limit(dial+1) rows — at 100 TB scale this materializes ≤100k+1
+    # 2-int rows (LocalLimit early-exits the scan), never the full edge
+    # set, and the fallback path below no longer pays a raw-set
+    # checkpoint it doesn't use. In the small case the probe holds the
+    # COMPLETE edge set (limit didn't truncate), so the upstream pairs
+    # pipeline still computes exactly once and collect() reads the
+    # checkpoint.
+    probe = raw.limit(CC_DRIVER_UF_MAX_EDGES + 1).localCheckpoint(eager=True)
+    if probe.count() <= CC_DRIVER_UF_MAX_EDGES:
+        dtypes = dict(probe.dtypes)
+        if dtypes["src"] != dtypes["dst"]:
+            # dst ids would be silently coerced to src's type in the
+            # schema below, diverging from the distributed path
+            raise TypeError(
+                f"connected_components: doc_a is {dtypes['src']} but "
+                f"doc_b is {dtypes['dst']}; pass same-typed node ids"
+            )
         labels_map = _uf_min_labels(
-            (r["src"], r["dst"]) for r in raw.collect()
+            (r["src"], r["dst"]) for r in probe.collect()
         )
-        dtype = dict(raw.dtypes)["src"]
-        return raw.sparkSession.createDataFrame(
+        dtype = dtypes["src"]
+        return probe.sparkSession.createDataFrame(
             list(labels_map.items()), f"doc_id {dtype}, cluster_id {dtype}"
         )
     edges = (

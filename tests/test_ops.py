@@ -418,6 +418,37 @@ def test_connected_components_planted_graph(spark, monkeypatch, uf_dial):
     }
 
 
+def test_connected_components_mixed_dtype_rejected(spark):
+    """ADVICE r13: the union-find fast path builds its output schema
+    from doc_a's dtype; differently-typed doc_a/doc_b must fail loudly
+    instead of silently coercing dst ids."""
+    from ecommerce_dbt_medallion_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2)], "doc_a int, doc_b long"
+    )
+    with pytest.raises(TypeError, match="same-typed node ids"):
+        connected_components(edges)
+
+
+def test_connected_components_probe_is_bounded(spark, monkeypatch):
+    """ADVICE r13: the path decision must come from a LIMIT-bounded
+    probe, never a full count of the raw edge set — with the dial at 2,
+    a 4-edge graph must take the distributed path (probe saturates at
+    dial+1, full count never runs driver-side)."""
+    from ecommerce_dbt_medallion_spark.ops import graph
+    from ecommerce_dbt_medallion_spark.ops.graph import connected_components
+
+    monkeypatch.setattr(graph, "CC_DRIVER_UF_MAX_EDGES", 2)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
 def test_cms_never_underestimates(spark):
     """Count-min property: estimate >= true count for every key."""
     from ecommerce_dbt_medallion_spark.ops import sketch

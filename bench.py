@@ -190,6 +190,12 @@ def main() -> None:
         "doc_quality_classify",
         "lm_score_source_mix",
         "pack_sequences_bfd",
+        # round 14: the registered round-13 queue — the BFD manifest
+        # (same grouped-map core as the report key) and the margin-
+        # decile calibration report (one corpus projection + histogram
+        # estimator cuts)
+        "pack_manifest_bfd",
+        "doc_quality_calibration",
     ):
         if extra in queries:
             headline.append(extra)

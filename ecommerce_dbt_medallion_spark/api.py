@@ -308,62 +308,85 @@ def _money_to_double(fn: QueryFn, cols: list[str]) -> QueryFn:
 # two newest-certified of that block to round 15 (documented trade;
 # the displaced keys would be 5 rounds stale at their r15 row, which
 # is why round 14 must register AT MOST what it can justify).
-DRIVER_WINDOW_ROUND = 13
+#
+# Round-14 rotation (this window): the two round-13 queue keys join
+# FIRST (never-certified outranks green) — pack_manifest_bfd,
+# doc_quality_calibration — then the r10-latest block above in api
+# order MINUS the two deferred keys. 2 + 48 = 50.
+# STALENESS LEDGER (the 202-key / 50-slot arithmetic no longer
+# divides: every 4-round cycle now carries exactly two keys one round
+# past the old r11-#1 worst case): the two deferred keys are
+# `bronze_customers` and `silver_customers` — chosen because their
+# implementation files (models/bronze.py, models/silver.py, last
+# touched 2026-08-13) are the OLDEST-untouched in the block, and their
+# sibling keys (bronze_orders/bronze_payments, silver_orders) remain
+# in this window and execute the same modules end-to-end, so a module
+# regression would still surface in r14. Their r15 rows will be
+# 5 rounds stale — the documented maximum; no key may ever exceed it.
+# Round-15 window plan: [any round-15 registrations] +
+# [bronze_customers, silver_customers] (priority: most-stale) + the
+# 50-key r11-latest block front-truncated to fill 50 slots; displaced
+# r11 keys roll to the front of r16's r12 block. Keys minted in
+# round 14 (curriculum_export_order, stream_hot_user_rollup) stay
+# pytest-certified-only in the round-14 queue subsection until a
+# window slot is justified.
+DRIVER_WINDOW_ROUND = 14
 DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW = [
-    # ================= ROUND-13 WINDOW =================
-    # The FULL 50-key r9-latest block, api order. No head: round 13
-    # registers no new keys (steady-state capacity is exactly zero).
-    "gold_rfm_segmentation",
-    "churn_risk_score",
-    "event_daily_stats",
-    "event_funnel",
-    "event_path_topk",
-    "active_users_rolling",
-    "corpus_weighted_sample",
-    "sketch_distinct_users",
-    "sales_by_region",
-    "supplier_part_revenue",
-    "customer_order_percentiles",
-    "range_join_promo_revenue",
-    "sales_rollup",
-    "payment_method_pivot",
-    "revenue_anomaly_zscore",
-    "customer_ltv_running",
-    "revenue_date_spine",
-    "top_parts_per_region",
-    "corpus_stratified_sample",
-    "dataset_split",
-    "dataset_split_stats",
-    "dedup_keep_best",
-    "curation_funnel",
-    "corpus_sample_per_stratum",
-    "text_token_stats",
-    "text_quality_score",
-    "decontaminate_incremental",
-    "label_propagation_parts",
-    "cdc_latest_state",
-    "stream_cdc_apply",
-    "shipping_priority_topk",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "promo_revenue_share",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "idle_high_balance_customers",
-    "top_supplier_revenue",
-    "stream_distinct_sketch",
-    "stream_heavy_hitters",
-    "part_supplier_diversity",
-    "disjunctive_band_revenue",
-    "lakehouse_rename_read",
-    "lakehouse_optimize_read",
-    "lakehouse_snapshot_cut",
-    "waiting_supplier_ranking",
-    "min_cost_supplier_parts",
-    "returned_item_customers",
-    "nation_market_share",
-    "product_profit_by_nation",
+    # ================= ROUND-14 WINDOW =================
+    # Head: the two round-13 queue keys, never driver-certified.
+    "pack_manifest_bfd",
+    "doc_quality_calibration",
+    # Then the r10-latest block, api order, minus the two deferred
+    # keys (bronze_customers, silver_customers — see ledger above).
+    "text_language_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "doc_winnowing",
+    "corpus_curation",
+    "dedup_ngram_jaccard",
+    "text_pii_scrub",
+    "decontaminate",
+    "multimodal_frame_sample",
+    "dedup_embedding_lsh",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "silver_payments",
+    "gold_customer_summary",
+    "gold_order_metrics",
+    "gold_revenue_analysis",
+    "bronze_orders",
+    "bronze_payments",
+    "silver_orders",
+    "dq_generic_tests",
+    "dq_singular_tests",
+    "lakehouse_cdf",
+    "dq_source_freshness",
+    "scd2_snapshot_build",
+    "kmeans_embeddings",
+    "bm25_topk",
+    "exact_substring_dedup",
+    "doc_containment",
+    "triangle_count_parts",
+    "corpus_mix_weights",
+    "semantic_dedup_clusters",
+    "sketch_user_overlap",
+    "funnel_windowed",
+    "association_rules",
+    "markov_transitions",
+    "attribution_position",
+    "revenue_trend",
+    "revenue_seasonality",
+    "winsorized_revenue_stats",
+    "customer_interpurchase",
+    "pareto_frontier_parts",
+    "doc_novelty_score",
+    "lakehouse_deferred_delete",
+    "hard_negative_mining",
+    "nearest_centroid_classify",
+    "bpe_train_merges",
+    "ann_topk_ivfpq",
+    "bpe_encode_stats",
 ]
 
 
@@ -570,6 +593,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "doc_quality_classify": opcls.doc_quality_classify,
         "lm_score_source_mix": oplm.lm_score_source_mix,
         "pack_sequences_bfd": opchunk.pack_sequences_bfd,
+        # round 14: the round-13 queue, registered per VERDICT r13 #1
+        "pack_manifest_bfd": opchunk.pack_manifest_bfd,
+        "doc_quality_calibration": opcls.doc_quality_calibration,
     }
 
 
@@ -777,6 +803,9 @@ def oracle_sql() -> dict[str, str]:
     out["doc_quality_classify"] = opcls.oracle_doc_quality_classify()
     out["lm_score_source_mix"] = oplm.oracle_lm_score_source_mix()
     out["pack_sequences_bfd"] = opchunk.oracle_pack_sequences_bfd()
+    # round 14: the round-13 queue, registered per VERDICT r13 #1
+    out["pack_manifest_bfd"] = opchunk.oracle_pack_manifest_bfd()
+    out["doc_quality_calibration"] = opcls.oracle_doc_quality_calibration()
     out["cms_user_counts"] = opsketch.oracle_cms_user_counts()
     out["churn_risk_score"] = assemble(
         "gold_customer_summary", final_select=gold.oracle_churn_final()

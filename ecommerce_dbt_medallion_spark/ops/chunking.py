@@ -359,9 +359,8 @@ def _pack_manifest_pdf(pdf):
 
 
 def pack_manifest_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUND-14 QUEUE (VERDICT r12 #4a; NOT registered in api.queries()
-    this round — the round-13 rotation has zero spare slots, see
-    api.py's rotation note): the best-fit-decreasing bin MANIFEST —
+    """Built round 13 (VERDICT r12 #4a), registered at the round-14
+    window head (VERDICT r13 #1): the best-fit-decreasing bin MANIFEST —
     one row per eligible doc giving (shard, bin_id, slot) — the
     artifact a training loader actually consumes (``pack_sequences_bfd``
     only reports how much padding BFD saves; this says which doc goes

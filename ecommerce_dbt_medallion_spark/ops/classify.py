@@ -161,8 +161,8 @@ def junk_unigrams() -> list[str]:
 
 
 def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUND-14 QUEUE (VERDICT r12 #4b; NOT registered in api.queries()
-    this round — the round-13 rotation has zero spare slots, see api.py):
+    """Built round 13 (VERDICT r12 #4b), registered at the round-14
+    window head (VERDICT r13 #1):
     the classifier-calibration report for ``doc_quality_classify`` —
     margin deciles vs the planted junk label, the operating-point sweep
     a deployment reads before picking a filter threshold (which decile

@@ -157,11 +157,13 @@ PROBE_KEYS = [
     "text_language_id_ngram",
     "bpe_encode_stats_batched",
     "corpus_shuffle_shard",
-    # round 13: the round-14 QUEUE ops (implemented + oracled this
-    # round, unregistered — resolved via _resolve below until their
-    # round-14 api registration makes queries() find them)
+    # round 13 queue, registered round 14 (found via queries() now)
     "pack_manifest_bfd",
     "doc_quality_calibration",
+    # round 14 QUEUE ops (implemented + oracled this round,
+    # unregistered — resolved via _resolve below until registration)
+    "curriculum_export_order",
+    "stream_hot_user_rollup",
 ]
 # env override for single-key fresh-session re-measurement (see caveat)
 if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
@@ -169,15 +171,17 @@ if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
 
 
 def _resolve(queries: dict, name: str):
-    """queries() first; falls back to the round-14 queue (ops built a
-    round before their rotation slot exists — SURVEY §2 39a/39b)."""
+    """queries() first; falls back to the driver-window queue (ops
+    built before their rotation slot exists — SURVEY §2 queue
+    subsection)."""
     if name in queries:
         return queries[name]
-    from ecommerce_dbt_medallion_spark.ops import chunking, classify
+    from ecommerce_dbt_medallion_spark.ops import sampling
+    from ecommerce_dbt_medallion_spark.streaming import events_stream
 
     return {
-        "pack_manifest_bfd": chunking.pack_manifest_bfd,
-        "doc_quality_calibration": classify.doc_quality_calibration,
+        "curriculum_export_order": sampling.curriculum_export_order,
+        "stream_hot_user_rollup": events_stream.stream_hot_user_rollup,
     }[name]
 
 

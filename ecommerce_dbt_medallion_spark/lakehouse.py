@@ -513,6 +513,39 @@ def _footer_min_max(md, col: str):
 BLOOM_BITS = 1024
 BLOOM_K = 4
 
+# merge_into: the bounded source probe (key + bloom positions, ONE job,
+# LIMIT early-exits the scan). At or under the dial the MERGE resolves
+# key range, bloom masks and the touched-file set driver-side (three
+# Spark jobs saved — the fixed overhead that dominated churn-scale
+# micro-batch MERGEs); above it the generic distributed path runs and
+# bloom pruning is skipped (masks saturate at >~1k keys anyway, and
+# collecting every distinct key was unbounded driver memory).
+MERGE_SOURCE_PROBE_MAX_ROWS = 100_000
+
+# merge_into: when the exact row bound (logged touched-file rows +
+# probed source rows) fits under this, the rewrite runs as one task and
+# writes one file — churn-scale MERGEs otherwise fragment the table
+# into N near-empty files per batch.
+MERGE_COALESCE_MAX_ROWS = 2_000_000
+
+# _stage_files: staged files at or under this many rows get their key
+# bloom computed driver-side (local pyarrow column read + the bit-exact
+# Python XXH64 twin of _bloom_positions) instead of a second Spark job
+# re-reading files just written. A 100 TB-scale write has files above
+# the dial and keeps the distributed pass.
+BLOOM_DRIVER_MAX_ROWS = 250_000
+
+# merge_into small path: up to this many probed source keys the
+# touched-row anti-join is expressed as an isin() filter inside the
+# rewrite job (no separate broadcast-build); above it, the join.
+MERGE_ISIN_MAX_KEYS = 10_000
+
+# merge_into small path: exact touched-file discovery runs driver-side
+# (pyarrow key-column reads, no Spark job) when the candidate set is at
+# most this many files, each under BLOOM_DRIVER_MAX_ROWS rows; above
+# either bound the distributed semi-join discovery decides.
+MERGE_DRIVER_DISCOVERY_MAX_FILES = 64
+
 
 def _sql_literal(v) -> str:
     """A Python key value as a Spark SQL literal. repr()/str() alone
@@ -564,13 +597,124 @@ def _bloom_positions(col):
     )
 
 
+# --- pure-Python XXH64, bit-exact vs Spark's xxhash64 expression -----------
+# Spark evaluates xxhash64(col, lit(i)) by chaining: hash = XXH64(col bytes,
+# seed=42), then hash = XXH64.hashInt(i, seed=hash) (the literal is an
+# IntegerType). Re-implementing both legs lets churn-scale MERGEs compute
+# per-file bloom masks driver-side — no second Spark job over the staged
+# files. The implementation is property-pinned bit-for-bit against the
+# Spark expression in tests/test_lakehouse.py (random unicode strings and
+# random longs, all BLOOM_K seeds); a mismatch here would mean bloom false
+# NEGATIVES (skipped matches — data corruption), which is why the driver
+# path is only taken for key types whose string cast is trivially
+# replicable (int/long/string) and the pin is a standing test.
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_int(i: int, seed: int) -> int:
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _P1) & _M64
+    h = (_rotl(h, 23) * _P2 + _P3) & _M64
+    return _fmix(h)
+
+
+def _xxh64_long(l: int, seed: int) -> int:
+    h = (seed + _P5 + 8) & _M64
+    h ^= (_rotl((l * _P2) & _M64, 31) * _P1) & _M64
+    h = (_rotl(h, 27) * _P1 + _P4) & _M64
+    return _fmix(h)
+
+
+def _xxh64_bytes(data: bytes, seed: int) -> int:
+    n = len(data)
+    off = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while off <= n - 32:
+            k = int.from_bytes(data[off : off + 8], "little")
+            v1 = (_rotl((v1 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[off + 8 : off + 16], "little")
+            v2 = (_rotl((v2 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[off + 16 : off + 24], "little")
+            v3 = (_rotl((v3 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[off + 24 : off + 32], "little")
+            v4 = (_rotl((v4 + k * _P2) & _M64, 31) * _P1) & _M64
+            off += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while off <= n - 8:
+        k = int.from_bytes(data[off : off + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        off += 8
+    if off <= n - 4:
+        k = int.from_bytes(data[off : off + 4], "little")
+        h ^= (k * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        off += 4
+    while off < n:
+        h ^= (data[off] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        off += 1
+    return _fmix(h)
+
+
+def _bloom_mask_py(values) -> int:
+    """Bloom bitmask over string-cast key values — the driver-side twin
+    of ``_bloom_positions`` + the mask fold. ``values``: iterable of
+    already-string-cast keys (or None, matching Spark's null handling:
+    a null column is skipped by xxhash64, so only the seed literal is
+    hashed)."""
+    mask = 0
+    for v in values:
+        for i in range(BLOOM_K):
+            if v is None:
+                h = _xxh64_int(i, 42)
+            else:
+                h = _xxh64_int(i, _xxh64_bytes(v.encode("utf-8"), 42))
+            # Spark pmod on a SIGNED 64-bit hash
+            signed = h - (1 << 64) if h >= (1 << 63) else h
+            mask |= 1 << (signed % BLOOM_BITS)
+    return mask
+
+
 def _stage_blooms(df: DataFrame, staging: str, key: str) -> dict[str, int]:
     """staging-file basename → bloom bitmask of its key values (one
     distributed pass over the just-written files; per-file output is at
     most BLOOM_BITS distinct positions — metadata-scale collect)."""
     spark = df.sparkSession
     pos = (
-        spark.read.parquet(staging)
+        # explicit schema: the staged files were just written from df,
+        # so inference would only re-list the directory and re-read
+        # footers for a schema already in hand
+        spark.read.schema(df.schema).parquet(staging)
         .select(
             F.input_file_name().alias("f"),
             F.explode(_bloom_positions(F.col(key).cast("string"))).alias("p"),
@@ -623,7 +767,34 @@ def _stage_files(
     df = _map_to_physical(df, mapping)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
-    blooms = _stage_blooms(df, staging, key) if key is not None else {}
+    blooms: dict[str, int] = {}
+    if key is not None:
+        # Driver-side bloom for small staged files (round 14): the
+        # bit-exact Python XXH64 twin of _bloom_positions reads the key
+        # column locally via pyarrow — no second Spark job over files a
+        # churn-scale MERGE just wrote. Only for key types whose
+        # cast-to-string Spark semantics are trivially replicable
+        # (int/long: str(); string: identity); anything else, or any
+        # file above the dial, takes the existing distributed pass.
+        ktype = df.schema[key].dataType.typeName() if key in df.columns else None
+        spark_job_needed = False
+        if ktype in ("integer", "long", "string"):
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, f)
+                if pq.ParquetFile(src).metadata.num_rows > BLOOM_DRIVER_MAX_ROWS:
+                    spark_job_needed = True
+                    continue
+                col = pq.read_table(src, columns=[key]).column(0).to_pylist()
+                blooms[f] = _bloom_mask_py(
+                    v if (v is None or ktype == "string") else str(v)
+                    for v in col
+                )
+        else:
+            spark_job_needed = True
+        if spark_job_needed:
+            blooms = {**_stage_blooms(df, staging, key), **blooms}
     data_dir = os.path.join(table, _DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     adds: list[dict] = []
@@ -733,6 +904,32 @@ def files_maybe_containing(
         sch = current_schema(table, version)  # None on pre-tracking logs
         if sch is not None:
             ktype = next((f.dataType for f in sch.fields if f.name == key), None)
+    # Driver-side probe (round 14): for int/long/string keys whose probe
+    # values already carry the key's Python type, Python str() renders
+    # EXACTLY what Spark's cast chain would (ints: identical digits;
+    # strings: identity — the bool/float divergences the round-8 ADVICE
+    # flagged cannot arise), so the bit-exact Python XXH64 twin computes
+    # the masks with zero Spark jobs. Any type mismatch falls through to
+    # the Spark-rendered probe below.
+    if ktype is not None and ktype.typeName() in ("integer", "long", "string"):
+        want_str = ktype.typeName() == "string"
+        if all(
+            (isinstance(v, str) if want_str else
+             (isinstance(v, int) and not isinstance(v, bool)))
+            for v in values
+        ):
+            masks = [
+                _bloom_mask_py([v if want_str else str(v)]) for v in values
+            ]
+            out = []
+            for a in live_files(table, version):
+                if "bloom" not in a:
+                    out.append(a)
+                    continue
+                fmask = int(a["bloom"], 16)
+                if any((m & fmask) == m for m in masks):
+                    out.append(a)
+            return out
     probe_src = spark.createDataFrame([(str(v),) for v in values], "k string")
     if ktype is not None:
         # try_cast, not cast: under ANSI mode (this repo's default) a
@@ -1632,6 +1829,45 @@ def read_keys(
     return _read_files(spark, table, files, version).where(k.isin(list(keys)))
 
 
+def read_keys_local(
+    spark: SparkSession, table: str, keys: list, columns: list[str]
+) -> list[dict] | None:
+    """Driver-side twin of :func:`read_keys` for churn-scale lookups:
+    prune files by key stats + bloom (files_maybe_containing), then read
+    the requested columns locally via pyarrow and filter to the key set
+    — zero Spark jobs. Returns None whenever the full read() contract is
+    actually needed, and the caller must fall back to the distributed
+    read: pending tombstones (the anti-filter must apply), a
+    non-identity column mapping, any pruned file above the driver dials,
+    or a pre-evolution file missing a requested column. Sound because
+    files_maybe_containing never drops a key holder and the gates refuse
+    every table state where a raw file read could differ from read()."""
+    if pending_tombstones(table):
+        return None
+    if current_mapping(table):
+        return None
+    files = files_maybe_containing(spark, table, list(keys))
+    if len(files) > MERGE_DRIVER_DISCOVERY_MAX_FILES:
+        return None
+    if any(a["rows"] > BLOOM_DRIVER_MAX_ROWS for a in files):
+        return None
+    kcol = _table_key(table)
+    if kcol not in columns:
+        columns = [kcol] + list(columns)
+    keyset = set(keys)
+    out: list[dict] = []
+    for a in files:
+        try:
+            tbl = pq.read_table(_abs(table, a["file"]), columns=list(columns))
+        except Exception:
+            return None  # pre-evolution file lacking a column, etc.
+        cols = {c: tbl.column(c).to_pylist() for c in columns}
+        for i in range(tbl.num_rows):
+            if cols[kcol][i] in keyset:
+                out.append({c: cols[c][i] for c in columns})
+    return out
+
+
 def read_pruned_multi(
     spark: SparkSession,
     table: str,
@@ -1855,14 +2091,33 @@ def merge_into(
     SchemaMismatch (same posture as ``append``).
 
     Execution (the Delta MERGE shape):
+    0. ONE bounded probe job: collect up to MERGE_SOURCE_PROBE_MAX_ROWS+1
+       source rows (key + bloom probe positions; LIMIT over the bare
+       scan early-exits at scale). A small source — streaming label /
+       registry maintenance, CDC micro-batches — then resolves its key
+       range, bloom masks, AND the touched-file set driver-side without
+       the three separate Spark jobs the generic path needs (round-14
+       fix: the fixed per-batch job overhead dominated churn-scale
+       MERGEs, see BENCH_SUMMARY maintenance_split r13).
     1. Prune candidate files by the log's min/max key stats against the
-       source's key range — one tiny aggregate over the source.
-    2. Find files ACTUALLY containing matched keys: semi-join the pruned
-       target subset (tagged with input_file_name) against source keys;
-       collect the distinct file names (small: O(files), not O(rows)).
-    3. Rewrite only the touched files: their rows anti-join the source
-       keys, union the full source, write as new files. Untouched files
-       carry over by reference — no full-table rewrite.
+       source's key range — from the probe when small, else one tiny
+       aggregate over the source.
+    2. Bloom-prune the survivors (small sources only: with BLOOM_BITS =
+       1024 a >100k-key probe saturates every mask anyway, and the
+       pre-round-14 unbounded distinct-keys collect was a driver OOM
+       at 100 TB scale).
+    3. Find files ACTUALLY containing matched keys — EXACTLY, on both
+       paths. Small source over few small files: pyarrow key-column
+       reads driver-side against the probed key set (no Spark job; a
+       disjoint-key micro-batch stays a pure append). Generic path:
+       semi-join the pruned target subset (tagged with
+       input_file_name) against source keys; collect the distinct
+       file names (small: O(files), not O(rows)).
+    4. Rewrite only the touched files: their rows anti-join the source
+       keys (an isin() filter when the probed key set is in hand),
+       union the full source, write as new files (repartition(1) when
+       the row bound says the rewrite is metadata-scale). Untouched
+       files carry over by reference — no full-table rewrite.
     """
     if not versions(table):
         return create_or_replace(spark, table, source, key)
@@ -1876,11 +2131,43 @@ def merge_into(
 
     live = live_files(table)
 
+    # (0) bounded probe: key + bloom positions per row, LIMIT dial+1.
+    # The limit sits on the bare projection (no distinct), so the scan
+    # early-exits once the budget is hit — at 100 TB the probe cost is
+    # bounded regardless of source size; driver memory is bounded by
+    # the dial in all cases (the pre-round-14 bloom probe collected
+    # EVERY distinct source key).
+    probe = (
+        source.select(
+            F.col(key).alias("__k"),
+            _bloom_positions(F.col(key).cast("string")).alias("__ps"),
+        )
+        .limit(MERGE_SOURCE_PROBE_MAX_ROWS + 1)
+        .collect()
+    )
+    small_source = len(probe) <= MERGE_SOURCE_PROBE_MAX_ROWS
+    src_key_masks: dict = {}
+    if small_source:
+        for r in probe:
+            if r["__k"] is not None and r["__k"] not in src_key_masks:
+                m = 0
+                for p in r["__ps"]:
+                    m |= 1 << int(p)
+                src_key_masks[r["__k"]] = m
+
     # (1) stats pruning: a file can only contain matches if its key range
-    # intersects the source's key range
-    rng = source.agg(
-        F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
-    ).collect()[0]
+    # intersects the source's key range. Small source: bounds come from
+    # the probe (Python min/max matches SQL ordering for all orderable
+    # key types — ints, floats, strings by code point == UTF-8 bytes,
+    # dates, timestamps, decimals — pinned by test). Else: one tiny
+    # map-side-combinable aggregate.
+    if small_source:
+        ks = list(src_key_masks)
+        rng = {"lo": min(ks) if ks else None, "hi": max(ks) if ks else None}
+    else:
+        rng = source.agg(
+            F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
+        ).collect()[0]
     # stats in the log are JSON-sanitized; convert the probe bounds the
     # same way so date/timestamp keys compare as ISO strings and decimal
     # keys as floats — widening the probe range outward keeps pruning
@@ -1902,27 +2189,18 @@ def merge_into(
         ]
     untouched_by_stats = [a for a in live if a not in candidates]
 
-    # (1b) bloom pruning: drop candidate files whose bloom rejects every
+    # (2) bloom pruning: drop candidate files whose bloom rejects every
     # source key — the layer that works where min/max can't (hash
-    # layouts, full-range files). Probe masks come from one tiny job
-    # over the DISTINCT source keys; a quick union-mask reject handles
-    # most files in O(1) before the per-key test. Sound: a bloom never
-    # rejects a present key, so skipped files contain no matches and
-    # carry over by reference exactly like range-pruned ones.
+    # layouts, full-range files). Masks come from the bounded probe; a
+    # quick union-mask reject handles most files in O(1) before the
+    # per-key test. Sound: a bloom never rejects a present key, so
+    # skipped files contain no matches and carry over by reference
+    # exactly like range-pruned ones. Above the dial the masks would be
+    # saturated (1024 bits) and pruning power ~zero, so the stage only
+    # runs for small sources.
     pruned_by_bloom = 0
-    if candidates and all("bloom" in a for a in candidates):
-        probe = (
-            source.select(F.col(key).cast("string").alias("k"))
-            .distinct()
-            .select(_bloom_positions(F.col("k")).alias("ps"))
-            .collect()
-        )
-        masks = []
-        for r in probe:
-            m = 0
-            for p in r["ps"]:
-                m |= 1 << int(p)
-            masks.append(m)
+    if candidates and small_source and all("bloom" in a for a in candidates):
+        masks = list(src_key_masks.values())
         union_mask = 0
         for m in masks:
             union_mask |= m
@@ -1936,8 +2214,37 @@ def merge_into(
         candidates = kept_candidates
 
     touched: list[dict] = []
-    if candidates:
-        # (2) exact touched-file discovery, fully distributed
+    driver_discovery = bool(
+        candidates
+        and small_source
+        and len(candidates) <= MERGE_DRIVER_DISCOVERY_MAX_FILES
+        and all(a["rows"] <= BLOOM_DRIVER_MAX_ROWS for a in candidates)
+        # key columns are rename-protected (identity-mapped), so the
+        # physical column name in the file IS the logical key name
+        and source.schema[key].dataType.typeName()
+        in ("integer", "long", "string")
+    )
+    if driver_discovery:
+        # (3, small source) EXACT touched-file discovery driver-side:
+        # every candidate is a small local parquet file, so reading its
+        # key column via pyarrow and intersecting with the probed key
+        # set costs no Spark job and keeps the discovery exact — a
+        # disjoint-key micro-batch stays a pure append (touched = 0),
+        # never a bloom-false-positive rewrite. Gated to identity
+        # column mapping and int/long/string keys (value equality
+        # between pyarrow and collected Spark rows is trivially exact
+        # there); anything else takes the distributed path below.
+        keys = set(src_key_masks)
+        for a in candidates:
+            col = (
+                pq.read_table(_abs(table, a["file"]), columns=[key])
+                .column(0)
+                .to_pylist()
+            )
+            if any(v in keys for v in col):
+                touched.append(a)
+    elif candidates:
+        # (3, generic) exact touched-file discovery, fully distributed
         # (log-schema read: a mixed pre-/post-evolution candidate set
         # must not take an arbitrary footer as its schema)
         src_keys = source.select(F.col(key).alias("__mk")).distinct()
@@ -1961,14 +2268,21 @@ def merge_into(
 
     untouched = untouched_by_stats + [a for a in candidates if a not in touched]
 
-    # (3) rewrite touched rows + insert source (log-schema read — a
+    # (4) rewrite touched rows + insert source (log-schema read — a
     # footer read of a pre-evolution touched file would rewrite it
     # without the evolved columns, permanently losing that data)
     if touched:
-        kept = (
-            _read_files(spark, table, touched, None, with_tombstones=False)
-            .join(source.select(key).distinct(), key, "left_anti")
-        )
+        kept = _read_files(spark, table, touched, None, with_tombstones=False)
+        if small_source and len(src_key_masks) <= MERGE_ISIN_MAX_KEYS:
+            # keys are in hand: an isin() filter folds the anti-join
+            # into the rewrite job's scan (no broadcast-build job).
+            # NULL target keys must survive the NOT-IN (SQL three-valued
+            # logic would drop them).
+            kept = kept.where(
+                ~F.col(key).isin(list(src_key_masks)) | F.col(key).isNull()
+            )
+        else:
+            kept = kept.join(source.select(key).distinct(), key, "left_anti")
         # allowMissingColumns only under declared evolution: carried
         # rows null-fill new source columns (and an evolving source may
         # omit historical columns, mirroring append's posture) — but an
@@ -1976,6 +2290,19 @@ def merge_into(
         merged = kept.unionByName(source, allowMissingColumns=merge_schema)
     else:
         merged = source
+    # Metadata-scale rewrites collapse to one task/file: the row bound
+    # (logged touched-file rows + probed source rows) is exact from
+    # stats already in hand, and N near-empty shuffle partitions would
+    # otherwise become N write tasks + N files + N bloom/footer reads
+    # per churn batch, decaying the table layout merge after merge.
+    # repartition, NOT coalesce: coalesce(1) would pull the source
+    # pipeline's whole final stage into one task (measured 2.5×
+    # slower on the maintenance verdict MERGE); the explicit exchange
+    # keeps upstream parallelism and single-tasks only the tiny write.
+    if small_source:
+        bound = sum(a["rows"] for a in touched) + len(probe)
+        if bound <= MERGE_COALESCE_MAX_ROWS:
+            merged = merged.repartition(1)
     adds = _stage_files(merged, table, key)
 
     v = versions(table)[-1] + 1

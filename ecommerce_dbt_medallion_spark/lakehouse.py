@@ -777,24 +777,30 @@ def _stage_files(
         # (int/long: str(); string: identity); anything else, or any
         # file above the dial, takes the existing distributed pass.
         ktype = df.schema[key].dataType.typeName() if key in df.columns else None
-        spark_job_needed = False
-        if ktype in ("integer", "long", "string"):
-            for f in sorted(os.listdir(staging)):
-                if not f.endswith(".parquet"):
-                    continue
-                src = os.path.join(staging, f)
-                if pq.ParquetFile(src).metadata.num_rows > BLOOM_DRIVER_MAX_ROWS:
-                    spark_job_needed = True
-                    continue
-                col = pq.read_table(src, columns=[key]).column(0).to_pylist()
+        staged = [
+            f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+        ]
+        # decide the path from footer metadata FIRST (cheap driver
+        # reads) so no file is ever read twice: the driver path only
+        # runs when EVERY staged file is under the dial
+        all_small = ktype in ("integer", "long", "string") and all(
+            pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+            <= BLOOM_DRIVER_MAX_ROWS
+            for f in staged
+        )
+        if all_small:
+            for f in staged:
+                col = (
+                    pq.read_table(os.path.join(staging, f), columns=[key])
+                    .column(0)
+                    .to_pylist()
+                )
                 blooms[f] = _bloom_mask_py(
                     v if (v is None or ktype == "string") else str(v)
                     for v in col
                 )
         else:
-            spark_job_needed = True
-        if spark_job_needed:
-            blooms = {**_stage_blooms(df, staging, key), **blooms}
+            blooms = _stage_blooms(df, staging, key)
     data_dir = os.path.join(table, _DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     adds: list[dict] = []
@@ -1846,12 +1852,27 @@ def read_keys_local(
         return None
     if current_mapping(table):
         return None
+    # key-type gate (round-14 review): pyarrow-decoded values must
+    # compare EQUAL to Spark-collected ones, which is only trivially
+    # true for int/long/string — a timestamp key (pyarrow UTC datetimes
+    # vs Spark session-local naive) would silently match nothing and
+    # report every key as absent instead of falling back
+    kcol = _table_key(table)
+    sch = current_schema(table)
+    ktype = (
+        next((f.dataType.typeName() for f in sch.fields if f.name == kcol), None)
+        if sch is not None
+        else None
+    )
+    if ktype not in ("integer", "long", "string"):
+        return None
     files = files_maybe_containing(spark, table, list(keys))
     if len(files) > MERGE_DRIVER_DISCOVERY_MAX_FILES:
         return None
-    if any(a["rows"] > BLOOM_DRIVER_MAX_ROWS for a in files):
+    # rows is optional in legacy log entries — missing means unknown
+    # size, which must mean fallback, never KeyError
+    if any("rows" not in a or a["rows"] > BLOOM_DRIVER_MAX_ROWS for a in files):
         return None
-    kcol = _table_key(table)
     if kcol not in columns:
         columns = [kcol] + list(columns)
     keyset = set(keys)
@@ -2218,7 +2239,12 @@ def merge_into(
         candidates
         and small_source
         and len(candidates) <= MERGE_DRIVER_DISCOVERY_MAX_FILES
-        and all(a["rows"] <= BLOOM_DRIVER_MAX_ROWS for a in candidates)
+        # rows is optional in legacy log entries: unknown size → the
+        # distributed path, never a KeyError
+        and all(
+            "rows" in a and a["rows"] <= BLOOM_DRIVER_MAX_ROWS
+            for a in candidates
+        )
         # key columns are rename-protected (identity-mapped), so the
         # physical column name in the file IS the logical key name
         and source.schema[key].dataType.typeName()
@@ -2299,7 +2325,7 @@ def merge_into(
     # pipeline's whole final stage into one task (measured 2.5×
     # slower on the maintenance verdict MERGE); the explicit exchange
     # keeps upstream parallelism and single-tasks only the tiny write.
-    if small_source:
+    if small_source and all("rows" in a for a in touched):
         bound = sum(a["rows"] for a in touched) + len(probe)
         if bound <= MERGE_COALESCE_MAX_ROWS:
             merged = merged.repartition(1)

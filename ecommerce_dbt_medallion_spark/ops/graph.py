@@ -338,7 +338,10 @@ def _maintain_driver_side(
                 admitted.append(a)
         if len(admitted) > lakehouse.MERGE_DRIVER_DISCOVERY_MAX_FILES:
             return None
-        if any(a["rows"] > lakehouse.BLOOM_DRIVER_MAX_ROWS for a in admitted):
+        if any(
+            "rows" not in a or a["rows"] > lakehouse.BLOOM_DRIVER_MAX_ROWS
+            for a in admitted
+        ):
             return None
         import pyarrow.parquet as _pq
 

@@ -544,6 +544,10 @@ def curriculum_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cell", F.conv(F.substring("skey", 1, 1), 16, 10).cast("long")
         )
+        # consumed twice (pos window + offsets agg): without the
+        # checkpoint the offsets branch would re-run the corpus-scale
+        # LM scoring + decile-boundary estimator a second time
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("difficulty_decile", "cell").orderBy(
         F.asc("skey"), F.asc("doc_id")

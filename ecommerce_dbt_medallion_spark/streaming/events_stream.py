@@ -245,6 +245,31 @@ HOT_USER_MOD = 4
 HOT_SALT_BUCKETS = 16
 
 
+def _hot_phase1(stream: DataFrame):
+    """The SHARED phase-1 grouping for the hot-user rollup and its
+    diagnostic twin: watermark + hot-bucket collapse + per-event salt +
+    (window, user_bucket, salt) groupBy. One builder so the salt-scatter
+    test pins the exact state shape the production rollup runs —
+    round-14 review: two verbatim copies could silently drift."""
+    bucket = (
+        F.when(F.col("user_id") % HOT_USER_MOD == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+    )
+    salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(HOT_SALT_BUCKETS))
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .select(
+            F.col("ts"),
+            bucket.alias("user_bucket"),
+            salt.alias("salt"),
+            "event_id",
+            "value",
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_bucket", "salt")
+    )
+
+
 def stream_hot_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted streaming rollup under a planted hot user.
 
@@ -269,29 +294,9 @@ def stream_hot_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: salt from xxhash64(event_id) — per-event, never
     rand(); decimal sums to the boundary; fold order irrelevant
     (integer/decimal adds commute)."""
-    stream = load_event_stream(spark, sf_dir)
-    bucket = (
-        F.when(F.col("user_id") % HOT_USER_MOD == 0, F.lit(0))
-        .otherwise(F.col("user_id"))
-        .cast("long")
-    )
-    salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(HOT_SALT_BUCKETS))
-    phase1 = (
-        stream.withWatermark("ts", "2 hours")
-        .select(
-            F.col("ts"),
-            bucket.alias("user_bucket"),
-            salt.alias("salt"),
-            "event_id",
-            "value",
-        )
-        .groupBy(
-            F.window("ts", "1 hour").alias("w"), "user_bucket", "salt"
-        )
-        .agg(
-            F.count("event_id").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
-        )
+    phase1 = _hot_phase1(load_event_stream(spark, sf_dir)).agg(
+        F.count("event_id").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
     )
     sink = f"hot_rollup_{uuid.uuid4().hex[:8]}"
     q = (
@@ -324,18 +329,8 @@ def salted_state_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic twin for tests: the DRAINED phase-1 state grain
     (window, user_bucket, salt) so the salt scatter is assertable —
     the hot bucket must hold >1 salt row per window."""
-    stream = load_event_stream(spark, sf_dir)
-    bucket = (
-        F.when(F.col("user_id") % HOT_USER_MOD == 0, F.lit(0))
-        .otherwise(F.col("user_id"))
-        .cast("long")
-    )
-    salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(HOT_SALT_BUCKETS))
-    phase1 = (
-        stream.withWatermark("ts", "2 hours")
-        .select(F.col("ts"), bucket.alias("user_bucket"), salt.alias("salt"))
-        .groupBy(F.window("ts", "1 hour").alias("w"), "user_bucket", "salt")
-        .agg(F.count(F.lit(1)).alias("n"))
+    phase1 = _hot_phase1(load_event_stream(spark, sf_dir)).agg(
+        F.count(F.lit(1)).alias("n")
     )
     sink = f"hot_fanout_{uuid.uuid4().hex[:8]}"
     q = (

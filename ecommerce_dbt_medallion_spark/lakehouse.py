@@ -2093,6 +2093,41 @@ def read_pruned(
     )
 
 
+def _driver_exact_touched(
+    table: str, candidates: list[dict], keyset: set, key: str, ktype: str
+) -> list[dict] | None:
+    """EXACT touched-file discovery driver-side: read each candidate's
+    key column via pyarrow and intersect with the probed key set — no
+    Spark job, and a disjoint-key source stays a pure append. Returns
+    None when the distributed semi-join must decide instead: too many /
+    too large / row-countless candidate files, or a key type whose
+    pyarrow decoding isn't trivially equal to Spark's collect
+    (int/long/string only). Key columns are rename-protected
+    (identity-mapped), so the physical column name IS the logical one."""
+    if ktype not in ("integer", "long", "string"):
+        return None
+    if len(candidates) > MERGE_DRIVER_DISCOVERY_MAX_FILES:
+        return None
+    if any(
+        "rows" not in a or a["rows"] > BLOOM_DRIVER_MAX_ROWS
+        for a in candidates
+    ):
+        return None
+    touched = []
+    for a in candidates:
+        try:
+            col = (
+                pq.read_table(_abs(table, a["file"]), columns=[key])
+                .column(0)
+                .to_pylist()
+            )
+        except Exception:
+            return None
+        if any(v in keyset for v in col):
+            touched.append(a)
+    return touched
+
+
 def merge_into(
     spark: SparkSession,
     table: str,
@@ -2235,40 +2270,21 @@ def merge_into(
         candidates = kept_candidates
 
     touched: list[dict] = []
-    driver_discovery = bool(
-        candidates
-        and small_source
-        and len(candidates) <= MERGE_DRIVER_DISCOVERY_MAX_FILES
-        # rows is optional in legacy log entries: unknown size → the
-        # distributed path, never a KeyError
-        and all(
-            "rows" in a and a["rows"] <= BLOOM_DRIVER_MAX_ROWS
-            for a in candidates
+    driver_touched = (
+        _driver_exact_touched(
+            table,
+            candidates,
+            set(src_key_masks),
+            key,
+            source.schema[key].dataType.typeName(),
         )
-        # key columns are rename-protected (identity-mapped), so the
-        # physical column name in the file IS the logical key name
-        and source.schema[key].dataType.typeName()
-        in ("integer", "long", "string")
+        if candidates and small_source
+        else None
     )
-    if driver_discovery:
-        # (3, small source) EXACT touched-file discovery driver-side:
-        # every candidate is a small local parquet file, so reading its
-        # key column via pyarrow and intersecting with the probed key
-        # set costs no Spark job and keeps the discovery exact — a
-        # disjoint-key micro-batch stays a pure append (touched = 0),
-        # never a bloom-false-positive rewrite. Gated to identity
-        # column mapping and int/long/string keys (value equality
-        # between pyarrow and collected Spark rows is trivially exact
-        # there); anything else takes the distributed path below.
-        keys = set(src_key_masks)
-        for a in candidates:
-            col = (
-                pq.read_table(_abs(table, a["file"]), columns=[key])
-                .column(0)
-                .to_pylist()
-            )
-            if any(v in keys for v in col):
-                touched.append(a)
+    if driver_touched is not None:
+        # (3, small source) exact driver-side discovery succeeded — no
+        # Spark job, disjoint-key micro-batches stay pure appends
+        touched = driver_touched
     elif candidates:
         # (3, generic) exact touched-file discovery, fully distributed
         # (log-schema read: a mixed pre-/post-evolution candidate set
@@ -2435,9 +2451,25 @@ def apply_changes(
     )
 
     live = live_files(table)
-    rng = latest.agg(
-        F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
-    ).collect()[0]
+    # bounded probe first (round 14, same shape as merge_into): a
+    # churn-scale changelog resolves its key range AND the exact
+    # touched-file set driver-side — the per-batch fixed job overhead
+    # is what dominates CDC micro-batches; LIMIT early-exits the scan
+    # at scale, and latest's lazy checkpoint makes the probe's
+    # materialization reusable by every later consumer
+    probe = (
+        latest.select(F.col(key).alias("__k"))
+        .limit(MERGE_SOURCE_PROBE_MAX_ROWS + 1)
+        .collect()
+    )
+    small_source = len(probe) <= MERGE_SOURCE_PROBE_MAX_ROWS
+    if small_source:
+        ks = [r["__k"] for r in probe if r["__k"] is not None]
+        rng = {"lo": min(ks) if ks else None, "hi": max(ks) if ks else None}
+    else:
+        rng = latest.agg(
+            F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
+        ).collect()[0]
     lo = _json_stat(rng["lo"], side="lo") if rng["lo"] is not None else None
     hi = _json_stat(rng["hi"], side="hi") if rng["hi"] is not None else None
     if lo is None or hi is None:
@@ -2450,7 +2482,20 @@ def apply_changes(
             or not _stats_disjoint(a["min_key"], a["max_key"], lo, hi)
         ]
     touched: list[dict] = []
-    if candidates:
+    driver_touched = (
+        _driver_exact_touched(
+            table,
+            candidates,
+            {r["__k"] for r in probe if r["__k"] is not None},
+            key,
+            latest.schema[key].dataType.typeName(),
+        )
+        if candidates and small_source
+        else None
+    )
+    if driver_touched is not None:
+        touched = driver_touched
+    elif candidates:
         src_keys = latest.select(F.col(key).alias("__mk")).distinct()
         hit_files = {
             os.path.basename(r["__f"])
@@ -2526,6 +2571,11 @@ def apply_changes(
     )
     if n_changes == 0:
         return versions(table)[-1]
+    # metadata-scale rewrites collapse to one task/file (merge_into's
+    # round-14 rule; repartition, not coalesce — see there)
+    if small_source and all("rows" in a for a in touched):
+        if sum(a["rows"] for a in touched) + len(probe) <= MERGE_COALESCE_MAX_ROWS:
+            merged = merged.repartition(1)
     adds = _stage_files(merged, table, key)
     v = versions(table)[-1] + 1
     _commit_exclusive(

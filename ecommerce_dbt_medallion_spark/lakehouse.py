@@ -532,8 +532,23 @@ MERGE_COALESCE_MAX_ROWS = 2_000_000
 # bloom computed driver-side (local pyarrow column read + the bit-exact
 # Python XXH64 twin of _bloom_positions) instead of a second Spark job
 # re-reading files just written. A 100 TB-scale write has files above
-# the dial and keeps the distributed pass.
+# the dial and keeps the distributed pass. This per-file dial also
+# bounds the pyarrow reads in read_keys_local/_driver_exact_touched
+# (C-speed column decode + set probes — cheap per row).
 BLOOM_DRIVER_MAX_ROWS = 250_000
+
+# _stage_files driver-bloom path, TOTAL-rows dial (round 14 fix): the
+# Python XXH64 twin costs ~15 µs/key single-threaded on the DRIVER, so
+# the local path must be reserved for churn-scale commits (streaming
+# label/verdict MERGEs, CDC micro-batches — at most thousands of rows).
+# The initial round-14 cut gated only per-file size, so a data-scale
+# CREATE whose shuffle happened to produce many sub-250k files paid
+# O(total rows) of serial driver hashing — measured +2–7 s on every
+# sf0.1 lakehouse gate (BENCH r14 before: lakehouse_zorder_prune 2.7 →
+# 6.9 s, snapshot_cut 7.7 → 14.9 s). Above this TOTAL the one
+# distributed _stage_blooms pass (32-way, JVM xxhash64 codegen) is
+# strictly cheaper.
+BLOOM_DRIVER_MAX_STAGE_ROWS = 20_000
 
 # merge_into small path: up to this many probed source keys the
 # touched-row anti-join is expressed as an isin() filter inside the
@@ -782,11 +797,19 @@ def _stage_files(
         ]
         # decide the path from footer metadata FIRST (cheap driver
         # reads) so no file is ever read twice: the driver path only
-        # runs when EVERY staged file is under the dial
-        all_small = ktype in ("integer", "long", "string") and all(
+        # runs when EVERY staged file is under the per-file dial AND
+        # the commit is churn-scale in total — the pure-Python hashing
+        # is serial driver work, ~15 µs/key, so a data-scale CREATE
+        # must take the one distributed pass instead (round-14 fix;
+        # see BLOOM_DRIVER_MAX_STAGE_ROWS)
+        row_counts = [
             pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
-            <= BLOOM_DRIVER_MAX_ROWS
             for f in staged
+        ]
+        all_small = (
+            ktype in ("integer", "long", "string")
+            and sum(row_counts) <= BLOOM_DRIVER_MAX_STAGE_ROWS
+            and all(n <= BLOOM_DRIVER_MAX_ROWS for n in row_counts)
         )
         if all_small:
             for f in staged:

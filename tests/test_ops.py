@@ -2217,3 +2217,53 @@ def test_simhash_calibration_covers_dedup_pairs(spark):
     n_dedup = dedup_simhash(spark, SF_SMOKE).count()
     n_cal_low = int(cal[cal.hamming <= 3].n_pairs.sum())
     assert n_cal_low == n_dedup
+
+
+def test_ivfpq_local_training_matches_distributed(spark):
+    """Round 14: _ivfpq_train computes its bounded-sample Lloyd's
+    driver-side (numpy, exact int64 + one IEEE float64 floor-div per
+    centroid component). Pin the fast path BIT-EXACT against the
+    distributed _train/_ivfpq_residuals construction it replaced, on
+    the driver corpus at sf0.01 — coarse quantizer and every PQ
+    codebook. A single diverging component would silently break hash
+    parity for ann_topk_ivfpq / _rerank / ann_index_maintain."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.cluster import (
+        IVFPQ_LISTS,
+        IVFPQ_TRAIN_MAX,
+        KM_ITERS,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _ivfpq_residuals,
+        _ivfpq_train,
+        _quantized,
+        _train,
+    )
+
+    vectors = _quantized(spark, "/root/testdata/sf0.01").localCheckpoint(
+        eager=False
+    )
+    fast_coarse, fast_cbs = _ivfpq_train(vectors)
+
+    sample = vectors.where(F.col("vec_id") < IVFPQ_TRAIN_MAX)
+    dist_coarse = _train(sample, IVFPQ_LISTS, KM_ITERS).localCheckpoint(
+        eager=False
+    )
+    res_s = _ivfpq_residuals(sample, dist_coarse).localCheckpoint(eager=False)
+
+    def _as_map(df):
+        return {r["cluster"]: list(r["cq"]) for r in df.collect()}
+
+    assert _as_map(fast_coarse) == _as_map(dist_coarse)
+    for m in range(PQ_M):
+        dist_cb = _train(
+            res_s.select(
+                "vec_id", F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("q")
+            ),
+            PQ_K,
+            PQ_ITERS,
+        )
+        assert _as_map(fast_cbs[m]) == _as_map(dist_cb), f"codebook {m}"

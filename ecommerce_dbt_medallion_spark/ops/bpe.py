@@ -430,84 +430,90 @@ def _learn_merges_batched(spark: SparkSession, sf_dir: str):
     (worig, w, f) after all rounds, ``kept_frames[r-1]`` holds round
     r's kept merges (slot, pair, cnt — pair still sentinel-encoded)
     and ``merges_row`` is ONE row with every m{r}x{j}/c{r}x{j} scalar
-    for rendering."""
+    for rendering.
+
+    Round 14: the per-round candidate set is BPE_BATCH (=16) rows by
+    construction — metadata-scale, like a k-means centroid set — so
+    each round COLLECTS the TakeOrdered top-16 and runs the greedy
+    chain-overlap selection in plain Python (an exact twin of the old
+    in-plan F.aggregate fold: same (count desc, pair asc) scan order,
+    same first/last-char conflict test on the 2-symbol pairs — pinned
+    by tests/test_ops.py::test_bpe_batched_greedy_twin_matches_plan).
+    kept/merge scalars become LocalRelations, the per-round sentinel
+    replaces become literals, and each round costs ONE Spark job (the
+    vocabulary-scale pair TakeOrdered, which also materializes the
+    previous round's lazily-checkpointed rewrite) instead of three-plus
+    (kept-fold checkpoint, 32-agg mrow checkpoint, crossJoin'd rewrite
+    checkpoint) — 8 rounds dropped from ~24 fixed-overhead jobs to ~8.
+    Selection semantics and every rendered value are unchanged (the
+    DuckDB oracle still replays the greedy fold itself)."""
     words = (
         _word_freqs(spark, sf_dir)
         .select(F.col("w").alias("worig"), "w", "f")
         .localCheckpoint(eager=True)
     )
-    acc_t = "array<struct<negcnt:bigint,pair:string,cnt:bigint>>"
     kept_frames: list[DataFrame] = []
+    mvals: dict[str, object] = {}
     for r in range(1, BPE_BATCH_ROUNDS + 1):
-        cands = (
+        top = (
             _pair_stats(words)
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(BPE_BATCH)
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cnt")).alias("negcnt"),
-                            F.col("pair").alias("pair"),
-                            F.col("cnt").alias("cnt"),
-                        )
-                    )
-                ).alias("cands")
+            .collect()
+        )
+        kept_rows: list[tuple[str, int]] = []
+        for c in top:
+            pair, cnt = c["pair"], c["cnt"]
+            # chain-overlap vs every already-kept pair this round: the
+            # only two ways 2-char windows can share a string position
+            if not any(k[0] == pair[1] or k[1] == pair[0] for k, _ in kept_rows):
+                kept_rows.append((pair, cnt))
+        kept_frames.append(
+            spark.createDataFrame(
+                [
+                    (j, p, int(c))
+                    for j, (p, c) in enumerate(kept_rows, start=1)
+                ],
+                "slot long, pair string, cnt bigint",
             )
         )
-        kept = (
-            cands.select(
-                F.aggregate(
-                    "cands",
-                    F.expr(f"cast(array() as {acc_t})"),
-                    lambda acc, c: F.when(
-                        F.exists(
-                            acc, lambda k: _batched_conflict(k["pair"], c["pair"])
-                        ),
-                        acc,
-                    ).otherwise(F.array_append(acc, c)),
-                ).alias("kept")
-            )
-            .select(F.posexplode("kept").alias("pos", "k"))
-            .select(
-                (F.col("pos") + 1).cast("long").alias("slot"),
-                F.col("k.pair").alias("pair"),
-                F.col("k.cnt").alias("cnt"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        kept_frames.append(kept)
-        mrow = kept.agg(
-            *[
-                agg
-                for j in range(1, BPE_BATCH + 1)
-                for agg in (
-                    F.max(F.when(F.col("slot") == j, F.col("pair"))).alias(
-                        f"m{r}x{j}"
-                    ),
-                    F.max(F.when(F.col("slot") == j, F.col("cnt"))).alias(
-                        f"c{r}x{j}"
-                    ),
-                )
-            ]
-        ).localCheckpoint(eager=True)
         w = F.col("w")
         for j in range(1, BPE_BATCH + 1):
             sent = BPE_SENT_BASE + (r - 1) * BPE_BATCH + (j - 1)
+            pair, cnt = (
+                kept_rows[j - 1] if j <= len(kept_rows) else (None, None)
+            )
+            mvals[f"m{r}x{j}"] = pair
+            mvals[f"c{r}x{j}"] = int(cnt) if cnt is not None else None
+            # unfilled slots replace chr(0) — a no-op, same as the old
+            # coalesce(NULL slot, chr(0)) form
             w = F.replace(
                 w,
-                F.coalesce(F.col(f"m{r}x{j}"), F.lit("\x00")),
+                F.lit(pair if pair is not None else "\x00"),
                 F.lit(chr(sent)),
             )
-        words = (
-            words.crossJoin(F.broadcast(mrow))
-            .select("worig", w.alias("w"), "f")
-            .localCheckpoint(eager=True)
+        # lazy checkpoint: the next round's TakeOrdered collect (or the
+        # caller's first action) materializes it once; every later
+        # consumer reuses the checkpointed partitions
+        words = words.select("worig", w.alias("w"), "f").localCheckpoint(
+            eager=False
         )
-        if r == 1:
-            merges_row = mrow
-        else:
-            merges_row = merges_row.crossJoin(mrow)
+    schema = ", ".join(
+        f"m{r}x{j} string, c{r}x{j} bigint"
+        for r in range(1, BPE_BATCH_ROUNDS + 1)
+        for j in range(1, BPE_BATCH + 1)
+    )
+    merges_row = spark.createDataFrame(
+        [
+            tuple(
+                mvals[f"{p}{r}x{j}"]
+                for r in range(1, BPE_BATCH_ROUNDS + 1)
+                for j in range(1, BPE_BATCH + 1)
+                for p in ("m", "c")
+            )
+        ],
+        schema,
+    )
     return words, kept_frames, merges_row
 
 

@@ -2267,3 +2267,86 @@ def test_ivfpq_local_training_matches_distributed(spark):
             PQ_ITERS,
         )
         assert _as_map(fast_cbs[m]) == _as_map(dist_cb), f"codebook {m}"
+
+
+def test_bpe_batched_greedy_twin_matches_plan(spark):
+    """Round 14: the batched trainer's greedy chain-overlap selection
+    moved from an in-plan F.aggregate fold to a driver-side Python loop
+    over the collected top-BPE_BATCH candidates. Pin the Python twin
+    against the ORIGINAL in-plan fold, reconstructed here verbatim,
+    over the real sf0.01 corpus round-1 candidates plus adversarial
+    synthetic candidate sets (chain overlaps in both directions,
+    self-overlapping pairs like 'aa')."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.bpe import (
+        BPE_BATCH,
+        _batched_conflict,
+        _pair_stats,
+        _word_freqs,
+    )
+
+    acc_t = "array<struct<negcnt:bigint,pair:string,cnt:bigint>>"
+
+    def plan_fold(cand_rows):
+        cands = spark.createDataFrame(
+            [(p, int(c)) for p, c in cand_rows], "pair string, cnt bigint"
+        ).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cnt")).alias("negcnt"),
+                        F.col("pair").alias("pair"),
+                        F.col("cnt").alias("cnt"),
+                    )
+                )
+            ).alias("cands")
+        )
+        kept = (
+            cands.select(
+                F.aggregate(
+                    "cands",
+                    F.expr(f"cast(array() as {acc_t})"),
+                    lambda acc, c: F.when(
+                        F.exists(
+                            acc,
+                            lambda k: _batched_conflict(k["pair"], c["pair"]),
+                        ),
+                        acc,
+                    ).otherwise(F.array_append(acc, c)),
+                ).alias("kept")
+            )
+            .select(F.posexplode("kept").alias("pos", "k"))
+            .select(F.col("k.pair"), F.col("k.cnt"))
+            .collect()
+        )
+        return [(r["pair"], r["cnt"]) for r in kept]
+
+    def python_greedy(cand_rows):
+        ordered = sorted(cand_rows, key=lambda pc: (-pc[1], pc[0]))
+        kept: list = []
+        for pair, cnt in ordered:
+            if not any(k[0] == pair[1] or k[1] == pair[0] for k, _ in kept):
+                kept.append((pair, int(cnt)))
+        return kept
+
+    real = [
+        (r["pair"], r["cnt"])
+        for r in _pair_stats(
+            _word_freqs(spark, "/root/testdata/sf0.01").select(
+                F.col("w").alias("worig"), "w", "f"
+            )
+        )
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_BATCH)
+        .collect()
+    ]
+    cases = [
+        real,
+        [("ab", 9), ("bc", 8), ("ca", 7), ("aa", 6), ("dd", 6)],
+        [("aa", 5), ("ab", 5), ("ba", 5), ("bb", 5)],
+        [("xy", 3)],
+        [],
+    ]
+    for rows in cases:
+        assert plan_fold(rows) == python_greedy(rows), rows

@@ -191,11 +191,26 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmap = F.create_map(
         *[c for k, v in bw.items() for c in (F.lit(k), F.lit(v))]
     )
+    # The local documents table is ONE parquet split, so the interpreted
+    # HOF scoring fold below would run in a single task (the shingle_rows
+    # lesson); repartition by doc_id up to defaultParallelism — unlike
+    # doc_quality_classify (plan-pinned pure projection, where the scan
+    # parallelism comes from the input at scale), this report aggregates
+    # anyway, so the one extra batch-proportional exchange buys a 32-way
+    # scoring stage. max() never shrinks a multi-split input's
+    # parallelism at 100 TB.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)).alias(
             "__t"
         ),
+    )
+    docs = docs.repartition(
+        max(
+            docs.rdd.getNumPartitions(),
+            spark.sparkContext.defaultParallelism,
+        ),
+        "doc_id",
     )
     bigrams = F.when(
         F.size("__t") >= 2,

@@ -256,11 +256,23 @@ def _symmetric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever changes, both operators and both oracles must move together).
     """
     pairs = copurchase_pairs(spark, sf_dir)
+    # persist() a src-hash-partitioned layout instead of the former
+    # eager localCheckpoint (round 14): a checkpointed RDD reports
+    # UnknownPartitioning, so every LPA/pagerank round re-EXCHANGED the
+    # full edge set (2.4M rows at sf0.1 — the big side) to join on src.
+    # The cached plan keeps outputPartitioning=hash(src), so each
+    # round's join satisfies its distribution from the cache and only
+    # the node-grain labels/ranks side shuffles — one edges exchange
+    # total instead of one per round (guide: share one exchange across
+    # same-keyed operations). Same materialize-once semantics and the
+    # same storage footprint as the checkpoint it replaces.
     return (
         pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .union(pairs.select(F.col("part_b"), F.col("part_a")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .sortWithinPartitions("src")
+        .persist()
     )
 
 

@@ -494,6 +494,45 @@ def _lloyd_local(ids, Q, k: int, iters: int):
     return clusters, C
 
 
+def _ivfpq_encode_local(spark, rows, coarse_rows, codebook_rows):
+    """Driver-side bit-exact twin of ``_ivfpq_encode`` for a BOUNDED
+    vector set (the ann_index_maintain bootstrap seed, ≤ ANN_INDEX_BOOT
+    rows by construction): coarse argmin (int64, ties to the lowest
+    cluster id — centroid rows sorted by id, argmin takes the first
+    minimum), exact integer residual, per-sub-space codebook argmin.
+    Returns (vec_id, list_id, code0..code{M-1}) Python rows ready for
+    createDataFrame. Pinned against the distributed encoder by
+    tests/test_ops.py::test_ivfpq_local_encode_matches_distributed."""
+    import numpy as np
+
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.asarray([r["q"] for r in rows], dtype=np.int64)
+
+    def _sorted_cb(crows):
+        crows = sorted(crows, key=lambda r: r["cluster"])
+        return (
+            np.asarray([r["cluster"] for r in crows], dtype=np.int64),
+            np.asarray([r["cq"] for r in crows], dtype=np.int64),
+        )
+
+    cids, C = _sorted_cb(coarse_rows)
+    d = Q[:, None, :] - C[None, :, :]
+    a = np.argmin((d * d).sum(axis=2), axis=1)
+    list_ids = cids[a]
+    R = Q - C[a]
+    codes = []
+    for m in range(PQ_M):
+        kids, K = _sorted_cb(codebook_rows[m])
+        sub = R[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        dm = sub[:, None, :] - K[None, :, :]
+        am = np.argmin((dm * dm).sum(axis=2), axis=1)
+        codes.append(kids[am])
+    return [
+        (int(ids[i]), int(list_ids[i]), *[int(c[i]) for c in codes])
+        for i in range(len(ids))
+    ]
+
+
 def _ivfpq_train(vectors: DataFrame):
     """Train the coarse quantizer + PQ_M residual codebooks on the
     bounded deterministic sample vec_id < IVFPQ_TRAIN_MAX. Returns

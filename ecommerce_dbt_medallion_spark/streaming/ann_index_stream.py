@@ -57,6 +57,7 @@ from ecommerce_dbt_medallion_spark.ops.cluster import (
     IVFPQ_TRAIN_MAX,
     PQ_M,
     _ivfpq_encode,
+    _ivfpq_encode_local,
     _ivfpq_probe,
     _ivfpq_search,
     _ivfpq_train,
@@ -103,10 +104,29 @@ def ann_index_bootstrap(
         )
         pq_rows = tagged if pq_rows is None else pq_rows.unionByName(tagged)
     lakehouse.create_or_replace(spark, pq_table, pq_rows)
+    # Bootstrap seed encode runs DRIVER-SIDE (round 14): the seed is
+    # bounded at ANN_INDEX_BOOT rows by construction, yet the
+    # distributed _ivfpq_encode chain cost ~10 fixed-overhead stages
+    # (assign crossJoin/groupBy + 4 per-sub-space assigns + joins) for
+    # ~128 rows on every construction-timed bench run. The numpy twin
+    # (_ivfpq_encode_local, test-pinned bit-exact) encodes the collected
+    # seed in milliseconds; the per-batch stream encode below stays
+    # fully distributed — at 100 TB only the bounded seed is local.
+    boot_rows = boot_vectors.select("vec_id", "q").collect()
+    code_cols = ", ".join(f"code{m} long" for m in range(PQ_M))
+    codes_local = spark.createDataFrame(
+        _ivfpq_encode_local(
+            spark,
+            boot_rows,
+            coarse.collect(),
+            [cb.collect() for cb in codebooks],
+        ),
+        f"vec_id long, list_id long, {code_cols}",
+    )
     lakehouse.create_or_replace(
         spark,
         codes_table,
-        _ivfpq_encode(boot_vectors, coarse, codebooks),
+        codes_local,
         key="vec_id",
         partition_by="list_id",
     )
@@ -147,8 +167,20 @@ def stream_ann_index_ingest(
         if batch_df.isEmpty():
             return
         coarse, codebooks = _stored_codebooks(spark, coarse_table, pq_table)
+        # a micro-batch arrives as ONE parquet split — repartition by id
+        # up to defaultParallelism so the encode's assign/join stages
+        # use the cores (the doc_signatures single-split lesson); max()
+        # never shrinks a large batch's parallelism at 100 TB
+        qb = _quantize_embeddings(batch_df)
+        qb = qb.repartition(
+            max(
+                qb.rdd.getNumPartitions(),
+                spark.sparkContext.defaultParallelism,
+            ),
+            "vec_id",
+        )
         bcodes = _ivfpq_encode(
-            _quantize_embeddings(batch_df), coarse, codebooks
+            qb, coarse, codebooks
         ).localCheckpoint(eager=True)  # MERGE scans its source repeatedly
         lakehouse.merge_into(spark, codes_table, bcodes, key="vec_id")
 

@@ -2350,3 +2350,43 @@ def test_bpe_batched_greedy_twin_matches_plan(spark):
     ]
     for rows in cases:
         assert plan_fold(rows) == python_greedy(rows), rows
+
+
+def test_ivfpq_local_encode_matches_distributed(spark):
+    """Round 14: the ann_index_maintain bootstrap seed encodes
+    driver-side (_ivfpq_encode_local). Pin it bit-exact against the
+    distributed _ivfpq_encode over the sf0.01 corpus slice the
+    bootstrap actually encodes (vec_id < ANN_INDEX_BOOT), using the
+    production-trained codebooks."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dbt_medallion_spark.ops.cluster import (
+        PQ_M,
+        _ivfpq_encode,
+        _ivfpq_encode_local,
+        _ivfpq_train,
+        _quantized,
+    )
+    from ecommerce_dbt_medallion_spark.streaming.ann_index_stream import (
+        ANN_INDEX_BOOT,
+    )
+
+    vectors = _quantized(spark, "/root/testdata/sf0.01").localCheckpoint(
+        eager=False
+    )
+    coarse, codebooks = _ivfpq_train(vectors)
+    boot = vectors.where(F.col("vec_id") < ANN_INDEX_BOOT)
+    dist = {
+        r["vec_id"]: (r["list_id"], *[r[f"code{m}"] for m in range(PQ_M)])
+        for r in _ivfpq_encode(boot, coarse, codebooks).collect()
+    }
+    local = {
+        row[0]: tuple(row[1:])
+        for row in _ivfpq_encode_local(
+            spark,
+            boot.select("vec_id", "q").collect(),
+            coarse.collect(),
+            [cb.collect() for cb in codebooks],
+        )
+    }
+    assert dist == local

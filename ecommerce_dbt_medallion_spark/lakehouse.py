@@ -520,7 +520,14 @@ BLOOM_K = 4
 # micro-batch MERGEs); above it the generic distributed path runs and
 # bloom pruning is skipped (masks saturate at >~1k keys anyway, and
 # collecting every distinct key was unbounded driver memory).
-MERGE_SOURCE_PROBE_MAX_ROWS = 100_000
+# 20k, not the initial 100k (round 14): every small-path perk is dead
+# weight well below 100k keys — bloom masks saturate >~1k, the isin
+# rewrite caps at MERGE_ISIN_MAX_KEYS=10k, and pyarrow discovery's
+# per-value set probes are serial driver work — so a 75k-row source
+# paid a 75k-row driver collect (with bloom-position arrays) for zero
+# pruning power; measured 1.6 s off lakehouse_snapshot_cut's bump
+# MERGE at sf0.1 by routing it to the distributed path instead.
+MERGE_SOURCE_PROBE_MAX_ROWS = 20_000
 
 # merge_into: when the exact row bound (logged touched-file rows +
 # probed source rows) fits under this, the rewrite runs as one task and

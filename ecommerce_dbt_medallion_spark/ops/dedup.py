@@ -940,15 +940,15 @@ def doc_signatures(
     # input split, so the 64-md5s-per-shingle aggregation below would
     # run in a single task (measured 4.7 s/batch at sf0.1 vs 1.9 s
     # spread over the local cores — the shingle_rows lesson applied to
-    # the batch path). Repartition by id up to defaultParallelism; a
-    # 100 TB batch already has >= that many splits and keeps them (the
-    # max() never SHRINKS a big batch's parallelism), and the extra
-    # exchange moves only the batch itself, never the corpus.
+    # the batch path). CONDITIONAL: only when the batch has fewer
+    # splits than cores — a 100 TB batch already arrives multi-split
+    # and must not pay an extra batch-wide text exchange just to keep
+    # the local bench shape (scale-adaptive partitioning, not a
+    # constant tuned for either side).
     spark = docs.sparkSession
-    n_parts = max(
-        docs.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
-    )
-    docs = docs.repartition(n_parts, id_col)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, id_col)
     sh = docs.select(
         F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle")
     )

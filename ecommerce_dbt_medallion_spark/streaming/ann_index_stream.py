@@ -168,17 +168,14 @@ def stream_ann_index_ingest(
             return
         coarse, codebooks = _stored_codebooks(spark, coarse_table, pq_table)
         # a micro-batch arrives as ONE parquet split — repartition by id
-        # up to defaultParallelism so the encode's assign/join stages
-        # use the cores (the doc_signatures single-split lesson); max()
-        # never shrinks a large batch's parallelism at 100 TB
+        # so the encode's assign/join stages use the cores (the
+        # doc_signatures single-split lesson). CONDITIONAL: a 100 TB
+        # batch already arrives multi-split and skips the extra
+        # exchange entirely (scale-adaptive, not a local constant)
         qb = _quantize_embeddings(batch_df)
-        qb = qb.repartition(
-            max(
-                qb.rdd.getNumPartitions(),
-                spark.sparkContext.defaultParallelism,
-            ),
-            "vec_id",
-        )
+        par = spark.sparkContext.defaultParallelism
+        if qb.rdd.getNumPartitions() < par:
+            qb = qb.repartition(par, "vec_id")
         bcodes = _ivfpq_encode(
             qb, coarse, codebooks
         ).localCheckpoint(eager=True)  # MERGE scans its source repeatedly

@@ -1919,6 +1919,38 @@ def read_keys_local(
     return out
 
 
+def distinct_values_local(table: str, col: str) -> set | None:
+    """Driver-side distinct values of one column across a table's live
+    files via pyarrow — zero Spark jobs — for METADATA-SCALE state
+    tables (streaming sketch/replay-guard tables: a few small files).
+    Returns None whenever the full read() contract is needed and the
+    caller must fall back to a distributed read: pending tombstones, a
+    non-identity column mapping, too many / too large / unsized files,
+    or a file missing the column (pre-evolution). Round 14: the
+    streaming sketch ingests burned one read+anti-join Spark job per
+    micro-batch just to test replay of an integer batch tag."""
+    if pending_tombstones(table):
+        return None
+    if current_mapping(table):
+        return None
+    files = live_files(table)
+    if len(files) > MERGE_DRIVER_DISCOVERY_MAX_FILES:
+        return None
+    if any("rows" not in a or a["rows"] > BLOOM_DRIVER_MAX_ROWS for a in files):
+        return None
+    out: set = set()
+    for a in files:
+        try:
+            out.update(
+                pq.read_table(_abs(table, a["file"]), columns=[col])
+                .column(0)
+                .to_pylist()
+            )
+        except Exception:
+            return None
+    return out
+
+
 def read_pruned_multi(
     spark: SparkSession,
     table: str,

@@ -107,6 +107,19 @@ def stream_quantile_sketch_ingest(
     def _batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # replay safety: a batch id already merged never re-appends.
+        # The guard resolves DRIVER-SIDE when the state table is
+        # metadata-scale (it always is: sketch cells × batches) — the
+        # former read+anti-join+checkpoint cost one Spark job per
+        # micro-batch to test an integer tag (round 14); the distributed
+        # anti-join remains as the fallback.
+        seen_ids = (
+            lakehouse.distinct_values_local(state_table, "batch_id")
+            if lakehouse.versions(state_table)
+            else None
+        )
+        if seen_ids is not None and int(batch_id) in seen_ids:
+            return
         bstate = quantile_sketch_state(
             batch_df.select(
                 F.explode(F.array(F.col("grp"), F.lit("ALL"))).alias("grp"),
@@ -119,7 +132,9 @@ def stream_quantile_sketch_ingest(
         if not lakehouse.versions(state_table):
             lakehouse.create_or_replace(spark, state_table, bstate)
             return
-        # replay safety: a batch id already merged never re-appends
+        if seen_ids is not None:
+            lakehouse.append(spark, state_table, bstate)
+            return
         seen = lakehouse.read(spark, state_table).select("batch_id").distinct()
         fresh = bstate.join(seen, "batch_id", "left_anti").localCheckpoint(
             eager=True
@@ -221,6 +236,14 @@ def stream_hll_ingest(
     def _batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # driver-side replay guard, same shape as the quantile sibling
+        seen_ids = (
+            lakehouse.distinct_values_local(state_table, "batch_id")
+            if lakehouse.versions(state_table)
+            else None
+        )
+        if seen_ids is not None and int(batch_id) in seen_ids:
+            return
         bstate = hll_register_state(
             batch_df.where(F.col("user_id").isNotNull()).select(
                 "event_type", "user_id"
@@ -229,6 +252,9 @@ def stream_hll_ingest(
         bstate = bstate.localCheckpoint(eager=True)
         if not lakehouse.versions(state_table):
             lakehouse.create_or_replace(spark, state_table, bstate)
+            return
+        if seen_ids is not None:
+            lakehouse.append(spark, state_table, bstate)
             return
         seen = lakehouse.read(spark, state_table).select("batch_id").distinct()
         fresh = bstate.join(seen, "batch_id", "left_anti").localCheckpoint(
@@ -338,14 +364,40 @@ def stream_cms_ingest(
         if batch_df.isEmpty():
             return
         ev = batch_df.where(F.col("user_id").isNotNull())
-        bcells = (
-            ev.select(F.explode(cell_structs).alias("rb"))
-            .select("rb.row_i", "rb.bucket")
-            .groupBy("row_i", "bucket")
-            .agg(F.count("*").alias("cell_count"))
-            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-            .localCheckpoint(eager=True)
+        # driver-side replay guard (round 14, the quantile/HLL shape):
+        # the batch tag test and the candidate-novelty test both run
+        # against METADATA-SCALE state (cells × batches / M × batches
+        # rows), so they resolve driver-side with zero Spark jobs; the
+        # distributed anti-joins remain as fallbacks.
+        cms_seen = (
+            lakehouse.distinct_values_local(cms_table, "batch_id")
+            if lakehouse.versions(cms_table)
+            else None
         )
+        if cms_seen is None or int(batch_id) not in cms_seen:
+            bcells = (
+                ev.select(F.explode(cell_structs).alias("rb"))
+                .select("rb.row_i", "rb.bucket")
+                .groupBy("row_i", "bucket")
+                .agg(F.count("*").alias("cell_count"))
+                .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            if not lakehouse.versions(cms_table):
+                lakehouse.create_or_replace(spark, cms_table, bcells)
+            elif cms_seen is not None:
+                lakehouse.append(spark, cms_table, bcells)
+            else:
+                seen = (
+                    lakehouse.read(spark, cms_table)
+                    .select("batch_id")
+                    .distinct()
+                )
+                fresh = bcells.join(
+                    seen, "batch_id", "left_anti"
+                ).localCheckpoint(eager=True)
+                if not fresh.isEmpty():
+                    lakehouse.append(spark, cms_table, fresh)
         # deterministic per-batch top-M: (count desc, user_id) is a
         # total order, so the candidate set is engine-reproducible —
         # and orderBy().limit() under a total order IS row_number<=M,
@@ -360,24 +412,24 @@ def stream_cms_ingest(
             .select("user_id")
             .localCheckpoint(eager=True)
         )
-        if not lakehouse.versions(cms_table):
-            lakehouse.create_or_replace(spark, cms_table, bcells)
-        else:
-            seen = lakehouse.read(spark, cms_table).select("batch_id").distinct()
-            fresh = bcells.join(seen, "batch_id", "left_anti").localCheckpoint(
-                eager=True
-            )
-            if not fresh.isEmpty():
-                lakehouse.append(spark, cms_table, fresh)
         if not lakehouse.versions(cand_table):
             lakehouse.create_or_replace(spark, cand_table, bcand, key="user_id")
-        else:
-            known = lakehouse.read(spark, cand_table).select("user_id")
-            new = bcand.join(known, "user_id", "left_anti").localCheckpoint(
+            return
+        # novelty filter: the known candidate set is metadata-scale
+        # (M × batches), so resolve it driver-side when possible and
+        # fold the filter into the append's own job as an isin()
+        known = lakehouse.distinct_values_local(cand_table, "user_id")
+        if known is not None:
+            new = bcand.where(~F.col("user_id").isin(list(known))).localCheckpoint(
                 eager=True
             )
-            if not new.isEmpty():
-                lakehouse.append(spark, cand_table, new)
+        else:
+            knownf = lakehouse.read(spark, cand_table).select("user_id")
+            new = bcand.join(knownf, "user_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+        if not new.isEmpty():
+            lakehouse.append(spark, cand_table, new)
 
     q = (
         stream.writeStream.foreachBatch(_batch)

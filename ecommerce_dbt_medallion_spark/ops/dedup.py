@@ -62,11 +62,15 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The local documents file is a single parquet split, so shingling
     (interpreted higher-order exprs) would run in ONE task; repartition
-    by doc_id first so it parallelizes (at warehouse scale the file count
-    provides this for free and the cheap extra shuffle still amortizes)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    by doc_id first so it parallelizes. CONDITIONAL (VERDICT r14 #3):
+    only when the scan has fewer splits than cores — at warehouse scale
+    the file count provides the parallelism for free and an
+    unconditional repartition(#cores) would add a full corpus exchange
+    AND shrink parallelism below the input split count."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     return docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
 
 
@@ -522,9 +526,12 @@ INC_BATCH_FRAC = 0.2
 def _inc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_dbt_medallion_spark.ops.sampling import _hex_threshold
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # conditional single-split fan-out (VERDICT r14 #3): no extra
+    # corpus exchange when the input already arrives multi-split
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     is_batch = (
         F.substring(
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(INC_SALT))), 1, 8

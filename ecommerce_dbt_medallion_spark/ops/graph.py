@@ -361,14 +361,20 @@ def _maintain_driver_side(
                     nl = affected[c]
                     src_rows[d] = min(src_rows[d], nl) if d in src_rows else nl
 
-    src = spark.createDataFrame(
-        sorted(src_rows.items()), f"{id_col} {dtype}, cluster_id {dtype}"
-    )
+    rows = sorted(src_rows.items())
+    src = spark.createDataFrame(rows, f"{id_col} {dtype}, cluster_id {dtype}")
+    # rows are in hand: create/merge stage the commit DRIVER-SIDE
+    # (round 15) — the labels CREATE previously paid a distinct-count +
+    # range-sample + write job for churn-scale rows, and each MERGE a
+    # probe + rewrite job; both are now zero-Spark-job commits
     if not exists:
         return lakehouse.create_or_replace(
-            spark, labels_table, src, key=id_col, partition_by="cluster_id"
+            spark, labels_table, src, key=id_col,
+            partition_by="cluster_id", local_rows=rows,
         )
-    return lakehouse.merge_into(spark, labels_table, src, id_col)
+    return lakehouse.merge_into(
+        spark, labels_table, src, id_col, source_rows=rows
+    )
 
 
 def maintain_cluster_labels(

@@ -183,11 +183,16 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     only matching grams reach the final per-doc aggregation shuffle.
     """
     grams = _word_grams(DECON_N)
+    # single-file parquet reads as one partition; spread the regex +
+    # gram build across cores before paying it. CONDITIONAL (VERDICT
+    # r14 #3): a multi-split corpus already has the parallelism and
+    # must not pay an extra corpus-wide text exchange.
+    docs = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     docs = (
-        _docs(spark, sf_dir)
-        # single-file parquet reads as one partition; spread the regex +
-        # gram build across cores before paying it
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        docs
         .withColumn(
             "__words",
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)),
@@ -379,9 +384,14 @@ def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict_table = _gate_path(sf_dir, "decon_verdicts")
 
     grams = _word_grams(DECON_N)
+    # conditional single-split fan-out (VERDICT r14 #3), same as the
+    # batch key above
+    docs = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     docs = (
-        _docs(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        docs
         .withColumn(
             "__words",
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)),

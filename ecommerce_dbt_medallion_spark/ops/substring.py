@@ -157,14 +157,18 @@ def substring_guaranteed_span(winnow_w: int) -> int:
 
 
 def _docs_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    out = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= SUB_L)
         .select("doc_id", "text", (F.length("text") - SUB_L + 1).alias("n_windows"))
-        # a single small parquet file arrives as ONE scan partition; the
-        # md5-per-window explode is the CPU hot spot, so spread it first
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
+    # a single small parquet file arrives as ONE scan partition; the
+    # md5-per-window explode is the CPU hot spot, so spread it first.
+    # CONDITIONAL (VERDICT r14 #3): multi-split input skips the exchange.
+    par = spark.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par, "doc_id")
+    return out
 
 
 def _selected_span_stats(docs: DataFrame, sel) -> DataFrame:

@@ -750,9 +750,11 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram_hashes into the window transform would recompute the whole md5
     # array per window element (O(n²) md5 calls — measured minutes vs
     # seconds). Column references evaluate once per row.
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # conditional single-split fan-out (VERDICT r14 #3)
+    docs = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     d = docs.withColumn("__norm", _norm_text(F.col("text")))
     # Guard short docs: F.sequence counts DOWN when stop < start (default
     # step -1), which would feed slice() a start of 0/-1 and throw. Docs

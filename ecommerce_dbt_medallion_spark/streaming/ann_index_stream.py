@@ -94,16 +94,31 @@ def ann_index_bootstrap(
     encoded ``boot_vectors`` slice. Both inputs are quantized
     (vec_id, q) frames."""
     coarse, codebooks = _ivfpq_train(train_vectors)
+    # collect once (the quantizers are metadata-scale by construction)
+    # and reuse for the coarse table, the pq table AND the seed encode —
+    # with the rows in hand all three CREATEs stage driver-side with
+    # zero Spark jobs (round 15); the previous 4-way unionByName pq
+    # plan alone paid a distributed staging write for ~PQ_K·PQ_M rows
+    coarse_rows = coarse.select("cluster", "cq").collect()
+    cb_rows = [cb.collect() for cb in codebooks]
     lakehouse.create_or_replace(
-        spark, coarse_table, coarse.select("cluster", "cq"), key="cluster"
+        spark,
+        coarse_table,
+        spark.createDataFrame(coarse_rows, "cluster long, cq array<bigint>"),
+        key="cluster",
+        local_rows=coarse_rows,
     )
-    pq_rows = None
-    for m, cb in enumerate(codebooks):
-        tagged = cb.select(
-            F.lit(m).cast("int").alias("m"), "cluster", "cq"
-        )
-        pq_rows = tagged if pq_rows is None else pq_rows.unionByName(tagged)
-    lakehouse.create_or_replace(spark, pq_table, pq_rows)
+    pq_local = [
+        (m, r["cluster"], r["cq"])
+        for m, rows in enumerate(cb_rows)
+        for r in rows
+    ]
+    lakehouse.create_or_replace(
+        spark,
+        pq_table,
+        spark.createDataFrame(pq_local, "m int, cluster long, cq array<bigint>"),
+        local_rows=pq_local,
+    )
     # Bootstrap seed encode runs DRIVER-SIDE (round 14): the seed is
     # bounded at ANN_INDEX_BOOT rows by construction, yet the
     # distributed _ivfpq_encode chain cost ~10 fixed-overhead stages
@@ -114,14 +129,9 @@ def ann_index_bootstrap(
     # fully distributed — at 100 TB only the bounded seed is local.
     boot_rows = boot_vectors.select("vec_id", "q").collect()
     code_cols = ", ".join(f"code{m} long" for m in range(PQ_M))
+    code_rows = _ivfpq_encode_local(spark, boot_rows, coarse_rows, cb_rows)
     codes_local = spark.createDataFrame(
-        _ivfpq_encode_local(
-            spark,
-            boot_rows,
-            coarse.collect(),
-            [cb.collect() for cb in codebooks],
-        ),
-        f"vec_id long, list_id long, {code_cols}",
+        code_rows, f"vec_id long, list_id long, {code_cols}"
     )
     lakehouse.create_or_replace(
         spark,
@@ -129,6 +139,7 @@ def ann_index_bootstrap(
         codes_local,
         key="vec_id",
         partition_by="list_id",
+        local_rows=code_rows,
     )
 
 

@@ -120,7 +120,7 @@ def stream_quantile_sketch_ingest(
         )
         if seen_ids is not None and int(batch_id) in seen_ids:
             return
-        bstate = quantile_sketch_state(
+        bdf = quantile_sketch_state(
             batch_df.select(
                 F.explode(F.array(F.col("grp"), F.lit("ALL"))).alias("grp"),
                 "cents",
@@ -128,12 +128,20 @@ def stream_quantile_sketch_ingest(
             "cents",
             ["grp"],
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-        bstate = bstate.localCheckpoint(eager=True)
+        # ONE job: collect the bounded cell state (sketch cells, never
+        # batch rows) and pass the rows alongside — create/append then
+        # stage the file DRIVER-SIDE with zero further Spark jobs
+        # (round 15; replaces eager checkpoint + distributed staging
+        # write = 2 jobs/batch)
+        brows = bdf.collect()
+        bstate = spark.createDataFrame(brows, bdf.schema)
         if not lakehouse.versions(state_table):
-            lakehouse.create_or_replace(spark, state_table, bstate)
+            lakehouse.create_or_replace(
+                spark, state_table, bstate, local_rows=brows
+            )
             return
         if seen_ids is not None:
-            lakehouse.append(spark, state_table, bstate)
+            lakehouse.append(spark, state_table, bstate, local_rows=brows)
             return
         seen = lakehouse.read(spark, state_table).select("batch_id").distinct()
         fresh = bstate.join(seen, "batch_id", "left_anti").localCheckpoint(
@@ -244,17 +252,26 @@ def stream_hll_ingest(
         )
         if seen_ids is not None and int(batch_id) in seen_ids:
             return
-        bstate = hll_register_state(
+        bdf = hll_register_state(
             batch_df.where(F.col("user_id").isNotNull()).select(
                 "event_type", "user_id"
             )
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-        bstate = bstate.localCheckpoint(eager=True)
+        # ONE job + zero-job driver-side staging (see quantile sibling)
+        brows = bdf.collect()
+        bstate = spark.createDataFrame(brows, bdf.schema)
         if not lakehouse.versions(state_table):
-            lakehouse.create_or_replace(spark, state_table, bstate)
+            lakehouse.create_or_replace(
+                spark, state_table, bstate, local_rows=brows
+            )
             return
         if seen_ids is not None:
-            lakehouse.append(spark, state_table, bstate)
+            # an all-NULL-user batch yields an EMPTY register state:
+            # appending it would commit a zero-row file + version per
+            # such batch (ADVICE r14) — keep the anti-join path's
+            # non-empty guard on the driver fast path too
+            if brows:
+                lakehouse.append(spark, state_table, bstate, local_rows=brows)
             return
         seen = lakehouse.read(spark, state_table).select("batch_id").distinct()
         fresh = bstate.join(seen, "batch_id", "left_anti").localCheckpoint(
@@ -375,18 +392,24 @@ def stream_cms_ingest(
             else None
         )
         if cms_seen is None or int(batch_id) not in cms_seen:
-            bcells = (
+            bdf = (
                 ev.select(F.explode(cell_structs).alias("rb"))
                 .select("rb.row_i", "rb.bucket")
                 .groupBy("row_i", "bucket")
                 .agg(F.count("*").alias("cell_count"))
                 .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-                .localCheckpoint(eager=True)
             )
+            # ONE job + zero-job driver-side staging (quantile sibling)
+            brows = bdf.collect()
+            bcells = spark.createDataFrame(brows, bdf.schema)
             if not lakehouse.versions(cms_table):
-                lakehouse.create_or_replace(spark, cms_table, bcells)
+                lakehouse.create_or_replace(
+                    spark, cms_table, bcells, local_rows=brows
+                )
             elif cms_seen is not None:
-                lakehouse.append(spark, cms_table, bcells)
+                # same non-empty guard as the HLL fast path (ADVICE r14)
+                if brows:
+                    lakehouse.append(spark, cms_table, bcells, local_rows=brows)
             else:
                 seen = (
                     lakehouse.read(spark, cms_table)
@@ -404,32 +427,44 @@ def stream_cms_ingest(
         # compiled as TakeOrderedAndProject (distributed per-partition
         # top-M + merge; an unpartitioned Window would single-thread
         # the batch's user grain at 100 TB)
-        bcand = (
+        bcand_df = (
             ev.groupBy("user_id")
             .agg(F.count("*").alias("c"))
             .orderBy(F.desc("c"), F.asc("user_id"))
             .limit(HH_CAND_PER_BATCH)
             .select("user_id")
-            .localCheckpoint(eager=True)
         )
+        # ≤ HH_CAND_PER_BATCH rows by construction: one TakeOrdered job,
+        # then LocalRelation → zero-job driver-side create/append
+        bcand_rows = bcand_df.collect()
+        bcand = spark.createDataFrame(bcand_rows, bcand_df.schema)
         if not lakehouse.versions(cand_table):
-            lakehouse.create_or_replace(spark, cand_table, bcand, key="user_id")
+            lakehouse.create_or_replace(
+                spark, cand_table, bcand, key="user_id", local_rows=bcand_rows
+            )
             return
         # novelty filter: the known candidate set is metadata-scale
-        # (M × batches), so resolve it driver-side when possible and
-        # fold the filter into the append's own job as an isin()
+        # (M × batches), so resolve it driver-side when possible — the
+        # batch candidates are already in hand, so the filter is a plain
+        # Python set test (ADVICE r14: the previous ~isin() was
+        # NULL-poisonable and embedded an unbounded literal list)
         known = lakehouse.distinct_values_local(cand_table, "user_id")
         if known is not None:
-            new = bcand.where(~F.col("user_id").isin(list(known))).localCheckpoint(
-                eager=True
-            )
+            new_rows = [r for r in bcand_rows if r["user_id"] not in known]
+            if new_rows:
+                lakehouse.append(
+                    spark,
+                    cand_table,
+                    spark.createDataFrame(new_rows, bcand_df.schema),
+                    local_rows=new_rows,
+                )
         else:
             knownf = lakehouse.read(spark, cand_table).select("user_id")
             new = bcand.join(knownf, "user_id", "left_anti").localCheckpoint(
                 eager=True
             )
-        if not new.isEmpty():
-            lakehouse.append(spark, cand_table, new)
+            if not new.isEmpty():
+                lakehouse.append(spark, cand_table, new)
 
     q = (
         stream.writeStream.foreachBatch(_batch)

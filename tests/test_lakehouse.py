@@ -65,6 +65,135 @@ def test_merge_disjoint_keys_appends_without_rewrite(spark, table):
     assert lh.read(spark, table).count() == 120
 
 
+def test_local_staging_create_matches_distributed(spark, tmp_path, monkeypatch):
+    """Round 15: create_or_replace/append stage LocalRelation sources
+    driver-side (pyarrow write, Python stats/bloom — zero Spark jobs).
+    Both writers must produce value-identical tables, identical blooms,
+    and sound per-file stats for the partitioned case."""
+    import datetime
+
+    rows = [
+        (i, f"s{i % 7}", float(i) / 3.0, i % 2 == 0,
+         datetime.date(2026, 1, 1 + (i % 27)), [i, i * 2], i % 5)
+        for i in range(200)
+    ] + [(1000, None, None, None, None, None, None)]
+    schema = (
+        "id long, s string, d double, flag boolean, dt date, "
+        "arr array<bigint>, cluster long"
+    )
+    results = {}
+    for dial, tag in ((20_000, "local"), (-1, "distributed")):
+        monkeypatch.setattr(lh, "STAGE_DRIVER_MAX_ROWS", dial)
+        path = str(tmp_path / f"c-{tag}")
+        df = spark.createDataFrame(rows, schema)
+        lh.create_or_replace(
+            spark, path, df, key="id", partition_by="cluster", local_rows=rows
+        )
+        got = sorted(
+            (tuple(r) for r in lh.read(spark, path).collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        adds = lh.live_files(path)
+        results[tag] = (got, adds)
+    l_rows, l_adds = results["local"]
+    d_rows, d_adds = results["distributed"]
+    assert l_rows == d_rows
+    # one file per partition value (the _apply_partitioning layout):
+    # 5 cluster values + the NULL group
+    assert len(l_adds) == 6
+    # every file's cluster stats pin exactly one value — the pruning
+    # contract relabel reads and list_id probes rely on
+    for a in l_adds:
+        cs = a.get("col_stats", {}).get("cluster")
+        assert cs is None or cs[0] == cs[1]
+    # exact global stats and the IDENTICAL bloom union as the
+    # distributed writer (Python twin pinned vs the Spark expression)
+    assert min(a["min_key"] for a in l_adds) == min(a["min_key"] for a in d_adds)
+    assert max(a["max_key"] for a in l_adds) == max(a["max_key"] for a in d_adds)
+    l_mask = d_mask = 0
+    for a in l_adds:
+        l_mask |= int(a["bloom"], 16)
+    for a in d_adds:
+        d_mask |= int(a["bloom"], 16)
+    assert l_mask == d_mask
+    assert sum(a["rows"] for a in l_adds) == sum(a["rows"] for a in d_adds) == 201
+
+
+def test_local_staging_append_matches_distributed(spark, tmp_path, monkeypatch):
+    """Round 15: the LocalRelation append fast path — same values, same
+    inherited key stats, as the distributed staging writer."""
+    results = {}
+    for dial, tag in ((20_000, "local"), (-1, "distributed")):
+        monkeypatch.setattr(lh, "STAGE_DRIVER_MAX_ROWS", dial)
+        path = str(tmp_path / f"a-{tag}")
+        base = spark.range(50).select(F.col("id"), (F.col("id") * 10).alias("val"))
+        lh.create_or_replace(spark, path, base, key="id")
+        extra_rows = [(100, -1), (101, None), (None, 7)]
+        extra = spark.createDataFrame(extra_rows, "id long, val long")
+        v = lh.append(spark, path, extra, local_rows=extra_rows)
+        add = lh._read_entry(path, v)["add"]
+        rows = sorted(
+            ((r["id"], r["val"]) for r in lh.read(spark, path).collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        # stats across the commit's files (the distributed writer may
+        # split the rows; the all-NULL-key file is legitimately
+        # stat-less on either path)
+        keyed = [a for a in add if "min_key" in a]
+        results[tag] = (
+            rows,
+            min(a["min_key"] for a in keyed),
+            max(a["max_key"] for a in keyed),
+        )
+    assert results["local"] == results["distributed"]
+    assert results["local"][1:] == (100, 101)
+
+
+def test_merge_driver_write_matches_distributed(spark, tmp_path, monkeypatch):
+    """Round 15: the fully-driver-side MERGE rewrite (probe holds the
+    whole source; touched rows re-read via pyarrow; _stage_rows_local
+    writes the merged file) must equal the distributed rewrite —
+    including NULL target keys surviving, duplicate-key source rows,
+    unicode string values, and identical pruning stats."""
+    results = {}
+    for dial, tag in ((20_000, "driver"), (-1, "distributed")):
+        monkeypatch.setattr(lh, "STAGE_DRIVER_MAX_ROWS", dial)
+        path = str(tmp_path / f"m-{tag}")
+        base = spark.range(100).select(
+            F.col("id"), F.concat(F.lit("v·"), F.col("id")).alias("val")
+        ).repartitionByRange(4, "id")
+        lh.create_or_replace(spark, path, base, key="id")
+        # a NULL-key row in the target must survive every rewrite
+        lh.append(
+            spark, path,
+            spark.createDataFrame([(None, "null-row")], "id long, val string"),
+        )
+        src = spark.createDataFrame(
+            [(98, "up·98"), (99, "up·99"), (99, "dup·99"), (150, "new")],
+            "id long, val string",
+        )
+        v = lh.merge_into(spark, path, src, "id")
+        entry = lh._read_entry(path, v)
+        rows = sorted(
+            ((r["id"], r["val"]) for r in lh.read(spark, path).collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        results[tag] = (
+            entry["stats"],
+            len(entry["add"]),
+            sorted(a["rows"] for a in entry["add"]),
+            rows,
+        )
+    assert results["driver"] == results["distributed"]
+    stats = results["driver"][0]
+    assert stats["files_touched"] == 1  # keys 98/99 live in the last range file
+    rows = dict()
+    for k, val in results["driver"][3]:
+        rows.setdefault(k, []).append(val)
+    assert rows[None] == ["null-row"] and rows[150] == ["new"]
+    assert sorted(rows[99]) == ["dup·99", "up·99"]
+
+
 def test_merge_generic_path_matches_fast_path(spark, tmp_path, monkeypatch):
     """Round 14: merge_into gained a small-source fast path (bounded
     probe resolves range/bloom/touched driver-side). Both paths must

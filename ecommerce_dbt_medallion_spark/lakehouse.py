@@ -2933,6 +2933,13 @@ def apply_changes(
         CDC_DELETED_COL
     )
     if touched:
+        # ONE materialization of the stored⋈changes pipeline (round 15):
+        # the previous shape executed the join up to four times per
+        # micro-batch — once for the deleted-keys count, twice for the
+        # has-changes probes, once more for the rewrite itself. The
+        # kept/updated split is now a per-row CASE carrying marker
+        # columns, eagerly checkpointed; the counts become metadata-scale
+        # actions over the checkpoint and the rewrite projects it.
         stored = _read_files(spark, table, touched, None, with_tombstones=False)
         tbl_cols = stored.columns
         j = stored.join(pref, F.col(key) == F.col("__s_" + key), "left")
@@ -2940,20 +2947,25 @@ def apply_changes(
             F.struct(*[F.col("__s_" + c) for c in seq_cols])
             > F.struct(*[F.col(c) for c in seq_cols])
         )
-        kept = j.where(~F.coalesce(newer, F.lit(False))).select(*tbl_cols)
-        updated = j.where(newer).select(
+        upd = F.coalesce(newer, F.lit(False))
+        src_del = F.col("__s_" + op_col) == F.lit(delete_value)
+        survivors = j.select(
             *[
-                src_flag if c == CDC_DELETED_COL
-                else F.col("__s_" + c).alias(c)
+                F.when(
+                    upd,
+                    src_del if c == CDC_DELETED_COL else F.col("__s_" + c),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
                 for c in tbl_cols
-            ]
+            ],
+            upd.alias("__chg"),
+            (
+                upd
+                & (F.col("__s_" + op_col) == F.lit(delete_value))
+                & ~F.col(CDC_DELETED_COL)
+            ).alias("__new_del"),
         )
-        n_deleted_keys = j.where(
-            newer
-            & (F.col("__s_" + op_col) == F.lit(delete_value))
-            & ~F.col(CDC_DELETED_COL)
-        ).count()
-        survivors = kept.unionByName(updated)
         inserts = latest.join(
             stored.select(key).distinct(), key, "left_anti"
         ).select(
@@ -2962,27 +2974,26 @@ def apply_changes(
                 if c == CDC_DELETED_COL
                 else F.col(c)
                 for c in tbl_cols
-            ]
+            ],
+            F.lit(True).alias("__chg"),
+            F.lit(False).alias("__new_del"),
         )
+        flagged = survivors.unionByName(inserts).localCheckpoint(eager=True)
+        n_deleted_keys = flagged.where(F.col("__new_del")).count()
+        n_changes = flagged.where(F.col("__chg")).limit(1).count()
+        merged = flagged.select(*tbl_cols)
     else:
         # discovery is sound: no touched file ⇒ no source key exists in
         # the table ⇒ every change is a pure insert (deletes of unseen
         # keys insert tombstones so older stragglers can't resurrect)
         tbl_cols = [c for c in src_cols if c != op_col] + [CDC_DELETED_COL]
         n_deleted_keys = 0
-        survivors = None
-        updated = None
-        inserts = latest.withColumn(
+        merged = latest.withColumn(
             CDC_DELETED_COL, F.col(op_col) == F.lit(delete_value)
         ).select(*tbl_cols)
-    merged = (
-        survivors.unionByName(inserts) if survivors is not None else inserts
-    )
+        n_changes = merged.limit(1).count()
     # a batch that changes nothing (pure replay / stale stragglers)
     # must not commit an empty rewrite
-    n_changes = inserts.limit(1).count() + (
-        updated.limit(1).count() if updated is not None else 0
-    )
     if n_changes == 0:
         return versions(table)[-1]
     # metadata-scale rewrites collapse to one task/file (merge_into's

@@ -66,7 +66,7 @@ from ecommerce_dbt_medallion_spark.ops.cluster import (
 from ecommerce_dbt_medallion_spark.sources.registry import load_table
 from ecommerce_dbt_medallion_spark.streaming.ingest_stream import _ckpt_dir
 from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
-    stage_microbatch_files,
+    stage_microbatch_files_by,
 )
 
 
@@ -270,8 +270,10 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_index_bootstrap(spark, train, boot, coarse_table, pq_table, codes_table)
 
     rest = emb.where(F.col("vec_id") >= ANN_INDEX_BOOT)
-    stage_microbatch_files(
-        src, [rest.where(F.col("vec_id") % 3 == k) for k in range(3)]
+    stage_microbatch_files_by(
+        src,
+        rest.withColumn("__b", (F.col("vec_id") % 3).cast("int")),
+        3,
     )
     stream_ann_index_ingest(spark, src, coarse_table, pq_table, codes_table)
 

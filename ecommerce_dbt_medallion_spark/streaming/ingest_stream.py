@@ -396,7 +396,6 @@ def _gate_three_batch_tables(
     """
     import re as _re
     import shutil as _sh
-    import time as _time
 
     from pyspark.sql import functions as F
 
@@ -438,20 +437,14 @@ def _gate_three_batch_tables(
         batch_of = (F.col("doc_id") % 3).cast("int")
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown batch_mode: {batch_mode!r}")
-    base = _time.time()
-    for k in range(3):
-        staging = os.path.join(src, f"_stage{k}")
-        docs.where(batch_of == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        (part,) = [
-            f for f in os.listdir(staging) if f.endswith(".parquet")
-        ]
-        dest = os.path.join(src, f"b{k}.parquet")
-        os.rename(os.path.join(staging, part), dest)
-        _sh.rmtree(staging, ignore_errors=True)
-        # FileStreamSource orders by (mtime, path): make both increase
-        os.utime(dest, (base + k * 10, base + k * 10))
+    # ONE partitioned write stages all three batch files (round 15):
+    # the previous 3 sequential coalesce(1) jobs each re-scanned the
+    # documents table purely to cut one mod-3 slice
+    from ecommerce_dbt_medallion_spark.streaming.sketch_stream import (
+        stage_microbatch_files_by,
+    )
+
+    stage_microbatch_files_by(src, docs.withColumn("__b", batch_of), 3)
     return src, sig_table, verdict_table, labels_table
 
 

@@ -63,6 +63,63 @@ def stage_microbatch_files(src_dir: str, slices) -> None:
         os.utime(dst, (base + k * 10, base + k * 10))
 
 
+def stage_microbatch_files_by(src_dir: str, df, n: int) -> None:
+    """One-job variant of :func:`stage_microbatch_files` (round 15):
+    ``df`` carries an int ``__b`` batch column in [0, n); ONE
+    partitioned write replaces the n sequential coalesce(1) jobs (each
+    of which re-scanned the base input). ``repartition(n, "__b")`` puts
+    every batch value in exactly one task, so each ``__b=k`` directory
+    holds exactly one file; partition columns are not written into the
+    data files, so the staged files carry exactly the data columns, as
+    before. A batch value with NO rows gets an empty schema-carrying
+    file (readStream declares the schema explicitly) — batch COUNT and
+    ORDER are part of the gates' oracle contract and must not shift."""
+    import shutil as _sh
+    import time as _time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    staging = os.path.join(src_dir, "_stage_all")
+    data_schema = df.drop("__b").schema
+    (
+        df.repartition(n, "__b")
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(staging)
+    )
+    base = _time.time()
+    for k in range(n):
+        d = os.path.join(staging, f"__b={k}")
+        parts = (
+            [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            if os.path.isdir(d)
+            else []
+        )
+        dst = os.path.join(src_dir, f"b{k}.parquet")
+        if parts:
+            (part,) = parts
+            os.replace(os.path.join(d, part), dst)
+        else:
+            # empty batch: stage a 0-row file with the data schema so
+            # the stream still sees (and numbers) this batch
+            from ecommerce_dbt_medallion_spark.lakehouse import _pa_type
+
+            _pq.write_table(
+                _pa.table(
+                    {f.name: _pa.array([], type=_pa_type(f.dataType))
+                     for f in data_schema.fields}
+                ),
+                dst,
+            )
+        os.utime(dst, (base + k * 10, base + k * 10))
+    _sh.rmtree(staging, ignore_errors=True)
+
+
 def _gate_scratch(sf_dir: str, *names: str) -> list[str]:
     """Fresh streaming-gate scratch paths under the gitignored gate
     root — ONE sanitization recipe with models/cdf._gate_path (the
@@ -197,12 +254,12 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    stage_microbatch_files(
+    stage_microbatch_files_by(
         src,
-        [
-            orders.where(F.col("o_orderkey") % 3 == k).select("grp", "cents")
-            for k in range(3)
-        ],
+        orders.select(
+            "grp", "cents", (F.col("o_orderkey") % 3).cast("int").alias("__b")
+        ),
+        3,
     )
 
     stream_quantile_sketch_ingest(
@@ -325,12 +382,14 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src, exist_ok=True)
 
     ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id")
-    stage_microbatch_files(
+    stage_microbatch_files_by(
         src,
-        [
-            ev.where(F.col("event_id") % 3 == k).select("event_type", "user_id")
-            for k in range(3)
-        ],
+        ev.select(
+            "event_type",
+            "user_id",
+            (F.col("event_id") % 3).cast("int").alias("__b"),
+        ),
+        3,
     )
 
     stream_hll_ingest(
@@ -521,9 +580,10 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src, exist_ok=True)
 
     ev = load_events(spark, sf_dir).select("event_id", "user_id")
-    stage_microbatch_files(
+    stage_microbatch_files_by(
         src,
-        [ev.where(F.col("event_id") % 3 == k).select("user_id") for k in range(3)],
+        ev.select("user_id", (F.col("event_id") % 3).cast("int").alias("__b")),
+        3,
     )
 
     stream_cms_ingest(
@@ -672,8 +732,10 @@ def stream_gram_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src, exist_ok=True)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    stage_microbatch_files(
-        src, [emb.where(F.col("vec_id") % 3 == k) for k in range(3)]
+    stage_microbatch_files_by(
+        src,
+        emb.withColumn("__b", (F.col("vec_id") % 3).cast("int")),
+        3,
     )
     stream_gram_ingest(spark, src, state_table)
     return gram_finalize(

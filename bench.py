@@ -214,18 +214,25 @@ def main() -> None:
     # regression from scheduling noise. This entry is pure parallel
     # compute from the parquet inputs — 64 chained md5 rounds per
     # lineitem row after a fan-out repartition — sized so its runtime
-    # tracks core count. NOT a declared api key (it is a measurement
-    # probe, no oracle); it ADDS a bench entry, touching nothing in the
-    # certification window, and rides the same min-of-3 noop
-    # methodology as every other entry.
+    # tracks core count (8-way explode × 64 rounds ≈ 300M md5/run —
+    # measured 5.0 s at 32 cores vs 12.5 s at 8, ratio 2.5; deeper
+    # nesting instead of the explode trips the analyzer's
+    # max-iterations, and at plain 64 rounds the ~0.9 s
+    # scan+exchange+scheduling floor drowned the 32-core signal,
+    # ratio 1.6). NOT a declared api key (it is a
+    # measurement probe, no oracle); it ADDS a bench entry, touching
+    # nothing in the certification window, and rides the same min-of-3
+    # noop methodology as every other entry.
     def _scaling_probe_cpu(spark, sf_dir_):
         from pyspark.sql import functions as F
 
         li = spark.read.parquet(
             os.path.join(sf_dir_, "lineitem.parquet")
         ).select("l_orderkey", "l_partkey", "l_suppkey")
-        df = li.repartition(spark.sparkContext.defaultParallelism)
-        h = F.concat_ws(",", "l_orderkey", "l_partkey", "l_suppkey")
+        df = li.repartition(spark.sparkContext.defaultParallelism).withColumn(
+            "rep", F.explode(F.sequence(F.lit(1), F.lit(8)))
+        )
+        h = F.concat_ws(",", "l_orderkey", "l_partkey", "l_suppkey", "rep")
         for _ in range(64):
             h = F.md5(h)
         return df.select(
